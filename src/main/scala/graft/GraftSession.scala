@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standard engine session settings, shared by Verify / Bench / tests.
+  *
+  * Scale notes (100 TB design): AQE on so skewed shuffles re-plan at
+  * runtime; shuffle partitions default to the local core count (the
+  * driver passes SPARK_GRAFT_CPUS; a real cluster would set this to
+  * 2-3× total cores or rely on AQE coalescing).
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.ts is parquet TIMESTAMP(NANOS) — read as long, converted
+      // in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Local session for tests. */
+  def local(cores: Int = 4): SparkSession = {
+    val s = builder(s"local[$cores]", cores.toString).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
