@@ -1,0 +1,234 @@
+package graft
+package operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.embed.Embedder
+import graft.functions.VectorFunctions._
+
+/** The retrieval core (SURVEY.md §2.10-§2.11): embedding, kNN scoring
+  * (J4/W1), keyword rerank (X7) and hybrid blend (X8), composed exactly
+  * like the reference pipelines Q1/Q2 (`src/core/search/search.ts`).
+  *
+  * Scale design: the query side of every kNN is tiny (one vector or a
+  * small batch) and is broadcast; the corpus side is scanned once with
+  * only (id, embedding) columns read — column pruning keeps the 100 TB
+  * text payload out of the scan. Top-k lowers to TakeOrderedAndProject
+  * (no global sort). Scores are rounded to 6 dp and tie-broken on id so
+  * ranking is deterministic across partitionings and engines.
+  */
+object Search {
+
+  val QueryText = "table scan fast"
+  private val queryWords = Seq("table", "scan", "fast")
+
+  /** E2/E3: hashing-TF sparse embeddings of the documents corpus. */
+  def qEmbedHash(spark: SparkSession, dir: String): DataFrame =
+    Embedder.sparseVectors(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("bucket"), round(col("weight"), 6).as("weight"))
+      .orderBy("doc_id", "bucket")
+
+  /** J4/W1: single-query kNN over the stored dense vectors (query =
+    * vec_id 0, k = 10, self excluded). */
+  def qKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), l2norm(col("embedding")).as("qn"))
+    e.filter(col("vec_id") =!= 0)
+      .withColumn("nrm", l2norm(col("embedding")))
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .select(col("vec_id"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** J4 batch variant: 8 query vectors × corpus, per-query top-5 via a
+    * rank window — the "many queries at once" shape (reference runs a
+    * sequential loop; this is one job). */
+  def qKnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", l2norm(col("embedding")))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Query-string sparse vector via the same DF pipeline as the corpus
+    * (so the arithmetic is engine-portable end to end). */
+  private def querySparse(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val qdf = Seq((0L, QueryText)).toDF("qid", "text")
+    Embedder.sparseVectors(qdf, "qid", "text")
+      .select(col("bucket"), col("weight").as("qweight"))
+  }
+
+  /** Scored corpus: sparse dot product via bucket join (cosine — both
+    * sides unit-normalized). */
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame =
+    Embedder.sparseVectors(Tables.documents(spark, dir), "doc_id", "text")
+      .join(broadcast(querySparse(spark)), "bucket")
+      .groupBy("doc_id")
+      .agg(round(sum(col("weight") * col("qweight")), 6).as("score"))
+
+  private def matchCount(text: Column): Column =
+    queryWords.map(w => when(text.contains(w), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+
+  /** Q1 semantic search: embed query → kNN top-10 → keyword-boost rerank
+    * (boost 0.1/word, reference search.ts:21-49,58-92). */
+  def qSearchSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val top = scoredDocs(spark, dir)
+      .orderBy(desc("score"), col("doc_id")).limit(10)
+    top.join(Tables.documents(spark, dir), "doc_id")
+      .withColumn("matches", matchCount(col("text")))
+      .withColumn("final", round(col("score") + col("matches") * 0.1, 6))
+      .select(col("doc_id"), col("score"), col("matches"), col("final"))
+      .orderBy(desc("final"), col("doc_id"))
+  }
+
+  /** Q2 hybrid search: semantic top-20 candidates, blended
+    * `score·(1−w) + keywordRatio·w`, w = 0.3 (search.ts:98-136). */
+  def qSearchHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val top = scoredDocs(spark, dir)
+      .orderBy(desc("score"), col("doc_id")).limit(20)
+    top.join(Tables.documents(spark, dir), "doc_id")
+      .withColumn("matches", matchCount(col("text")))
+      .withColumn("hybrid",
+        round(col("score") * 0.7 + (col("matches") / 3.0) * 0.3, 6))
+      .select(col("doc_id"), col("score"), col("matches"), col("hybrid"))
+      .orderBy(desc("hybrid"), col("doc_id"))
+      .limit(10)
+  }
+
+  /** A6 search stats over the batch-kNN result: count / avg / max / min
+    * score per query (reference calculateSearchStats, search.ts:320-348,
+    * done as one grouped pass instead of four filtered counts). */
+  def qSearchStats(spark: SparkSession, dir: String): DataFrame =
+    qKnnBatch(spark, dir)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("score")), 6).as("avg_score"),
+        max(col("score")).as("max_score"),
+        min(col("score")).as("min_score"))
+      .orderBy("query_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_hash"      -> (qEmbedHash _),
+    "q_knn"             -> (qKnn _),
+    "q_knn_batch"       -> (qKnnBatch _),
+    "q_search_semantic" -> (qSearchSemantic _),
+    "q_search_hybrid"   -> (qSearchHybrid _),
+    "q_search_stats"    -> (qSearchStats _),
+  )
+
+  /** Shared oracle CTE: hashing-TF sparse vectors of `documents` (the
+    * md5-hash/bucket/normalize pipeline, mirroring Embedder). */
+  private val docVecCte =
+    """tok AS (
+      |  SELECT doc_id, t AS tok
+      |  FROM documents, LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS t) u
+      |  WHERE t <> ''),
+      |cnts AS (
+      |  SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT % 64 AS bucket,
+      |         count(*) AS cnt
+      |  FROM tok GROUP BY 1, 2),
+      |dv AS (
+      |  SELECT doc_id, bucket,
+      |         cnt / sqrt(sum(cnt*cnt) OVER (PARTITION BY doc_id)) AS weight
+      |  FROM cnts)""".stripMargin
+
+  private val queryVecCte =
+    """qtok AS (
+      |  SELECT t AS tok
+      |  FROM (SELECT unnest(regexp_split_to_array(lower('table scan fast'), '\s+')) AS t)
+      |  WHERE t <> ''),
+      |qcnts AS (
+      |  SELECT ('0x'||substr(md5(tok),1,15))::BIGINT % 64 AS bucket, count(*) AS cnt
+      |  FROM qtok GROUP BY 1),
+      |qv AS (
+      |  SELECT bucket, cnt / sqrt((SELECT sum(cnt*cnt) FROM qcnts)) AS qweight
+      |  FROM qcnts),
+      |sc AS (
+      |  SELECT dv.doc_id, round(sum(dv.weight * qv.qweight), 6) AS score
+      |  FROM dv JOIN qv USING (bucket) GROUP BY 1)""".stripMargin
+
+  private val matchesSql =
+    """(CASE WHEN contains(d.text, 'table') THEN 1 ELSE 0 END +
+      | CASE WHEN contains(d.text, 'scan') THEN 1 ELSE 0 END +
+      | CASE WHEN contains(d.text, 'fast') THEN 1 ELSE 0 END)""".stripMargin
+
+  private val knnBatchCtes =
+    """e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+      |  FROM e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, score,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, vec_id) AS rank
+      |  FROM scored),
+      |topq AS (
+      |  SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 5)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_embed_hash" ->
+      s"""WITH $docVecCte
+         |SELECT doc_id, bucket, round(weight, 6) AS weight
+         |FROM dv ORDER BY doc_id, bucket""".stripMargin,
+    "q_knn" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qv,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+        |  FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+        |        (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * q.qn),
+        |        6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "q_knn_batch" ->
+      s"""WITH $knnBatchCtes
+         |SELECT query_id, rank, vec_id, score FROM topq
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_search_semantic" ->
+      s"""WITH $docVecCte,
+         |$queryVecCte,
+         |topk AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT t.doc_id, t.score, $matchesSql AS matches,
+         |  round(t.score + $matchesSql * 0.1, 6) AS final
+         |FROM topk t JOIN documents d USING (doc_id)
+         |ORDER BY final DESC, doc_id""".stripMargin,
+    "q_search_hybrid" ->
+      s"""WITH $docVecCte,
+         |$queryVecCte,
+         |topk AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)
+         |SELECT t.doc_id, t.score, $matchesSql AS matches,
+         |  round(t.score * 0.7 + ($matchesSql / 3.0) * 0.3, 6) AS hybrid
+         |FROM topk t JOIN documents d USING (doc_id)
+         |ORDER BY hybrid DESC, doc_id LIMIT 10""".stripMargin,
+    "q_search_stats" ->
+      s"""WITH $knnBatchCtes
+         |SELECT query_id, count(*) AS n, round(avg(score), 6) AS avg_score,
+         |  max(score) AS max_score, min(score) AS min_score
+         |FROM topq GROUP BY query_id ORDER BY query_id""".stripMargin,
+  )
+}

@@ -1,0 +1,82 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.embed.Embedder
+import graft.operators.Search
+
+/** Embedder determinism + retrieval pipeline semantics. */
+class SearchSpec extends SparkSpec {
+
+  test("portable hash: Scala md5/hex path matches known digests") {
+    // cross-checked against DuckDB: md5('hello') = 5d41402a…
+    assert(Embedder.md5hex("hello") == "5d41402abc4b2a76b9719d911017c592")
+    assert(Embedder.hash60("hello") ==
+      java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+    assert(Embedder.bucketOf("hello", 64) == (Embedder.hash60("hello") % 64).toInt)
+  }
+
+  test("embed: unit norm, deterministic, bucket = token count spread") {
+    val v = Embedder.embed("table scan fast table")
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12)
+    assert(v.toSeq == Embedder.embed("table scan fast table").toSeq)
+    // "table" appears twice → its bucket weight is 2/sqrt(6)
+    val b = Embedder.bucketOf("table", 64)
+    assert(math.abs(v(b) - 2.0 / math.sqrt(6.0)) < 1e-12)
+  }
+
+  test("DataFrame sparse path agrees with the Scala dense path") {
+    import spark.implicits._
+    val df = Seq((1L, "table scan fast table"), (2L, "a b c")).toDF("doc_id", "text")
+    val sparse = Embedder.sparseVectors(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for ((id, text) <- Seq((1L, "table scan fast table"), (2L, "a b c"))) {
+      val dense = Embedder.embed(text)
+      val mine = sparse.filter(_._1 == id)
+      mine.foreach { case (_, bucket, w) =>
+        assert(math.abs(dense(bucket.toInt) - w) < 1e-12, s"doc $id bucket $bucket")
+      }
+      assert(mine.length == dense.count(_ != 0.0))
+    }
+  }
+
+  test("knn: k rows, self excluded, scores in [-1,1] and descending") {
+    val out = Search.qKnn(spark, sfDir).collect()
+    assert(out.length == 10)
+    val scores = out.map(_.getDouble(1))
+    assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
+    assert(scores.sameElements(scores.sorted.reverse))
+    assert(!out.map(_.getLong(0)).contains(0L))
+  }
+
+  test("knn batch: 5 per query, rank contiguous") {
+    val out = Search.qKnnBatch(spark, sfDir).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0L until 8L).toSet)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to 5L))
+    }
+  }
+
+  test("semantic search: rerank boosts docs containing query words") {
+    val out = Search.qSearchSemantic(spark, sfDir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val score = r.getDouble(1); val matches = r.getLong(2); val fin = r.getDouble(3)
+      assert(math.abs(fin - (score + matches * 0.1)) < 1e-6)
+    }
+    // final is the sort key
+    val finals = out.map(_.getDouble(3))
+    assert(finals.sameElements(finals.sorted.reverse))
+  }
+
+  test("hybrid search: blend bounded by its components") {
+    val out = Search.qSearchHybrid(spark, sfDir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val blend = r.getDouble(3)
+      assert(blend <= 0.7 * 1.0001 + 0.3 * 1.0001)
+    }
+  }
+}
