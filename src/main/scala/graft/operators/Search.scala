@@ -18,26 +18,42 @@ import graft.functions.VectorFunctions._
   * text payload out of the scan. Top-k lowers to TakeOrderedAndProject
   * (no global sort). Scores are rounded to 6 dp and tie-broken on id so
   * ranking is deterministic across partitionings and engines.
+  *
+  * Corpus-level intermediates (sparse doc vectors, normed embeddings)
+  * are built once per session via [[graft.Cache]] and shared by every
+  * query — the multi-query session pattern the reference lacks.
   */
 object Search {
 
   val QueryText = "table scan fast"
-  private val queryWords = Seq("table", "scan", "fast")
+
+  /** Sparse hashing-TF vectors of the documents corpus — cached: built
+    * once, read by embed/semantic/hybrid/chain/coverage queries. */
+  def docVectors(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "docSparse", dir) {
+      Embedder.sparseVectors(Tables.documents(spark, dir), "doc_id", "text")
+    }
+
+  /** Dense corpus with precomputed L2 norms — cached (kNN family). */
+  def embNormed(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "embNorm", dir) {
+      Tables.embeddings(spark, dir)
+        .withColumn("nrm", l2norm(col("embedding")))
+    }
 
   /** E2/E3: hashing-TF sparse embeddings of the documents corpus. */
   def qEmbedHash(spark: SparkSession, dir: String): DataFrame =
-    Embedder.sparseVectors(Tables.documents(spark, dir), "doc_id", "text")
+    docVectors(spark, dir)
       .select(col("doc_id"), col("bucket"), round(col("weight"), 6).as("weight"))
       .orderBy("doc_id", "bucket")
 
   /** J4/W1: single-query kNN over the stored dense vectors (query =
     * vec_id 0, k = 10, self excluded). */
   def qKnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = embNormed(spark, dir)
     val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"), l2norm(col("embedding")).as("qn"))
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
     e.filter(col("vec_id") =!= 0)
-      .withColumn("nrm", l2norm(col("embedding")))
       .crossJoin(broadcast(q))
       .withColumn("score",
         round(cosinePrenormed(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
@@ -50,8 +66,7 @@ object Search {
     * rank window — the "many queries at once" shape (reference runs a
     * sequential loop; this is one job). */
   def qKnnBatch(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("nrm", l2norm(col("embedding")))
+    val e = embNormed(spark, dir)
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qn"))
@@ -69,24 +84,27 @@ object Search {
 
   /** Query-string sparse vector via the same DF pipeline as the corpus
     * (so the arithmetic is engine-portable end to end). */
-  private def querySparse(spark: SparkSession): DataFrame = {
+  def querySparse(spark: SparkSession, text: String): DataFrame = {
     import spark.implicits._
-    val qdf = Seq((0L, QueryText)).toDF("qid", "text")
+    val qdf = Seq((0L, text)).toDF("qid", "text")
     Embedder.sparseVectors(qdf, "qid", "text")
       .select(col("bucket"), col("weight").as("qweight"))
   }
 
   /** Scored corpus: sparse dot product via bucket join (cosine — both
     * sides unit-normalized). */
-  private def scoredDocs(spark: SparkSession, dir: String): DataFrame =
-    Embedder.sparseVectors(Tables.documents(spark, dir), "doc_id", "text")
-      .join(broadcast(querySparse(spark)), "bucket")
+  def scoredDocs(spark: SparkSession, dir: String,
+      text: String = QueryText): DataFrame =
+    docVectors(spark, dir)
+      .join(broadcast(querySparse(spark, text)), "bucket")
       .groupBy("doc_id")
       .agg(round(sum(col("weight") * col("qweight")), 6).as("score"))
 
-  private def matchCount(text: Column): Column =
-    queryWords.map(w => when(text.contains(w), 1).otherwise(0))
+  def matchCount(text: Column, words: Seq[String]): Column =
+    words.map(w => when(text.contains(w), 1).otherwise(0))
       .reduce(_ + _).cast("long")
+
+  private val queryWords = QueryText.split(" ").toSeq
 
   /** Q1 semantic search: embed query → kNN top-10 → keyword-boost rerank
     * (boost 0.1/word, reference search.ts:21-49,58-92). */
@@ -94,7 +112,7 @@ object Search {
     val top = scoredDocs(spark, dir)
       .orderBy(desc("score"), col("doc_id")).limit(10)
     top.join(Tables.documents(spark, dir), "doc_id")
-      .withColumn("matches", matchCount(col("text")))
+      .withColumn("matches", matchCount(col("text"), queryWords))
       .withColumn("final", round(col("score") + col("matches") * 0.1, 6))
       .select(col("doc_id"), col("score"), col("matches"), col("final"))
       .orderBy(desc("final"), col("doc_id"))
@@ -106,7 +124,7 @@ object Search {
     val top = scoredDocs(spark, dir)
       .orderBy(desc("score"), col("doc_id")).limit(20)
     top.join(Tables.documents(spark, dir), "doc_id")
-      .withColumn("matches", matchCount(col("text")))
+      .withColumn("matches", matchCount(col("text"), queryWords))
       .withColumn("hybrid",
         round(col("score") * 0.7 + (col("matches") / 3.0) * 0.3, 6))
       .select(col("doc_id"), col("score"), col("matches"), col("hybrid"))
@@ -135,9 +153,13 @@ object Search {
     "q_search_stats"    -> (qSearchStats _),
   )
 
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL builders (shared with ResultAnalytics).
+  // ------------------------------------------------------------------
+
   /** Shared oracle CTE: hashing-TF sparse vectors of `documents` (the
     * md5-hash/bucket/normalize pipeline, mirroring Embedder). */
-  private val docVecCte =
+  val docVecCte: String =
     """tok AS (
       |  SELECT doc_id, t AS tok
       |  FROM documents, LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS t) u
@@ -151,25 +173,31 @@ object Search {
       |         cnt / sqrt(sum(cnt*cnt) OVER (PARTITION BY doc_id)) AS weight
       |  FROM cnts)""".stripMargin
 
-  private val queryVecCte =
-    """qtok AS (
-      |  SELECT t AS tok
-      |  FROM (SELECT unnest(regexp_split_to_array(lower('table scan fast'), '\s+')) AS t)
-      |  WHERE t <> ''),
-      |qcnts AS (
-      |  SELECT ('0x'||substr(md5(tok),1,15))::BIGINT % 64 AS bucket, count(*) AS cnt
-      |  FROM qtok GROUP BY 1),
-      |qv AS (
-      |  SELECT bucket, cnt / sqrt((SELECT sum(cnt*cnt) FROM qcnts)) AS qweight
-      |  FROM qcnts),
-      |sc AS (
-      |  SELECT dv.doc_id, round(sum(dv.weight * qv.qweight), 6) AS score
-      |  FROM dv JOIN qv USING (bucket) GROUP BY 1)""".stripMargin
+  /** Query-vector + scored-corpus CTEs for one query string; all CTE
+    * names carry `prefix` so several queries can coexist in one WITH.
+    * Emits `<p>sc(doc_id, score)`. */
+  def queryScoreCte(prefix: String, text: String): String =
+    s"""${prefix}qtok AS (
+       |  SELECT t AS tok
+       |  FROM (SELECT unnest(regexp_split_to_array(lower('$text'), '\\s+')) AS t)
+       |  WHERE t <> ''),
+       |${prefix}qcnts AS (
+       |  SELECT ('0x'||substr(md5(tok),1,15))::BIGINT % 64 AS bucket, count(*) AS cnt
+       |  FROM ${prefix}qtok GROUP BY 1),
+       |${prefix}qv AS (
+       |  SELECT bucket, cnt / sqrt((SELECT sum(cnt*cnt) FROM ${prefix}qcnts)) AS qweight
+       |  FROM ${prefix}qcnts),
+       |${prefix}sc AS (
+       |  SELECT dv.doc_id, round(sum(dv.weight * qv.qweight), 6) AS score
+       |  FROM dv JOIN ${prefix}qv qv USING (bucket) GROUP BY 1)""".stripMargin
 
-  private val matchesSql =
-    """(CASE WHEN contains(d.text, 'table') THEN 1 ELSE 0 END +
-      | CASE WHEN contains(d.text, 'scan') THEN 1 ELSE 0 END +
-      | CASE WHEN contains(d.text, 'fast') THEN 1 ELSE 0 END)""".stripMargin
+  private val queryVecCte = queryScoreCte("", QueryText)
+
+  def matchesSql(words: Seq[String], alias: String = "d"): String =
+    words.map(w => s"CASE WHEN contains($alias.text, '$w') THEN 1 ELSE 0 END")
+      .mkString("(", " +\n ", ")")
+
+  private val matches3 = matchesSql(queryWords)
 
   private val knnBatchCtes =
     """e AS (
@@ -213,16 +241,16 @@ object Search {
       s"""WITH $docVecCte,
          |$queryVecCte,
          |topk AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10)
-         |SELECT t.doc_id, t.score, $matchesSql AS matches,
-         |  round(t.score + $matchesSql * 0.1, 6) AS final
+         |SELECT t.doc_id, t.score, $matches3 AS matches,
+         |  round(t.score + $matches3 * 0.1, 6) AS final
          |FROM topk t JOIN documents d USING (doc_id)
          |ORDER BY final DESC, doc_id""".stripMargin,
     "q_search_hybrid" ->
       s"""WITH $docVecCte,
          |$queryVecCte,
          |topk AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20)
-         |SELECT t.doc_id, t.score, $matchesSql AS matches,
-         |  round(t.score * 0.7 + ($matchesSql / 3.0) * 0.3, 6) AS hybrid
+         |SELECT t.doc_id, t.score, $matches3 AS matches,
+         |  round(t.score * 0.7 + ($matches3 / 3.0) * 0.3, 6) AS hybrid
          |FROM topk t JOIN documents d USING (doc_id)
          |ORDER BY hybrid DESC, doc_id LIMIT 10""".stripMargin,
     "q_search_stats" ->

@@ -1,0 +1,211 @@
+package graft
+package operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: language-ID heuristics, quality scoring, token
+  * counting, document fingerprinting, keyword frequency (reference A9,
+  * `src/mcp/utils/stop-words.ts:222-301`), content-type classification
+  * (reference A13, `src/mcp/utils/metadata-generator.ts:247-306`) and
+  * query-variant generation (reference X10/D3,
+  * `src/core/ci/diff-analyzer.ts:446-533`).
+  *
+  * Everything is a narrow per-row expression or a single grouped pass —
+  * no UDFs, whole-stage-codegen throughout; at 100 TB these scale
+  * linearly with input splits. Ratios are quotients of exact integer
+  * counts (order-independent), so results are bit-stable across engines
+  * and partitionings.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased, empties dropped — the reference's
+    * `extractQueryWords` (X1, search.ts:14-19). */
+  def toks(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+  /** X12/X15-shape token counting: char count, whitespace tokens,
+    * regex word tokens, ceil(len/4) token estimate. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks(col("text"))).cast("long").as("n_ws_tokens"),
+        size(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+          .cast("long").as("n_word_tokens"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_tokens"))
+      .orderBy("doc_id")
+
+  /** A16-shape language-ID heuristic: CJK codepoint check + stop-word
+    * ratio (the reference detects Japanese by char-range regex,
+    * agent-query-tool.ts:290-330; same shape, EN stop-words). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", toks(col("text")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(filter(col("t"), t => t === "the" || t === "a"))
+          .cast("long").as("n_stop"),
+        col("text").rlike("[\\u4e00-\\u9fff]").as("has_cjk"))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("pred_lang",
+        when(col("has_cjk"), "cjk")
+          .when(col("stop_ratio") >= 0.02, "en")
+          .otherwise("other"))
+      .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "pred_lang")
+      .orderBy("doc_id")
+
+  /** Quality scoring: type-token ratio, mean word length, and a bounded
+    * quality score `min(n_words,100)/100 · distinct/total` — all
+    * quotients of exact integer aggregates. */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", toks(col("text")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        aggregate(col("t"), lit(0L), (acc, w) => acc + length(w))
+          .as("sum_word_len"))
+      .withColumn("avg_word_len",
+        round(col("sum_word_len").cast("double") / col("n_words"), 6))
+      .withColumn("ttr",
+        round(col("n_distinct").cast("double") / col("n_words"), 6))
+      .withColumn("quality",
+        round((least(col("n_words"), lit(100L)) / 100.0) *
+          (col("n_distinct").cast("double") / col("n_words")), 6))
+      .select("doc_id", "n_words", "n_distinct", "avg_word_len", "ttr", "quality")
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: exact content hash + order-insensitive
+    * bag-of-words hash (sorted distinct tokens). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("content_hash"),
+        md5(array_join(array_sort(array_distinct(toks(col("text")))), " "))
+          .as("bow_hash"))
+      .orderBy("doc_id")
+
+  /** A9 keyword frequency: tokenize → drop stop-words → count → top 20
+    * (reference extractKeywords, stop-words.ts:222-301). */
+  def qKeywordFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(!col("word").isin("the", "a"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("word"))
+      .limit(20)
+
+  /** A13 content-type classification: first-match regex/contains chain,
+    * then per-type count + mean length (metadata-generator.ts:247-306). */
+  def qContentType(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ctype",
+        when(col("text").contains("vector"), "vector-doc")
+          .when(col("text").contains("stream"), "streaming-doc")
+          .when(col("text").contains("join") || col("text").contains("merge"),
+            "relational-doc")
+          .otherwise("text"))
+      .groupBy("ctype")
+      .agg(count(lit(1)).as("n"),
+        round(sum(length(col("text"))).cast("double") / count(lit(1)), 6)
+          .as("avg_chars"))
+      .orderBy("ctype")
+
+  /** X10/D3 query-variant generation: consecutive-token bigram phrases
+    * over a document sample, ranked by frequency, capped at 30 (the
+    * reference caps generated CI queries at 30, diff-analyzer.ts:528). */
+  def qQueryVariants(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat(element_at(col("t"), i), lit(" "),
+          element_at(col("t"), i + 1)))).as("phrase"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("phrase"))
+      .limit(30)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count"    -> (qTokenCount _),
+    "q_lang_id"        -> (qLangId _),
+    "q_text_quality"   -> (qTextQuality _),
+    "q_fingerprint"    -> (qFingerprint _),
+    "q_keyword_freq"   -> (qKeywordFreq _),
+    "q_content_type"   -> (qContentType _),
+    "q_query_variants" -> (qQueryVariants _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |  len($toksSql) AS n_ws_tokens,
+         |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_word_tokens,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    len($toksSql) AS n_tokens,
+         |    len(list_filter($toksSql, t -> t IN ('the','a'))) AS n_stop,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_tokens, n_stop,
+         |    round(n_stop::DOUBLE / n_tokens, 6) AS stop_ratio, has_cjk
+         |  FROM t)
+         |SELECT doc_id, n_tokens, n_stop, stop_ratio,
+         |  CASE WHEN has_cjk THEN 'cjk'
+         |       WHEN stop_ratio >= 0.02 THEN 'en'
+         |       ELSE 'other' END AS pred_lang
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(toks) AS n_words,
+         |    len(list_distinct(toks)) AS n_distinct,
+         |    list_sum(list_transform(toks, w -> length(w))) AS sum_word_len
+         |  FROM t)
+         |SELECT doc_id, n_words, n_distinct,
+         |  round(sum_word_len::DOUBLE / n_words, 6) AS avg_word_len,
+         |  round(n_distinct::DOUBLE / n_words, 6) AS ttr,
+         |  round((least(n_words, 100) / 100.0) * (n_distinct::DOUBLE / n_words), 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS content_hash,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS bow_hash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_keyword_freq" ->
+      """SELECT tok AS word, count(*) AS n
+        |FROM documents, LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok) u
+        |WHERE tok <> '' AND tok NOT IN ('the','a')
+        |GROUP BY tok ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "q_content_type" ->
+      """SELECT CASE WHEN contains(text, 'vector') THEN 'vector-doc'
+        |            WHEN contains(text, 'stream') THEN 'streaming-doc'
+        |            WHEN contains(text, 'join') OR contains(text, 'merge') THEN 'relational-doc'
+        |            ELSE 'text' END AS ctype,
+        |  count(*) AS n,
+        |  round(sum(length(text))::DOUBLE / count(*), 6) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY ctype""".stripMargin,
+    "q_query_variants" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE doc_id < 50),
+         |b AS (
+         |  SELECT toks[i] || ' ' || toks[i+1] AS phrase
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+         |  WHERE len(toks) >= 2)
+         |SELECT phrase, count(*) AS n
+         |FROM b GROUP BY phrase ORDER BY n DESC, phrase LIMIT 30""".stripMargin,
+  )
+}
