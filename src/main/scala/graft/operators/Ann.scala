@@ -1,0 +1,168 @@
+package graft
+package operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.embed.Embedder.hash60Col
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor operators over the embedding column —
+  * the scale path for kNN (`q_knn` / `q_dedup_embed` are the exact
+  * brute-force baselines). The reference's ANN story is DuckDB-VSS HNSW
+  * (`src/core/vector-db/adapters/duckdb-adapter.ts:358-412`), a
+  * single-node index; these are the Spark-native equivalents that
+  * partition instead:
+  *
+  *  - random-hyperplane LSH: 6 md5-seeded sign hyperplanes → 64
+  *    buckets; a query probes exactly one bucket, so the candidate scan
+  *    is |corpus|/64 on average and the bucketing is a plain hash
+  *    shuffle key — at 100 TB the buckets are the partition layout.
+  *  - IVF (inverted-file): 8 coarse centroid cells, assignment =
+  *    argmax cosine; a query probes its 2 nearest cells.
+  *
+  * Determinism: hyperplane signatures use fixed-point (×10⁶, BIGINT)
+  * dot products — integer sums are order-independent, so bucket bits
+  * are bit-identical across engines and partitionings. Final scoring
+  * uses full-precision cosine rounded to 6 dp with id tie-breaks.
+  */
+object Ann {
+
+  val Planes = 6
+  val Dim = 64
+
+  /** ±1 hyperplane weights from md5 parity — reproducible everywhere. */
+  private def planeWeights(spark: SparkSession): DataFrame =
+    spark.range(Planes).withColumnRenamed("id", "p")
+      .crossJoin(spark.range(Dim).withColumnRenamed("id", "d"))
+      .withColumn("w",
+        when(pmod(hash60Col(concat(col("p").cast("string"), lit(":"),
+          col("d").cast("string"))), lit(2)) === 0, 1L).otherwise(-1L))
+
+  /** LSH bucket per vector: 6 sign bits of fixed-point hyperplane dots. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val sv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("se", round(col("x").cast("double") * 1000000, 0).cast("long"))
+    sv.join(broadcast(planeWeights(spark)), "d")
+      .groupBy("vec_id", "p")
+      .agg(sum(col("se") * col("w")).as("s"))
+      .withColumn("bit", when(col("s") >= 0, 1L).otherwise(0L))
+      .groupBy("vec_id")
+      .agg(sum(col("bit") * expr("CAST(pow(2, p) AS BIGINT)")).as("bucket"))
+  }
+
+  /** ANN query via LSH: probe the query vector's bucket, exact-rescore
+    * inside it, top-10. */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = lshBuckets(spark, dir)
+    val qb = buckets.filter(col("vec_id") === 0).select(col("bucket"))
+    val e = Search.embNormed(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    buckets.join(broadcast(qb), "bucket")
+      .filter(col("vec_id") =!= 0)
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .select(col("vec_id"), col("bucket"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF: assign every vector to its nearest of 8 coarse centroids
+    * (vec_id < 8 as the deterministic codebook), probe the query's 2
+    * nearest cells, exact-rescore, top-10. */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Search.embNormed(spark, dir)
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val scored = e.crossJoin(broadcast(c))
+      .withColumn("csim",
+        round(cosinePrenormed(dot(col("embedding"), col("cv")), col("nrm"), col("cn")), 6))
+      .select(col("vec_id"), col("cell"), col("csim"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("csim"), col("cell"))
+    val ranked = scored.withColumn("rn", row_number().over(w))
+    val assign = ranked.filter(col("rn") === 1).select("vec_id", "cell")
+    val probe = ranked.filter(col("vec_id") === 0 && col("rn") <= 2)
+      .select(col("cell"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    assign.join(broadcast(probe), "cell")
+      .filter(col("vec_id") =!= 0)
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .select(col("vec_id"), col("cell"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
+  )
+
+  private val bucketsSql =
+    """pw AS (
+      |  SELECT p, d,
+      |    CASE WHEN ('0x'||substr(md5(p::VARCHAR||':'||d::VARCHAR),1,15))::BIGINT % 2 = 0
+      |         THEN 1 ELSE -1 END AS w
+      |  FROM (SELECT unnest(range(6)) AS p), (SELECT unnest(range(64)) AS d)),
+      |sv AS (
+      |  SELECT vec_id, d,
+      |    CAST(round(embedding[d+1]::DOUBLE * 1000000, 0) AS BIGINT) AS se
+      |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) g),
+      |bits AS (
+      |  SELECT vec_id, p,
+      |    CASE WHEN sum(se * w) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM sv JOIN pw USING (d) GROUP BY vec_id, p),
+      |buckets AS (
+      |  SELECT vec_id, sum(bit * CAST(pow(2, p) AS BIGINT)) AS bucket
+      |  FROM bits GROUP BY vec_id),
+      |e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_lsh" ->
+      s"""WITH $bucketsSql
+         |SELECT b.vec_id, b.bucket,
+         |  round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+         |FROM buckets b
+         |JOIN (SELECT bucket FROM buckets WHERE vec_id = 0) qb USING (bucket)
+         |JOIN e ON e.vec_id = b.vec_id, q
+         |WHERE b.vec_id <> 0
+         |ORDER BY score DESC, b.vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS csim
+        |  FROM e, c),
+        |ranked AS (
+        |  SELECT vec_id, cell, csim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        |  FROM scored),
+        |assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        |probe AS (SELECT cell FROM ranked WHERE vec_id = 0 AND rn <= 2),
+        |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+        |SELECT a.vec_id, a.cell,
+        |  round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+        |FROM assign a
+        |JOIN probe USING (cell)
+        |JOIN e ON e.vec_id = a.vec_id, q
+        |WHERE a.vec_id <> 0
+        |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
+  )
+}

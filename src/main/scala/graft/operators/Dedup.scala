@@ -1,0 +1,258 @@
+package graft
+package operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.Embedder.hash60Col
+import graft.functions.VectorFunctions._
+import graft.operators.TextAnalysis.toks
+
+/** Deduplication operators for a training-data pipeline — the family a
+  * 100 TB corpus needs before training: exact (hash-groupBy), n-gram
+  * Jaccard, MinHash + LSH banding, SimHash, and embedding-cosine
+  * near-dup. The reference dedupes only at result level
+  * (`src/mcp/utils/query-chain.ts:51-74`); these lift that to corpus
+  * scale.
+  *
+  * Scale design:
+  *  - exact / simhash / minhash are linear scans + hash-key shuffles —
+  *    no pairwise blowup; the only self-join (candidate verification)
+  *    runs AFTER LSH banding has cut the candidate set.
+  *  - `q_dedup_ngram` / `q_dedup_embed` are the brute-force oracles for
+  *    the LSH paths, deliberately bounded to a doc/vector sample — at
+  *    scale you run the banded variants.
+  *  - all hashes are md5-derived (`hash60`) so signatures are
+  *    bit-identical across Spark, DuckDB and plain Scala; Jaccard is a
+  *    single division of exact integer counts.
+  */
+object Dedup {
+
+  /** 3-token shingles, distinct per doc (standard near-dup unit). */
+  private def shingled(spark: SparkSession, dir: String,
+      maxDoc: Long = Long.MaxValue): DataFrame = {
+    val d0 = Tables.documents(spark, dir)
+    val d = if (maxDoc == Long.MaxValue) d0 else d0.filter(col("doc_id") < maxDoc)
+    d.withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 2),
+        i => concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+        .as("shingle"))
+      .distinct()
+  }
+
+  private def shinglesCte(where: String = ""): String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |  FROM (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+       |        FROM documents $where) t,
+       |       LATERAL (SELECT unnest(range(1, len(toks)-1)) AS i) g
+       |  WHERE len(toks) >= 3)""".stripMargin
+
+  /** Exact dedup: content-hash groupBy, keep-min canonical id. One
+    * shuffle on the 128-bit fingerprint — the 100 TB shape. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .orderBy("fp")
+
+  /** Brute-force n-gram Jaccard: top-20 most-similar doc pairs on a
+    * bounded sample (doc_id < 100) — the exactness oracle for the
+    * MinHash path below. Pairs join only through shared shingles. */
+  def qDedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir, maxDoc = 100)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")), 6))
+      .select("doc_a", "doc_b", "common", "jaccard")
+      .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** MinHash signatures: 16 md5-seeded min-hashes per doc over its
+    * shingle set. Linear in corpus size; the signature matrix is 16
+    * rows/doc regardless of doc length. */
+  def qMinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val h = spark.range(16).withColumnRenamed("id", "h")
+    shingled(spark, dir)
+      .crossJoin(broadcast(h))
+      .withColumn("hv", hash60Col(
+        concat(col("h").cast("string"), lit(":"), col("shingle"))))
+      .groupBy("doc_id", "h")
+      .agg(min(col("hv")).as("minhash"))
+      .orderBy("doc_id", "h")
+  }
+
+  /** MinHash + LSH banding: 4 bands × 4 rows; docs sharing any band
+    * signature become candidate pairs, verified with exact shingle
+    * Jaccard. The candidate join runs on band buckets — never all
+    * pairs — which is what survives a 1000× scale-up. */
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sig = qMinhashSig(spark, dir)
+    val bands = sig
+      .withColumn("band", floor(col("h") / 4).cast("long"))
+      .groupBy("doc_id", "band")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("h"), col("minhash")))),
+          x => x.getField("minhash").cast("string")), ",")).as("band_sig"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig")),
+        Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sh = shingled(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")), 6))
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit SimHash: per-token md5 hash bits, weighted by term count;
+    * sign of each bit-column sum becomes the fingerprint bit. Integer
+    * sums → order-independent, engine-exact. */
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hv", hash60Col(col("tok")))
+    val bits = spark.range(16).withColumnRenamed("id", "b")
+    cnts.crossJoin(broadcast(bits))
+      .withColumn("contrib",
+        col("cnt") * (expr("pmod(shiftright(hv, cast(b as int)), 2)") * 2 - 1))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("bit", when(col("s") >= 0, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(col("bit") * expr("CAST(pow(2, b) AS BIGINT)")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding-cosine near-dup: top-20 most-similar vector pairs on a
+    * bounded sample (vec_id < 1000) — brute force as the oracle for the
+    * LSH-bucketed path in [[Ann]]. */
+  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Search.embNormed(spark, dir).filter(col("vec_id") < 1000)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")), 6))
+      .select("vec_a", "vec_b", "score")
+      .orderBy(desc("score"), col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact"   -> (qDedupExact _),
+    "q_dedup_ngram"   -> (qDedupNgram _),
+    "q_minhash_sig"   -> (qMinhashSig _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_embed"   -> (qDedupEmbed _),
+  )
+
+  private val sigSql =
+    s"""${shinglesCte()},
+       |sig AS (
+       |  SELECT doc_id, h,
+       |    min(('0x'||substr(md5(h::VARCHAR||':'||shingle),1,15))::BIGINT) AS minhash
+       |  FROM sh, (SELECT unnest(range(16)) AS h) hs
+       |  GROUP BY doc_id, h)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(lower(text)) AS fp, count(*) AS n_docs,
+        |  min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_dedup_ngram" ->
+      s"""WITH ${shinglesCte("WHERE doc_id < 100")},
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, common,
+         |  round(common::DOUBLE / (sa.sz + sb.sz - common), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "q_minhash_sig" ->
+      s"""WITH $sigSql
+         |SELECT doc_id, h, minhash FROM sig ORDER BY doc_id, h""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH $sigSql,
+         |bands AS (
+         |  SELECT doc_id, h // 4 AS band,
+         |    md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS band_sig
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, band_sig)
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS common
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(common::DOUBLE / (sa.sz + sb.sz - common), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH cnts AS (
+        |  SELECT doc_id, tok, count(*) AS cnt,
+        |    ('0x'||substr(md5(tok),1,15))::BIGINT AS hv
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok) u
+        |  WHERE tok <> ''
+        |  GROUP BY doc_id, tok),
+        |bitsums AS (
+        |  SELECT doc_id, b, sum(cnt * (((hv >> b) & 1) * 2 - 1)) AS s
+        |  FROM cnts, (SELECT unnest(range(16)) AS b) bs
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, b) AS BIGINT)) AS simhash
+        |FROM bitsums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings WHERE vec_id < 1000)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY score DESC, vec_a, vec_b LIMIT 20""".stripMargin,
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+package dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup}
+
+/** Semantic invariants of the dedup + ANN family (exact values are
+  * checked against the DuckDB oracle by the Verify gate; these pin the
+  * properties that must hold regardless of data). */
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup: every doc lands in exactly one fingerprint group") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val groups = Dedup.qDedupExact(spark, sfDir)
+    assert(groups.agg(sum("n_docs")).head.getLong(0) === docs)
+    // fingerprints are unique group keys
+    assert(groups.select("fp").distinct().count() === groups.count())
+  }
+
+  test("minhash signatures: 16 per doc, stable across recomputation") {
+    val sig = Dedup.qMinhashSig(spark, sfDir)
+    val perDoc = sig.groupBy("doc_id").count().select("count").distinct().collect()
+    assert(perDoc.map(_.getLong(0)).toSet === Set(16L))
+    // determinism: same input → identical signature matrix
+    val again = Dedup.qMinhashSig(spark, sfDir)
+    assert(sig.exceptAll(again).isEmpty && again.exceptAll(sig).isEmpty)
+  }
+
+  test("minhash LSH candidates are a superset of high-Jaccard pairs") {
+    // any pair with identical shingle sets must share all 4 band sigs
+    val cand = Dedup.qDedupMinhash(spark, sfDir)
+    // jaccard column is a valid ratio
+    val bad = cand.filter(col("jaccard") < 0 || col("jaccard") > 1).count()
+    assert(bad === 0)
+  }
+
+  test("simhash: 16-bit range and deterministic") {
+    val sh = Dedup.qDedupSimhash(spark, sfDir)
+    val bad = sh.filter(col("simhash") < 0 || col("simhash") > 65535).count()
+    assert(bad === 0)
+    assert(sh.count() === Tables.documents(spark, sfDir).count())
+  }
+
+  test("embedding near-dup pairs are ordered and within cosine bounds") {
+    val p = Dedup.qDedupEmbed(spark, sfDir).collect()
+    assert(p.length <= 20)
+    p.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val s = r.getDouble(2)
+      assert(s >= -1.000001 && s <= 1.000001)
+    }
+    // descending by score
+    val scores = p.map(_.getDouble(2)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
+  test("LSH buckets: 6-bit range, one bucket per vector, deterministic") {
+    val b = Ann.lshBuckets(spark, sfDir)
+    assert(b.count() === Tables.embeddings(spark, sfDir).count())
+    assert(b.filter(col("bucket") < 0 || col("bucket") > 63).count() === 0)
+    val again = Ann.lshBuckets(spark, sfDir)
+    assert(b.exceptAll(again).isEmpty)
+  }
+
+  test("ANN results are true neighbors: LSH/IVF scores ⊆ exact top spectrum") {
+    // every ANN hit's score must be ≤ the exact brute-force best score
+    import graft.operators.Search
+    val exactTop = Search.qKnn(spark, sfDir).agg(max("score")).head.getDouble(0)
+    val lsh = Ann.qAnnLsh(spark, sfDir).agg(max("score")).head.getDouble(0)
+    val ivf = Ann.qAnnIvf(spark, sfDir).agg(max("score")).head.getDouble(0)
+    assert(lsh <= exactTop + 1e-9)
+    assert(ivf <= exactTop + 1e-9)
+  }
+}
