@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Ingest.queries ++
       operators.Search.queries ++ operators.TextAnalysis.queries ++
-      operators.Dedup.queries ++ operators.Ann.queries
+      operators.Dedup.queries ++ operators.Ann.queries ++
+      operators.ResultAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ operators.Ingest.oracles ++
       operators.Search.oracles ++ operators.TextAnalysis.oracles ++
-      operators.Dedup.oracles ++ operators.Ann.oracles
+      operators.Dedup.oracles ++ operators.Ann.oracles ++
+      operators.ResultAnalytics.oracles
 }

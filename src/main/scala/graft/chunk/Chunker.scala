@@ -54,6 +54,31 @@ object Chunker {
     out.toSeq
   }
 
+  /** Exact-window variant: no trim, no word snap, no empty-window
+    * skipping — every chunk is precisely `text[start, end)`, so a
+    * downstream consumer can reconstruct the original by concatenating
+    * `content.substring(overlap)` of consecutive chunks (the
+    * overlap-strip reassembly of reference Q3/W3, `search.ts:193-228`,
+    * made lossless instead of heuristic). */
+  def chunkRaw(text: String, size: Int, overlap: Int): Seq[ChunkPiece] = {
+    require(size > 0 && overlap >= 0 && overlap < size)
+    if (text.length <= size)
+      return Seq(ChunkPiece(text, 0, 0, text.length))
+    val step = size - overlap
+    val out = ArrayBuffer.empty[ChunkPiece]
+    var index = 0
+    var i = 0
+    var done = false
+    while (i < text.length && !done) {
+      val end = math.min(i + size, text.length)
+      out += ChunkPiece(text.substring(i, end), index, i, end)
+      index += 1
+      if (end >= text.length) done = true
+      i += step
+    }
+    out.toSeq
+  }
+
   /** 1-based line numbers for a [start, end) offset range (reference
     * `src/core/chunk/line-utils.ts:4-20`). */
   def lineNumbers(text: String, start: Int, end: Int): (Int, Int) = {
