@@ -3,7 +3,7 @@ package operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.chunk.Chunker
+import graft.chunk.{Chunker, CodeChunker, MarkdownChunker}
 
 /** Ingestion-side operators: the chunking UDTFs (SURVEY.md §2.9) applied
   * over the `documents` table. Chunkers are pure Scala `flatMap`s on a
@@ -28,8 +28,60 @@ object Ingest {
       .orderBy("doc_id", "chunk_index")
   }
 
+  /** C2 markdown-boundary chunking over synthesized markdown (the
+    * documents table is single-line prose, so headers/sections are
+    * derived deterministically from each row). Not SQL-expressible —
+    * registered without an oracle (rows-only check); exact semantics
+    * are pinned by BoundaryChunkerSpec. */
+  def qChunkMarkdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val md = s"# doc $id\n\n${text.take(150)}\n\n## tail\n\n${text.drop(150)}"
+        MarkdownChunker.chunk(md, maxSize = 200, overlap = 40).map { p =>
+          (id, p.index.toLong,
+            p.boundary.map(_.boundaryType).getOrElse(""),
+            p.boundary.flatMap(_.title).getOrElse(""),
+            p.content.length.toLong)
+        }
+      }
+      .toDF("doc_id", "chunk_index", "boundary_type", "title", "content_len")
+      .orderBy("doc_id", "chunk_index")
+  }
+
+  /** C3 code-boundary chunking over synthesized TypeScript-ish source
+    * (imports block, one function, one class per doc). Rows-only check;
+    * semantics pinned by BoundaryChunkerSpec. */
+  def qChunkCode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val code =
+          s"""import { a } from 'b'
+             |import { c } from 'd'
+             |
+             |function f$id() {
+             |  return "${text.take(100)}"
+             |}
+             |
+             |class C$id {
+             |  m() { return "${text.slice(100, 200)}" }
+             |}""".stripMargin
+        CodeChunker.chunk(code, "typescript", maxSize = 200, overlap = 40).map { p =>
+          (id, p.index.toLong,
+            p.boundary.map(_.boundaryType).getOrElse(""),
+            p.boundary.flatMap(_.name).getOrElse(""),
+            p.content.length.toLong)
+        }
+      }
+      .toDF("doc_id", "chunk_index", "boundary_type", "name", "content_len")
+      .orderBy("doc_id", "chunk_index")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_chunk_fixed" -> (qChunkFixed _),
+    "q_chunk_fixed"    -> (qChunkFixed _),
+    "q_chunk_markdown" -> (qChunkMarkdown _),
+    "q_chunk_code"     -> (qChunkCode _),
   )
 
   /** DuckDB mirror of the chunker: windows on the step grid, trim, skip

@@ -1,0 +1,72 @@
+package graft
+package store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** ChunkStore adapter-surface tests (S7-S10): partitioned write/read
+  * round trip, anti-join delete, keep-latest upsert, point get. */
+class StoreSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft_store").toString
+
+  private def docs = {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      (1L, "alpha", "en", 1L),
+      (2L, "beta", "en", 1L),
+      (3L, "gamma", "de", 1L),
+      (4L, "delta", "de", 1L)
+    ).toDF("doc_id", "text", "lang", "version")
+  }
+
+  test("partitioned write/read round trip with partition pruning") {
+    val p = s"$tmp/t1"
+    ChunkStore.write(docs, p, partitionCols = Seq("lang"))
+    val back = ChunkStore.read(spark, p)
+    assert(back.count() === 4)
+    // partition pruning: only the de directory feeds this scan
+    val de = back.filter(col("lang") === "de")
+    assert(de.count() === 2)
+    assert(new java.io.File(s"$p/lang=de").exists())
+  }
+
+  test("delete rewrites via anti-join") {
+    val spark2 = spark
+    import spark2.implicits._
+    val p = s"$tmp/t2"
+    ChunkStore.write(docs, p)
+    ChunkStore.deleteInto(spark, p, s"$tmp/t2_v2",
+      Seq(2L, 3L).toDF("doc_id"), "doc_id")
+    val after = ChunkStore.read(spark, s"$tmp/t2_v2")
+    assert(after.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 4L))
+  }
+
+  test("upsert keeps latest version per key") {
+    val spark2 = spark
+    import spark2.implicits._
+    val p = s"$tmp/t3"
+    ChunkStore.write(docs, p)
+    val updates = Seq(
+      (2L, "beta-v2", "en", 2L),
+      (5L, "epsilon", "fr", 1L)
+    ).toDF("doc_id", "text", "lang", "version")
+    ChunkStore.upsertInto(spark, p, s"$tmp/t3_v2", updates, "doc_id", "version")
+    val after = ChunkStore.read(spark, s"$tmp/t3_v2")
+    assert(after.count() === 5)
+    assert(after.filter(col("doc_id") === 2L).select("text").head.getString(0)
+      === "beta-v2")
+  }
+
+  test("point get pushes the predicate down") {
+    val p = s"$tmp/t4"
+    ChunkStore.write(docs, p)
+    val one = ChunkStore.get(spark, p, "doc_id", 3L)
+    assert(one.count() === 1)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("IsNotNull(doc_id)") || plan.contains("EqualTo(doc_id")))
+  }
+}

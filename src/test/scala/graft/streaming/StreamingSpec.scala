@@ -1,0 +1,59 @@
+package graft
+package streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** Structured Streaming twin-check: the same StreamingOps transforms
+  * produce identical results in streaming (MemoryStream) and batch
+  * mode — the core Structured Streaming contract. */
+class StreamingSpec extends SparkSpec {
+
+  private def events: Seq[Ev] = {
+    val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    (0 until 100).map { i =>
+      Ev(i.toLong, new Timestamp(base + i * 137000L), s"t${i % 3}",
+        (i * 7 % 500) / 100.0 * 100)
+    }
+  }
+
+  test("windowed counts: streaming complete-mode == batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[Ev]
+    stream.addData(events: _*)
+    val q = StreamingOps.windowedEventCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win_counts")
+    val batch = StreamingOps.windowedEventCounts(events.toDF())
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stream dedup drops duplicate event ids within the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dups = events ++ events.take(40) // re-deliver 40
+    val stream = MemoryStream[Ev]
+    stream.addData(dups: _*)
+    val q = StreamingOps.dedupeStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(spark.table("dedup_out").count() === events.size.toLong)
+    assert(spark.table("dedup_out").select("event_id").distinct().count()
+      === events.size.toLong)
+  }
+}
