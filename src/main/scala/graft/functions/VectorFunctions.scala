@@ -18,8 +18,16 @@ object VectorFunctions {
   private def asDouble(a: Column): Column =
     transform(a, x => x.cast("double"))
 
-  /** Σ aᵢ·bᵢ, summed left-to-right in double. */
+  /** Σ aᵢ·bᵢ, summed left-to-right in double — the codegen'd
+    * [[DotProduct]] expression (bit-identical to the HOF formulation
+    * `aggregate(zip_with(asDouble(a), asDouble(b), _*_), 0.0, _+_)`,
+    * which remains available as [[dotHof]] for differential tests). */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** Reference HOF formulation of [[dot]] (slow path, kept for
+    * equivalence testing). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
 

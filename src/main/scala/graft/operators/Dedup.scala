@@ -28,8 +28,16 @@ import graft.operators.TextAnalysis.toks
   */
 object Dedup {
 
-  /** 3-token shingles, distinct per doc (standard near-dup unit). */
+  /** 3-token shingles, distinct per doc (standard near-dup unit).
+    * The all-docs variant is cached — shingling is the shared upstream
+    * of both the signature matrix and candidate verification. */
   private def shingled(spark: SparkSession, dir: String,
+      maxDoc: Long = Long.MaxValue): DataFrame =
+    if (maxDoc == Long.MaxValue)
+      Cache.getOrBuild(spark, "shingles", dir)(shingleAll(spark, dir))
+    else shingleAll(spark, dir, maxDoc)
+
+  private def shingleAll(spark: SparkSession, dir: String,
       maxDoc: Long = Long.MaxValue): DataFrame = {
     val d0 = Tables.documents(spark, dir)
     val d = if (maxDoc == Long.MaxValue) d0 else d0.filter(col("doc_id") < maxDoc)
@@ -85,23 +93,26 @@ object Dedup {
   /** MinHash signatures: 16 md5-seeded min-hashes per doc over its
     * shingle set. Linear in corpus size; the signature matrix is 16
     * rows/doc regardless of doc length. */
-  def qMinhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val h = spark.range(16).withColumnRenamed("id", "h")
-    shingled(spark, dir)
-      .crossJoin(broadcast(h))
-      .withColumn("hv", hash60Col(
-        concat(col("h").cast("string"), lit(":"), col("shingle"))))
-      .groupBy("doc_id", "h")
-      .agg(min(col("hv")).as("minhash"))
-      .orderBy("doc_id", "h")
-  }
+  def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "minhashSig", dir) {
+      val h = spark.range(16).withColumnRenamed("id", "h")
+      shingled(spark, dir)
+        .crossJoin(broadcast(h))
+        .withColumn("hv", hash60Col(
+          concat(col("h").cast("string"), lit(":"), col("shingle"))))
+        .groupBy("doc_id", "h")
+        .agg(min(col("hv")).as("minhash"))
+    }
+
+  def qMinhashSig(spark: SparkSession, dir: String): DataFrame =
+    minhashSigs(spark, dir).orderBy("doc_id", "h")
 
   /** MinHash + LSH banding: 4 bands × 4 rows; docs sharing any band
     * signature become candidate pairs, verified with exact shingle
     * Jaccard. The candidate join runs on band buckets — never all
     * pairs — which is what survives a 1000× scale-up. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = qMinhashSig(spark, dir)
+    val sig = minhashSigs(spark, dir)
     val bands = sig
       .withColumn("band", floor(col("h") / 4).cast("long"))
       .groupBy("doc_id", "band")

@@ -27,10 +27,18 @@ object ResultAnalytics {
 
   val ChainQueryB = "join merge stream"
 
+  /** Top-10 result set for one query — cached; the coverage/coherence/
+    * redundancy/chain analytics all read the same tiny result. */
   private def topDocs(spark: SparkSession, dir: String, k: Int,
       text: String = Search.QueryText): DataFrame =
-    scoredDocs(spark, dir, text)
-      .orderBy(desc("score"), col("doc_id")).limit(k)
+    if (k == 10)
+      Cache.getOrBuild(spark, s"top10:$text", dir) {
+        scoredDocs(spark, dir, text)
+          .orderBy(desc("score"), col("doc_id")).limit(k)
+      }
+    else
+      scoredDocs(spark, dir, text)
+        .orderBy(desc("score"), col("doc_id")).limit(k)
 
   /** A10 keyword coverage: which query keywords appear in the top-10
     * result contents, and in how many. */
