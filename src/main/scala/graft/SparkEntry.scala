@@ -19,7 +19,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Ingest.queries ++
       operators.Search.queries ++ operators.TextAnalysis.queries ++
       operators.Dedup.queries ++ operators.Ann.queries ++
-      operators.ResultAnalytics.queries ++ operators.Media.queries
+      operators.ResultAnalytics.queries ++ operators.Media.queries ++
+      operators.Ci.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     operators.Relational.oracles ++ operators.Ingest.oracles ++
       operators.Search.oracles ++ operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++ operators.Ann.oracles ++
-      operators.ResultAnalytics.oracles ++ operators.Media.oracles
+      operators.ResultAnalytics.oracles ++ operators.Media.oracles ++
+      operators.Ci.oracles
 }

@@ -1,0 +1,217 @@
+package graft.api
+
+import java.security.MessageDigest
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.{ChunkDispatch, FileTypes}
+import graft.embed.Embedder
+import graft.functions.VectorFunctions.dot
+import graft.model.{Boundary, Chunk, DocMeta, SourceRec}
+import graft.store.ChunkStore
+
+/** The end-to-end product loop of the engine — the Spark rendering of
+  * the reference's `index → query` lifecycle (SURVEY.md §3.1-§3.2):
+  *
+  *   files (glob, S2/S3, extension gate S6)
+  *     → chunk dispatch (C6: markdown C2 / code C3 / fixed C1, settings C5)
+  *     → deterministic local embedding (E3)
+  *     → parquet chunk+source store (S7, sources deduped once per source)
+  *     → semantic / hybrid search (Q1/Q2 with F3 filter + X7 rerank)
+  *     → section / original content expansion (Q3/Q4, distributed
+  *       overlap-strip reassembly via mapGroups — never a driver loop)
+  *
+  * Everything is one narrow pipeline per file split until the store
+  * write; search is a pruned scan (id, embedding[, filters]) + top-k.
+  * Timestamps are injected by the caller (SURVEY.md §7.4 #6 — no
+  * `now()` inside operators, so runs are reproducible).
+  */
+object IndexPipeline {
+
+  case class IndexResult(sources: Long, chunks: Long)
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** S2/S3: glob-read files under `inputDir`, dispatch-chunk, embed,
+    * and append to the store. Non-text files are gated out (S6). */
+  def indexFiles(
+      spark: SparkSession,
+      inputDir: String,
+      glob: String,
+      storePath: String,
+      createdAt: Timestamp,
+      preserveBoundaries: Boolean = true,
+      dim: Int = Embedder.DefaultDim): IndexResult = {
+    import spark.implicits._
+    val files = spark.read.format("text")
+      .option("wholetext", "true")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(inputDir)
+      .select(input_file_name().as("path"), col("value").as("content"))
+      .as[(String, String)]
+      .filter((r: (String, String)) => FileTypes.isTextFile(r._1))
+
+    val chunks: Dataset[Chunk] = files.flatMap { case (path, text) =>
+      val fileName = path.substring(path.lastIndexOf('/') + 1)
+      val ext = FileTypes.extensionOf(fileName)
+      val settings = FileTypes.optimalSettings(fileName)
+      val sourceType = if (FileTypes.isCodeFile(ext)) "code"
+        else if (FileTypes.isMarkdownFile(ext)) "docs" else "file"
+      val pieces = ChunkDispatch.chunk(text, Some(fileName),
+        settings.chunkSize, settings.chunkOverlap, preserveBoundaries)
+      val sourceId = md5hex(path)
+      val meta = DocMeta(sourceType = sourceType, title = Some(fileName),
+        filePath = Some(fileName), path = Some(path))
+      pieces.map { p =>
+        Chunk(
+          id = md5hex(s"$sourceId:${p.index}"),
+          sourceId = sourceId,
+          chunkIndex = p.index,
+          totalChunks = pieces.length,
+          content = p.content,
+          embedding = Embedder.embed(p.content, dim).map(_.toFloat),
+          metadata = meta,
+          boundary = p.boundary,
+          createdAt = createdAt)
+      }
+    }
+
+    val sources: Dataset[SourceRec] = files.map { case (path, text) =>
+      val fileName = path.substring(path.lastIndexOf('/') + 1)
+      val ext = FileTypes.extensionOf(fileName)
+      val sourceType = if (FileTypes.isCodeFile(ext)) "code"
+        else if (FileTypes.isMarkdownFile(ext)) "docs" else "file"
+      SourceRec(md5hex(path), text, Some(fileName), None, sourceType, createdAt)
+    }.dropDuplicates("sourceId")
+
+    // partition chunks by a materialized sourceType column: F3 filters
+    // prune whole directories; at 100 TB add .bucketBy(sourceId) for
+    // co-located reassembly joins.
+    ChunkStore.write(
+      chunks.toDF().withColumn("sourceType", col("metadata.sourceType")),
+      s"$storePath/chunks", partitionCols = Seq("sourceType"),
+      mode = SaveMode.Append)
+    ChunkStore.write(sources.toDF(), s"$storePath/sources",
+      mode = SaveMode.Append)
+    IndexResult(sources.count(), chunks.count())
+  }
+
+  /** S1/S11: index one raw text (stdin / --text path). */
+  def indexText(spark: SparkSession, text: String, title: String,
+      storePath: String, createdAt: Timestamp,
+      chunkSize: Int = 1000, chunkOverlap: Int = 200,
+      dim: Int = Embedder.DefaultDim): IndexResult = {
+    import spark.implicits._
+    val sourceId = md5hex(s"text:$title")
+    val pieces = ChunkDispatch.chunk(text, None, chunkSize, chunkOverlap)
+    val meta = DocMeta(sourceType = "text", title = Some(title))
+    val chunks = pieces.map { p =>
+      Chunk(md5hex(s"$sourceId:${p.index}"), sourceId, p.index, pieces.length,
+        p.content, Embedder.embed(p.content, dim).map(_.toFloat), meta,
+        p.boundary, createdAt)
+    }
+    ChunkStore.write(
+      spark.createDataset(chunks).toDF()
+        .withColumn("sourceType", col("metadata.sourceType")),
+      s"$storePath/chunks", partitionCols = Seq("sourceType"),
+      mode = SaveMode.Append)
+    ChunkStore.write(spark.createDataset(
+      Seq(SourceRec(sourceId, text, Some(title), None, "text", createdAt))).toDF(),
+      s"$storePath/sources", mode = SaveMode.Append)
+    IndexResult(1L, chunks.length.toLong)
+  }
+
+  /** D4: candidate paths not yet indexed (anti-join on metadata.path). */
+  def notYetIndexed(spark: SparkSession, storePath: String,
+      candidates: DataFrame): DataFrame = {
+    val indexed = ChunkStore.read(spark, s"$storePath/chunks")
+      .filter(col("chunkIndex") === 0)
+      .select(col("metadata.path").as("path")).distinct()
+    candidates.join(indexed, Seq("path"), "left_anti")
+  }
+
+  /** Q1 semantic search: pruned scored scan → top-k → optional keyword
+    * rerank (X7, boost 0.1/word). `sourceType` is the F3 filter. */
+  def search(spark: SparkSession, storePath: String, query: String, k: Int = 5,
+      sourceType: Option[String] = None, rerank: Boolean = true,
+      dim: Int = Embedder.DefaultDim): DataFrame = {
+    val qv = lit(Embedder.embed(query, dim))
+    val chunks = ChunkStore.read(spark, s"$storePath/chunks")
+    // partition-column filter → directory pruning, embedding+id-only scan
+    val filtered = sourceType.fold(chunks)(t =>
+      chunks.filter(col("sourceType") === t))
+    val top = filtered
+      .withColumn("score", round(dot(col("embedding"), qv), 6))
+      .select("id", "sourceId", "chunkIndex", "content", "score", "sourceType")
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+    if (!rerank) top
+    else {
+      val words = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      top
+        .withColumn("matches",
+          graft.operators.Search.matchCount(lower(col("content")), words))
+        .withColumn("score", round(col("score") + col("matches") * 0.1, 6))
+        .drop("matches")
+        .orderBy(desc("score"), col("id"))
+    }
+  }
+
+  /** Q2 hybrid search: blend `score·(1−w) + keywordRatio·w`, w=0.3. */
+  def hybridSearch(spark: SparkSession, storePath: String, query: String,
+      k: Int = 5, dim: Int = Embedder.DefaultDim): DataFrame = {
+    val words = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    search(spark, storePath, query, k * 3, rerank = false, dim = dim)
+      .withColumn("matches",
+        graft.operators.Search.matchCount(lower(col("content")), words))
+      .withColumn("score",
+        round(col("score") * 0.7 + (col("matches") / words.size.toDouble) * 0.3, 6))
+      .drop("matches")
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+
+  /** Largest prefix of `next` that is a suffix of `prev` (bounded by
+    * `window`) — the reference's overlap heuristic (search.ts:203,290),
+    * generalized to the actual window instead of a fixed 200. */
+  private[api] def stripOverlap(prev: String, next: String, window: Int): String = {
+    var k = math.min(window, math.min(prev.length, next.length))
+    while (k > 0 && !prev.endsWith(next.substring(0, k))) k -= 1
+    next.substring(k)
+  }
+
+  /** Q3: full original content — sources fast path (stored once per
+    * source, not reassembled). */
+  def originalContent(spark: SparkSession, storePath: String,
+      sourceId: String): DataFrame =
+    ChunkStore.read(spark, s"$storePath/sources")
+      .filter(col("sourceId") === sourceId)
+      .select("sourceId", "originalContent")
+
+  /** Q4: section content — nested boundary filter (F1) + distributed
+    * overlap-strip reassembly per source (mapGroups; no driver loop). */
+  def sectionContent(spark: SparkSession, storePath: String,
+      boundaryType: String, title: Option[String] = None,
+      overlapWindow: Int = 200): DataFrame = {
+    import spark.implicits._
+    val chunks = ChunkStore.read(spark, s"$storePath/chunks")
+      .filter(col("boundary.boundaryType") === boundaryType)
+    val matched = title.fold(chunks)(t => chunks.filter(col("boundary.title") === t))
+    matched
+      .select(col("sourceId"), col("chunkIndex"), col("content"))
+      .as[(String, Int, String)]
+      .groupByKey(_._1)
+      .mapGroups { (sid, it) =>
+        val sorted = it.toSeq.sortBy(_._2).map(_._3)
+        val content = sorted.reduceLeftOption((acc, nxt) =>
+          acc + "\n" + stripOverlap(acc, nxt, overlapWindow)).getOrElse("")
+        (sid, content)
+      }
+      .toDF("sourceId", "content")
+  }
+}

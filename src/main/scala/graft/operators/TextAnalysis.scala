@@ -134,7 +134,25 @@ object TextAnalysis {
       .orderBy(desc("n"), col("phrase"))
       .limit(30)
 
+  /** A3/A4 source analytics: per-source doc count, distinct langs,
+    * char totals and a GROUP_CONCAT-style sorted lang summary
+    * (reference analyzeItems + sources-with-extension-summary SQL,
+    * `src/core/utils/source-analyzer.ts:14-77`,
+    * `sqlite-schema.ts:174-188` — one grouped pass, not N loops). */
+  def qSourceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+          .as("avg_chars"),
+        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_stats"   -> (qSourceStats _),
     "q_token_count"    -> (qTokenCount _),
     "q_lang_id"        -> (qLangId _),
     "q_text_quality"   -> (qTextQuality _),
@@ -145,6 +163,13 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
+        |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id, length(text) AS n_chars,
          |  len($toksSql) AS n_ws_tokens,

@@ -1,0 +1,127 @@
+package graft
+package api
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end product-loop test (SURVEY.md §3.1-§3.2): index a real
+  * file tree → chunk dispatch by extension → embed → store → search →
+  * expand. Mirrors the reference's integration suite
+  * (tests/integration/indexing-flow / search-flow). */
+class PipelineSpec extends SparkSpec {
+
+  private val t0 = Timestamp.valueOf("2026-01-02 03:04:05")
+  private lazy val root = Files.createTempDirectory("graft_pipe")
+  private lazy val store = s"$root/store"
+
+  private lazy val indexed: IndexPipeline.IndexResult = {
+    val in = Files.createDirectory(root.resolve("in"))
+    Files.writeString(in.resolve("guide.md"),
+      s"""# Guide
+         |
+         |${"the quick brown fox jumps over the lazy dog " * 8}
+         |
+         |## Setup
+         |
+         |install the gizmo bundle with flurb package manager now
+         |
+         |## Usage
+         |
+         |${"run the gizmo pipeline with sensible defaults " * 6}""".stripMargin)
+    Files.writeString(in.resolve("engine.ts"),
+      s"""import { scan } from 'core'
+         |import { plan } from 'optimizer'
+         |
+         |function scanTable() {
+         |  return "${"columnar batch reader with predicate pushdown " * 4}"
+         |}
+         |
+         |class QueryEngine {
+         |  run() { return "${"vectorized execution over parquet row groups " * 4}" }
+         |}""".stripMargin)
+    Files.writeString(in.resolve("notes.txt"),
+      "zanzibar telescope aardvark " * 40)
+    Files.writeString(in.resolve("blob.bin"), "binary payload ignored")
+    IndexPipeline.indexFiles(spark, s"$root/in", "*", store, t0)
+  }
+
+  test("indexes text files only, chunks with per-extension settings") {
+    assert(indexed.sources === 3) // .bin gated out (S6)
+    assert(indexed.chunks > 3)
+    val chunks = spark.read.parquet(s"$store/chunks")
+    assert(chunks.count() === indexed.chunks)
+    // dispatch: markdown got boundaries, code got named boundaries
+    val mdTypes = chunks.filter(col("sourceType") === "docs")
+      .select("boundary.boundaryType").distinct().collect().map(_.getString(0)).toSet
+    assert(mdTypes.contains("heading"))
+    val codeNames = chunks.filter(col("sourceType") === "code")
+      .select("boundary.name").na.drop().collect().map(_.getString(0)).toSet
+    assert(codeNames.contains("scanTable") && codeNames.contains("QueryEngine"))
+    // partition layout: one directory per sourceType
+    assert(new java.io.File(s"$store/chunks/sourceType=code").exists())
+    // reproducible timestamps (injected clock)
+    assert(chunks.select("createdAt").distinct().count() === 1)
+  }
+
+  test("semantic search finds the right file; F3 filter prunes by type") {
+    indexed
+    val hits = IndexPipeline.search(spark, store, "zanzibar telescope aardvark", k = 3)
+    assert(hits.count() > 0)
+    val top = hits.head
+    assert(top.getAs[String]("sourceType") === "file") // notes.txt
+    // filter to code only: the txt content can no longer appear
+    val codeOnly = IndexPipeline.search(spark, store,
+      "zanzibar telescope aardvark", k = 3, sourceType = Some("code"))
+    assert(codeOnly.select("sourceType").distinct().collect()
+      .map(_.getString(0)).toSet === Set("code"))
+  }
+
+  test("hybrid search blends keyword ratio into the score") {
+    indexed
+    val hits = IndexPipeline.hybridSearch(spark, store,
+      "predicate pushdown", k = 3)
+    assert(hits.count() > 0)
+    assert(hits.head.getAs[String]("sourceType") === "code")
+  }
+
+  test("Q3 original content fast path returns the stored source") {
+    indexed
+    val chunks = spark.read.parquet(s"$store/chunks")
+    val sid = chunks.filter(col("sourceType") === "file")
+      .select("sourceId").head.getString(0)
+    val oc = IndexPipeline.originalContent(spark, store, sid)
+    assert(oc.count() === 1)
+    assert(oc.head.getString(1).contains("zanzibar telescope aardvark"))
+  }
+
+  test("Q4 section content: nested boundary filter + reassembly") {
+    indexed
+    val sec = IndexPipeline.sectionContent(spark, store, "heading",
+      title = Some("Setup"))
+    assert(sec.count() === 1)
+    assert(sec.head.getString(1).contains("gizmo bundle"))
+  }
+
+  test("D4 anti-join: only unseen paths remain to index") {
+    indexed
+    val spark2 = spark
+    import spark2.implicits._
+    val chunks = spark.read.parquet(s"$store/chunks")
+    val knownPath = chunks.select(col("metadata.path")).head.getString(0)
+    val cand = Seq(knownPath, "file:/somewhere/new.md").toDF("path")
+    val missing = IndexPipeline.notYetIndexed(spark, store, cand)
+    assert(missing.collect().map(_.getString(0)).toSeq === Seq("file:/somewhere/new.md"))
+  }
+
+  test("S1 raw-text indexing round trips through the same store") {
+    indexed
+    val r = IndexPipeline.indexText(spark, "plutonium widget factory " * 50,
+      "raw-note", store, t0)
+    assert(r.chunks >= 1)
+    val hits = IndexPipeline.search(spark, store, "plutonium widget", k = 2,
+      sourceType = Some("text"))
+    assert(hits.count() > 0)
+  }
+}
