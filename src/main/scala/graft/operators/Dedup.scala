@@ -93,15 +93,28 @@ object Dedup {
   /** MinHash signatures: 16 md5-seeded min-hashes per doc over its
     * shingle set. Linear in corpus size; the signature matrix is 16
     * rows/doc regardless of doc length. */
+  /** Universal-hash family for MinHash: h_i(x) = (a_i·x + b_i) mod p
+    * over the 31-bit fold of the md5 shingle hash. One md5 per shingle
+    * (not 16), the rest integer arithmetic — 16× cheaper and exactly
+    * portable. p = 2^31−1 (prime); a_i,b_i are md5-seeded constants so
+    * every engine derives the same family. */
+  val MinhashP = 2147483647L
+  lazy val minhashCoeffs: Seq[(Int, Long, Long)] =
+    (0 until 16).map { i =>
+      val a = graft.embed.Embedder.hash60(s"a:$i") % (MinhashP - 1) + 1
+      val b = graft.embed.Embedder.hash60(s"b:$i") % MinhashP
+      (i, a, b)
+    }
+
   def minhashSigs(spark: SparkSession, dir: String): DataFrame =
     Cache.getOrBuild(spark, "minhashSig", dir) {
-      val h = spark.range(16).withColumnRenamed("id", "h")
+      import spark.implicits._
+      val coeffs = broadcast(minhashCoeffs.toDF("h", "a", "b"))
       shingled(spark, dir)
-        .crossJoin(broadcast(h))
-        .withColumn("hv", hash60Col(
-          concat(col("h").cast("string"), lit(":"), col("shingle"))))
+        .withColumn("hv", pmod(hash60Col(col("shingle")), lit(MinhashP)))
+        .crossJoin(coeffs)
         .groupBy("doc_id", "h")
-        .agg(min(col("hv")).as("minhash"))
+        .agg(min(pmod(col("a") * col("hv") + col("b"), lit(MinhashP))).as("minhash"))
     }
 
   def qMinhashSig(spark: SparkSession, dir: String): DataFrame =
@@ -188,12 +201,19 @@ object Dedup {
     "q_dedup_embed"   -> (qDedupEmbed _),
   )
 
-  private val sigSql =
+  private lazy val coeffValues =
+    minhashCoeffs.map { case (h, a, b) => s"($h, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+
+  private lazy val sigSql =
     s"""${shinglesCte()},
+       |hv AS (
+       |  SELECT doc_id,
+       |    ('0x'||substr(md5(shingle),1,15))::BIGINT % $MinhashP AS hv
+       |  FROM sh),
        |sig AS (
-       |  SELECT doc_id, h,
-       |    min(('0x'||substr(md5(h::VARCHAR||':'||shingle),1,15))::BIGINT) AS minhash
-       |  FROM sh, (SELECT unnest(range(16)) AS h) hs
+       |  SELECT doc_id, h, min((a * hv + b) % $MinhashP) AS minhash
+       |  FROM hv, (VALUES $coeffValues) c(h, a, b)
        |  GROUP BY doc_id, h)""".stripMargin
 
   val oracles: Map[String, String] = Map(
