@@ -106,32 +106,43 @@ object Dedup {
       (i, a, b)
     }
 
-  def minhashSigs(spark: SparkSession, dir: String): DataFrame =
-    Cache.getOrBuild(spark, "minhashSig", dir) {
-      import spark.implicits._
-      val coeffs = broadcast(minhashCoeffs.toDF("h", "a", "b"))
-      shingled(spark, dir)
+  /** Wide signature matrix: all 16 min-hashes as constant column
+    * expressions folded in ONE groupBy — no 16× row blowup, a single
+    * shuffle on doc_id. This is the shape that survives 1000×: the
+    * signature stage is a plain map + partial-aggregating groupBy. */
+  def minhashSigsWide(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "minhashWide", dir) {
+      val hv = shingled(spark, dir)
         .withColumn("hv", pmod(hash60Col(col("shingle")), lit(MinhashP)))
-        .crossJoin(coeffs)
-        .groupBy("doc_id", "h")
-        .agg(min(pmod(col("a") * col("hv") + col("b"), lit(MinhashP))).as("minhash"))
+      val aggs = minhashCoeffs.map { case (i, a, b) =>
+        min(pmod(col("hv") * a + b, lit(MinhashP))).as(s"m$i")
+      }
+      hv.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     }
 
-  def qMinhashSig(spark: SparkSession, dir: String): DataFrame =
-    minhashSigs(spark, dir).orderBy("doc_id", "h")
+  def qMinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val stackArgs = (0 until 16)
+      .map(i => s"${i}L, m$i").mkString("stack(16, ", ", ", ") as (h, minhash)")
+    minhashSigsWide(spark, dir)
+      .selectExpr("doc_id", stackArgs)
+      .orderBy("doc_id", "h")
+  }
 
   /** MinHash + LSH banding: 4 bands × 4 rows; docs sharing any band
     * signature become candidate pairs, verified with exact shingle
     * Jaccard. The candidate join runs on band buckets — never all
     * pairs — which is what survives a 1000× scale-up. */
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSigs(spark, dir)
-    val bands = sig
-      .withColumn("band", floor(col("h") / 4).cast("long"))
-      .groupBy("doc_id", "band")
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("h"), col("minhash")))),
-          x => x.getField("minhash").cast("string")), ",")).as("band_sig"))
+    // bands derived row-wise from the wide signature — no extra shuffle
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b.toLong).as("band"),
+        md5(concat_ws(",", (0 until 4).map(j => col(s"m${4 * b + j}")): _*))
+          .as("band_sig"))
+    }
+    val bands = minhashSigsWide(spark, dir)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.band_sig").as("band_sig"))
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("band_sig")),
         Seq("band", "band_sig"))
@@ -158,20 +169,24 @@ object Dedup {
     * sign of each bit-column sum becomes the fingerprint bit. Integer
     * sums → order-independent, engine-exact. */
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    // 16 bit-sums as constant column expressions in one groupBy (no
+    // 16× row blowup): s_b = Σ cnt·(2·bit_b−1); then fold the sign
+    // bits row-wise.
     val cnts = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("hv", hash60Col(col("tok")))
-    val bits = spark.range(16).withColumnRenamed("id", "b")
-    cnts.crossJoin(broadcast(bits))
-      .withColumn("contrib",
-        col("cnt") * (expr("pmod(shiftright(hv, cast(b as int)), 2)") * 2 - 1))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("bit", when(col("s") >= 0, 1L).otherwise(0L))
-      .groupBy("doc_id")
-      .agg(sum(col("bit") * expr("CAST(pow(2, b) AS BIGINT)")).as("simhash"))
+    val bitSums = (0 until 16).map { b =>
+      sum(col("cnt") *
+        (expr(s"pmod(shiftright(hv, $b), 2)") * 2 - 1)).as(s"s$b")
+    }
+    cnts.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 
