@@ -144,7 +144,52 @@ object Search {
         min(col("score")).as("min_score"))
       .orderBy("query_id")
 
+  /** A7 detailed score metrics per query over the batch-kNN result:
+    * mean/variance from exact 1e-6 fixed-point sums (scores are
+    * already rounded to 6 dp, so the scaled values are integers and
+    * the sums order-independent), plus exact ceil-rank percentiles
+    * (the reference's method, score-analysis.ts:42-93). */
+  def qScoreMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val base = qKnnBatch(spark, dir)
+      .withColumn("si", round(col("score") * 1000000, 0).cast("long"))
+    val w = Window.partitionBy("query_id").orderBy(col("score"), col("vec_id"))
+    val ranked = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("query_id")))
+    val pcts = Seq(25, 50, 75, 90).map { p =>
+      max(when(col("rn") === greatest(ceil(col("n") * p / 100.0), lit(1)),
+        col("score"))).as(s"p$p")
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_results"),
+      round(sum(col("si")).cast("double") / count(lit(1)) / 1000000.0, 6)
+        .as("mean_score"),
+      round((sum(col("si") * col("si")).cast("double") / count(lit(1)) -
+        (sum(col("si")).cast("double") / count(lit(1))) *
+        (sum(col("si")).cast("double") / count(lit(1)))) / 1.0e12, 6)
+        .as("var_score")) ++ pcts
+    ranked.groupBy("query_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("query_id")
+  }
+
+  /** A8 score distribution: high/medium/low bands + decile histogram
+    * over all batch-kNN scores (score-analysis.ts:98-143, one pass). */
+  def qScoreBands(spark: SparkSession, dir: String): DataFrame =
+    qKnnBatch(spark, dir)
+      .withColumn("band",
+        when(col("score") >= 0.8, "high")
+          .when(col("score") >= 0.5, "medium")
+          .otherwise("low"))
+      .withColumn("decile",
+        least(greatest(floor(col("score") * 10), lit(-10L)), lit(9L)))
+      .groupBy("band", "decile")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("band", "decile")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_score_metrics"   -> (qScoreMetrics _),
+    "q_score_bands"     -> (qScoreBands _),
     "q_embed_hash"      -> (qEmbedHash _),
     "q_knn"             -> (qKnn _),
     "q_knn_batch"       -> (qKnnBatch _),
@@ -218,6 +263,31 @@ object Search {
       |  SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_score_metrics" ->
+      s"""WITH $knnBatchCtes,
+         |si AS (
+         |  SELECT query_id, vec_id, score,
+         |    CAST(round(score * 1000000, 0) AS BIGINT) AS si,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY query_id) AS n
+         |  FROM topq)
+         |SELECT query_id, count(*) AS n_results,
+         |  round(sum(si)::DOUBLE / count(*) / 1000000.0, 6) AS mean_score,
+         |  round((sum(si*si)::DOUBLE / count(*) -
+         |         (sum(si)::DOUBLE / count(*)) * (sum(si)::DOUBLE / count(*)))
+         |        / 1.0e12, 6) AS var_score,
+         |  max(CASE WHEN rn = greatest(CAST(ceil(n*25/100.0) AS BIGINT),1) THEN score END) AS p25,
+         |  max(CASE WHEN rn = greatest(CAST(ceil(n*50/100.0) AS BIGINT),1) THEN score END) AS p50,
+         |  max(CASE WHEN rn = greatest(CAST(ceil(n*75/100.0) AS BIGINT),1) THEN score END) AS p75,
+         |  max(CASE WHEN rn = greatest(CAST(ceil(n*90/100.0) AS BIGINT),1) THEN score END) AS p90
+         |FROM si GROUP BY query_id ORDER BY query_id""".stripMargin,
+    "q_score_bands" ->
+      s"""WITH $knnBatchCtes
+         |SELECT CASE WHEN score >= 0.8 THEN 'high'
+         |            WHEN score >= 0.5 THEN 'medium' ELSE 'low' END AS band,
+         |  least(greatest(CAST(floor(score * 10) AS BIGINT), -10), 9) AS decile,
+         |  count(*) AS n
+         |FROM topq GROUP BY 1, 2 ORDER BY band, decile""".stripMargin,
     "q_embed_hash" ->
       s"""WITH $docVecCte
          |SELECT doc_id, bucket, round(weight, 6) AS weight
