@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Single-pass per-group top-k (SURVEY.md §7.3's optional Aggregator):
+  * a typed `Aggregator` whose buffer is a bounded, sorted list — Spark
+  * runs it with map-side partial aggregation, so each upstream
+  * partition ships AT MOST k rows per group into the shuffle instead
+  * of every candidate (the window/row_number formulation sorts entire
+  * groups after a full shuffle).
+  *
+  * At 100 TB kNN this is the difference between shuffling
+  * |corpus| rows and shuffling k·partitions rows. The window variant
+  * stays the oracle (`q_knn_batch`); TopKSpec proves them equivalent.
+  *
+  * Ordering: score desc, then id asc — the engine's global
+  * deterministic tie-break.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+
+  private def better(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  override def zero: Seq[(Long, Double)] = Seq.empty
+
+  override def reduce(buf: Seq[(Long, Double)],
+      x: (Long, Double)): Seq[(Long, Double)] = insert(buf, x)
+
+  override def merge(a: Seq[(Long, Double)],
+      b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    b.foldLeft(a)(insert)
+
+  private def insert(buf: Seq[(Long, Double)],
+      x: (Long, Double)): Seq[(Long, Double)] = {
+    if (buf.length == k && !better(x, buf.last)) buf
+    else {
+      val (before, after) = buf.span(better(_, x))
+      (before :+ x) ++ after.take(k - before.length - 1)
+    }
+  }
+
+  override def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+    ExpressionEncoder[Seq[(Long, Double)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+    ExpressionEncoder[Seq[(Long, Double)]]()
+}
+
+object TopKAggregator {
+  /** Column form for `Dataset.groupByKey(...).agg(...)`. */
+  def topK(k: Int) = new TopKAggregator(k).toColumn
+}

@@ -96,6 +96,23 @@ object ResultAnalytics {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** A11 topic clusters: top-5 non-stop-word topics across the top-10
+    * results, with member doc ids and confidence = members/results
+    * (reference metadata-generator.ts:160-242, cluster part). */
+  def qTopicClusters(spark: SparkSession, dir: String): DataFrame = {
+    val members = topDocs(spark, dir, 10)
+      .join(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("topic"))
+      .filter(!col("topic").isin("the", "a"))
+    members.groupBy("topic")
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(array_sort(collect_set(col("doc_id"))),
+          x => x.cast("string")), ",").as("members"))
+      .withColumn("confidence", round(col("n_docs").cast("double") / 10, 6))
+      .orderBy(desc("n_docs"), col("topic"))
+      .limit(5)
+  }
+
   /** Q5 multi-stage query chain: two semantic stages, results unioned
     * and deduped keep-best per doc (J6 window), global top-10. */
   def qQueryChain(spark: SparkSession, dir: String): DataFrame = {
@@ -140,6 +157,7 @@ object ResultAnalytics {
     "q_keyword_coverage" -> (qKeywordCoverage _),
     "q_coherence"        -> (qCoherence _),
     "q_redundancy"       -> (qRedundancy _),
+    "q_topic_clusters"   -> (qTopicClusters _),
     "q_query_chain"      -> (qQueryChain _),
     "q_reassemble"       -> (qReassemble _),
   )
@@ -191,6 +209,18 @@ object ResultAnalytics {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_topic_clusters" ->
+      s"""WITH $topkCte,
+         |membership AS (
+         |  SELECT DISTINCT tok AS topic, doc_id
+         |  FROM topk JOIN documents d USING (doc_id),
+         |    LATERAL (SELECT unnest(regexp_split_to_array(lower(d.text), '\\s+')) AS tok) u
+         |  WHERE tok <> '' AND tok NOT IN ('the','a'))
+         |SELECT topic, count(*) AS n_docs,
+         |  string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members,
+         |  round(count(*)::DOUBLE / 10, 6) AS confidence
+         |FROM membership GROUP BY topic
+         |ORDER BY n_docs DESC, topic LIMIT 5""".stripMargin,
     "q_query_chain" ->
       s"""WITH $docVecCte,
          |${queryScoreCte("s1", Search.QueryText)},

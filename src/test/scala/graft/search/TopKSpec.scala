@@ -1,0 +1,50 @@
+package graft
+package search
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAggregator
+import graft.functions.VectorFunctions._
+
+/** The single-pass TopKAggregator must produce exactly the window
+  * formulation's per-group top-5 (same ordering, same tie-breaks). */
+class TopKSpec extends SparkSpec {
+
+  test("aggregator top-5 == window row_number top-5 on batch kNN") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = operators.Search.embNormed(spark, sfDir)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .as[(Long, Long, Double)]
+
+    val viaAgg = scored
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(TopKAggregator.topK(5))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case ((vid, s), i) => (qid, i.toLong + 1, vid, s) }
+      }
+      .toDF("query_id", "rank", "vec_id", "score")
+
+    val viaWindow = operators.Search.qKnnBatch(spark, sfDir)
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
+  test("buffer stays bounded and sorted under merges") {
+    val agg = new TopKAggregator(3)
+    val xs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.7))
+    val half1 = xs.take(2).foldLeft(agg.zero)(agg.reduce)
+    val half2 = xs.drop(2).foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.finish(agg.merge(half1, half2))
+    assert(merged === Seq((2L, 0.9), (3L, 0.9), (5L, 0.7)))
+    assert(merged.length <= 3)
+  }
+}
