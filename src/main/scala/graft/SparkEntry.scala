@@ -10,9 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Semantic search IS the engine's core capability: embed →
+    * pruned scored scan → top-k → keyword rerank. */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    operators.Search.qSearchSemantic(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -102,9 +102,36 @@ object Ann {
       .limit(10)
   }
 
+  /** Multi-probe LSH: probe the query bucket AND its 6 Hamming-1
+    * neighbors (flip each hyperplane bit) — the standard recall fix
+    * when a near neighbor falls just across one hyperplane. Still
+    * scans only ~7/64 of the corpus. */
+  def qAnnLshProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val buckets = lshBuckets(spark, dir)
+    val masks = (0L +: (0 until Planes).map(p => 1L << p)).toDF("mask")
+    val probes = buckets.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(masks))
+      .select(col("bucket").bitwiseXOR(col("mask")).as("bucket"))
+      .distinct()
+    val e = Search.embNormed(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    buckets.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= 0)
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .select(col("vec_id"), col("bucket"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ann_lsh" -> (qAnnLsh _),
-    "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_lsh"       -> (qAnnLsh _),
+    "q_ann_lsh_probe" -> (qAnnLshProbe _),
+    "q_ann_ivf"       -> (qAnnIvf _),
   )
 
   private val bucketsSql =
@@ -131,6 +158,19 @@ object Ann {
       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ann_lsh_probe" ->
+      s"""WITH $bucketsSql,
+         |probes AS (
+         |  SELECT DISTINCT xor(b.bucket, m.mask) AS bucket
+         |  FROM (SELECT bucket FROM buckets WHERE vec_id = 0) b,
+         |       (VALUES (0), (1), (2), (4), (8), (16), (32)) m(mask))
+         |SELECT b.vec_id, b.bucket,
+         |  round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+         |FROM buckets b
+         |JOIN probes USING (bucket)
+         |JOIN e ON e.vec_id = b.vec_id, q
+         |WHERE b.vec_id <> 0
+         |ORDER BY score DESC, b.vec_id LIMIT 10""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH $bucketsSql
          |SELECT b.vec_id, b.bucket,

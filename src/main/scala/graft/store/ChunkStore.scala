@@ -24,16 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object ChunkStore {
 
+  /** Default format is parquet (columnar, statistics, pushdown); json/
+    * csv supported for interchange — same layout, same operations. */
   def write(df: DataFrame, path: String,
       partitionCols: Seq[String] = Seq.empty,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode)
+      mode: SaveMode = SaveMode.Overwrite,
+      format: String = "parquet"): Unit = {
+    val w = df.write.mode(mode).format(format)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(path)
+      .save(path)
   }
 
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def read(spark: SparkSession, path: String,
+      format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(path)
 
   /** Point lookup — pushdown-friendly (S10). */
   def get(spark: SparkSession, path: String, idCol: String, id: Any): DataFrame =

@@ -60,6 +60,14 @@ class StoreSpec extends SparkSpec {
       === "beta-v2")
   }
 
+  test("json interchange round trip preserves rows") {
+    val p = s"$tmp/t5"
+    ChunkStore.write(docs, p, format = "json")
+    val back = ChunkStore.read(spark, p, format = "json")
+    assert(back.count() === 4)
+    assert(back.columns.toSet === docs.columns.toSet)
+  }
+
   test("point get pushes the predicate down") {
     val p = s"$tmp/t4"
     ChunkStore.write(docs, p)
