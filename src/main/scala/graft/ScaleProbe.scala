@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale experiment: replicate the documents corpus N× (planted exact
+  * duplicates with shifted ids), write it as a derived table, and time
+  * the scale-critical operators against it. Answers "does the plan
+  * hold at k× the data" empirically, and doubles as an end-to-end
+  * dedup correctness check — every fingerprint group must contain
+  * exactly N members.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [multiplier] [workDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val mult = args.lift(1).map(_.toInt).getOrElse(20)
+    val work = args.lift(2).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_scale").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // derived corpus: mult copies of every doc, ids shifted per replica
+    val docs = Tables.documents(spark, sfDir)
+    val n0 = docs.count()
+    docs.crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+      .withColumn("doc_id", col("doc_id") + col("rep") * 10000000L)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+    // embeddings pass through (vector ops scale-tested at base size)
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+
+    def time[A](name: String)(f: => A): (String, Double, A) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (name, (System.nanoTime() - t0) / 1e9, r)
+    }
+
+    val results = Seq(
+      time("exact_dedup") {
+        val g = operators.Dedup.qDedupExact(spark, work)
+        val bad = g.filter(col("n_docs") =!= mult.toLong).count()
+        s"groups=${g.count()} wrong_size=$bad"
+      },
+      time("minhash_candidates") {
+        val c = operators.Dedup.qDedupMinhash(spark, work)
+        val perfect = c.filter(col("jaccard") === 1.0).count()
+        s"pairs=${c.count()} perfect=$perfect"
+      },
+      time("simhash") {
+        s"docs=${operators.Dedup.qDedupSimhash(spark, work).count()}"
+      },
+      time("keyword_freq") {
+        s"rows=${operators.TextAnalysis.qKeywordFreq(spark, work).count()}"
+      },
+      time("semantic_search") {
+        s"rows=${operators.Search.qSearchSemantic(spark, work).count()}"
+      })
+
+    val expectPairs = n0 * mult.toLong * (mult - 1) / 2
+    println(s"""{"probe":"scale","base_docs":$n0,"mult":$mult,""" +
+      s""""derived_docs":${n0 * mult},"expected_dup_pairs":$expectPairs,""" +
+      results.map { case (n, t, r) => s""""$n":{"sec":${f"$t%.2f"},"result":"$r"}""" }
+        .mkString("", ",", "}"))
+    spark.stop()
+  }
+}
