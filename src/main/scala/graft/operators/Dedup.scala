@@ -207,7 +207,25 @@ object Dedup {
       .limit(20)
   }
 
+  /** The composed production pipeline (SCALE.md finding #2): exact
+    * dedup first (collapse identical docs to canonicals), then MinHash
+    * near-dup on the canonicals, dropping the higher doc_id of any
+    * pair with Jaccard ≥ 0.5. Emits stage-by-stage survivor counts. */
+  def qDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val canon = qDedupExact(spark, dir).select(col("canonical_id").as("doc_id"))
+    val nearRemoved = qDedupMinhash(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .join(canon.select(col("doc_id").as("doc_a")), "doc_a") // pairs among canonicals
+      .select(col("doc_b").as("doc_id")).distinct()
+    val survivors = canon.join(nearRemoved, Seq("doc_id"), "left_anti")
+    docs.agg(count(lit(1)).as("n_input"))
+      .crossJoin(canon.agg(count(lit(1)).as("n_after_exact")))
+      .crossJoin(survivors.agg(count(lit(1)).as("n_after_near")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_pipeline" -> (qDedupPipeline _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_ngram"   -> (qDedupNgram _),
     "q_minhash_sig"   -> (qMinhashSig _),
@@ -232,6 +250,38 @@ object Dedup {
        |  GROUP BY doc_id, h)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_pipeline" ->
+      s"""WITH $sigSql,
+         |bands AS (
+         |  SELECT doc_id, h // 4 AS band,
+         |    md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS band_sig
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, band_sig)
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(count(*)::DOUBLE / (sa.sz + sb.sz - count(*)), 6) AS jaccard
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  GROUP BY c.doc_a, c.doc_b, sa.sz, sb.sz),
+         |canon AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
+         |removed AS (
+         |  SELECT DISTINCT p.doc_b AS doc_id FROM pairs p
+         |  JOIN canon ca ON ca.doc_id = p.doc_a
+         |  WHERE p.jaccard >= 0.5),
+         |surv AS (
+         |  SELECT doc_id FROM canon
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM removed))
+         |SELECT (SELECT count(*) FROM documents) AS n_input,
+         |  (SELECT count(*) FROM canon) AS n_after_exact,
+         |  (SELECT count(*) FROM surv) AS n_after_near""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS fp, count(*) AS n_docs,
         |  min(doc_id) AS canonical_id

@@ -1,0 +1,119 @@
+package graft
+package operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table: JSON property
+  * extraction (reference X9/F2 — metadata lives as JSON text in the
+  * reference store, filtered via `json_extract`,
+  * `src/core/vector-db/utils/filter.ts:52-100`), gap-based
+  * sessionization, and an as-of join — the two classic operators Spark
+  * has no primitive for, composed from windows exactly as SURVEY.md
+  * §2's guidance prefers (compose > custom plan node).
+  *
+  * Scale notes: sessionization and as-of are one shuffle each
+  * (partition by user), then narrow window scans; all timestamp
+  * arithmetic is integer milliseconds so results are engine-exact.
+  */
+object Events {
+
+  /** X9/F2: JSON property extraction + pushdown-style predicate, then
+    * grouped aggregation over the extracted value. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k") >= 50)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Gap-based sessionization: a >30-minute silence per user starts a
+    * new session; emits per-session bounds and exact-cents value sums. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("gap",
+        when(col("ms") - lag(col("ms"), 1).over(byUser) > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("gap")).over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (sum(Relational.cents(col("value"))) / 100.0).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** As-of join, composed: for every purchase, the most recent view at
+    * or before it (per user) — union-tag + last(ignoreNulls) window,
+    * no custom plan node needed. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("view_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true)
+          .over(w))
+      .withColumn("view_value",
+        last(when(col("event_type") === "view", col("value")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase" && col("view_ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("view_ts"), col("view_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> (qJsonExtract _),
+    "q_sessionize"   -> (qSessionize _),
+    "q_asof_join"    -> (qAsofJoin _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+        |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |FROM events
+        |WHERE json_extract_string(props, '$.k')::BIGINT >= 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > 30*60*1000
+        |         THEN 1 ELSE 0 END AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  sum(CAST(ROUND(value*100,0) AS BIGINT))/100.0 AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH ve AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS view_ts,
+        |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS view_value
+        |  FROM events WHERE event_type IN ('view', 'purchase'))
+        |SELECT user_id, event_id, ts, view_ts, view_value
+        |FROM ve WHERE event_type = 'purchase' AND view_ts IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
+  )
+}
