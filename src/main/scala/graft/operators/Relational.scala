@@ -192,8 +192,24 @@ object Relational {
         (sum(cents($"value")) / 100.0).as("sum_value"))
       .orderBy($"hour", $"event_type")
 
+  /** Hierarchical rollup totals — subtotal rows per returnflag and a
+    * grand total (beyond the reference's flat GROUP BYs; Spark and
+    * DuckDB share ROLLUP semantics). Null group keys are coalesced to
+    * 'ALL' so the compare is text-stable. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        (sum(cents($"l_extendedprice")) / 100.0).as("sum_price"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n", $"sum_price")
+      .orderBy("returnflag", "linestatus")
+
   /** Registry consumed by [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup"       -> (qRollup _),
     "q1_agg"         -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
     "q_join_enrich"  -> (qJoinEnrich _),
@@ -213,6 +229,13 @@ object Relational {
   /** DuckDB-equivalent SQL, mirroring each query's arithmetic exactly
     * (same cents-integer trick, same tie-breaks) for hash-stable compare. */
   val oracles: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  sum(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))/100.0 AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -55,10 +55,10 @@ class DedupSpec extends SparkSpec {
     assert(scores === scores.sorted.reverse)
   }
 
-  test("LSH buckets: 6-bit range, one bucket per vector, deterministic") {
+  test("LSH buckets: 4-bit range, one bucket per vector, deterministic") {
     val b = Ann.lshBuckets(spark, sfDir)
     assert(b.count() === Tables.embeddings(spark, sfDir).count())
-    assert(b.filter(col("bucket") < 0 || col("bucket") > 63).count() === 0)
+    assert(b.filter(col("bucket") < 0 || col("bucket") > 15).count() === 0)
     val again = Ann.lshBuckets(spark, sfDir)
     assert(b.exceptAll(again).isEmpty)
   }
