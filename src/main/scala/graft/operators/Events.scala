@@ -70,13 +70,91 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** Pivot: per-user event-type counts as columns (reshape family the
+    * reference lacks; conditional-aggregation form so the oracle is
+    * plain SQL). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("user_id")
+  }
+
+  /** Frame-spec running aggregates per user: cumulative exact-cents
+    * value sum + 4-row moving average (cents-int mean, single
+    * division). The reference uses no window frames at all
+    * (SURVEY.md §2.5) — this exceeds its surface. */
+  def qRunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val move = order.rowsBetween(-3, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .withColumn("vc", Relational.cents(col("value")))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (sum(col("vc")).over(cum) / 100.0).as("running_total"),
+        round(sum(col("vc")).over(move).cast("double") /
+          count(lit(1)).over(move) / 100.0, 6).as("moving_avg4"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** ntile quartiles by value within event type + per-tile stats. */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("event_type", "quartile")
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type", "quartile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_json_extract" -> (qJsonExtract _),
-    "q_sessionize"   -> (qSessionize _),
-    "q_asof_join"    -> (qAsofJoin _),
+    "q_json_extract"   -> (qJsonExtract _),
+    "q_sessionize"     -> (qSessionize _),
+    "q_asof_join"      -> (qAsofJoin _),
+    "q_pivot"          -> (qPivot _),
+    "q_running_window" -> (qRunningWindow _),
+    "q_ntile"          -> (qNtile _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_running_window" ->
+      """SELECT user_id, event_id, ts,
+        |  sum(CAST(ROUND(value*100,0) AS BIGINT)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) / 100.0 AS running_total,
+        |  round(sum(CAST(ROUND(value*100,0) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::DOUBLE
+        |    / count(*) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / 100.0, 6)
+        |    AS moving_avg4
+        |FROM events WHERE user_id < 50
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_ntile" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+        |      AS quartile
+        |  FROM events)
+        |SELECT event_type, quartile, count(*) AS n,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM t GROUP BY event_type, quartile
+        |ORDER BY event_type, quartile""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
