@@ -26,7 +26,8 @@ object AgentQuery {
       keywordCoverage: Double,
       missingKeywords: Seq[String],
       contentTypes: Map[String, Int],
-      suggestions: Seq[String])
+      suggestions: Seq[String],
+      estTokens: Long)
 
   case class Response(
       hits: Seq[Hit],
@@ -60,6 +61,13 @@ object AgentQuery {
     out.result()
   }
 
+  /** Response-size budgets per mode (reference caps summary ≈5K /
+    * detailed ≈15K tokens — `src/mcp/server.ts:107-133`; here the
+    * lever is per-hit content truncation, token estimate = ceil(len/4)
+    * as in X15). */
+  private val ModeChars = Map("summary" -> 200, "detailed" -> 1000,
+    "full" -> Int.MaxValue)
+
   def query(
       spark: SparkSession,
       storePath: String,
@@ -67,7 +75,9 @@ object AgentQuery {
       hybrid: Boolean = false,
       pageSize: Int = 5,
       cursor: Option[String] = None,
-      cache: Option[QueryCache] = None): Response = {
+      cache: Option[QueryCache] = None,
+      mode: String = "detailed"): Response = {
+    val budget = ModeChars.getOrElse(mode, 1000)
 
     val fromCache = cache.flatMap(_.findSimilar(queryText))
       .filter(_ != queryText)
@@ -80,7 +90,8 @@ object AgentQuery {
     val (pageDf, next) = Cursor.page(ranked, queryText, cursor, pageSize)
     val hits = pageDf.collect().map { r =>
       Hit(r.getAs[String]("id"), r.getAs[String]("sourceId"),
-        r.getAs[Int]("chunkIndex"), r.getAs[String]("content"),
+        r.getAs[Int]("chunkIndex"),
+        r.getAs[String]("content").take(budget),
         r.getAs[Double]("score"), r.getAs[String]("sourceType"))
     }.toSeq
 
@@ -100,7 +111,8 @@ object AgentQuery {
         .map { case (k, v) => k -> v.size },
       suggestions = suggest(hits.size,
         if (scores.isEmpty) 0.0 else scores.sum / scores.size,
-        coverage, missing, hybrid))
+        coverage, missing, hybrid),
+      estTokens = math.ceil(hits.map(_.content.length).sum / 4.0).toLong)
 
     cache.foreach(_.record(queryText, hits.size.toLong))
     Response(hits, analysis, next, fromCache)

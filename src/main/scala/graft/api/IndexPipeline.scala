@@ -30,7 +30,7 @@ import graft.store.ChunkStore
   */
 object IndexPipeline {
 
-  case class IndexResult(sources: Long, chunks: Long)
+  case class IndexResult(sources: Long, chunks: Long, errors: Long = 0L)
 
   private def md5hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
@@ -45,9 +45,10 @@ object IndexPipeline {
       storePath: String,
       createdAt: Timestamp,
       preserveBoundaries: Boolean = true,
-      dim: Int = Embedder.DefaultDim): IndexResult = {
+      dim: Int = Embedder.DefaultDim,
+      maxFileBytes: Long = 10L * 1024 * 1024): IndexResult = {
     import spark.implicits._
-    val files = spark.read.format("text")
+    val all = spark.read.format("text")
       .option("wholetext", "true")
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
@@ -55,6 +56,19 @@ object IndexPipeline {
       .select(input_file_name().as("path"), col("value").as("content"))
       .as[(String, String)]
       .filter((r: (String, String)) => FileTypes.isTextFile(r._1))
+
+    // error channel (reference indexer continues past per-file errors,
+    // collecting them — indexer.ts errors[]; size cap = the security
+    // module's file-size limit): oversize files are recorded, not fatal.
+    val errors = all
+      .filter((r: (String, String)) => r._2.length.toLong > maxFileBytes)
+      .map { case (path, content) =>
+        (path, s"file exceeds $maxFileBytes bytes (${content.length})")
+      }
+      .toDF("path", "error")
+    ChunkStore.write(errors, s"$storePath/errors", mode = SaveMode.Append)
+    val files = all
+      .filter((r: (String, String)) => r._2.length.toLong <= maxFileBytes)
 
     val chunks: Dataset[Chunk] = files.flatMap { case (path, text) =>
       val fileName = path.substring(path.lastIndexOf('/') + 1)
@@ -98,7 +112,7 @@ object IndexPipeline {
       mode = SaveMode.Append)
     ChunkStore.write(sources.toDF(), s"$storePath/sources",
       mode = SaveMode.Append)
-    IndexResult(sources.count(), chunks.count())
+    IndexResult(sources.count(), chunks.count(), errors.count())
   }
 
   /** S1/S11: index one raw text (stdin / --text path). */

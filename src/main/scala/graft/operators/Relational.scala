@@ -207,8 +207,21 @@ object Relational {
         $"n", $"sum_price")
       .orderBy("returnflag", "linestatus")
 
+  /** Full cube over two dimensions (every grouping-set combination). */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity").as("sum_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n", $"sum_qty")
+      .orderBy("returnflag", "linestatus")
+
   /** Registry consumed by [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube"         -> (qCube _),
     "q_rollup"       -> (qRollup _),
     "q1_agg"         -> (q1Agg _),
     "q_filter_project" -> (qFilterProject _),
@@ -229,6 +242,12 @@ object Relational {
   /** DuckDB-equivalent SQL, mirroring each query's arithmetic exactly
     * (same cents-integer trick, same tie-breaks) for hash-stable compare. */
   val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -115,6 +115,32 @@ class PipelineSpec extends SparkSpec {
     assert(missing.collect().map(_.getString(0)).toSeq === Seq("file:/somewhere/new.md"))
   }
 
+  test("error channel: oversize files recorded, not fatal") {
+    val in2 = Files.createDirectory(root.resolve("in2"))
+    Files.writeString(in2.resolve("ok.txt"), "small fry " * 20)
+    Files.writeString(in2.resolve("big.txt"), "x " * 600)
+    val store2 = s"$root/store2"
+    val r = IndexPipeline.indexFiles(spark, in2.toString, "*", store2, t0,
+      maxFileBytes = 500)
+    assert(r.errors === 1 && r.sources === 1)
+    val errs = spark.read.parquet(s"$store2/errors")
+    assert(errs.count() === 1)
+    assert(errs.head.getString(0).endsWith("big.txt"))
+  }
+
+  test("agent modes truncate content to the mode budget") {
+    indexed
+    val sum = AgentQuery.query(spark, store, "zanzibar telescope",
+      mode = "summary")
+    val full = AgentQuery.query(spark, store, "zanzibar telescope",
+      mode = "full")
+    assert(sum.hits.forall(_.content.length <= 200))
+    assert(full.hits.map(_.content.length).max >
+      sum.hits.map(_.content.length).max)
+    assert(sum.analysis.estTokens > 0)
+    assert(sum.analysis.estTokens < full.analysis.estTokens)
+  }
+
   test("S1 raw-text indexing round trips through the same store") {
     indexed
     val r = IndexPipeline.indexText(spark, "plutonium widget factory " * 50,
