@@ -68,6 +68,22 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
       .orderBy("fp")
 
+  /** Normalization-robust exact dedup: fingerprint of the CANONICAL
+    * text (lowercase, punctuation stripped, whitespace collapsed,
+    * trimmed) — catches trivially-reformatted duplicates that byte
+    * hashing misses; the first normalization stage of every training
+    * dedup pipeline. */
+  def qDedupNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("canon",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+          "\\s+", " ")))
+      .select(col("doc_id"), md5(col("canon")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .orderBy("fp")
+
   /** Brute-force n-gram Jaccard: top-20 most-similar doc pairs on a
     * bounded sample (doc_id < 100) — the exactness oracle for the
     * MinHash path below. Pairs join only through shared shingles. */
@@ -227,6 +243,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_pipeline" -> (qDedupPipeline _),
     "q_dedup_exact"   -> (qDedupExact _),
+    "q_dedup_norm"    -> (qDedupNorm _),
     "q_dedup_ngram"   -> (qDedupNgram _),
     "q_minhash_sig"   -> (qMinhashSig _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -285,6 +302,12 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS fp, count(*) AS n_docs,
         |  min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_dedup_norm" ->
+      """SELECT md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS fp,
+        |  count(*) AS n_docs, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "q_dedup_ngram" ->
       s"""WITH ${shinglesCte("WHERE doc_id < 100")},
