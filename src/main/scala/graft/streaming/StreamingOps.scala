@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface of the engine. The reference has no
   * streaming semantics at all (SURVEY.md §2.13 — verified absent), so
@@ -36,4 +37,34 @@ object StreamingOps {
     events
       .withWatermark("ts", delay)
       .dropDuplicates("event_id", "ts")
+
+  /** Running per-user totals persisted in the state store. */
+  case class UserTotals(user_id: Long, n: Long, sum_cents: Long)
+
+  /** Custom keyed state via `mapGroupsWithState`: per-user running
+    * (count, exact-cents sum) that survives across micro-batches —
+    * the arbitrary-state API the built-in windowed aggregates can't
+    * express (e.g. monotone counters, ML feature accumulators). State
+    * per key is O(1); at scale eviction is by timeout (kept NoTimeout
+    * here so results are deterministic under test). */
+  def runningUserTotals(events: Dataset[(Long, Double)]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], st: GroupState[(Long, Long)]) =>
+          val (n0, s0) = st.getOption.getOrElse((0L, 0L))
+          var n = n0
+          var s = s0
+          rows.foreach { case (_, v) =>
+            n += 1
+            s += math.round(v * 100)
+          }
+          st.update((n, s))
+          UserTotals(user, n, s)
+      }
+  }
+
+  /** Update-mode sink helper for [[runningUserTotals]]. */
+  val RunningOutputMode: OutputMode = OutputMode.Update()
 }

@@ -39,6 +39,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("mapGroupsWithState: per-user totals survive across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, Double)]
+    val q = StreamingOps.runningUserTotals(stream.toDS())
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode(StreamingOps.RunningOutputMode).start()
+    try {
+      stream.addData((1L, 1.25), (1L, 2.00), (2L, 5.50))
+      q.processAllAvailable()
+      stream.addData((1L, 0.75))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("user_totals")
+    // latest emission per user reflects accumulated state
+    val u1 = rows.filter("user_id = 1").orderBy(org.apache.spark.sql
+      .functions.desc("n")).head
+    assert(u1.getLong(1) === 3L && u1.getLong(2) === 400L)
+    val u2 = rows.filter("user_id = 2").orderBy(org.apache.spark.sql
+      .functions.desc("n")).head
+    assert(u2.getLong(1) === 1L && u2.getLong(2) === 550L)
+  }
+
   test("stream dedup drops duplicate event ids within the watermark") {
     val spark2 = spark
     import spark2.implicits._
