@@ -144,6 +144,40 @@ object Search {
         min(col("score")).as("min_score"))
       .orderBy("query_id")
 
+  /** The 8-query text fan-out corpus. */
+  val FanoutQueries: Seq[(Long, String)] = Seq(
+    0L -> "table scan fast",
+    1L -> "join merge stream",
+    2L -> "window batch sort",
+    3L -> "hash group key",
+    4L -> "vector column data",
+    5L -> "filter row value",
+    6L -> "query part order",
+    7L -> "spark line agg")
+
+  /** D5-at-scale: a BATCH of text queries scored against the corpus in
+    * ONE job — sparse query vectors join the shared doc vectors on
+    * bucket, one grouped pass, per-query top-3 via window. The
+    * reference runs ≤30 sequential searches for this
+    * (`doc-service.ts:231-236`), re-scanning the store each time;
+    * here corpus work is a single scan regardless of query count. */
+  def qSearchFanout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qdf = FanoutQueries.toDF("qid", "text")
+    val qv = graft.embed.Embedder.sparseVectors(qdf, "qid", "text")
+      .select(col("qid"), col("bucket"), col("weight").as("qweight"))
+    val scores = docVectors(spark, dir)
+      .join(broadcast(qv), "bucket")
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(col("weight") * col("qweight")), 6).as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("doc_id"))
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"))
+      .orderBy("qid", "rank")
+  }
+
   /** A7 detailed score metrics per query over the batch-kNN result:
     * mean/variance from exact 1e-6 fixed-point sums (scores are
     * already rounded to 6 dp, so the scaled values are integers and
@@ -188,6 +222,7 @@ object Search {
       .orderBy("band", "decile")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_search_fanout"   -> (qSearchFanout _),
     "q_score_metrics"   -> (qScoreMetrics _),
     "q_score_bands"     -> (qScoreBands _),
     "q_embed_hash"      -> (qEmbedHash _),
@@ -262,7 +297,35 @@ object Search {
       |topq AS (
       |  SELECT query_id, rank, vec_id, score FROM ranked WHERE rank <= 5)""".stripMargin
 
+  private lazy val fanoutValues = FanoutQueries
+    .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "q_search_fanout" ->
+      s"""WITH $docVecCte,
+         |fqtext(qid, text) AS (VALUES $fanoutValues),
+         |fqtok AS (
+         |  SELECT qid, t AS tok
+         |  FROM fqtext, LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS t) u
+         |  WHERE t <> ''),
+         |fqcnts AS (
+         |  SELECT qid, ('0x'||substr(md5(tok),1,15))::BIGINT % 64 AS bucket,
+         |         count(*) AS cnt
+         |  FROM fqtok GROUP BY 1, 2),
+         |fqnorm AS (
+         |  SELECT qid, sqrt(sum(cnt*cnt)) AS nrm FROM fqcnts GROUP BY qid),
+         |fqv AS (
+         |  SELECT qid, bucket, cnt / nrm AS qweight
+         |  FROM fqcnts JOIN fqnorm USING (qid)),
+         |fsc AS (
+         |  SELECT qid, dv.doc_id, round(sum(dv.weight * fqv.qweight), 6) AS score
+         |  FROM dv JOIN fqv USING (bucket) GROUP BY 1, 2),
+         |franked AS (
+         |  SELECT qid, doc_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM fsc)
+         |SELECT qid, rank, doc_id, score FROM franked WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
     "q_score_metrics" ->
       s"""WITH $knnBatchCtes,
          |si AS (
