@@ -75,8 +75,47 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling (1 media row → N frame rows, the UDTF shape):
+    * every 24th frame of each pretend-video at 25 fps → exact 40 ms
+    * timestamps. A real decoder swaps into the same explode. */
+  def qMediaFrames(spark: SparkSession, dir: String): DataFrame =
+    qMediaMeta(spark, dir)
+      .filter(col("mime") === "video/mp4")
+      .select(col("doc_id"), col("frames"),
+        explode(sequence(lit(0L), col("frames") - 1, lit(24L))).as("frame_no"))
+      .withColumn("ts_ms", col("frame_no") * 40)
+      .select("doc_id", "frame_no", "ts_ms")
+      .orderBy("doc_id", "frame_no")
+
+  case class MediaFeatures(doc_id: Long, bucket: Int, n: Long, weight: Double)
+
+  /** Feature extraction over the binary payload: 8-bucket byte
+    * histogram per object, normalized to exact count/total quotients —
+    * REAL executor-side computation in the typed mapPartitions batch
+    * shape (an image embedder swaps into the same function). */
+  def qMediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val counts = new Array[Long](8)
+        bytes.foreach(b => counts((b & 0xff) % 8) += 1)
+        val total = bytes.length.toDouble
+        counts.zipWithIndex.collect {
+          case (n, bucket) if n > 0 =>
+            MediaFeatures(id, bucket, n, n / total)
+        }
+      }
+      .toDF()
+      .withColumn("weight", round(col("weight"), 6))
+      .orderBy("doc_id", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_meta" -> (qMediaMeta _),
+    "q_media_meta"     -> (qMediaMeta _),
+    "q_media_frames"   -> (qMediaFrames _),
+    "q_media_features" -> (qMediaFeatures _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -92,5 +131,22 @@ object Media {
         |    WHEN 'video/mp4' THEN ('0x'||substr(md5(text),9,4))::BIGINT % 240 + 1
         |    WHEN 'image/png' THEN 1 ELSE 0 END AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5(text),9,4))::BIGINT % 240 + 1 AS frames
+        |  FROM documents WHERE strlen(text) % 3 = 2)
+        |SELECT doc_id, f AS frame_no, f * 40 AS ts_ms
+        |FROM m, LATERAL (SELECT unnest(range(0, frames, 24)) AS f) g
+        |ORDER BY doc_id, frame_no""".stripMargin,
+    "q_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, ascii(substring(text, i+1, 1)) % 8 AS bucket,
+        |    strlen(text) AS total
+        |  FROM documents, LATERAL (SELECT unnest(range(strlen(text))) AS i) g)
+        |SELECT doc_id, bucket, count(*) AS n,
+        |  round(count(*)::DOUBLE / any_value(total), 6) AS weight
+        |FROM b GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
   )
 }
