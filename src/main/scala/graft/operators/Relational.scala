@@ -207,6 +207,28 @@ object Relational {
         $"n", $"sum_price")
       .orderBy("returnflag", "linestatus")
 
+  /** TPC-H Q3-shape shipping priority: selective filters pushed to
+    * both fact scans, dimension broadcast, top-10 revenue groups —
+    * the canonical selective multi-join. Revenue in exact cents. */
+  def qShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1995-03-15").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < cut)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > cut)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg((sum(cents($"l_extendedprice") * (lit(100) - cents($"l_discount")))
+        / 10000.0).as("revenue"))
+      .orderBy(desc("revenue"), $"l_orderkey")
+      .limit(10)
+  }
+
   /** Full cube over two dimensions (every grouping-set combination). */
   def qCube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -221,6 +243,7 @@ object Relational {
 
   /** Registry consumed by [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ship_priority" -> (qShipPriority _),
     "q_cube"         -> (qCube _),
     "q_rollup"       -> (qRollup _),
     "q1_agg"         -> (q1Agg _),
@@ -242,6 +265,18 @@ object Relational {
   /** DuckDB-equivalent SQL, mirroring each query's arithmetic exactly
     * (same cents-integer trick, same tie-breaks) for hash-stable compare. */
   val oracles: Map[String, String] = Map(
+    "q_ship_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  sum(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT)))/10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
