@@ -124,6 +124,13 @@ object Relational {
       .except(Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey")))
       .orderBy($"nationkey")
 
+  /** U5-shape intersection over row sets: nations with BOTH customers
+    * and suppliers (completes the union/except/intersect family). */
+  def qSetIntersect(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select($"c_nationkey".as("nationkey"))
+      .intersect(Tables.supplier(spark, dir).select($"s_nationkey".as("nationkey")))
+      .orderBy($"nationkey")
+
   /** O2-shape: deterministic keyset-style pagination
     * (ORDER BY created_at DESC LIMIT ? OFFSET ? — reference list op). */
   def qPagination(spark: SparkSession, dir: String): DataFrame =
@@ -255,6 +262,7 @@ object Relational {
     "q_semi_join"    -> (qSemiJoin _),
     "q_set_union"    -> (qSetUnion _),
     "q_set_except"   -> (qSetExcept _),
+    "q_set_intersect" -> (qSetIntersect _),
     "q_pagination"   -> (qPagination _),
     "q_stats"        -> (qStats _),
     "q_percentile"   -> (qPercentile _),
@@ -342,6 +350,10 @@ object Relational {
     "q_set_except" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
     "q_pagination" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders

@@ -51,6 +51,15 @@ object ChunkStore {
     write(keep, dst)
   }
 
+  /** Compaction: rewrite a store into `files` evenly-sized parquet
+    * files (repartition, not coalesce — coalesce skews when upstream
+    * partitioning is uneven). Streaming appends (foreachBatch) create
+    * one file per micro-batch per partition; at 100 TB periodic
+    * compaction is what keeps scan task counts sane. */
+  def compactInto(spark: SparkSession, src: String, dst: String,
+      files: Int): Unit =
+    write(read(spark, src).repartition(files), dst)
+
   /** S8 upsert as union + keep-latest per key (ordered by `versionCol`
     * desc), staged to `dst`. */
   def upsertInto(spark: SparkSession, src: String, dst: String,

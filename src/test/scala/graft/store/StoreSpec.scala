@@ -60,6 +60,20 @@ class StoreSpec extends SparkSpec {
       === "beta-v2")
   }
 
+  test("compaction rewrites many small files into the target count") {
+    val p = s"$tmp/t6"
+    // 4 appends → ≥4 files
+    (1 to 4).foreach(_ => ChunkStore.write(docs, p,
+      mode = org.apache.spark.sql.SaveMode.Append))
+    val before = new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 4)
+    ChunkStore.compactInto(spark, p, s"$tmp/t6_c", files = 2)
+    val after = new java.io.File(s"$tmp/t6_c").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after === 2)
+    assert(ChunkStore.read(spark, s"$tmp/t6_c").count() === 16)
+  }
+
   test("json interchange round trip preserves rows") {
     val p = s"$tmp/t5"
     ChunkStore.write(docs, p, format = "json")
