@@ -42,6 +42,19 @@ object Formatters {
     sb.toString
   }
 
+  /** X14: GitHub source URL with plain-view + line anchors (reference
+    * `src/core/ci/doc-service.ts:108-173` — `?plain=1` forces raw
+    * markdown so the `#L<start>-L<end>` anchor resolves). */
+  def githubUrl(owner: String, repo: String, branch: String, path: String,
+      startLine: Option[Int] = None, endLine: Option[Int] = None): String = {
+    val base = s"https://github.com/$owner/$repo/blob/$branch/$path?plain=1"
+    (startLine, endLine) match {
+      case (Some(s), Some(e)) => s"$base#L$s-L$e"
+      case (Some(s), None)    => s"$base#L$s"
+      case _                  => base
+    }
+  }
+
   /** JSON-lines rendering (one object per impact, stable field order). */
   def toJsonLines(impacts: Seq[Impact]): String =
     impacts.map { i =>

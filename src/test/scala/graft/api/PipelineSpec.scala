@@ -71,7 +71,11 @@ class PipelineSpec extends SparkSpec {
     assert(hits.count() > 0)
     val top = hits.head
     assert(top.getAs[String]("sourceType") === "file") // notes.txt
-    // filter to code only: the txt content can no longer appear
+    // filter to code only: the txt content can no longer appear.
+    // Documented divergence (SURVEY.md §7.4 #4): the reference's
+    // DuckDB adapter IGNORES the metadata filter during search
+    // (duckdb-adapter.ts:195-235); this engine applies filters
+    // uniformly pre-kNN, matching the SQLite adapter's semantics.
     val codeOnly = IndexPipeline.search(spark, store,
       "zanzibar telescope aardvark", k = 3, sourceType = Some("code"))
     assert(codeOnly.select("sourceType").distinct().collect()

@@ -26,6 +26,15 @@ class FormattersSpec extends AnyFunSuite {
     assert(Formatters.toMarkdown(Nil).contains("No affected documents"))
   }
 
+  test("X14: GitHub URL builder with plain view and line anchors") {
+    assert(Formatters.githubUrl("o", "r", "main", "docs/a.md", Some(3), Some(9))
+      === "https://github.com/o/r/blob/main/docs/a.md?plain=1#L3-L9")
+    assert(Formatters.githubUrl("o", "r", "main", "docs/a.md", Some(3))
+      === "https://github.com/o/r/blob/main/docs/a.md?plain=1#L3")
+    assert(Formatters.githubUrl("o", "r", "dev", "x.md")
+      === "https://github.com/o/r/blob/dev/x.md?plain=1")
+  }
+
   test("D6 json lines: one valid object per impact") {
     val lines = Formatters.toJsonLines(impacts).trim.split("\n")
     assert(lines.length === 3)
