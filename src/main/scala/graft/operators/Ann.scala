@@ -132,6 +132,27 @@ object Ann {
       .limit(10)
   }
 
+  /** Embedding-space label report: per label, member count and
+    * centroid tightness = ‖mean vector‖ (≈1 ⇔ members point the same
+    * way; ≈0 ⇔ isotropic). Centroids are exact: fixed-point component
+    * sums (order-independent), one norm per label at the end. The
+    * cluster-quality job a training pipeline runs after embedding. */
+  def qLabelStats(spark: SparkSession, dir: String): DataFrame = {
+    val sv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("se", round(col("x").cast("double") * 1000000, 0).cast("long"))
+    // ‖mean‖ = √(Σ_d s_d²) / (n·10⁶) — s_d are exact integer component
+    // sums, so Σ s_d² is order-independent; one sqrt + two divisions.
+    sv.groupBy("label", "d")
+      .agg(sum(col("se")).as("s"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(first(col("n")).as("n_vectors"),
+        round(sqrt(sum(col("s") * col("s")).cast("double")) /
+          first(col("n")) / 1000000.0, 6).as("centroid_norm"))
+      .orderBy("label")
+  }
+
   /** Self-measuring ANN quality: recall@10 of each approximate method
     * against the exact brute-force top-10, in one plan (union-tag →
     * hit join → grouped ratio). The engine reports its own
@@ -159,6 +180,7 @@ object Ann {
     "q_ann_lsh_probe" -> (qAnnLshProbe _),
     "q_ann_ivf"       -> (qAnnIvf _),
     "q_ann_recall"    -> (qAnnRecall _),
+    "q_label_stats"   -> (qLabelStats _),
   )
 
   private val bucketsSql =
@@ -185,6 +207,18 @@ object Ann {
       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_label_stats" ->
+      """WITH sv AS (
+        |  SELECT vec_id, label, d,
+        |    CAST(round(embedding[d+1]::DOUBLE * 1000000, 0) AS BIGINT) AS se
+        |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) g),
+        |comp AS (
+        |  SELECT label, d, sum(se)::BIGINT AS s, count(*) AS n
+        |  FROM sv GROUP BY label, d)
+        |SELECT label, any_value(n) AS n_vectors,
+        |  round(sqrt(sum(s*s)::DOUBLE) / any_value(n) / 1000000.0, 6)
+        |    AS centroid_norm
+        |FROM comp GROUP BY label ORDER BY label""".stripMargin,
     "q_ann_recall" ->
       s"""WITH $bucketsSql,
          |probes AS (
