@@ -240,7 +240,26 @@ object Dedup {
       .crossJoin(survivors.agg(count(lit(1)).as("n_after_near")))
   }
 
+  /** Decontamination: flag corpus docs sharing any shingle with a
+    * held-out evaluation set (doc_id < 20 stands in for the test set)
+    * — the train/test-overlap scrub every training pipeline runs.
+    * Shape: shingle equi-join, test side broadcast; corpus side is one
+    * scan regardless of test-set size. (Production uses longer n-grams
+    * — 3-token here so the synthetic corpus yields matches.) */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val test = sh.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("test_doc"), col("shingle"))
+    sh.filter(col("doc_id") >= 20)
+      .join(broadcast(test), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("test_doc")).as("first_test_doc"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate"  -> (qDecontaminate _),
     "q_dedup_pipeline" -> (qDedupPipeline _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_norm"    -> (qDedupNorm _),
@@ -267,6 +286,13 @@ object Dedup {
        |  GROUP BY doc_id, h)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH ${shinglesCte()}
+         |SELECT c.doc_id, count(*) AS n_shared,
+         |  min(t.doc_id) AS first_test_doc
+         |FROM sh c JOIN sh t ON t.shingle = c.shingle AND t.doc_id < 20
+         |WHERE c.doc_id >= 20
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "q_dedup_pipeline" ->
       s"""WITH $sigSql,
          |bands AS (
