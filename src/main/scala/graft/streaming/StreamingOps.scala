@@ -4,6 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** Open session accumulator for [[StreamingOps.sessionizeStream]]
+  * (top-level: the state encoder needs a public constructor). */
+case class SessionState(n: Long, startMs: Long, endMs: Long)
+
 /** Structured Streaming surface of the engine. The reference has no
   * streaming semantics at all (SURVEY.md §2.13 — verified absent), so
   * this is the forward-looking extension: the same declarative
@@ -67,4 +71,53 @@ object StreamingOps {
 
   /** Update-mode sink helper for [[runningUserTotals]]. */
   val RunningOutputMode: OutputMode = OutputMode.Update()
+
+  case class SessionOut(user_id: Long, n_events: Long,
+      start_ms: Long, end_ms: Long)
+
+  /** Streaming session windows via `flatMapGroupsWithState` +
+    * event-time timeout: a session closes (and emits) when the
+    * watermark passes its last event + `gapMs`. This is the stateful
+    * shape the built-in `window()` cannot express — variable-length
+    * sessions keyed by user — and the streaming twin of the batch
+    * `q_sessionize`. State per key is one (n, start, end) triple;
+    * the watermark bounds its lifetime. */
+  def sessionizeStream(events: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            st: GroupState[SessionState]) =>
+          if (st.hasTimedOut) {
+            // watermark passed last event + gap → close and emit
+            val s = st.get
+            st.remove()
+            Iterator(SessionOut(user, s.n, s.startMs, s.endMs))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = st.getOption
+            for (t <- times) cur match {
+              case Some(s) if t - s.endMs <= gapMs =>
+                cur = Some(s.copy(n = s.n + 1, endMs = t))
+              case Some(s) =>
+                closed += SessionOut(user, s.n, s.startMs, s.endMs)
+                cur = Some(SessionState(1L, t, t))
+              case None =>
+                cur = Some(SessionState(1L, t, t))
+            }
+            cur.foreach { s =>
+              st.update(s)
+              st.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -65,6 +65,37 @@ class StreamingSpec extends SparkSpec {
     assert(u2.getLong(1) === 1L && u2.getLong(2) === 550L)
   }
 
+  test("flatMapGroupsWithState: sessions close via event-time timeout") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ts(minutes: Long) = new Timestamp(t0 + minutes * 60000L)
+
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = StreamingOps.sessionizeStream(stream.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // burst 1: user 1, three events within the gap
+      stream.addData((1L, ts(0)), (1L, ts(5)), (1L, ts(10)))
+      q.processAllAvailable()
+      // much later event advances the watermark far past burst1+gap →
+      // burst 1's session times out and emits; this event opens a new one
+      stream.addData((1L, ts(300)))
+      q.processAllAvailable()
+      stream.addData((1L, ts(600)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("sessions").as[StreamingOps.SessionOut].collect()
+      .sortBy(_.start_ms)
+    assert(out.nonEmpty)
+    assert(out.head.n_events === 3L)
+    assert(out.head.start_ms === t0 && out.head.end_ms === t0 + 10 * 60000L)
+  }
+
   test("stream dedup drops duplicate event ids within the watermark") {
     val spark2 = spark
     import spark2.implicits._
