@@ -103,7 +103,7 @@ object AgentQuery {
     val analysis = Analysis(
       nResults = hits.size,
       meanScore = if (scores.isEmpty) 0.0 else scores.sum / scores.size,
-      maxScore = scores.foldLeft(0.0)(math.max),
+      maxScore = if (scores.isEmpty) 0.0 else scores.max,
       minScore = if (scores.isEmpty) 0.0 else scores.min,
       keywordCoverage = coverage,
       missingKeywords = missing,
