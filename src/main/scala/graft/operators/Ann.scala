@@ -132,6 +132,55 @@ object Ann {
       .limit(10)
   }
 
+  /** Batch index BUILD: materialize the LSH bucket table and the IVF
+    * assignment table to parquet — the north-star split: Spark
+    * batch-builds the index; a serving layer (or later Spark jobs)
+    * probes it without recomputing signatures. Bucket/cell are the
+    * partition columns, so a probe reads one directory. */
+  def buildIndexes(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    graft.store.ChunkStore.write(lshBuckets(spark, dir),
+      s"$indexPath/lsh", partitionCols = Seq("bucket"))
+    val e = Search.embNormed(spark, dir)
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("csim"), col("cell"))
+    val assign = e.crossJoin(broadcast(c))
+      .withColumn("csim",
+        round(cosinePrenormed(dot(col("embedding"), col("cv")), col("nrm"), col("cn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    graft.store.ChunkStore.write(assign, s"$indexPath/ivf",
+      partitionCols = Seq("cell"))
+  }
+
+  /** Probe the PREBUILT IVF index: no signature recomputation — read
+    * the query's 2 nearest cells' directories, exact-rescore, top-k.
+    * Must return exactly what the from-scratch `qAnnIvf` returns. */
+  def probeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 10): DataFrame = {
+    val e = Search.embNormed(spark, dir)
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val probe = q.crossJoin(broadcast(c))
+      .withColumn("csim",
+        round(cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
+      .orderBy(desc("csim"), col("cell")).limit(2)
+      .select(col("cell"))
+    val assign = graft.store.ChunkStore.read(spark, s"$indexPath/ivf")
+    assign.join(broadcast(probe), "cell")
+      .filter(col("vec_id") =!= 0)
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .select(col("vec_id"), col("cell"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-space label report: per label, member count and
     * centroid tightness = ‖mean vector‖ (≈1 ⇔ members point the same
     * way; ≈0 ⇔ isotropic). Centroids are exact: fixed-point component
