@@ -45,17 +45,34 @@ object Ann {
 
   /** LSH bucket per vector: `Planes` sign bits of fixed-point
     * hyperplane dots. */
-  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val sv = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .withColumn("se", round(col("x").cast("double") * 1000000, 0).cast("long"))
-    sv.join(broadcast(planeWeights(spark)), "d")
-      .groupBy("vec_id", "p")
-      .agg(sum(col("se") * col("w")).as("s"))
-      .withColumn("bit", when(col("s") >= 0, 1L).otherwise(0L))
-      .groupBy("vec_id")
-      .agg(sum(col("bit") * expr("CAST(pow(2, p) AS BIGINT)")).as("bucket"))
-  }
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "lshBuckets", dir) {
+      val sv = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("se", round(col("x").cast("double") * 1000000, 0).cast("long"))
+      sv.join(broadcast(planeWeights(spark)), "d")
+        .groupBy("vec_id", "p")
+        .agg(sum(col("se") * col("w")).as("s"))
+        .withColumn("bit", when(col("s") >= 0, 1L).otherwise(0L))
+        .groupBy("vec_id")
+        .agg(sum(col("bit") * expr("CAST(pow(2, p) AS BIGINT)")).as("bucket"))
+    }
+
+  /** Cached IVF cell ranking (assignment + probe ranks) — shared by
+    * qAnnIvf, qAnnRecall and the index builder. */
+  private[operators] def ivfRanked(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "ivfRanked", dir) {
+      val e = Search.embNormed(spark, dir)
+      val c = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+          col("nrm").as("cn"))
+      val w = Window.partitionBy("vec_id").orderBy(desc("csim"), col("cell"))
+      e.crossJoin(broadcast(c))
+        .withColumn("csim",
+          round(cosinePrenormed(dot(col("embedding"), col("cv")), col("nrm"), col("cn")), 6))
+        .select(col("vec_id"), col("cell"), col("csim"))
+        .withColumn("rn", row_number().over(w))
+    }
 
   /** ANN query via LSH: probe the query vector's bucket, exact-rescore
     * inside it, top-10. */
@@ -81,15 +98,7 @@ object Ann {
     * nearest cells, exact-rescore, top-10. */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Search.embNormed(spark, dir)
-    val c = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
-        col("nrm").as("cn"))
-    val scored = e.crossJoin(broadcast(c))
-      .withColumn("csim",
-        round(cosinePrenormed(dot(col("embedding"), col("cv")), col("nrm"), col("cn")), 6))
-      .select(col("vec_id"), col("cell"), col("csim"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("csim"), col("cell"))
-    val ranked = scored.withColumn("rn", row_number().over(w))
+    val ranked = ivfRanked(spark, dir)
     val assign = ranked.filter(col("rn") === 1).select("vec_id", "cell")
     val probe = ranked.filter(col("vec_id") === 0 && col("rn") <= 2)
       .select(col("cell"))
@@ -140,14 +149,7 @@ object Ann {
   def buildIndexes(spark: SparkSession, dir: String, indexPath: String): Unit = {
     graft.store.ChunkStore.write(lshBuckets(spark, dir),
       s"$indexPath/lsh", partitionCols = Seq("bucket"))
-    val e = Search.embNormed(spark, dir)
-    val c = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("csim"), col("cell"))
-    val assign = e.crossJoin(broadcast(c))
-      .withColumn("csim",
-        round(cosinePrenormed(dot(col("embedding"), col("cv")), col("nrm"), col("cn")), 6))
-      .withColumn("rn", row_number().over(w))
+    val assign = ivfRanked(spark, dir)
       .filter(col("rn") === 1)
       .select("vec_id", "cell")
     graft.store.ChunkStore.write(assign, s"$indexPath/ivf",

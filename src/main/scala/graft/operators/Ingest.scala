@@ -42,10 +42,14 @@ object Ingest {
           (id, p.index.toLong,
             p.boundary.map(_.boundaryType).getOrElse(""),
             p.boundary.flatMap(_.title).getOrElse(""),
+            // X12: 1-based line numbers from the chunker's offsets
+            p.boundary.flatMap(_.startLine).getOrElse(0).toLong,
+            p.boundary.flatMap(_.endLine).getOrElse(0).toLong,
             p.content.length.toLong)
         }
       }
-      .toDF("doc_id", "chunk_index", "boundary_type", "title", "content_len")
+      .toDF("doc_id", "chunk_index", "boundary_type", "title",
+        "start_line", "end_line", "content_len")
       .orderBy("doc_id", "chunk_index")
   }
 
