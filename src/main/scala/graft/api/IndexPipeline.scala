@@ -156,14 +156,21 @@ object IndexPipeline {
       dim: Int = Embedder.DefaultDim): DataFrame = {
     val qv = lit(Embedder.embed(query, dim))
     val chunks = ChunkStore.read(spark, s"$storePath/chunks")
-    // partition-column filter → directory pruning, embedding+id-only scan
+    // partition-column filter → directory pruning
     val filtered = sourceType.fold(chunks)(t =>
       chunks.filter(col("sourceType") === t))
-    val top = filtered
-      .withColumn("score", round(dot(col("embedding"), qv), 6))
-      .select("id", "sourceId", "chunkIndex", "content", "score", "sourceType")
+    // two-phase: score over an (id, embedding)-only scan so the text
+    // payload never rides through the top-k heap (F7); join content
+    // back for just the k winners.
+    val topIds = filtered
+      .select(col("id"), round(dot(col("embedding"), qv), 6).as("score"))
       .orderBy(desc("score"), col("id"))
       .limit(k)
+    val top = topIds
+      .join(filtered.select("id", "sourceId", "chunkIndex", "content",
+        "sourceType"), "id")
+      .select("id", "sourceId", "chunkIndex", "content", "score", "sourceType")
+      .orderBy(desc("score"), col("id"))
     if (!rerank) top
     else {
       val words = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
