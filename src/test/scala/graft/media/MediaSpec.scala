@@ -27,4 +27,27 @@ class MediaSpec extends SparkSpec {
     assert(out.count() === Tables.documents(spark, sfDir).count())
     assert(out.select("doc_id").distinct().count() === out.count())
   }
+
+  test("frame sampling: every video emits ≥1 frame, stride 24, ts = 40ms·frame") {
+    import org.apache.spark.sql.functions._
+    val frames = graft.operators.Media.qMediaFrames(spark, sfDir)
+    val videos = graft.operators.Media.qMediaMeta(spark, sfDir)
+      .filter(col("mime") === "video/mp4")
+    // one group per video, even when frames < 24 (single frame 0)
+    assert(frames.select("doc_id").distinct().count() === videos.count())
+    assert(frames.filter(pmod(col("frame_no"), lit(24)) =!= 0).count() === 0)
+    assert(frames.filter(col("ts_ms") =!= col("frame_no") * 40).count() === 0)
+  }
+
+  test("byte-histogram features: weights per doc sum to 1") {
+    import org.apache.spark.sql.functions._
+    val f = graft.operators.Media.qMediaFeatures(spark, sfDir)
+    val sums = f.groupBy("doc_id").agg(sum("n").as("total"),
+      sum(col("n")).cast("double").as("tn"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    // bucket counts reconstruct the byte length exactly
+    assert(sums.join(docs, "doc_id").filter(col("total") =!= col("len"))
+      .count() === 0)
+  }
 }
