@@ -113,7 +113,29 @@ object Events {
       .orderBy("event_type", "quartile")
   }
 
+  /** Pearson correlation between event value and the JSON `k`
+    * property per event type — every sum an exact integer (value in
+    * cents, k as-is); the final formula is a fixed sequence of double
+    * ops, so the result is engine-exact without relying on either
+    * engine's `corr` accumulation order. */
+  def qCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("x", Relational.cents(col("value")))
+      .withColumn("y", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr_vk",
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6))
+      .select("event_type", "n", "corr_vk")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr"           -> (qCorr _),
     "q_json_extract"   -> (qJsonExtract _),
     "q_sessionize"     -> (qSessionize _),
     "q_asof_join"      -> (qAsofJoin _),
@@ -123,6 +145,22 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_corr" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    CAST(ROUND(value*100,0) AS BIGINT) AS x,
+        |    json_extract_string(props, '$.k')::BIGINT AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+        |    sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy
+        |  FROM t GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((n * sxy - sx * sy)::DOUBLE /
+        |    sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+        |    AS corr_vk
+        |FROM s ORDER BY event_type""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -44,6 +44,20 @@ class AgentQuerySpec extends SparkSpec {
       .exists(_.startsWith("no results")))
   }
 
+  test("Q5: auto-planned chain dedupes across stages, keeps best score") {
+    val stages = QueryChain.planStages("ocelot capybara sightings")
+    assert(stages.size === 3)
+    assert(stages.head.query === "ocelot capybara sightings")
+    assert(stages(1).query === "sightings capybara") // longest-first
+    assert(stages(2).hybrid)
+    val out = QueryChain.runGoal(spark, store, "ocelot capybara sightings", k = 5)
+    val ids = out.select("id").collect().map(_.getString(0)).toSeq
+    assert(ids.nonEmpty && ids.distinct.size === ids.size) // J6 dedup
+    // ranked descending
+    val scores = out.select("score").collect().map(_.getDouble(0)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
   test("Q6: content-type classifier first-match chain") {
     assert(AgentQuery.contentTypeOf("function f() {}") === "code")
     assert(AgentQuery.contentTypeOf("install the package") === "configuration")
