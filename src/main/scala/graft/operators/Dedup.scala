@@ -258,7 +258,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Duplicate GROUPS via connected components over the near-dup pair
+    * graph (jaccard ≥ 0.5): iterative min-label propagation — each
+    * round one join + one groupBy, converging in ≤ diameter rounds
+    * (dup clusters are small, so 2-4 rounds; at 100 TB this is the
+    * standard Spark connected-components loop). Deterministic: the
+    * fixpoint (component-minimum label) is iteration-order-free. */
+  def qDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qDedupMinhash(spark, dir).filter(col("jaccard") >= 0.5)
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = edges.select(col("u").as("doc_id"))
+      .distinct()
+      .withColumn("grp", col("doc_id"))
+      .persist()
+    var converged = false
+    while (!converged) {
+      val propagated = labels
+        .join(edges, labels("doc_id") === edges("u"))
+        .select(col("v").as("doc_id"), col("grp"))
+        .union(labels)
+        .groupBy("doc_id")
+        .agg(min(col("grp")).as("grp"))
+        .persist()
+      converged = propagated.exceptAll(labels).isEmpty
+      labels.unpersist(false)
+      labels = propagated
+    }
+    val out = labels.groupBy("grp")
+      .agg(count(lit(1)).as("group_size"),
+        array_join(transform(array_sort(collect_set(col("doc_id"))),
+          x => x.cast("string")), ",").as("members"))
+      .select(col("grp").as("group_id"), col("group_size"), col("members"))
+      .orderBy("group_id")
+    edges.unpersist(false)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_groups"   -> (qDedupGroups _),
     "q_decontaminate"  -> (qDecontaminate _),
     "q_dedup_pipeline" -> (qDedupPipeline _),
     "q_dedup_exact"   -> (qDedupExact _),
@@ -286,6 +325,37 @@ object Dedup {
        |  GROUP BY doc_id, h)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE $sigSql,
+         |bands AS (
+         |  SELECT doc_id, h // 4 AS band,
+         |    md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS band_sig
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, band_sig)
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  GROUP BY c.doc_a, c.doc_b, sa.sz, sb.sz
+         |  HAVING round(count(*)::DOUBLE / (sa.sz + sb.sz - count(*)), 6) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, root) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+         |  UNION
+         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.u),
+         |labels AS (SELECT u AS doc_id, min(root) AS grp FROM reach GROUP BY u)
+         |SELECT grp AS group_id, count(*) AS group_size,
+         |  string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
+         |FROM labels GROUP BY grp ORDER BY group_id""".stripMargin,
     "q_decontaminate" ->
       s"""WITH ${shinglesCte()}
          |SELECT c.doc_id, count(*) AS n_shared,
