@@ -148,7 +148,15 @@ object Dedup {
     * signature become candidate pairs, verified with exact shingle
     * Jaccard. The candidate join runs on band buckets — never all
     * pairs — which is what survives a 1000× scale-up. */
-  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Verified near-dup pairs — cached: read by q_dedup_minhash,
+    * q_dedup_pipeline and q_dedup_groups. */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "nearDupPairs", dir)(computeNearDupPairs(spark, dir))
+
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  private def computeNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     // bands derived row-wise from the wide signature — no extra shuffle
     val bandCols = (0 until 4).map { b =>
       struct(lit(b.toLong).as("band"),
@@ -178,7 +186,6 @@ object Dedup {
         round(col("common").cast("double") /
           (col("sza") + col("szb") - col("common")), 6))
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** 16-bit SimHash: per-token md5 hash bits, weighted by term count;
@@ -230,7 +237,7 @@ object Dedup {
   def qDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val canon = qDedupExact(spark, dir).select(col("canonical_id").as("doc_id"))
-    val nearRemoved = qDedupMinhash(spark, dir)
+    val nearRemoved = nearDupPairs(spark, dir)
       .filter(col("jaccard") >= 0.5)
       .join(canon.select(col("doc_id").as("doc_a")), "doc_a") // pairs among canonicals
       .select(col("doc_b").as("doc_id")).distinct()
@@ -265,7 +272,7 @@ object Dedup {
     * standard Spark connected-components loop). Deterministic: the
     * fixpoint (component-minimum label) is iteration-order-free. */
   def qDedupGroups(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = qDedupMinhash(spark, dir).filter(col("jaccard") >= 0.5)
+    val pairs = nearDupPairs(spark, dir).filter(col("jaccard") >= 0.5)
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
@@ -273,7 +280,10 @@ object Dedup {
       .distinct()
       .withColumn("grp", col("doc_id"))
       .persist()
+    def sumGrp(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("grp")), lit(0L))).head.getLong(0)
     var converged = false
+    var prevSum = sumGrp(labels)
     while (!converged) {
       val propagated = labels
         .join(edges, labels("doc_id") === edges("u"))
@@ -282,7 +292,11 @@ object Dedup {
         .groupBy("doc_id")
         .agg(min(col("grp")).as("grp"))
         .persist()
-      converged = propagated.exceptAll(labels).isEmpty
+      // min-label propagation strictly decreases Σgrp until fixpoint —
+      // one cheap agg instead of a two-sided exceptAll per round
+      val s2 = sumGrp(propagated)
+      converged = s2 == prevSum
+      prevSum = s2
       labels.unpersist(false)
       labels = propagated
     }
