@@ -136,6 +136,27 @@ object Dedup {
       hv.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     }
 
+  /** Sketch quality: estimated Jaccard (fraction of agreeing hash
+    * minima) vs the exact verified Jaccard for every near-dup pair —
+    * the self-check that the 16-hash signature is honest before you
+    * trust it as the sole filter at scale. */
+  def qMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val wide = minhashSigsWide(spark, dir)
+    def sigFor(alias: String) =
+      wide.select(col("doc_id").as(alias) +:
+        (0 until 16).map(i => col(s"m$i").as(s"${alias}_m$i")): _*)
+    val agree = (0 until 16).map(i =>
+      when(col(s"doc_a_m$i") === col(s"doc_b_m$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    nearDupPairs(spark, dir)
+      .join(sigFor("doc_a"), "doc_a")
+      .join(sigFor("doc_b"), "doc_b")
+      .withColumn("n_agree", agree)
+      .withColumn("est_jaccard", round(col("n_agree").cast("double") / 16, 6))
+      .select("doc_a", "doc_b", "jaccard", "n_agree", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def qMinhashSig(spark: SparkSession, dir: String): DataFrame = {
     val stackArgs = (0 until 16)
       .map(i => s"${i}L, m$i").mkString("stack(16, ", ", ", ") as (h, minhash)")
@@ -318,6 +339,7 @@ object Dedup {
     "q_dedup_norm"    -> (qDedupNorm _),
     "q_dedup_ngram"   -> (qDedupNgram _),
     "q_minhash_sig"   -> (qMinhashSig _),
+    "q_minhash_est"   -> (qMinhashEst _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed"   -> (qDedupEmbed _),
@@ -436,6 +458,37 @@ object Dedup {
     "q_minhash_sig" ->
       s"""WITH $sigSql
          |SELECT doc_id, h, minhash FROM sig ORDER BY doc_id, h""".stripMargin,
+    "q_minhash_est" ->
+      s"""WITH $sigSql,
+         |bands AS (
+         |  SELECT doc_id, h // 4 AS band,
+         |    md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS band_sig
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, band_sig)
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(count(*)::DOUBLE / (sa.sz + sb.sz - count(*)), 6) AS jaccard
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  GROUP BY c.doc_a, c.doc_b, sa.sz, sb.sz),
+         |est AS (
+         |  SELECT p.doc_a, p.doc_b, p.jaccard,
+         |    sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_agree
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_a, doc_b, jaccard, n_agree,
+         |  round(n_agree::DOUBLE / 16, 6) AS est_jaccard
+         |FROM est ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH $sigSql,
          |bands AS (
