@@ -8,8 +8,9 @@ import scala.collection.mutable
 
 /** Q7 query cache (reference `src/mcp/utils/query-cache.ts:27-225`):
   * remember the last N successful queries; `findSimilar` returns an
-  * exact match, else the most recent cached query whose keyword set is
-  * ≥70% contained in the new query's keywords.
+  * exact (case-insensitive) match, else the most recent cached query
+  * that contains ≥70% of the NEW query's keywords (length>3, substring
+  * containment) — `query-cache.ts:203-212`.
   *
   * Driver-side state (the reference persists JSON+markdown in a cache
   * dir; here a line-oriented file via injectable path — no
@@ -18,8 +19,7 @@ import scala.collection.mutable
   */
 class QueryCache(capacity: Int = 100, persistTo: Option[Path] = None) {
 
-  case class Entry(query: String, keywords: Set[String], resultCount: Long,
-      seq: Long)
+  case class Entry(query: String, resultCount: Long, seq: Long)
 
   private val entries = mutable.ArrayBuffer.empty[Entry]
   private var counter = 0L
@@ -35,12 +35,9 @@ class QueryCache(capacity: Int = 100, persistTo: Option[Path] = None) {
     }
   }
 
-  private def keywordsOf(q: String): Set[String] =
-    q.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
-
   def record(query: String, resultCount: Long, persist: Boolean = true): Unit = {
     counter += 1
-    entries += Entry(query, keywordsOf(query), resultCount, counter)
+    entries += Entry(query, resultCount, counter)
     if (entries.length > capacity) entries.remove(0)
     if (persist) persistTo.foreach { p =>
       Files.writeString(p,
@@ -50,16 +47,24 @@ class QueryCache(capacity: Int = 100, persistTo: Option[Path] = None) {
     }
   }
 
-  /** Exact match first; else ≥70% of a cached entry's keywords appear
-    * in the new query's keywords; most recent wins. */
+  /** Exact (case-insensitive) match first; else the most recent cached
+    * query containing ≥70% of the new query's keywords. Keywords = the
+    * NEW query's lowercase whitespace tokens of length > 3; a keyword
+    * "matches" when it appears as a substring of the cached query text
+    * (`query-cache.ts:203-212` — note the direction: new-query
+    * keywords tested against cached text, not the reverse; an empty
+    * keyword list matches everything, 0 >= 0, exactly as the
+    * reference's filter does). */
   def findSimilar(query: String): Option[String] = {
-    entries.reverseIterator.find(_.query == query).map(_.query).orElse {
-      val kw = keywordsOf(query)
-      entries.reverseIterator.find { e =>
-        e.keywords.nonEmpty &&
-          e.keywords.count(kw.contains).toDouble / e.keywords.size >= 0.7
-      }.map(_.query)
-    }
+    val qLower = query.toLowerCase
+    entries.reverseIterator.find(_.query.toLowerCase == qLower).map(_.query)
+      .orElse {
+        val keywords = qLower.split("\\s+").filter(_.length > 3).toSeq
+        entries.reverseIterator.find { e =>
+          val cached = e.query.toLowerCase
+          keywords.count(cached.contains) >= keywords.length * 0.7
+        }.map(_.query)
+      }
   }
 
   def size: Int = entries.length

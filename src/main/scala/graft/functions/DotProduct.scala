@@ -19,7 +19,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * validated against: each element is widened to double, multiplied,
   * and accumulated LEFT-TO-RIGHT in a double — the same IEEE operation
   * sequence DuckDB's `list_dot_product` over `DOUBLE[]` performs, so
-  * hash-exact oracle compares keep passing.
+  * hash-exact oracle compares keep passing. Degenerate inputs follow
+  * the HOF form too: mismatched array lengths yield NULL (zip_with
+  * pads the shorter side with null, null * x is null, and the
+  * aggregate sum of a null is null), as does any null element.
   *
   * Registered as SQL function `graft_dot` via [[GraftExtensions]]
   * (`spark.sql.extensions`) — the public extension-injection API.
@@ -40,20 +43,33 @@ case class DotProduct(left: Expression, right: Expression)
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
 
+  // NULL is produced for mismatched lengths / null elements even when
+  // both input columns are non-nullable, so ev.isNull must be a real
+  // variable in codegen.
+  override def nullable: Boolean = true
+
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
     case _ => false
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
+    val checkNulls = elemNullable(left) || elemNullable(right)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xi * yi
@@ -66,15 +82,29 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
       val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)"
                  else s"$a.getDouble($i)"
       val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
                  else s"$b.getDouble($i)"
+      // containsNull=false arrays (the engine's embedding schema) skip
+      // the per-element null branch entirely — the hot loop stays two
+      // loads + fma-able multiply-add.
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $getA * $getB;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += $getA * $getB;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
        """.stripMargin
     })

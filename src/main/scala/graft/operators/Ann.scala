@@ -249,7 +249,7 @@ object Ann {
       |    CASE WHEN sum(se * w) >= 0 THEN 1 ELSE 0 END AS bit
       |  FROM sv JOIN pw USING (d) GROUP BY vec_id, p),
       |buckets AS (
-      |  SELECT vec_id, sum(bit * CAST(pow(2, p) AS BIGINT)) AS bucket
+      |  SELECT vec_id, sum(bit * CAST(pow(2, p) AS BIGINT))::BIGINT AS bucket
       |  FROM bits GROUP BY vec_id),
       |e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,

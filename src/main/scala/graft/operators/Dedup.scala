@@ -525,7 +525,7 @@ object Dedup {
         |  FROM cnts, (SELECT unnest(range(16)) AS b) bs
         |  GROUP BY doc_id, b)
         |SELECT doc_id,
-        |  sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, b) AS BIGINT)) AS simhash
+        |  sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, b) AS BIGINT))::BIGINT AS simhash
         |FROM bitsums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (

@@ -10,14 +10,33 @@ import java.nio.file.{Path, Paths}
   */
 object Security {
 
-  /** A candidate file must resolve inside `base` (no `..` escapes,
-    * no null bytes). Returns the normalized absolute path. */
+  /** A candidate file must resolve inside `base` (no `..` escapes, no
+    * null bytes, no symlinks pointing outside). Both base and candidate
+    * are resolved with `toRealPath` — a symlink under base that targets
+    * a path outside it must fail the containment check, exactly as the
+    * reference realpath()s both sides (security.ts:49-183). Paths that
+    * don't exist yet fall back to their normalized form (realpath of
+    * the deepest existing ancestor + the remaining segments).
+    * Returns the resolved absolute path. */
   def validateFilePath(base: String, candidate: String): Either[String, Path] = {
     if (candidate.indexOf(0.toChar) >= 0) return Left("null byte in path")
-    val b = Paths.get(base).toAbsolutePath.normalize
-    val p = b.resolve(candidate).normalize
+    val b = realOrNormalized(Paths.get(base).toAbsolutePath.normalize)
+    val p = realOrNormalized(b.resolve(candidate).normalize)
     if (!p.startsWith(b)) Left(s"path escapes base: $candidate")
     else Right(p)
+  }
+
+  /** `toRealPath` resolving symlinks; for not-yet-existing paths,
+    * realpath the deepest existing ancestor and re-append the rest so a
+    * dangling tail can't hide an escape through an existing symlink. */
+  private def realOrNormalized(p: Path): Path = {
+    try p.toRealPath()
+    catch {
+      case _: java.io.IOException =>
+        val parent = p.getParent
+        if (parent == null) p
+        else realOrNormalized(parent).resolve(p.getFileName).normalize
+    }
   }
 
   private val GistIdRe = "^[0-9a-f]{20,64}$".r

@@ -27,6 +27,25 @@ class QueryCacheSpec extends AnyFunSuite {
     assert(c.findSimilar("spark shuffle partitions") === None)
   }
 
+  test("Q7: reference matching rules — length>3 keywords, substring containment, direction") {
+    val c = new QueryCache()
+    c.record("indexing pipeline overview", 3)
+    // keywords come from the NEW query and short tokens (<=3 chars) are
+    // dropped: "how to use the" contributes nothing; "pipeline" +
+    // "indexing" are the keywords and both are substrings of the cache
+    assert(c.findSimilar("how to use the indexing pipeline") ===
+      Some("indexing pipeline overview"))
+    // substring (not token) containment: "index" matches inside "indexing"
+    assert(c.findSimilar("index pipeline setup guide") === None) // 2/4 = 50%
+    assert(c.findSimilar("index pipeline") === Some("indexing pipeline overview")) // 2/2
+    // direction: cached entry longer than the query no longer blocks a
+    // hit — only the NEW query's keywords must be covered
+    assert(c.findSimilar("pipeline") === Some("indexing pipeline overview"))
+    // exact match is case-insensitive (reference compares lowercased)
+    assert(c.findSimilar("INDEXING Pipeline OVERVIEW") ===
+      Some("indexing pipeline overview"))
+  }
+
   test("Q7: persistence round trip") {
     val f = Files.createTempFile("graft_qc", ".tsv")
     val c1 = new QueryCache(persistTo = Some(f))

@@ -35,6 +35,32 @@ class DotProductSpec extends SparkSpec {
     assert(r.getDouble(2) === 14.0)
   }
 
+  test("graft_dot matches HOF null semantics on degenerate inputs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // zip_with pads the shorter array with null → null product → null
+    // aggregate sum; graft_dot must agree (ADVICE r2: was a silent
+    // truncation to min length).
+    val mismatch = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(dot(col("a"), col("b")).as("native"),
+              dotHof(col("a"), col("b")).as("hof"))
+      .head
+    assert(mismatch.isNullAt(0) && mismatch.isNullAt(1))
+    // null element anywhere → null result, both formulations
+    val withNull = Seq((Array[java.lang.Double](1.0, null), Array[java.lang.Double](2.0, 3.0)))
+      .toDF("a", "b")
+      .select(dot(col("a"), col("b")).as("native"),
+              dotHof(col("a"), col("b")).as("hof"))
+      .head
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+    // null array input → null out (standard null-safe binary expr)
+    val nullArr = Seq((Array(1.0f), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+      .select(dot(col("a"), col("b")).as("native")).head
+    assert(nullArr.isNullAt(0))
+  }
+
   test("scoring projection compiles into whole-stage codegen") {
     // join-free shape: scan → project(graft_dot) must fuse into WSCG.
     // (Cross joins use BroadcastNestedLoopJoin, which never enters
