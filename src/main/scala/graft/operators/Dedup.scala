@@ -286,14 +286,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Duplicate GROUPS via connected components over the near-dup pair
-    * graph (jaccard ≥ 0.5): iterative min-label propagation — each
-    * round one join + one groupBy, converging in ≤ diameter rounds
-    * (dup clusters are small, so 2-4 rounds; at 100 TB this is the
-    * standard Spark connected-components loop). Deterministic: the
-    * fixpoint (component-minimum label) is iteration-order-free. */
-  def qDedupGroups(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = nearDupPairs(spark, dir).filter(col("jaccard") >= 0.5)
+  /** Past this many near-dup edges the component computation stays
+    * distributed; below it, one collect + driver union-find resolves
+    * the graph in a single action. LSH candidate edges are a tiny
+    * fraction of the corpus (SCALE.md), so the gate bounds driver
+    * memory at ~a few MB while skipping 5+ tiny-data shuffle rounds. */
+  private[graft] val DriverCcMaxEdges = 1000000L
+
+  /** Component-minimum labels of the near-dup pair graph (jaccard ≥
+    * 0.5) — cached; read by q_dedup_groups. Two equivalent paths
+    * proven identical in DedupGroupsSpec:
+    *  - small graphs (≤ [[DriverCcMaxEdges]], the common case): ONE
+    *    collect + union-find with min-label roots on the driver;
+    *  - large graphs: iterative distributed min-label propagation
+    *    (one join + one groupBy per round, ≤ diameter rounds — the
+    *    standard Spark connected-components loop for 100 TB inputs).
+    * Both converge to the same iteration-order-free fixpoint (every
+    * node labeled with its component's minimum doc_id). */
+  def componentLabels(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "dupComponents", dir) {
+      val pairs = nearDupPairs(spark, dir).filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      if (pairs.count() <= DriverCcMaxEdges) {
+        import spark.implicits._
+        val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        unionFindMinLabels(edges).toSeq.toDF("doc_id", "grp")
+      } else propagateMinLabels(pairs)
+    }
+
+  /** Driver union-find, min-label roots (path-halving). */
+  private[graft] def unionFindMinLabels(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  /** Distributed min-label propagation to the same fixpoint; Σgrp
+    * strictly decreases per round until converged, so one cheap agg is
+    * the convergence check. */
+  private[graft] def propagateMinLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .persist()
@@ -301,7 +343,7 @@ object Dedup {
       .distinct()
       .withColumn("grp", col("doc_id"))
       .persist()
-    def sumGrp(df: org.apache.spark.sql.DataFrame): Long =
+    def sumGrp(df: DataFrame): Long =
       df.agg(coalesce(sum(col("grp")), lit(0L))).head.getLong(0)
     var converged = false
     var prevSum = sumGrp(labels)
@@ -313,23 +355,26 @@ object Dedup {
         .groupBy("doc_id")
         .agg(min(col("grp")).as("grp"))
         .persist()
-      // min-label propagation strictly decreases Σgrp until fixpoint —
-      // one cheap agg instead of a two-sided exceptAll per round
       val s2 = sumGrp(propagated)
       converged = s2 == prevSum
       prevSum = s2
       labels.unpersist(false)
       labels = propagated
     }
-    val out = labels.groupBy("grp")
+    edges.unpersist(false)
+    labels
+  }
+
+  /** Duplicate GROUPS via connected components over the near-dup pair
+    * graph — [[componentLabels]] (size-gated driver union-find /
+    * distributed propagation) grouped into member lists. */
+  def qDedupGroups(spark: SparkSession, dir: String): DataFrame =
+    componentLabels(spark, dir).groupBy("grp")
       .agg(count(lit(1)).as("group_size"),
         array_join(transform(array_sort(collect_set(col("doc_id"))),
           x => x.cast("string")), ",").as("members"))
       .select(col("grp").as("group_id"), col("group_size"), col("members"))
       .orderBy("group_id")
-    edges.unpersist(false)
-    out
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_groups"   -> (qDedupGroups _),

@@ -27,6 +27,28 @@ class DedupSpec extends SparkSpec {
     assert(sig.exceptAll(again).isEmpty && again.exceptAll(sig).isEmpty)
   }
 
+  test("component labels: driver union-find == distributed propagation") {
+    // the size gate picks the driver path on test data; force the
+    // distributed loop on the same edges and require the identical
+    // fixpoint (component-minimum labels)
+    val pairs = Dedup.nearDupPairs(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val viaLoop = Dedup.propagateMinLabels(pairs)
+    val viaUf = {
+      val spark2 = spark
+      import spark2.implicits._
+      Dedup.unionFindMinLabels(
+        pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
+        .toSeq.toDF("doc_id", "grp")
+    }
+    assert(viaLoop.exceptAll(viaUf).isEmpty && viaUf.exceptAll(viaLoop).isEmpty)
+    // sanity on the fixpoint: every label is the minimum of its group
+    val badRoot = viaUf.groupBy("grp").agg(min("doc_id").as("lo"))
+      .filter(col("grp") =!= col("lo")).count()
+    assert(badRoot === 0)
+  }
+
   test("minhash LSH candidates are a superset of high-Jaccard pairs") {
     // any pair with identical shingle sets must share all 4 band sigs
     val cand = Dedup.qDedupMinhash(spark, sfDir)
