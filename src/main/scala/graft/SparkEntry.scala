@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Search.queries ++ operators.TextAnalysis.queries ++
       operators.Dedup.queries ++ operators.Ann.queries ++
       operators.ResultAnalytics.queries ++ operators.Media.queries ++
-      operators.Ci.queries ++ operators.Events.queries
+      operators.Ci.queries ++ operators.Events.queries ++
+      operators.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Search.oracles ++ operators.TextAnalysis.oracles ++
       operators.Dedup.oracles ++ operators.Ann.oracles ++
       operators.ResultAnalytics.oracles ++ operators.Media.oracles ++
-      operators.Ci.oracles ++ operators.Events.oracles
+      operators.Ci.oracles ++ operators.Events.oracles ++
+      operators.Curation.oracles
 }

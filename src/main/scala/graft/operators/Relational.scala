@@ -248,8 +248,26 @@ object Relational {
         $"n", $"sum_qty")
       .orderBy("returnflag", "linestatus")
 
+  /** Explicit GROUPING SETS — an irregular set combination (detail,
+    * per-linestatus subtotal, grand total) that neither rollup nor cube
+    * expresses; Spark 4's `Dataset.groupingSets` lowers it to the same
+    * single Expand+Aggregate plan both engines share semantics for. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_linestatus"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        (sum(cents($"l_extendedprice")) / 100.0).as("sum_price"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n", $"sum_price")
+      .orderBy("returnflag", "linestatus")
+
   /** Registry consumed by [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_ship_priority" -> (qShipPriority _),
     "q_cube"         -> (qCube _),
     "q_rollup"       -> (qRollup _),
@@ -285,6 +303,14 @@ object Relational {
         |  AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  sum(CAST(ROUND(l_extendedprice*100,0) AS BIGINT))/100.0 AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -178,6 +178,44 @@ object Search {
       .orderBy("qid", "rank")
   }
 
+  /** BM25 ranking (k1 = 1.2, b = 0.75) — the lexical-scoring upgrade
+    * over the reference's contains-count rerank (X7): one corpus scan
+    * builds term frequencies for the query words; document frequencies
+    * and corpus stats are single-row/handful-row aggregates broadcast
+    * back. Determinism: idf and the tf normalization are computed from
+    * exact integer aggregates with an identical operation tree in both
+    * engines, each per-term score is fixed-pointed to 1e-6 before the
+    * final sum, so the total is order-independent. */
+  def qSearchBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docsT = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("t"))
+    val dls = docsT.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docsT
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .filter(col("tok").isin(queryWords: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val term = tf
+      .join(broadcast(dfs), "tok")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("ratio",
+        (col("dl") * col("n_docs")).cast("double") / col("sum_dl"))
+      .withColumn("term_fp",
+        round((col("idf") * (col("cnt") * 2.2) /
+          (col("cnt") + lit(1.2) * (lit(0.25) + lit(0.75) * col("ratio")))) * 1000000, 0)
+          .cast("long"))
+    term.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("term_fp")).cast("double") / 1000000.0, 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(10)
+  }
+
   /** A7 detailed score metrics per query over the batch-kNN result:
     * mean/variance from exact 1e-6 fixed-point sums (scores are
     * already rounded to 6 dp, so the scaled values are integers and
@@ -230,6 +268,7 @@ object Search {
     "q_knn_batch"       -> (qKnnBatch _),
     "q_search_semantic" -> (qSearchSemantic _),
     "q_search_hybrid"   -> (qSearchHybrid _),
+    "q_search_bm25"     -> (qSearchBm25 _),
     "q_search_stats"    -> (qSearchStats _),
   )
 
@@ -386,6 +425,34 @@ object Search {
          |  round(t.score * 0.7 + ($matches3 / 3.0) * 0.3, 6) AS hybrid
          |FROM topk t JOIN documents d USING (doc_id)
          |ORDER BY hybrid DESC, doc_id LIMIT 10""".stripMargin,
+    "q_search_bm25" -> {
+      val words = queryWords.map(w => s"('$w')").mkString(", ")
+      s"""WITH qw(tok) AS (VALUES $words),
+         |t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |dls AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM t),
+         |stats AS (
+         |  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dls),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*)::BIGINT AS cnt
+         |  FROM t, LATERAL (SELECT unnest(tk) AS tok) u
+         |  WHERE tok IN (SELECT tok FROM qw)
+         |  GROUP BY doc_id, tok),
+         |dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+         |term AS (
+         |  SELECT tf.doc_id,
+         |    CAST(round((ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) *
+         |      (tf.cnt * 2.2) /
+         |      (tf.cnt + 1.2 * (0.25 + 0.75 * ((dls.dl * s.n_docs)::DOUBLE / s.sum_dl))))
+         |      * 1000000, 0) AS BIGINT) AS term_fp
+         |  FROM tf JOIN dfs USING (tok) JOIN dls ON dls.doc_id = tf.doc_id, stats s)
+         |SELECT doc_id, count(*) AS n_terms,
+         |  round(sum(term_fp)::DOUBLE / 1000000.0, 6) AS score
+         |FROM term GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
     "q_search_stats" ->
       s"""WITH $knnBatchCtes
          |SELECT query_id, count(*) AS n, round(avg(score), 6) AS avg_score,

