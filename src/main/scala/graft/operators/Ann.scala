@@ -183,6 +183,88 @@ object Ann {
       .limit(k)
   }
 
+  val SubSpaces = 4
+  val SubDim: Int = Dim / SubSpaces
+  val PqCentroids = 8
+
+  /** Fixed-point vector components with their PQ subspace index. */
+  private def pqComponents(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("se", round(col("x").cast("double") * 1000000, 0).cast("long"))
+      .withColumn("sub", floor(col("d") / SubDim).cast("long"))
+
+  /** Product-quantization codes — cached (the PQ "index"): each vector
+    * compresses to `SubSpaces` one-byte codes, the nearest (integer
+    * squared distance, centroid-id tie-break) of 8 deterministic
+    * codebook centroids per 16-dim subspace (subvectors of vec_id < 8,
+    * the same no-iteration codebook trick as IVF; production swaps in
+    * k-means without changing shape). 64 floats → 4 codes is the 64×
+    * compression that keeps a 100 TB corpus's candidate scan in memory;
+    * encode is one broadcast join + one (vec, sub, cid)-keyed groupBy,
+    * linear in corpus size. Fixed-point distances make codes bit-stable
+    * across engines and partitionings. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "pqCodes", dir) {
+      val sv = pqComponents(spark, dir)
+      val cents = sv.filter(col("vec_id") < PqCentroids)
+        .select(col("vec_id").as("cid"), col("d"), col("se").as("ce"))
+      val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("cid"))
+      sv.join(broadcast(cents), "d")
+        .groupBy("vec_id", "sub", "cid")
+        .agg(sum((col("se") - col("ce")) * (col("se") - col("ce"))).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("cid").as("code"))
+    }
+
+  /** ADC lookup table for the query vector: exact fixed-point dot of
+    * each query subvector with each centroid — `SubSpaces × 8` rows,
+    * broadcast. */
+  private def pqQueryTable(spark: SparkSession, dir: String): DataFrame = {
+    val sv = pqComponents(spark, dir)
+    val cents = sv.filter(col("vec_id") < PqCentroids)
+      .select(col("vec_id").as("cid"), col("d"), col("se").as("ce"))
+    sv.filter(col("vec_id") === 0)
+      .join(broadcast(cents), "d")
+      .groupBy("sub", "cid")
+      .agg(sum(col("se") * col("ce")).as("dot_fp"))
+  }
+
+  /** ANN via product quantization, the standard two-stage serve path:
+    * (1) asymmetric distance computation — a candidate's approximate
+    * dot product is the sum of 4 integer table lookups
+    * (query-subvector · assigned-centroid), never touching the original
+    * floats, so the shortlist scan reads only the 4-byte code rows;
+    * (2) exact cosine rescore of the 50-candidate shortlist. At 100 TB
+    * stage 1 is the full-corpus pass over ~1/16th the bytes and stage 2
+    * touches 50 vectors. Scores are the same rounded cosine as the
+    * exact/LSH/IVF paths, so q_ann_recall measures PQ recall directly. */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Search.embNormed(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val qd = pqQueryTable(spark, dir)
+    val codes = pqCodes(spark, dir)
+    val shortlist = codes
+      .join(broadcast(qd),
+        codes("sub") === qd("sub") && codes("code") === qd("cid"))
+      .groupBy("vec_id")
+      .agg(sum(col("dot_fp")).as("s"))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(desc("s"), col("vec_id"))
+      .limit(50)
+      .select(col("vec_id"))
+    shortlist
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .select(col("vec_id"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
   /** Embedding-space label report: per label, member count and
     * centroid tightness = ‖mean vector‖ (≈1 ⇔ members point the same
     * way; ≈0 ⇔ isotropic). Centroids are exact: fixed-point component
@@ -218,6 +300,8 @@ object Ann {
           .withColumn("method", lit("lsh_probe")))
         .unionByName(qAnnIvf(spark, dir).select(col("vec_id"))
           .withColumn("method", lit("ivf")))
+        .unionByName(qAnnPq(spark, dir).select(col("vec_id"))
+          .withColumn("method", lit("pq")))
     all.join(broadcast(exact), Seq("vec_id"), "left")
       .groupBy("method")
       .agg(count(lit(1)).as("n_returned"),
@@ -230,6 +314,7 @@ object Ann {
     "q_ann_lsh"       -> (qAnnLsh _),
     "q_ann_lsh_probe" -> (qAnnLshProbe _),
     "q_ann_ivf"       -> (qAnnIvf _),
+    "q_ann_pq"        -> (qAnnPq _),
     "q_ann_recall"    -> (qAnnRecall _),
     "q_label_stats"   -> (qLabelStats _),
   )
@@ -257,7 +342,43 @@ object Ann {
       |  FROM embeddings),
       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)""".stripMargin
 
+  /** PQ oracle CTEs — expects `sv(vec_id, d, se)` (from [[bucketsSql]])
+    * in scope; yields `pqadc(vec_id, s)` with the fixed-point ADC dot. */
+  private val pqSql =
+    """pqc AS (
+      |  SELECT vec_id AS cid, d, se AS ce FROM sv WHERE vec_id < 8),
+      |pqdist AS (
+      |  SELECT s.vec_id, CAST(floor(s.d / 16) AS BIGINT) AS sub, c.cid,
+      |    sum((s.se - c.ce) * (s.se - c.ce)) AS dist
+      |  FROM sv s JOIN pqc c USING (d) GROUP BY 1, 2, 3),
+      |pqcodes AS (
+      |  SELECT vec_id, sub, cid AS code FROM (
+      |    SELECT vec_id, sub, cid,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+      |    FROM pqdist) WHERE rn = 1),
+      |pqqd AS (
+      |  SELECT CAST(floor(s.d / 16) AS BIGINT) AS sub, c.cid,
+      |    sum(s.se * c.ce) AS dot_fp
+      |  FROM sv s JOIN pqc c USING (d) WHERE s.vec_id = 0 GROUP BY 1, 2),
+      |pqadc AS (
+      |  SELECT k.vec_id, sum(t.dot_fp)::BIGINT AS s
+      |  FROM pqcodes k JOIN pqqd t ON t.sub = k.sub AND t.cid = k.code
+      |  GROUP BY 1),
+      |pqshort AS (
+      |  SELECT a.vec_id FROM pqadc a WHERE a.vec_id <> 0
+      |  ORDER BY a.s DESC, a.vec_id LIMIT 50),
+      |pqtop AS (
+      |  SELECT sh.vec_id,
+      |    round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+      |  FROM pqshort sh JOIN e ON e.vec_id = sh.vec_id, q
+      |  ORDER BY score DESC, sh.vec_id LIMIT 10)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_ann_pq" ->
+      s"""WITH $bucketsSql,
+         |$pqSql
+         |SELECT vec_id, score FROM pqtop
+         |ORDER BY score DESC, vec_id""".stripMargin,
     "q_label_stats" ->
       """WITH sv AS (
         |  SELECT vec_id, label, d,
@@ -272,6 +393,7 @@ object Ann {
         |FROM comp GROUP BY label ORDER BY label""".stripMargin,
     "q_ann_recall" ->
       s"""WITH $bucketsSql,
+         |$pqSql,
          |probes AS (
          |  SELECT DISTINCT xor(b.bucket, m.mask) AS bucket
          |  FROM (SELECT bucket FROM buckets WHERE vec_id = 0) b,
@@ -309,10 +431,12 @@ object Ann {
          |  SELECT e.vec_id, 1::BIGINT AS hit FROM e, q WHERE e.vec_id <> 0
          |  ORDER BY round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) DESC,
          |    e.vec_id LIMIT 10),
+         |pq10 AS (SELECT vec_id FROM pqtop),
          |allm AS (
          |  SELECT vec_id, 'lsh' AS method FROM lsh10
          |  UNION ALL SELECT vec_id, 'lsh_probe' FROM lshp10
-         |  UNION ALL SELECT vec_id, 'ivf' FROM ivf10)
+         |  UNION ALL SELECT vec_id, 'ivf' FROM ivf10
+         |  UNION ALL SELECT vec_id, 'pq' FROM pq10)
          |SELECT method, count(*) AS n_returned,
          |  sum(coalesce(hit, 0))::BIGINT AS n_hits,
          |  round(sum(coalesce(hit, 0))::DOUBLE / 10, 6) AS recall

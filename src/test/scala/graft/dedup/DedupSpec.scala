@@ -94,4 +94,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh <= exactTop + 1e-9)
     assert(ivf <= exactTop + 1e-9)
   }
+
+  test("PQ: every vector gets one code per subspace; rescored scores are exact") {
+    val codes = Ann.pqCodes(spark, sfDir)
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    assert(codes.count() === nVec * Ann.SubSpaces)
+    assert(codes.filter(col("code") < 0 || col("code") >= Ann.PqCentroids)
+      .count() === 0)
+    // a codebook vector's nearest centroid in every subspace is itself
+    val selfMiss = codes.filter(col("vec_id") < Ann.PqCentroids &&
+      col("code") =!= col("vec_id")).count()
+    assert(selfMiss === 0)
+    // stage-2 rescoring means PQ scores are true cosines: each must
+    // appear in the exact spectrum (≤ brute-force best)
+    import graft.operators.Search
+    val exactTop = Search.qKnn(spark, sfDir).agg(max("score")).head.getDouble(0)
+    val pqTop = Ann.qAnnPq(spark, sfDir).agg(max("score")).head.getDouble(0)
+    assert(pqTop <= exactTop + 1e-9)
+  }
 }
