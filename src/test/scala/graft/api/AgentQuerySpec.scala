@@ -30,10 +30,16 @@ class AgentQuerySpec extends SparkSpec {
         cursor = Some(c), cache = Some(cache))
       assert(r2.hits.map(_.id).toSet.intersect(r1.hits.map(_.id).toSet).isEmpty)
     }
-    // cache: similar follow-up query surfaces the earlier one
-    val r3 = AgentQuery.query(spark, store, "ocelot capybara photos",
+    // cache: similar follow-up surfaces the earlier query. Keywords are
+    // the NEW query's length>3 tokens ("see"/"the" drop out), and both
+    // remaining ones appear in the cached text (reference 70% rule) —
+    // while an extra unseen keyword ("photos", 2/3 < 0.7) is a miss.
+    val r3 = AgentQuery.query(spark, store, "see the ocelot capybara",
       cache = Some(cache))
     assert(r3.fromCache === Some("ocelot capybara"))
+    val r4 = AgentQuery.query(spark, store, "ocelot capybara photos",
+      cache = Some(cache))
+    assert(r4.fromCache === None)
   }
 
   test("Q6: rule engine reacts to missing keywords and empty results") {
