@@ -36,10 +36,27 @@ object Bench {
       }
       name -> ts.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver machine-parses ONE JSON line from the tail of stdout
+    // (last ~2000 chars), so the line must be short: 2-decimal seconds
+    // with trailing zeros stripped, numeric sf. Full precision goes to
+    // bench_full.json for humans.
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
+    println(line)
   }
 }

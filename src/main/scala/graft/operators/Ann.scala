@@ -319,7 +319,8 @@ object Ann {
     "q_label_stats"   -> (qLabelStats _),
   )
 
-  private val bucketsSql =
+  /** Shared by Dedup's LSH-candidate oracle. */
+  private[operators] val bucketsSql =
     """pw AS (
       |  SELECT p, d,
       |    CASE WHEN ('0x'||substr(md5(p::VARCHAR||':'||d::VARCHAR),1,15))::BIGINT % 2 = 0

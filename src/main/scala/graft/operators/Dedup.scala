@@ -251,6 +251,32 @@ object Dedup {
       .limit(20)
   }
 
+  /** Embedding near-dup at scale: candidate pairs come from shared LSH
+    * buckets (Ann.lshBuckets — 16 buckets, so candidates ≈ N²/16
+    * instead of the full N² brute force of [[qDedupEmbed]]), then exact
+    * cosine on candidates only, top-20. The bucket is a plain hash
+    * shuffle key, so at 100 TB the self-join co-locates by bucket and
+    * never materializes cross-bucket pairs. Same output shape as the
+    * brute-force twin, so the two are directly comparable. */
+  def qDedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    val b = Ann.lshBuckets(spark, dir)
+    val e = Search.embNormed(spark, dir)
+    b.alias("ba")
+      .join(b.alias("bb"),
+        col("ba.bucket") === col("bb.bucket") &&
+          col("ba.vec_id") < col("bb.vec_id"))
+      .select(col("ba.vec_id").as("vec_a"), col("bb.vec_id").as("vec_b"))
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), "vec_b")
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")), 6))
+      .select("vec_a", "vec_b", "score")
+      .orderBy(desc("score"), col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
   /** The composed production pipeline (SCALE.md finding #2): exact
     * dedup first (collapse identical docs to canonicals), then MinHash
     * near-dup on the canonicals, dropping the higher doc_id of any
@@ -388,6 +414,7 @@ object Dedup {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed"   -> (qDedupEmbed _),
+    "q_dedup_embed_lsh" -> (qDedupEmbedLsh _),
   )
 
   private lazy val coeffValues =
@@ -581,5 +608,14 @@ object Dedup {
         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY score DESC, vec_a, vec_b LIMIT 20""".stripMargin,
+    "q_dedup_embed_lsh" ->
+      s"""WITH ${Ann.bucketsSql}
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS score
+         |FROM buckets a
+         |JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |JOIN e ea ON ea.vec_id = a.vec_id
+         |JOIN e eb ON eb.vec_id = b.vec_id
+         |ORDER BY score DESC, vec_a, vec_b LIMIT 20""".stripMargin,
   )
 }

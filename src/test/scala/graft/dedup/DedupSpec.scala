@@ -77,6 +77,26 @@ class DedupSpec extends SparkSpec {
     assert(scores === scores.sorted.reverse)
   }
 
+  test("LSH-bucketed embed dedup: pairs co-bucketed, scores exact") {
+    val pairs = Dedup.qDedupEmbedLsh(spark, sfDir).collect()
+    assert(pairs.nonEmpty && pairs.length <= 20)
+    val buckets = Ann.lshBuckets(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b)
+      assert(buckets(a) === buckets(b), s"pair ($a,$b) not co-bucketed")
+    }
+    // candidate pruning never invents pairs: every LSH pair's score
+    // appears identically in the brute-force twin's full pair spectrum
+    val brute = Dedup.qDedupEmbed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.filter(r => r.getLong(1) < 1000).foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      brute.get(k).foreach(s => assert(math.abs(s - r.getDouble(2)) < 1e-9))
+    }
+  }
+
   test("LSH buckets: 4-bit range, one bucket per vector, deterministic") {
     val b = Ann.lshBuckets(spark, sfDir)
     assert(b.count() === Tables.embeddings(spark, sfDir).count())
