@@ -117,12 +117,13 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** `spark.sql.extensions` entry point registering the engine's native
-  * functions. */
+  * functions and optimizer rules. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
   }
 }

@@ -10,15 +10,19 @@ import graft.functions.VectorFunctions.{dot, dotHof}
 class DotProductSpec extends SparkSpec {
 
   test("graft_dot == aggregate(zip_with(...)) bit-for-bit on real vectors") {
-    val e = Tables.embeddings(spark, sfDir)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qv"))
-    val both = e.crossJoin(broadcast(q))
-      .select(
-        dot(col("embedding"), col("qv")).as("native"),
-        dotHof(col("embedding"), col("qv")).as("hof"))
-    // bit-exact: compare raw doubles, no tolerance
-    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    // exclude the rewrite rule so the HOF side evaluates as a GENUINE
+    // higher-order aggregate, not rule-rewritten graft_dot
+    withoutOptimizerRules("graft.plans.RewriteDotProduct") {
+      val e = Tables.embeddings(spark, sfDir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val both = e.crossJoin(broadcast(q))
+        .select(
+          dot(col("embedding"), col("qv")).as("native"),
+          dotHof(col("embedding"), col("qv")).as("hof"))
+      // bit-exact: compare raw doubles, no tolerance
+      assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    }
   }
 
   test("graft_dot handles double arrays and mixed float/double") {
@@ -36,6 +40,7 @@ class DotProductSpec extends SparkSpec {
   }
 
   test("graft_dot matches HOF null semantics on degenerate inputs") {
+   withoutOptimizerRules("graft.plans.RewriteDotProduct") {
     val spark2 = spark
     import spark2.implicits._
     // zip_with pads the shorter array with null → null product → null
@@ -59,6 +64,7 @@ class DotProductSpec extends SparkSpec {
       .toDF("a", "b")
       .select(dot(col("a"), col("b")).as("native")).head
     assert(nullArr.isNullAt(0))
+   }
   }
 
   test("scoring projection compiles into whole-stage codegen") {
