@@ -104,10 +104,99 @@ object Curation {
       .orderBy("source", "bin")
   }
 
+  /** Corpus-shared phrase mass (CCNet-style boilerplate removal,
+    * adapted from line granularity to trigram granularity — this corpus
+    * has no line structure): a trigram is "shared" when it occurs in
+    * ≥ 2 distinct documents; each doc reports the fraction of its
+    * trigram occurrences that are shared, and is flagged for drop when
+    * that fraction exceeds 0.5 (near-duplicate / templated text — the
+    * planted near-dup pairs in the synthetic corpus light up here).
+    *
+    * Scale shape: one explode → (gram) global doc-frequency agg → one
+    * shuffle join back on the gram key → per-doc agg. The gram-keyed
+    * join is AQE-skew-safe (hot grams split at runtime); nothing is
+    * collected to the driver. */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= 3)
+    val tri = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("t")) - 2),
+        i => concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+        .as("g"))
+    val df = tri.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    tri.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("shared_trigrams"))
+      .withColumn("shared_frac",
+        round(col("shared_trigrams").cast("double") / col("n_trigrams"), 6))
+      .withColumn("keep", col("shared_frac") <= 0.5)
+      .select("doc_id", "n_trigrams", "shared_trigrams", "shared_frac", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic domain mixing: rebalance the corpus so every
+    * language stratum is (approximately) the size of the smallest one,
+    * by hash-thinning each stratum at rate c_min/c_lang. Membership is
+    * a pure integer comparison on the portable hash60 — reproducible on
+    * any partitioning, no RNG state — and the rate test
+    * `h·c_lang < c_min·10⁶` stays in exact integer arithmetic.
+    * Stratum stats are tiny (one row per language), so they broadcast;
+    * the corpus pass is a narrow filter. */
+  def qDataMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("c_lang"))
+    val cmin = counts.agg(min(col("c_lang")).as("c_min"))
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(cmin))
+      .withColumn("h",
+        pmod(hash60Col(concat(lit("mix:"), col("doc_id").cast("string"))),
+          lit(1000000L)))
+      .withColumn("kept", col("h") * col("c_lang") < col("c_min") * 1000000L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        round(first(col("c_min")).cast("double") / first(col("c_lang")), 6)
+          .as("target_rate"))
+      .withColumn("achieved_rate",
+        round(col("kept_docs").cast("double") / col("n_docs"), 6))
+      .select("lang", "n_docs", "kept_docs", "target_rate", "achieved_rate")
+      .orderBy("lang")
+  }
+
+  /** Integer-exact rarity scoring — the deterministic analogue of
+    * CCNet's LM-perplexity quality filter: score each document by the
+    * corpus frequency of its tokens (common tokens → high avg_freq →
+    * "fluent" under the corpus's own unigram model; rare-token-heavy
+    * docs rank low). avg_freq is a quotient of two exact integers, so
+    * it is bit-stable across engines and partitionings. The unigram
+    * table is vocabulary-sized → broadcast join; the corpus side stays
+    * a narrow explode + per-doc agg. */
+  def qRarity(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val freq = words.groupBy("w").agg(count(lit(1)).as("f"))
+    words.join(broadcast(freq), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("f")).as("sum_freq"),
+        min(col("f")).as("min_freq"))
+      .withColumn("avg_freq",
+        round(col("sum_freq").cast("double") / col("n_toks"), 6))
+      .select("doc_id", "n_toks", "sum_freq", "min_freq", "avg_freq")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_data_split"   -> (qDataSplit _),
     "q_quality_rep"  -> (qQualityRepetition _),
     "q_pack_batches" -> (qPackBatches _),
+    "q_boilerplate"  -> (qBoilerplate _),
+    "q_data_mix"     -> (qDataMix _),
+    "q_rarity"       -> (qRarity _),
   )
 
   private val toksSql =
@@ -171,5 +260,48 @@ object Curation {
          |SELECT source, bin, count(*) AS n_docs, sum(tok)::BIGINT AS bin_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents),
+         |f AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
+         |tri AS (
+         |  SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+         |  FROM f, LATERAL (SELECT unnest(range(1, len(tk)-1)) AS i) u),
+         |df AS (
+         |  SELECT g, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, g FROM tri) GROUP BY g),
+         |j AS (SELECT tri.doc_id, df.df FROM tri JOIN df USING (g)),
+         |a AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+         |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS shared_trigrams
+         |  FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_trigrams, shared_trigrams,
+         |  round(shared_trigrams::DOUBLE / n_trigrams, 6) AS shared_frac,
+         |  round(shared_trigrams::DOUBLE / n_trigrams, 6) <= 0.5 AS keep
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "q_data_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*)::BIGINT AS c_lang FROM documents GROUP BY lang),
+        |m AS (SELECT min(c_lang)::BIGINT AS c_min FROM c),
+        |k AS (
+        |  SELECT d.lang, c.c_lang, m.c_min,
+        |    (('0x'||substr(md5('mix:'||d.doc_id::VARCHAR),1,15))::BIGINT % 1000000)
+        |      * c.c_lang < m.c_min * 1000000 AS kept
+        |  FROM documents d JOIN c USING (lang) CROSS JOIN m)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS kept_docs,
+        |  round(min(c_min)::DOUBLE / min(c_lang), 6) AS target_rate,
+        |  round(sum(CASE WHEN kept THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |    AS achieved_rate
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_rarity" ->
+      s"""WITH wd AS (
+         |  SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |fr AS (SELECT w, count(*)::BIGINT AS f FROM wd GROUP BY w)
+         |SELECT doc_id, count(*)::BIGINT AS n_toks,
+         |  sum(f)::BIGINT AS sum_freq, min(f)::BIGINT AS min_freq,
+         |  round(sum(f)::DOUBLE / count(*), 6) AS avg_freq
+         |FROM wd JOIN fr USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -85,4 +85,53 @@ class CurationSpec extends SparkSpec {
       col("linestatus") === "ALL").select("n").head.getLong(0)
     assert(detailN === grandN && subtotalN === grandN)
   }
+
+  test("boilerplate: shared fraction is a valid ratio and keep matches it") {
+    val q = Curation.qBoilerplate(spark, sfDir).cache()
+    assert(q.filter(col("shared_trigrams") > col("n_trigrams")).count() === 0)
+    assert(q.filter(col("shared_frac") < 0 || col("shared_frac") > 1)
+      .count() === 0)
+    assert(q.filter(col("keep") =!= (col("shared_frac") <= 0.5)).count() === 0)
+    // every doc with ≥3 tokens appears exactly once
+    val eligible = Tables.documents(spark, sfDir)
+      .filter(size(TextAnalysis.toks(col("text"))) >= 3).count()
+    assert(q.count() === eligible)
+    assert(q.select("doc_id").distinct().count() === eligible)
+    q.unpersist()
+  }
+
+  test("data mix: smallest stratum kept whole, rates valid, deterministic") {
+    val q = Curation.qDataMix(spark, sfDir).cache()
+    assert(q.filter(col("kept_docs") > col("n_docs")).count() === 0)
+    // the smallest language stratum has target_rate 1.0 and keeps all
+    // docs (h·c_min < c_min·10⁶ holds for every h < 10⁶)
+    val smallest = q.orderBy(col("n_docs"), col("lang")).head
+    assert(smallest.getAs[Double]("target_rate") === 1.0)
+    assert(smallest.getAs[Long]("kept_docs") === smallest.getAs[Long]("n_docs"))
+    // hash thinning tracks the target rate (loose bound, small strata)
+    q.collect().foreach { r =>
+      val diff = math.abs(r.getAs[Double]("achieved_rate") -
+        r.getAs[Double]("target_rate"))
+      assert(diff < 0.35, s"lang ${r.getString(0)}: rate off by $diff")
+    }
+    // determinism under repartitioning: membership is a pure hash
+    val again = Curation.qDataMix(spark, sfDir)
+    assert(q.exceptAll(again).isEmpty && again.exceptAll(q).isEmpty)
+    q.unpersist()
+  }
+
+  test("rarity: frequency accounting is conserved and bounded") {
+    val q = Curation.qRarity(spark, sfDir).cache()
+    // every token occurs at least once, so min_freq ≥ 1 and
+    // sum_freq ≥ n_toks ⇒ avg_freq ≥ 1
+    assert(q.filter(col("min_freq") < 1).count() === 0)
+    assert(q.filter(col("sum_freq") < col("n_toks")).count() === 0)
+    assert(q.filter(col("avg_freq") < 1.0).count() === 0)
+    // token conservation: Σ n_toks == total corpus tokens
+    val total = Tables.documents(spark, sfDir)
+      .select(size(TextAnalysis.toks(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(q.agg(sum("n_toks")).head.getLong(0) === total)
+    q.unpersist()
+  }
 }
