@@ -112,10 +112,62 @@ object Media {
       .orderBy("doc_id", "bucket")
   }
 
+  case class ResizedMedia(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      out_width: Long,
+      out_height: Long,
+      out_bytes: Long,
+      resample_hash: String)
+
+  /** Aspect-preserving fit of (w, h) into a `box`×`box` square — pure
+    * integer arithmetic (floor division, clamp to ≥1) so the geometry
+    * is bit-reproducible. */
+  private[graft] def fitBox(w: Long, h: Long, box: Long): (Long, Long) = {
+    val m = math.max(w, h)
+    if (m <= box) (w, h)
+    else (math.max(1L, w * box / m), math.max(1L, h * box / m))
+  }
+
+  /** Resize step of the multimodal pipeline (decode → RESIZE →
+    * embed): geometry is real integer math ([[fitBox]] into a 224 box,
+    * the standard vision-model input); the pixel resample is the stub —
+    * a stride subsample of the payload bytes hashed to md5, standing in
+    * for the interpolated pixel buffer a real codec would emit. Output
+    * size is the exact RGB buffer a 224-fit image would occupy
+    * (`out_w·out_h·3`). Same typed mapPartitions batch shape as
+    * [[qMediaMeta]]; a JavaCV/ffmpeg resize swaps into the same
+    * function with no plan change. */
+  def qMediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qMediaMeta(spark, dir)
+      .filter(col("mime") === "image/png")
+      .select(col("doc_id"), col("width"), col("height"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("data")), "doc_id")
+      .select(col("doc_id"), col("width"), col("height"), col("data"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { case (id, w, h, bytes) =>
+          val (ow, oh) = fitBox(w, h, 224L)
+          val stride = math.max(1L, bytes.length.toLong / 64L).toInt
+          val sampled = bytes.indices.by(stride).map(bytes(_)).toArray
+          md.reset()
+          val hex = md.digest(sampled).map("%02x".format(_)).mkString
+          ResizedMedia(id, w, h, ow, oh, ow * oh * 3, hex)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta"     -> (qMediaMeta _),
     "q_media_frames"   -> (qMediaFrames _),
     "q_media_features" -> (qMediaFeatures _),
+    "q_media_resize"   -> (qMediaResize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,5 +200,34 @@ object Media {
         |  round(count(*)::DOUBLE / any_value(total), 6) AS weight
         |FROM b GROUP BY doc_id, bucket
         |ORDER BY doc_id, bucket""".stripMargin,
+    // text is pure ASCII (asserted by MediaSpec), so the oracle's
+    // char-index sampling equals the engine's byte-index sampling
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, strlen(text)::BIGINT AS len,
+        |    ('0x'||substr(md5(text),1,4))::BIGINT % 1280 + 1 AS width,
+        |    ('0x'||substr(md5(text),5,4))::BIGINT % 720 + 1 AS height
+        |  FROM documents WHERE strlen(text) % 3 = 0),
+        |g AS (
+        |  SELECT doc_id, text, len, width, height,
+        |    greatest(width, height) AS mx,
+        |    greatest(1, len // 64) AS stride
+        |  FROM m),
+        |d AS (
+        |  SELECT doc_id, text, stride, len, width, height,
+        |    CASE WHEN mx <= 224 THEN width
+        |         ELSE greatest(1, width * 224 // mx) END AS out_width,
+        |    CASE WHEN mx <= 224 THEN height
+        |         ELSE greatest(1, height * 224 // mx) END AS out_height
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, width, height, out_width, out_height,
+        |    md5(string_agg(substring(text, i+1, 1), '' ORDER BY i))
+        |      AS resample_hash
+        |  FROM d, LATERAL (SELECT unnest(range(0, len, stride)) AS i) u
+        |  GROUP BY ALL)
+        |SELECT doc_id, width, height, out_width, out_height,
+        |  (out_width * out_height * 3)::BIGINT AS out_bytes, resample_hash
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

@@ -50,4 +50,37 @@ class MediaSpec extends SparkSpec {
     assert(sums.join(docs, "doc_id").filter(col("total") =!= col("len"))
       .count() === 0)
   }
+
+  test("fitBox: aspect-preserving integer geometry") {
+    import graft.operators.Media.fitBox
+    assert(fitBox(100, 50, 224) === ((100L, 50L)))   // already fits
+    assert(fitBox(448, 224, 224) === ((224L, 112L))) // halve both
+    assert(fitBox(1280, 720, 224) === ((224L, 126L)))
+    assert(fitBox(1, 720, 224) === ((1L, 224L)))     // clamp to ≥1
+    assert(fitBox(224, 224, 224) === ((224L, 224L)))
+  }
+
+  test("resize: geometry bounded by the box, one row per image, ASCII oracle precondition") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.Media.qMediaResize(spark, sfDir).cache()
+    val images = graft.operators.Media.qMediaMeta(spark, sfDir)
+      .filter(col("mime") === "image/png")
+    assert(r.count() === images.count())
+    assert(r.filter(col("out_width") > 224 || col("out_height") > 224 ||
+      col("out_width") < 1 || col("out_height") < 1).count() === 0)
+    // unchanged when already inside the box; scaled to touch it otherwise
+    assert(r.filter(greatest(col("width"), col("height")) <= 224 &&
+      (col("out_width") =!= col("width") ||
+        col("out_height") =!= col("height"))).count() === 0)
+    assert(r.filter(greatest(col("width"), col("height")) > 224 &&
+      greatest(col("out_width"), col("out_height")) =!= 224).count() === 0)
+    assert(r.filter(col("out_bytes") =!=
+      col("out_width") * col("out_height") * 3).count() === 0)
+    // the oracle samples by CHAR index, the engine by BYTE index: they
+    // agree iff the corpus is pure ASCII — pin that precondition
+    val nonAscii = Tables.documents(spark, sfDir)
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii === 0)
+    r.unpersist()
+  }
 }
