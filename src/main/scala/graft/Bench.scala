@@ -48,8 +48,22 @@ object Bench {
     val total = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    def mkLine(queries: String) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queries,"sf":$sfNum}"""
+    // Headroom guard: the registry grows every round; if the per-query
+    // map ever pushes the line past the driver's ~2000-char tail
+    // window, keep only the slowest queries (they're the informative
+    // ones) rather than risk an unparseable line.
+    val line = {
+      val all = mkLine(qs)
+      if (all.length <= 1800) all
+      else {
+        val top = results.sortBy(-_._2).take(40)
+          .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+        mkLine(top)
+      }
+    }
     val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
