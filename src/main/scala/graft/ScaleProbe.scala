@@ -58,6 +58,17 @@ object ScaleProbe {
       },
       time("semantic_search") {
         s"rows=${operators.Search.qSearchSemantic(spark, work).count()}"
+      },
+      time("boilerplate") {
+        // replication makes every trigram corpus-shared (df ≥ mult), so
+        // the probe's correctness check is that NOTHING survives the
+        // keep flag — the operator must recognize a fully-templated
+        // corpus as fully boilerplate.
+        val b = operators.Curation.qBoilerplate(spark, work)
+        s"rows=${b.count()} kept=${b.filter(col("keep")).count()}"
+      },
+      time("rarity") {
+        s"rows=${operators.Curation.qRarity(spark, work).count()}"
       })
 
     val expectPairs = n0 * mult.toLong * (mult - 1) / 2
