@@ -117,20 +117,25 @@ object Curation {
     * join is AQE-skew-safe (hot grams split at runtime); nothing is
     * collected to the driver. */
   def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("t", toks(col("text")))
-      .filter(size(col("t")) >= 3)
-    val tri = docs.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("t")) - 2),
-        i => concat_ws(" ", element_at(col("t"), i),
-          element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
-        .as("g"))
-    val df = tri.select("doc_id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("df"))
-    tri.join(df, "g")
+    // shared upstream of BOTH sides: per-doc gram occurrence counts —
+    // session-cached like the dedup family's shingle table, so the one
+    // trigram explode + (doc, gram) shuffle is paid once per session
+    val grams = Cache.getOrBuild(spark, "boilerGrams", dir) {
+      Tables.documents(spark, dir)
+        .withColumn("t", toks(col("text")))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+            .as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    }
+    val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_trigrams"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("shared_trigrams"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        sum(when(col("df") >= 2, col("c")).otherwise(0L)).as("shared_trigrams"))
       .withColumn("shared_frac",
         round(col("shared_trigrams").cast("double") / col("n_trigrams"), 6))
       .withColumn("keep", col("shared_frac") <= 0.5)
