@@ -37,3 +37,37 @@ object StructuredKnowledge {
       .map(_.stripSuffix(".md"))
       .toSeq.sorted
 }
+
+/** `gistdex_read_cached` MCP tool analogue (reference
+  * `src/mcp/tools/read-cached-tool.ts`): one call surfaces the
+  * persisted query cache and/or the structured-knowledge topics, with
+  * an optional single-topic filter. */
+object ReadCached {
+
+  case class KnowledgeEntry(file: String, topic: String, content: String)
+  case class Result(queries: Option[String], knowledge: Seq[KnowledgeEntry])
+
+  /** `readType` ∈ queries | knowledge | all (reference default all). */
+  def read(queriesFile: Option[Path], knowledgeDir: Path,
+      readType: String = "all", topic: Option[String] = None): Result = {
+    val wantQ = readType == "queries" || readType == "all"
+    val wantK = readType == "knowledge" || readType == "all"
+    val q = if (wantQ)
+      queriesFile.filter(Files.exists(_))
+        .map(Files.readString(_, StandardCharsets.UTF_8))
+    else None
+    val k = if (wantK) {
+      val names = topic match {
+        case Some(t) => Seq(StructuredKnowledge.slugOf(t))
+          .filter(s => StructuredKnowledge.topics(knowledgeDir).contains(s))
+        case None => StructuredKnowledge.topics(knowledgeDir)
+      }
+      names.map { slug =>
+        KnowledgeEntry(s"$slug.md", slug,
+          Files.readString(knowledgeDir.resolve(s"$slug.md"),
+            StandardCharsets.UTF_8))
+      }
+    } else Seq.empty
+    Result(q, k)
+  }
+}

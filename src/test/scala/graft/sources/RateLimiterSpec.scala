@@ -40,4 +40,29 @@ class StructuredKnowledgeSpec extends AnyFunSuite {
       === Seq("another-topic", "vector-index-build-tune"))
     assert(StructuredKnowledge.read(dir, "missing") === None)
   }
+
+  test("read_cached tool: type filter, topic filter, missing cache") {
+    import graft.api.{QueryCache, ReadCached}
+    val dir = Files.createTempDirectory("graft_rc")
+    val qf = dir.resolve("queries.tsv")
+    new QueryCache(persistTo = Some(qf)).record("alpha beta", 3)
+    val kdir = dir.resolve("knowledge")
+    StructuredKnowledge.write(kdir, "Topic One", "first body")
+    StructuredKnowledge.write(kdir, "Topic Two", "second body")
+
+    val all = ReadCached.read(Some(qf), kdir)
+    assert(all.queries.exists(_.nonEmpty))
+    assert(all.knowledge.map(_.topic) === Seq("topic-one", "topic-two"))
+    assert(all.knowledge.head.content.contains("first body"))
+
+    val qOnly = ReadCached.read(Some(qf), kdir, readType = "queries")
+    assert(qOnly.queries.nonEmpty && qOnly.knowledge.isEmpty)
+
+    val one = ReadCached.read(Some(qf), kdir, readType = "knowledge",
+      topic = Some("Topic Two"))
+    assert(one.queries.isEmpty && one.knowledge.map(_.topic) === Seq("topic-two"))
+
+    val none = ReadCached.read(None, dir.resolve("absent"))
+    assert(none.queries.isEmpty && none.knowledge.isEmpty)
+  }
 }
