@@ -115,6 +115,38 @@ object Ann {
       .limit(10)
   }
 
+  /** Batch ANN serving through the IVF index: 8 query vectors probe
+    * their 2 nearest cells in ONE job. The reference's serving loop
+    * (one kNN call per query) collapses the same way its CI search
+    * loop does for text queries (q_search_fanout): queries join the
+    * cell-keyed assignment table, candidates rescore exactly, a window
+    * takes top-5 per query. At 100 TB the assignment is the
+    * cell-partitioned prebuilt index ([[buildIndexes]]) and each probe
+    * reads only its cells' partitions — query count scales the
+    * broadcast side, never the corpus scans. */
+  def qAnnIvfBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Search.embNormed(spark, dir)
+    val ranked = ivfRanked(spark, dir)
+    val assign = ranked.filter(col("rn") === 1).select("vec_id", "cell")
+    val probes = ranked.filter(col("vec_id") < 8 && col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+    assign.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Multi-probe LSH: probe the query bucket AND its 4 Hamming-1
     * neighbors (flip each hyperplane bit) — the standard recall fix
     * when a near neighbor falls just across one hyperplane. Still
@@ -314,6 +346,7 @@ object Ann {
     "q_ann_lsh"       -> (qAnnLsh _),
     "q_ann_lsh_probe" -> (qAnnLshProbe _),
     "q_ann_ivf"       -> (qAnnIvf _),
+    "q_ann_ivf_batch" -> (qAnnIvfBatch _),
     "q_ann_pq"        -> (qAnnPq _),
     "q_ann_recall"    -> (qAnnRecall _),
     "q_label_stats"   -> (qLabelStats _),
@@ -489,5 +522,39 @@ object Ann {
         |JOIN e ON e.vec_id = a.vec_id, q
         |WHERE a.vec_id <> 0
         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf_batch" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS csim
+        |  FROM e, c),
+        |ranked AS (
+        |  SELECT vec_id, cell, csim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        |  FROM scored),
+        |assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell FROM ranked
+        |  WHERE vec_id < 8 AND rn <= 2),
+        |qv AS (SELECT vec_id AS query_id, v, nrm FROM e WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    round(list_dot_product(e.v, qv.v) / (e.nrm * qv.nrm), 6) AS score
+        |  FROM assign a
+        |  JOIN probes p USING (cell)
+        |  JOIN e ON e.vec_id = a.vec_id
+        |  JOIN qv ON qv.query_id = p.query_id
+        |  WHERE a.vec_id <> p.query_id),
+        |rk AS (
+        |  SELECT query_id, vec_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, vec_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank::BIGINT AS rank, vec_id, score
+        |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -29,4 +29,27 @@ class IndexBuildSpec extends SparkSpec {
       .filter(col("cell") === 3).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(cell"))
   }
+
+  test("batch IVF probe: query 0's page == single-query qAnnIvf head") {
+    // the one-job batch formulation must reproduce the single-query
+    // plan result for each member query: same probe cells, same
+    // candidates, same scores, same tie-breaks
+    val batch0 = Ann.qAnnIvfBatch(spark, sfDir)
+      .filter(col("query_id") === 0)
+      .select("vec_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val single0 = Ann.qAnnIvf(spark, sfDir)
+      .select("vec_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq.take(5)
+    assert(batch0 === single0)
+    // every query gets exactly 5 ranked rows, ranks 1..5, scores
+    // non-increasing within a query
+    val all = Ann.qAnnIvfBatch(spark, sfDir).collect()
+    assert(all.map(_.getLong(0)).distinct.length === 8)
+    all.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).toSeq.sorted === (1L to 5L))
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
