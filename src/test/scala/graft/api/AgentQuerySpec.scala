@@ -64,10 +64,80 @@ class AgentQuerySpec extends SparkSpec {
     assert(scores === scores.sorted.reverse)
   }
 
-  test("Q6: content-type classifier first-match chain") {
+  test("Q6: content-type classifier — the reference detectContentType chain") {
     assert(AgentQuery.contentTypeOf("function f() {}") === "code")
-    assert(AgentQuery.contentTypeOf("install the package") === "configuration")
+    assert(AgentQuery.contentTypeOf("import x from 'y'") === "code")
+    assert(AgentQuery.contentTypeOf("Example: run the thing") === "example")
+    assert(AgentQuery.contentTypeOf("""{"key": "value"}""") === "configuration")
+    assert(AgentQuery.contentTypeOf("timeout: 30") === "configuration")
     assert(AgentQuery.contentTypeOf("# Title\nbody") === "documentation")
+    assert(AgentQuery.contentTypeOf("* bullet list") === "documentation")
     assert(AgentQuery.contentTypeOf("plain words") === "text")
+    // precedence: code beats example beats configuration
+    assert(AgentQuery.contentTypeOf("Example: class Foo {}") === "code")
+  }
+
+  test("Q6: typed rule engine — reference thresholds") {
+    import AgentQuery.AgentRules._
+    // query analysis (agent-query-tool.ts:290-330)
+    val qa = analyzeQuery("how do I build it")
+    assert(qa.complexity === "moderate") // 5 words
+    assert(qa.queryType === "factual")   // "how" wins over "build"
+    assert(qa.ambiguity === Seq("do", "I", "it"))
+    assert(analyzeQuery("a b c").complexity === "simple")
+    assert(analyzeQuery("one two three four five six seven eight").complexity
+      === "complex")
+    assert(analyzeQuery("インデックス 作成").language === "ja")
+    assert(analyzeQuery("implement the parser").queryType === "transactional")
+
+    // next actions: thresholds + confidence ordering
+    val broadened = nextActions("q", 0, 0.0, Nil, 0.0)
+    assert(broadened.head.action === "broaden")
+    assert(broadened.head.suggestedQuery === Some("q OR related OR similar"))
+    val good = nextActions("q", 5, 0.75, Nil, 0.0)
+    assert(good.head.action === "write_structured_result" &&
+      good.head.confidence === 1.0)
+    val gaps = nextActions("q", 5, 0.75, Seq("missing"), 0.8)
+    assert(gaps.map(_.action) ===
+      Seq("write_structured_result", "refine", "pivot"))
+    assert(gaps(1).suggestedQuery === Some("q missing"))
+
+    // tool suggestions
+    assert(toolSuggestions(5, 0.8, 0.9).map(_.tool) ===
+      Seq("write_structured_result"))
+    assert(toolSuggestions(2, 0.2, 0.1).map(_.tool) ===
+      Seq("query_simple", "index"))
+
+    // considerations + problems
+    assert(considerations("complex", "text", hasExamples = true).size === 1)
+    assert(considerations("simple", "code", hasExamples = false).size === 1)
+    assert(considerations("simple", "code", hasExamples = true).isEmpty)
+    assert(problems(0.4, Nil).head.impact === "medium")
+    assert(problems(0.1, Seq("it")).head.likelihood === 0.6)
+    assert(problems(0.1, Nil).isEmpty)
+
+    // progress
+    assert(progress(0, hasHighQuality = false).goalAlignment === 0.2)
+    assert(progress(4, hasHighQuality = false).goalAlignment === 0.5)
+    val p = progress(12, hasHighQuality = true)
+    assert(p.goalAlignment === 0.8 && p.estimatedCompletion === 1.0)
+    assert(p.milestones ===
+      Seq("Found relevant content", "Identified high-quality matches"))
+
+    // redundancy / diversity primitives
+    assert(redundancyOf(Seq("a b c", "a b c")) === 1.0)
+    assert(redundancyOf(Seq("a b", "c d")) === 0.0)
+    assert(redundancyOf(Seq("solo")) === 0.0)
+    assert(diversityOf(Seq("a a a a")) === 0.0)
+    assert(diversityOf(Seq("a b c d")) === 0.75)
+  }
+
+  test("Q6: full response carries the rule-engine output") {
+    val r = AgentQuery.query(spark, store, "ocelot capybara sightings")
+    assert(r.queryAnalysis.exists(_.complexity === "simple"))
+    assert(r.progress.nonEmpty)
+    // with any hits at all, progress reports at least found-content
+    if (r.hits.nonEmpty)
+      assert(r.progress.get.milestones.contains("Found relevant content"))
   }
 }
