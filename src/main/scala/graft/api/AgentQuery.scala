@@ -222,16 +222,46 @@ object AgentQuery {
         pairs.sum / pairs.length
       }
 
-    /** A11 Simpson diversity 1 − Σp² over the pooled word frequencies
-      * (metadata-generator.ts:160-242). */
+    /** A11 Simpson diversity 1 − Σp² (metadata-generator.ts:160-203):
+      * the pooled counts are over each result's `extractKeywords`
+      * output (stop-word-filtered, minLength 2, DISTINCT per result —
+      * so a keyword's count is the number of results containing it),
+      * not raw whitespace tokens. */
     def diversityOf(contents: Seq[String]): Double = {
-      val words = contents.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
-      if (words.isEmpty) 0.0
-      else {
-        val total = words.length.toDouble
-        1.0 - words.groupBy(identity).values
-          .map(g => math.pow(g.length / total, 2)).sum
-      }
+      val counts = collection.mutable.Map.empty[String, Int]
+      contents.foreach(c => Keywords.extract(c).foreach(w =>
+        counts.update(w, counts.getOrElse(w, 0) + 1)))
+      val total = counts.values.sum.toDouble
+      if (total == 0) 0.0
+      else 1.0 - counts.values.map(n => math.pow(n / total, 2)).sum
+    }
+
+    /** The coherence twin from the same pass: |keywords seen in >1
+      * result| / |all keywords|, capped at 1 (metadata-generator.ts:
+      * 175-179). */
+    def coherenceOf(contents: Seq[String]): Double = {
+      val counts = collection.mutable.Map.empty[String, Int]
+      contents.foreach(c => Keywords.extract(c).foreach(w =>
+        counts.update(w, counts.getOrElse(w, 0) + 1)))
+      if (counts.isEmpty) 0.0
+      else math.min(1.0, counts.values.count(_ > 1).toDouble / counts.size)
+    }
+
+    /** Predominant content type over classified hits — the reference's
+      * analyzeContentCharacteristics chain (metadata-generator.ts:
+      * 487-501): code&&docs → mixed, code → code, docs →
+      * documentation, example → example, else mixed. Presence-based,
+      * NOT modal: one code hit among nine text hits still yields
+      * "code". */
+    def predominantOf(types: Seq[String]): String = {
+      val hasCode = types.contains("code")
+      val hasDocs = types.contains("documentation")
+      val hasExamples = types.contains("example")
+      if (hasCode && hasDocs) "mixed"
+      else if (hasCode) "code"
+      else if (hasDocs) "documentation"
+      else if (hasExamples) "example"
+      else "mixed"
     }
   }
 
@@ -298,9 +328,7 @@ object AgentQuery {
       if (scores.isEmpty) 0.0
       else math.sqrt(scores.map(s => (s - mean) * (s - mean)).sum / scores.size)
     val types = hits.map(h => contentTypeOf(h.content))
-    val predominant =
-      if (types.isEmpty) "text"
-      else types.groupBy(identity).maxBy { case (t, g) => (g.size, t) }._1
+    val predominant = AgentRules.predominantOf(types)
 
     cache.foreach(_.record(queryText, hits.size.toLong))
     Response(hits, analysis, next, fromCache,

@@ -50,16 +50,47 @@ object GraftConfig {
     else scala.util.Try(
       JsonMethods.parse(Files.readString(p, StandardCharsets.UTF_8))).toOption
 
-  /** First parseable file in the chain, merged over defaults; empty
-    * chain → pure defaults. */
+  private def deep(user: JValue, defaults: JValue,
+      replaceArrays: Boolean): JValue = (user, defaults) match {
+    case (JObject(u), JObject(d)) =>
+      val userKeys = u.map(_._1).toSet
+      JObject(u.map { case (k, uv) =>
+        k -> d.collectFirst { case (`k`, dv) => deep(uv, dv, replaceArrays) }
+          .getOrElse(uv)
+      } ++ d.filterNot { case (k, _) => userKeys(k) })
+    case (JArray(u), JArray(d)) => if (replaceArrays) JArray(u)
+      else JArray(u ++ d)
+    case (JNothing | JNull, d) => d
+    case (u, _) => u
+  }
+
+  /** defu-style deep merge (reference `config-merger.ts:
+    * mergeGistdexConfig`): USER values win over defaults for scalars,
+    * objects merge recursively, arrays concatenate with the user's
+    * elements FIRST. (json4s `JValue.merge` is the wrong tool here:
+    * it appends user array elements after the defaults', so a user
+    * could never put their entry ahead of a default.) */
+  def mergeDefu(user: JValue, defaults: JValue): JValue =
+    deep(user, defaults, replaceArrays = false)
+
+  /** The reference's `mergeWithArrayReplace` (config-merger.ts:28-34):
+    * defu merge, except a user array replaces the default array
+    * WHOLESALE — setting `ci.doc.documentPaths` overrides the default
+    * globs instead of accumulating alongside them. */
+  def mergeArrayReplace(user: JValue, defaults: JValue): JValue =
+    deep(user, defaults, replaceArrays = true)
+
+  /** First parseable file in the chain, merged over defaults with
+    * array-replace semantics (a configured array overrides its
+    * default); empty chain → pure defaults. */
   def load(cwd: Path, home: Path): GraftConfig =
     new GraftConfig(discoveryPaths(cwd, home).iterator
       .flatMap(parseFile(_).iterator)
       .nextOption()
-      .fold(Defaults)(Defaults.merge(_)))
+      .fold(Defaults)(mergeArrayReplace(_, Defaults)))
 
   def loadFile(p: Path): GraftConfig =
-    new GraftConfig(parseFile(p).fold(Defaults)(Defaults.merge(_)))
+    new GraftConfig(parseFile(p).fold(Defaults)(mergeArrayReplace(_, Defaults)))
 
   /** Reference `save` — pretty JSON to the given path. */
   def save(cfg: JValue, path: Path): Unit = {
@@ -103,6 +134,10 @@ class GraftConfig(val json: JValue) {
   def hybridKeywordWeight: Double =
     num("search", "hybridKeywordWeight").getOrElse(0.3)
   def ciThreshold: Double = num("ci", "doc", "threshold").getOrElse(0.7)
+  def documentPaths: Seq[String] = json \ "ci" \ "doc" \ "documentPaths" match {
+    case JArray(vs) => vs.collect { case JString(s) => s }
+    case _ => Seq("docs/**/*.md", "README.md")
+  }
 
   /** `customAdapters`: provider → fully-qualified class name of a
     * `StoreConfig => StoreAdapter` factory (the JVM analogue of the

@@ -20,12 +20,20 @@ case class BandClaim(doc_id: Long, ts: Timestamp, band: Int, band_sig: String)
   * function, no shuffle — unlike the batch path, which amortizes one
   * doc_id shuffle across the corpus, a stream computes each arrival's
   * 16 minima inline), then each doc claims its 4 LSH band buckets;
-  * `dropDuplicates(band, band_sig)` under the watermark keeps the
-  * FIRST claimant of every bucket, so a later doc that fails to win
-  * one of its bands is an LSH candidate near-dup of an earlier doc —
-  * the same any-band-collision rule the batch candidate join uses.
-  * State is one row per claimed bucket, evicted as the watermark
-  * passes — bounded by arrival rate × delay, never corpus size.
+  * `dropDuplicatesWithinWatermark(band, band_sig)` keeps the FIRST
+  * claimant of every bucket, so a later doc that fails to win one of
+  * its bands is an LSH candidate near-dup of an earlier doc — the
+  * same any-band-collision rule the batch candidate join uses.
+  * State is one row per bucket claimed WITHIN the watermark delay:
+  * unlike plain `dropDuplicates` (whose state Spark only evicts when
+  * the event-time column is part of the key, i.e. never here — it
+  * would grow with corpus size), the within-watermark variant evicts
+  * each bucket row once the watermark passes its claim time, so state
+  * is bounded by arrival rate × delay. The trade: `delay` is the
+  * dedup HORIZON — a duplicate arriving more than `delay` after the
+  * original re-wins the bucket and must be caught by the sink's exact
+  * verification against the persisted claims table (which a
+  * production near-dup pipeline runs anyway, see below).
   *
   * Like the batch LSH stage this emits CANDIDATES: a production sink
   * verifies exact Jaccard against the band winner before dropping
@@ -62,7 +70,9 @@ object StreamingDedup {
     (0 until 4).map(b =>
       Embedder.md5hex((0 until 4).map(j => sig(4 * b + j)).mkString(",")))
 
-  /** doc stream (id, event-time, text) → surviving band claims. */
+  /** doc stream (id, event-time, text) → surviving band claims.
+    * `delay` doubles as the dedup horizon: state for a bucket lives
+    * `delay` past its claim's event time, then is evicted. */
   def bandClaims(docs: Dataset[(Long, Timestamp, String)],
       delay: String = "1 hour"): DataFrame = {
     import docs.sparkSession.implicits._
@@ -74,7 +84,7 @@ object StreamingDedup {
       }
     }.toDF()
       .withWatermark("ts", delay)
-      .dropDuplicates("band", "band_sig")
+      .dropDuplicatesWithinWatermark("band", "band_sig")
   }
 
   /** Sink-side reduction over the claims table: a doc is LSH-novel iff

@@ -128,8 +128,43 @@ class AgentQuerySpec extends SparkSpec {
     assert(redundancyOf(Seq("a b c", "a b c")) === 1.0)
     assert(redundancyOf(Seq("a b", "c d")) === 0.0)
     assert(redundancyOf(Seq("solo")) === 0.0)
-    assert(diversityOf(Seq("a a a a")) === 0.0)
-    assert(diversityOf(Seq("a b c d")) === 0.75)
+    // diversity pools extractKeywords output: distinct per result,
+    // stop-words and 1-char tokens dropped (metadata-generator.ts:168)
+    assert(diversityOf(Seq("kafka kafka kafka")) === 0.0) // one keyword
+    assert(diversityOf(Seq("kafka", "spark", "flink", "beam")) === 0.75)
+    assert(diversityOf(Seq("the kafka the")) === 0.0)      // stopwords gone
+    assert(diversityOf(Seq("kafka kafka spark")) === 0.5)  // per-result dedup
+    assert(diversityOf(Seq("a b", "c d")) === 0.0)         // minLength 2
+
+    // coherence: |keywords in >1 result| / |vocab|
+    assert(coherenceOf(Seq("kafka spark", "kafka flink")) === 1.0 / 3)
+    assert(coherenceOf(Nil) === 0.0)
+
+    // predominant type: presence chain, NOT modal — one code hit among
+    // many text hits still reports "code" (metadata-generator.ts:487-501)
+    assert(predominantOf(Seq("code") ++ Seq.fill(9)("text")) === "code")
+    assert(predominantOf(Seq("code", "documentation")) === "mixed")
+    assert(predominantOf(Seq("documentation", "text")) === "documentation")
+    assert(predominantOf(Seq("example", "text")) === "example")
+    assert(predominantOf(Seq("text", "configuration")) === "mixed")
+    assert(predominantOf(Nil) === "mixed")
+  }
+
+  test("Keywords.extract mirrors the reference stop-word pipeline") {
+    // frequency-desc ordering, ties by first occurrence
+    assert(Keywords.extract("spark kafka spark flink kafka spark") ===
+      Seq("spark", "kafka", "flink"))
+    // stop words (EN + JA) and short tokens removed
+    assert(Keywords.extract("the quick fox is in a hurry") ===
+      Seq("quick", "fox", "hurry"))
+    assert(Keywords.extract("これ は kafka です") === Seq("kafka"))
+    // CJK punctuation splits tokens
+    assert(Keywords.extract("kafka、spark。flink") ===
+      Seq("kafka", "spark", "flink"))
+    // minFrequency / topN knobs
+    assert(Keywords.extract("x1 x1 y2", minFrequency = 2) === Seq("x1"))
+    assert(Keywords.extract("x1 x1 y2 y2 z3", topN = Some(2)) ===
+      Seq("x1", "y2"))
   }
 
   test("Q6: full response carries the rule-engine output") {

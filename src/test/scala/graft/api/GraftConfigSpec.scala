@@ -52,6 +52,33 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(GraftConfig.load(empty, empty).defaultK === 10)
   }
 
+  test("user config array REPLACES the default array (mergeWithArrayReplace)") {
+    val dir = Files.createTempDirectory("graft_cfg_arr")
+    Files.writeString(dir.resolve("graft.config.json"),
+      """{"ci": {"doc": {"documentPaths": ["wiki/**/*.md"]}}}""")
+    val c = GraftConfig.load(dir, dir)
+    // the user's array wins wholesale — no default entries appended
+    assert(c.documentPaths === Seq("wiki/**/*.md"))
+    // sibling default under the same object survives the merge
+    assert(c.ciThreshold === 0.7)
+    // untouched default array intact
+    assert(GraftConfig.load(Files.createTempDirectory("graft_cfg_arr2"),
+      dir.resolve("nohome")).documentPaths ===
+      Seq("docs/**/*.md", "README.md"))
+  }
+
+  test("mergeDefu: arrays concatenate with user elements first; scalars user-wins") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parse
+    val user = parse(
+      """{"ci": {"doc": {"documentPaths": ["wiki/**/*.md"], "threshold": 0.5}}}""")
+    val merged = new GraftConfig(GraftConfig.mergeDefu(user, GraftConfig.Defaults))
+    assert(merged.documentPaths ===
+      Seq("wiki/**/*.md", "docs/**/*.md", "README.md"))
+    assert(merged.ciThreshold === 0.5)
+    assert(merged.defaultK === 10)
+  }
+
   test("save round-trips through the loader") {
     val dir = Files.createTempDirectory("graft_cfg_save")
     val f = dir.resolve("graft.config.json")
