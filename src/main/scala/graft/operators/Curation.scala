@@ -195,7 +195,56 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Docs kept per language stratum by the fixed-size sampler. */
+  private[graft] val SampleK = 50
+
+  /** Fixed-SIZE deterministic stratified sample — the complement of
+    * [[qDataMix]]'s fixed-RATE thinning: exactly min(k, stratum size)
+    * docs per language, chosen as the k smallest portable hashes.
+    * Ordering by a keyed hash is the standard 100 TB trick for "pick k
+    * uniformly at random, reproducibly, on any partitioning": no RNG
+    * state, no global sort — rank within each stratum only (window on
+    * the lang shuffle key; at scale a per-stratum top-k aggregator
+    * bounds memory to k rows per partition, `functions.TopKAggregator`
+    * is that operator). Hash ties are impossible (hash60 of distinct
+    * doc_ids), doc_id tie-break pinned anyway. */
+  def qSampleStrat(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("h",
+        hash60Col(concat(lit("samp:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= SampleK)
+      .select("lang", "rk", "doc_id", "n_chars")
+      .orderBy("lang", "rk")
+  }
+
+  /** Max docs kept per source domain. */
+  private[graft] val DomainCap = 30
+
+  /** Per-domain cap — the anti-domination rule every web-scale corpus
+    * applies (no single domain may contribute more than N documents):
+    * rank each source's docs by length desc (the quality proxy here;
+    * any score column slots in), keep the top [[DomainCap]], report
+    * per-source kept/total rows and chars. One window + one groupBy on
+    * the source shuffle key; domains are independent, so 1000
+    * executors cap 1000 domains with zero coordination. */
+  def qDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(desc("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("kept", col("rk") <= DomainCap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_strat" -> (qSampleStrat _),
+    "q_domain_cap"   -> (qDomainCap _),
     "q_data_split"   -> (qDataSplit _),
     "q_quality_rep"  -> (qQualityRepetition _),
     "q_pack_batches" -> (qPackBatches _),
@@ -208,6 +257,29 @@ object Curation {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_sample_strat" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    ('0x'||substr(md5('samp:'||doc_id::VARCHAR),1,15))::BIGINT AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)::BIGINT AS rk
+         |  FROM h)
+         |SELECT lang, rk, doc_id, n_chars FROM r
+         |WHERE rk <= $SampleK ORDER BY lang, rk""".stripMargin,
+    "q_domain_cap" ->
+      s"""WITH r AS (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  sum(CASE WHEN rk <= $DomainCap THEN 1 ELSE 0 END)::BIGINT AS kept_docs,
+         |  sum(n_chars)::BIGINT AS total_chars,
+         |  sum(CASE WHEN rk <= $DomainCap THEN n_chars ELSE 0 END)::BIGINT
+         |    AS kept_chars
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q_data_split" ->
       """WITH b AS (
         |  SELECT lang, n_chars,

@@ -209,29 +209,65 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** 16-bit SimHash: per-token md5 hash bits, weighted by term count;
-    * sign of each bit-column sum becomes the fingerprint bit. Integer
-    * sums → order-independent, engine-exact. */
-  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    // 16 bit-sums as constant column expressions in one groupBy (no
-    // 16× row blowup): s_b = Σ cnt·(2·bit_b−1); then fold the sign
-    // bits row-wise.
-    val cnts = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("hv", hash60Col(col("tok")))
-    val bitSums = (0 until 16).map { b =>
-      sum(col("cnt") *
-        (expr(s"pmod(shiftright(hv, $b), 2)") * 2 - 1)).as(s"s$b")
+  /** 16-bit SimHash signature table: per-token md5 hash bits, weighted
+    * by term count; sign of each bit-column sum becomes the fingerprint
+    * bit. Integer sums → order-independent, engine-exact. Cached — the
+    * shared upstream of [[qDedupSimhash]] and [[qSimhashNear]]. */
+  private[graft] def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "simhashSigs", dir) {
+      // 16 bit-sums as constant column expressions in one groupBy (no
+      // 16× row blowup): s_b = Σ cnt·(2·bit_b−1); then fold the sign
+      // bits row-wise.
+      val cnts = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("hv", hash60Col(col("tok")))
+      val bitSums = (0 until 16).map { b =>
+        sum(col("cnt") *
+          (expr(s"pmod(shiftright(hv, $b), 2)") * 2 - 1)).as(s"s$b")
+      }
+      cnts.groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(b =>
+            when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
     }
-    cnts.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 16).map(b =>
-          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-      .orderBy("doc_id")
+
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSigs(spark, dir).orderBy("doc_id")
+
+  /** SimHash near-dup JOIN at scale — the crawl-dedup classic: band
+    * the fingerprint into 4 nibbles; two docs are candidates iff they
+    * collide on ANY band (a doc within Hamming distance 3 of another
+    * differs in ≤ 3 bits, which can touch at most 3 of the 4 bands —
+    * so every true near-dup pair shares an intact band and is found;
+    * the pigeonhole guarantee behind Manku et al.'s web dedup).
+    * Candidates then pass an exact `bit_count(xor)` Hamming filter.
+    *
+    * Scale shape: the band value is a plain shuffle key (co-located
+    * equi-join, no cross join); candidate volume per band is N²/2^w
+    * for band width w — production uses 64-bit signatures with 16-bit
+    * bands (N²/65536); the 16-bit/4-bit setup here is the
+    * oracle-friendly miniature of the same plan. */
+  def qSimhashNear(spark: SparkSession, dir: String): DataFrame = {
+    val bands = simhashSigs(spark, dir)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(simhash, cast(band * 4 as int)) & 15"))
+    val a = bands.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sig_a"), col("band"), col("bv"))
+    val b = bands.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sig_b"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "sig_a", "doc_b", "sig_b")
+      .distinct() // a pair may collide in several bands — count it once
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Embedding-cosine near-dup: top-20 most-similar vector pairs on a
@@ -413,6 +449,7 @@ object Dedup {
     "q_minhash_est"   -> (qMinhashEst _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_simhash_near"  -> (qSimhashNear _),
     "q_dedup_embed"   -> (qDedupEmbed _),
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh _),
   )
@@ -431,6 +468,24 @@ object Dedup {
        |  SELECT doc_id, h, min((a * hv + b) % $MinhashP) AS minhash
        |  FROM hv, (VALUES $coeffValues) c(h, a, b)
        |  GROUP BY doc_id, h)""".stripMargin
+
+  /** SimHash signature CTE shared by the simhash oracle pair. */
+  private lazy val simhashSql =
+    """cnts AS (
+      |  SELECT doc_id, tok, count(*) AS cnt,
+      |    ('0x'||substr(md5(tok),1,15))::BIGINT AS hv
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok) u
+      |  WHERE tok <> ''
+      |  GROUP BY doc_id, tok),
+      |bitsums AS (
+      |  SELECT doc_id, b, sum(cnt * (((hv >> b) & 1) * 2 - 1)) AS s
+      |  FROM cnts, (SELECT unnest(range(16)) AS b) bs
+      |  GROUP BY doc_id, b),
+      |simsig AS (
+      |  SELECT doc_id,
+      |    sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, b) AS BIGINT))::BIGINT AS simhash
+      |  FROM bitsums GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_groups" ->
@@ -585,20 +640,23 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_simhash" ->
-      """WITH cnts AS (
-        |  SELECT doc_id, tok, count(*) AS cnt,
-        |    ('0x'||substr(md5(tok),1,15))::BIGINT AS hv
-        |  FROM documents,
-        |    LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok) u
-        |  WHERE tok <> ''
-        |  GROUP BY doc_id, tok),
-        |bitsums AS (
-        |  SELECT doc_id, b, sum(cnt * (((hv >> b) & 1) * 2 - 1)) AS s
-        |  FROM cnts, (SELECT unnest(range(16)) AS b) bs
-        |  GROUP BY doc_id, b)
-        |SELECT doc_id,
-        |  sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, b) AS BIGINT))::BIGINT AS simhash
-        |FROM bitsums GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashSql
+         |SELECT doc_id, simhash FROM simsig ORDER BY doc_id""".stripMargin,
+    "q_simhash_near" ->
+      s"""WITH $simhashSql,
+         |bands AS (
+         |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 4)) & 15 AS bv
+         |  FROM simsig, (SELECT unnest(range(4)) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+         |                  b.doc_id AS doc_b, b.simhash AS sig_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.bv = b.bv
+         |             AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sig_a, sig_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -2,6 +2,7 @@ package graft
 package operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline, over the
@@ -151,7 +152,67 @@ object TextAnalysis {
         array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
       .orderBy("source")
 
+  /** Inverted-index build — the batch artifact behind BM25/lexical
+    * serving (the index the reference's SQLite FTS would hold, built
+    * as a table): per (term, doc) tf, then per-term document
+    * frequency, total tf, and the top-5 posting list ordered by tf.
+    * Postings are emitted as a comma-joined string (deterministic
+    * order: tf desc, doc_id) so the artifact is engine-comparable.
+    * Shape: one explode → (term, doc) count → term-keyed window +
+    * agg; the term key is the shuffle key throughout, so posting
+    * lists build domain-parallel; a real deployment writes the full
+    * lists bucketed by term instead of top-20-by-df. */
+  def qInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(!col("term").isin("the", "a"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("term").orderBy(desc("tf"), col("doc_id"))
+    val postings = tf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy("term")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rk"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), ",").as("postings"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .join(postings, "term")
+      .orderBy(desc("df"), col("term"))
+      .limit(20)
+  }
+
+  /** Collocation mining: bigram association strength as LIFT
+    * `c_ab·N / (c_a·c_b)` — the exponentiated-PMI form that stays a
+    * quotient of exact integer counts (log-free, so bit-stable across
+    * engines). Unigram table is vocabulary-sized → broadcast; the
+    * bigram side is one explode + count. Top 20 by support then lift. */
+  def qCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("t", toks(col("text")))
+    val uni = docs.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).cast("long").as("n_total"))
+    docs.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        round((col("c_ab").cast("double") * col("n_total")) /
+          (col("c_a") * col("c_b")).cast("double"), 6))
+      .select("w1", "w2", "c_ab", "c_a", "c_b", "lift")
+      .orderBy(desc("c_ab"), desc("lift"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_inverted_index" -> (qInvertedIndex _),
+    "q_collocations"   -> (qCollocations _),
     "q_source_stats"   -> (qSourceStats _),
     "q_token_count"    -> (qTokenCount _),
     "q_lang_id"        -> (qLangId _),
@@ -222,6 +283,42 @@ object TextAnalysis {
         |  count(*) AS n,
         |  round(sum(length(text))::DOUBLE / count(*), 6) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY ctype""".stripMargin,
+    "q_inverted_index" ->
+      s"""WITH tf AS (
+         |  SELECT tok AS term, doc_id, count(*) AS tf
+         |  FROM documents, LATERAL (SELECT unnest($toksSql) AS tok) u
+         |  WHERE tok NOT IN ('the', 'a')
+         |  GROUP BY tok, doc_id),
+         |r AS (
+         |  SELECT term, doc_id, tf,
+         |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+         |  FROM tf),
+         |p AS (
+         |  SELECT term, string_agg(doc_id::VARCHAR, ',' ORDER BY rk) AS postings
+         |  FROM r WHERE rk <= 5 GROUP BY term)
+         |SELECT t.term, count(*) AS df, sum(tf)::BIGINT AS total_tf, p.postings
+         |FROM tf t JOIN p USING (term)
+         |GROUP BY t.term, p.postings
+         |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+    "q_collocations" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |uni AS (
+         |  SELECT w, count(*) AS c
+         |  FROM t, LATERAL (SELECT unnest(toks) AS w) u
+         |  GROUP BY w),
+         |tot AS (SELECT sum(c)::BIGINT AS n_total FROM uni),
+         |bg AS (
+         |  SELECT toks[i] AS w1, toks[i+1] AS w2
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+         |  WHERE len(toks) >= 2),
+         |cab AS (
+         |  SELECT w1, w2, count(*) AS c_ab
+         |  FROM bg GROUP BY w1, w2 HAVING count(*) >= 5)
+         |SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+         |  round(c_ab::DOUBLE * n_total / (a.c * b.c), 6) AS lift
+         |FROM cab JOIN uni a ON a.w = w1 JOIN uni b ON b.w = w2 CROSS JOIN tot
+         |ORDER BY c_ab DESC, lift DESC, w1, w2 LIMIT 20""".stripMargin,
     "q_query_variants" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents

@@ -132,4 +132,22 @@ class DedupSpec extends SparkSpec {
     val pqTop = Ann.qAnnPq(spark, sfDir).agg(max("score")).head.getDouble(0)
     assert(pqTop <= exactTop + 1e-9)
   }
+
+  test("simhash near-dup: banding finds EVERY pair within hamming 3 (pigeonhole)") {
+    val sigs = Dedup.simhashSigs(spark, sfDir).cache()
+    // ground truth by brute-force self-join on the tiny sf0.001 corpus
+    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    val truth = a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+    val banded = Dedup.qSimhashNear(spark, sfDir)
+    // 4 bands × 4 bits over 16 bits ⇒ zero false negatives at distance ≤3
+    assert(banded.exceptAll(truth).isEmpty && truth.exceptAll(banded).isEmpty)
+    // planted near-dups (jaccard ≈ .99 pairs) must surface
+    assert(banded.count() > 0)
+    sigs.unpersist()
+  }
 }

@@ -134,4 +134,38 @@ class CurationSpec extends SparkSpec {
     assert(q.agg(sum("n_toks")).head.getLong(0) === total)
     q.unpersist()
   }
+
+  test("stratified sample: exactly min(k, |stratum|) per lang, ranks contiguous") {
+    val q = Curation.qSampleStrat(spark, sfDir).cache()
+    val perLang = q.groupBy("lang")
+      .agg(count(lit(1)).as("n"), max("rk").as("maxrk"), min("rk").as("minrk"))
+    val strata = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("total"))
+    // n == min(SampleK, stratum size); ranks are 1..n with no gaps
+    val bad = perLang.join(strata, "lang")
+      .filter(col("n") =!= least(lit(Curation.SampleK.toLong), col("total")) ||
+        col("minrk") =!= 1L || col("maxrk") =!= col("n"))
+      .count()
+    assert(bad === 0)
+    // determinism: identical membership on recomputation
+    val again = Curation.qSampleStrat(spark, sfDir)
+    assert(q.exceptAll(again).isEmpty && again.exceptAll(q).isEmpty)
+    q.unpersist()
+  }
+
+  test("domain cap: kept_docs = min(cap, n_docs), kept_chars bounded") {
+    val q = Curation.qDomainCap(spark, sfDir).cache()
+    assert(q.filter(col("kept_docs") =!=
+      least(lit(Curation.DomainCap.toLong), col("n_docs"))).count() === 0)
+    assert(q.filter(col("kept_chars") > col("total_chars")).count() === 0)
+    // the cap keeps the LONGEST docs: an uncapped domain keeps all chars
+    assert(q.filter(col("n_docs") <= Curation.DomainCap &&
+      col("kept_chars") =!= col("total_chars")).count() === 0)
+    // accounting against the raw table
+    val raw = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("raw_n"))
+    assert(q.join(raw, "source").filter(col("n_docs") =!= col("raw_n"))
+      .count() === 0)
+    q.unpersist()
+  }
 }

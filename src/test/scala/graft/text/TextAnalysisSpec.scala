@@ -41,4 +41,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0).getString(2) === fp(1).getString(2))
     assert(fp(0).getString(1) !== fp(1).getString(1))
   }
+
+  test("inverted index: df/total_tf consistent, postings ≤5 and tf-ordered") {
+    val q = TextAnalysis.qInvertedIndex(spark, sfDir).cache()
+    assert(q.count() === 20)
+    // df ≥ postings length ≥ 1; total_tf ≥ df (each posting has tf ≥ 1)
+    val bad = q
+      .withColumn("plen", size(split(col("postings"), ",")).cast("long"))
+      .filter(col("plen") < 1 || col("plen") > 5 ||
+        col("df") < col("plen") || col("total_tf") < col("df"))
+      .count()
+    assert(bad === 0)
+    // cross-check one term's df against a direct count
+    val term = q.head.getString(0)
+    val direct = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextAnalysis.toks(col("text"))).as("t"))
+      .filter(col("t") === term).select("doc_id").distinct().count()
+    assert(q.filter(col("term") === term).head.getAs[Long]("df") === direct)
+    q.unpersist()
+  }
+
+  test("collocations: lift is the exact count quotient, support ≥ 5") {
+    val q = TextAnalysis.qCollocations(spark, sfDir).cache()
+    assert(q.filter(col("c_ab") < 5).count() === 0)
+    // a bigram can't occur more often than either word
+    assert(q.filter(col("c_ab") > col("c_a") || col("c_ab") > col("c_b"))
+      .count() === 0)
+    // lift recomputes from the row's own integer counts
+    val total = Tables.documents(spark, sfDir)
+      .select(size(TextAnalysis.toks(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    val wrong = q.filter(
+      abs(col("lift") - round(col("c_ab").cast("double") * total /
+        (col("c_a") * col("c_b")).cast("double"), 6)) > 1e-12).count()
+    assert(wrong === 0)
+    q.unpersist()
+  }
 }
