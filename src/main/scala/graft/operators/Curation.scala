@@ -242,7 +242,32 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Temperature-balanced language mixing weights — the multilingual
+    * up/down-sampling rule (mC4 / XLM-R style `p^α`), at α = 1/2:
+    * `temp_weight ∝ sqrt(n_lang)`, reported relative to the largest
+    * stratum, plus `boost` = the up-sampling factor vs proportional
+    * sampling (= sqrt(n_max/n), >1 for low-resource languages). α=1/2
+    * is chosen deliberately: IEEE-754 `sqrt` is exactly rounded, so
+    * the weights are bit-identical on any engine — `pow(p, 0.3)` is
+    * not. One tiny groupBy; the per-lang table is broadcast-scale. */
+  def qTempSampling(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(max("n_docs").as("n_max"),
+      sum("n_docs").cast("long").as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("share"),
+        round(sqrt(col("n_docs").cast("double")) /
+          sqrt(col("n_max").cast("double")), 6).as("temp_weight"),
+        round((sqrt(col("n_docs").cast("double")) /
+          sqrt(col("n_max").cast("double"))) /
+          (col("n_docs").cast("double") / col("n_max")), 6).as("boost"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temp_sampling" -> (qTempSampling _),
     "q_sample_strat" -> (qSampleStrat _),
     "q_domain_cap"   -> (qDomainCap _),
     "q_data_split"   -> (qDataSplit _),
@@ -257,6 +282,15 @@ object Curation {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_temp_sampling" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT max(n_docs) AS n_max, sum(n_docs)::BIGINT AS n_total FROM c)
+        |SELECT lang, n_docs,
+        |  round(n_docs::DOUBLE / n_total, 6) AS share,
+        |  round(sqrt(n_docs::DOUBLE) / sqrt(n_max::DOUBLE), 6) AS temp_weight,
+        |  round((sqrt(n_docs::DOUBLE) / sqrt(n_max::DOUBLE)) /
+        |    (n_docs::DOUBLE / n_max), 6) AS boost
+        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
     "q_sample_strat" ->
       s"""WITH h AS (
          |  SELECT lang, doc_id, n_chars,

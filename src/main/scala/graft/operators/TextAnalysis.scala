@@ -210,7 +210,112 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Corpus bigram-LM quality score — the deterministic analogue of a
+    * perplexity filter (CCNet/Gopher keep docs whose text is "likely"
+    * under a reference LM): each bigram position scores the MLE
+    * conditional `c(w1,w2)/c(w1)`, docs average their positions.
+    * All arithmetic is fixed-point micro-units via integer floor-div
+    * (`c_ab·10⁶ div c_a`), so the per-doc sum is order-independent
+    * and bit-identical on any engine/partitioning — no log, no
+    * float accumulation.
+    *
+    * Shape: the conditional count comes from a window over the bigram
+    * shuffle key (one shuffle, no self-join); the unigram denominator
+    * table is vocabulary-sized → broadcast; final per-doc groupBy on
+    * the doc key. Linear in corpus bigrams at 100 TB. */
+  def qBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("t", toks(col("text")))
+    val uni = docs.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_a"))
+    val bg = docs.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val wBg = Window.partitionBy("w1", "w2")
+    bg.withColumn("c_ab", count(lit(1)).over(wBg))
+      .join(broadcast(uni), "w1")
+      .withColumn("p_micro", expr("c_ab * 1000000L div c_a"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_micro").as("sum_micro"))
+      .withColumn("avg_prob_micro", expr("sum_micro div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document keywords by log-free TF-IDF: rarity weight
+    * `idf_micro = N·10⁶ div df` (integer, monotone in 1/df — the
+    * ranking is the same as log-idf's for fixed tf), score
+    * `tf · idf_micro`, top-3 terms per doc. Pure integer arithmetic →
+    * engine-exact; shuffles on the term key (df join) then the doc key
+    * (window top-k); at scale the window becomes
+    * `functions.TopKAggregator` for map-side partial top-k. */
+  def qDocKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(!col("term").isin("the", "a"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr("tf * (n_docs * 1000000L div df)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** PII patterns — emails, dotted-quad IPs, dashed phone numbers.
+    * Java and RE2 dialect-compatible (char classes, bounded repeats,
+    * `\b`), so counts and redactions match DuckDB bit-for-bit. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re  = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private[graft] val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Redact all three PII families in one pass (composable column —
+    * the scrub step a 100 TB pipeline runs before anything leaves the
+    * ingest zone). Pure codegen'd `regexp_replace` chain. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-source PII audit: docs scanned, matches per family, docs
+    * already clean, and a corpus-stable digest of the scrubbed text
+    * (per-doc hash60 of the redacted string mod 1000003, summed —
+    * order-independent and overflow-safe at any corpus size, and an
+    * engine-exact proof the redaction output is identical). The
+    * synthetic corpus is digit-free, so counts are zero here; the
+    * regex semantics are pinned by TextAnalysisSpec on planted PII. */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ip"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phone"),
+        graft.embed.Embedder.hash60Col(scrubPii(col("text"))).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_email").as("emails"),
+        sum("n_ip").as("ips"),
+        sum("n_phone").as("phones"),
+        sum(when(col("n_email") + col("n_ip") + col("n_phone") === 0, 1L)
+          .otherwise(0L)).as("clean_docs"),
+        sum(pmod(col("h"), lit(1000003L))).as("scrub_digest"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_lm"      -> (qBigramLm _),
+    "q_doc_keywords"   -> (qDocKeywords _),
+    "q_pii_scrub"      -> (qPiiScrub _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_collocations"   -> (qCollocations _),
     "q_source_stats"   -> (qSourceStats _),
@@ -283,6 +388,62 @@ object TextAnalysis {
         |  count(*) AS n,
         |  round(sum(length(text))::DOUBLE / count(*), 6) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY ctype""".stripMargin,
+    "q_bigram_lm" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+         |  WHERE len(toks) >= 2),
+         |uni AS (
+         |  SELECT w AS w1, count(*) AS c_a
+         |  FROM t, LATERAL (SELECT unnest(toks) AS w) u GROUP BY w),
+         |p AS (
+         |  SELECT doc_id, w1, count(*) OVER (PARTITION BY w1, w2) AS c_ab
+         |  FROM bg),
+         |m AS (
+         |  SELECT doc_id, (c_ab * 1000000) // c_a AS p_micro
+         |  FROM p JOIN uni USING (w1))
+         |SELECT doc_id, count(*) AS n_bigrams, sum(p_micro)::BIGINT AS sum_micro,
+         |  (sum(p_micro)::BIGINT) // count(*) AS avg_prob_micro
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_doc_keywords" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok AS term, count(*) AS tf
+         |  FROM documents, LATERAL (SELECT unnest($toksSql) AS tok) u
+         |  WHERE tok NOT IN ('the', 'a')
+         |  GROUP BY doc_id, tok),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (
+         |  SELECT doc_id, term, tf, df.df,
+         |    tf.tf * ((n_docs * 1000000) // df.df) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (
+         |  SELECT doc_id, term, tf, df, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term)::BIGINT AS rk
+         |  FROM s)
+         |SELECT doc_id, rk, term, tf, df, score FROM r
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_email,
+         |    len(regexp_extract_all(text, '$Ipv4Re'))::BIGINT AS n_ip,
+         |    len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phone,
+         |    ('0x'||substr(md5(regexp_replace(regexp_replace(regexp_replace(
+         |      text, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$Ipv4Re', '<IP>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g')),1,15))::BIGINT AS h
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  sum(n_email)::BIGINT AS emails, sum(n_ip)::BIGINT AS ips,
+         |  sum(n_phone)::BIGINT AS phones,
+         |  sum(CASE WHEN n_email + n_ip + n_phone = 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS clean_docs,
+         |  sum(h % 1000003)::BIGINT AS scrub_digest
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "q_inverted_index" ->
       s"""WITH tf AS (
          |  SELECT tok AS term, doc_id, count(*) AS tf
