@@ -342,7 +342,41 @@ object Ann {
       .orderBy("method")
   }
 
+  /** One Lloyd refinement iteration over the IVF coarse quantizer —
+    * the distributed k-means step behind cluster-based curation
+    * (SemDeDup-style: cluster, then prune within clusters). Reuses the
+    * cached cosine assignment ([[ivfRanked]] rn=1), then recomputes
+    * every centroid component as an exact fixed-point mean: components
+    * quantized to integer micro-units (float→double widening is exact,
+    * round(·) agrees across engines off the .5 knife-edge the quantizer
+    * never sits on), summed as longs (order-independent), averaged by
+    * one final exact-int division — no float accumulation anywhere.
+    *
+    * Scale shape: assignment = broadcast of K centroids + a narrow map;
+    * recompute = ONE shuffle on (cell, pos) with map-side partial sums
+    * — K·d result rows regardless of corpus size. Iterating to
+    * convergence is this op in a driver loop, each pass reading the
+    * previous pass's K·d-row output as the new broadcast codebook. */
+  def qKmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val assign = ivfRanked(spark, dir).filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    val comps = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "comp")))
+      .withColumn("micro",
+        round(col("comp").cast("double") * 1000000, 0).cast("long"))
+    assign.join(comps, "vec_id")
+      .groupBy("cell", "pos")
+      .agg(count(lit(1)).as("n_members"), sum("micro").as("sum_micro"))
+      .withColumn("avg_micro",
+        col("sum_micro").cast("double") / col("n_members"))
+      .select(col("cell"), col("pos").cast("long").as("pos"),
+        col("n_members"), col("sum_micro"), col("avg_micro"))
+      .orderBy("cell", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans_step"   -> (qKmeansStep _),
     "q_ann_lsh"       -> (qAnnLsh _),
     "q_ann_lsh_probe" -> (qAnnLshProbe _),
     "q_ann_ivf"       -> (qAnnIvf _),
@@ -408,6 +442,28 @@ object Ann {
       |  ORDER BY score DESC, sh.vec_id LIMIT 10)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_kmeans_step" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS csim
+        |  FROM e, c),
+        |ranked AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        |  FROM scored),
+        |assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        |m AS (
+        |  SELECT a.cell, p.pos, round(e.v[p.pos + 1] * 1000000)::BIGINT AS micro
+        |  FROM assign a JOIN e USING (vec_id),
+        |    LATERAL (SELECT unnest(range(len(e.v))) AS pos) p)
+        |SELECT cell, pos, count(*) AS n_members, sum(micro)::BIGINT AS sum_micro,
+        |  (sum(micro)::BIGINT)::DOUBLE / count(*) AS avg_micro
+        |FROM m GROUP BY cell, pos ORDER BY cell, pos""".stripMargin,
     "q_ann_pq" ->
       s"""WITH $bucketsSql,
          |$pqSql

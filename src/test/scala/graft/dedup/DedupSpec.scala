@@ -133,6 +133,26 @@ class DedupSpec extends SparkSpec {
     assert(pqTop <= exactTop + 1e-9)
   }
 
+  test("kmeans step: every vector counted once, means bounded by components") {
+    val q = Ann.qKmeansStep(spark, sfDir).cache()
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    val dim = Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).head.getInt(0)
+    // each (cell,pos) partition of the corpus: Σ n_members = n_vec per pos
+    val perPos = q.groupBy("pos").agg(sum("n_members").as("n"))
+    assert(perPos.filter(col("n") =!= nVec).count() === 0)
+    assert(q.count() <= 8L * dim)
+    // mean is the exact quotient of the row's own sum and count
+    assert(q.filter(col("avg_micro") =!=
+      col("sum_micro").cast("double") / col("n_members")).count() === 0)
+    // a centroid component mean can't exceed the max member component
+    val maxMicro = Tables.embeddings(spark, sfDir)
+      .select(explode(col("embedding")).as("c"))
+      .agg(max(round(col("c").cast("double") * 1000000, 0))).head.getDouble(0)
+    assert(q.agg(max("avg_micro")).head.getDouble(0) <= maxMicro)
+    q.unpersist()
+  }
+
   test("simhash near-dup: banding finds EVERY pair within hamming 3 (pigeonhole)") {
     val sigs = Dedup.simhashSigs(spark, sfDir).cache()
     // ground truth by brute-force self-join on the tiny sf0.001 corpus
