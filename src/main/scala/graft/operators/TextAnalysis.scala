@@ -152,22 +152,30 @@ object TextAnalysis {
         array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
       .orderBy("source")
 
+  /** (doc_id, term, tf) with stop words dropped — the shared upstream
+    * of [[qInvertedIndex]] and [[qDocKeywords]]: tokenize + the
+    * (term, doc) shuffle happen once per session, not once per query. */
+  private[graft] def termFreqs(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "termFreqs", dir) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .filter(!col("term").isin("the", "a"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"))
+    }
+
   /** Inverted-index build — the batch artifact behind BM25/lexical
     * serving (the index the reference's SQLite FTS would hold, built
     * as a table): per (term, doc) tf, then per-term document
     * frequency, total tf, and the top-5 posting list ordered by tf.
     * Postings are emitted as a comma-joined string (deterministic
     * order: tf desc, doc_id) so the artifact is engine-comparable.
-    * Shape: one explode → (term, doc) count → term-keyed window +
-    * agg; the term key is the shuffle key throughout, so posting
-    * lists build domain-parallel; a real deployment writes the full
-    * lists bucketed by term instead of top-20-by-df. */
+    * Shape: the shared [[termFreqs]] table → term-keyed window + agg;
+    * the term key is the shuffle key throughout, so posting lists
+    * build domain-parallel; a real deployment writes the full lists
+    * bucketed by term instead of top-20-by-df. */
   def qInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .filter(!col("term").isin("the", "a"))
-      .groupBy("term", "doc_id")
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(spark, dir)
     val w = Window.partitionBy("term").orderBy(desc("tf"), col("doc_id"))
     val postings = tf.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -251,11 +259,7 @@ object TextAnalysis {
     * (window top-k); at scale the window becomes
     * `functions.TopKAggregator` for map-side partial top-k. */
   def qDocKeywords(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .filter(!col("term").isin("the", "a"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(spark, dir)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))

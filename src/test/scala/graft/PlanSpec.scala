@@ -44,4 +44,37 @@ class PlanSpec extends SparkSpec {
     // HashAggregate appears twice: partial (map-side) + final
     assert(p.split("HashAggregate").length >= 3, p)
   }
+
+  test("q_collocations: unigram/total sides broadcast, no sort-merge join") {
+    val p = planOf("q_collocations")
+    assert(p.split("BroadcastHashJoin").length >= 3, p) // c_a, c_b joins
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.split("BroadcastExchange").length >= 3, p)      // the 1-row total
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_doc_keywords: df and corpus-size sides broadcast; top-k windowed") {
+    val p = planOf("q_doc_keywords")
+    assert(p.split("BroadcastHashJoin").length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("q_simhash_near: band join is a hash equi-join, not a cartesian") {
+    val p = planOf("q_simhash_near")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_pii_scrub: single scan, partial aggregation, no join") {
+    val p = planOf("q_pii_scrub")
+    assert(!p.contains("Join"), p)
+    assert(p.split("HashAggregate").length >= 3, p)
+  }
+
+  test("q_kmeans_step: centroid recompute has map-side partial sums") {
+    val p = planOf("q_kmeans_step")
+    assert(p.split("HashAggregate").length >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
