@@ -375,6 +375,81 @@ object Ann {
       .orderBy("cell", "pos")
   }
 
+  /** Int8 scalar-quantized corpus — cached. Per-dimension min/max over
+    * the fixed-point components give a 256-level grid; each component
+    * stores as one byte and dequantizes to
+    * `mn + (code·span) div 255` (all integer, non-negative operands →
+    * truncating division is floor division on every engine). 64 floats
+    * → 64 bytes is the 4× compression between raw scan and PQ's 16×;
+    * unlike PQ the codes preserve per-dimension structure, so the
+    * shortlist scan is a plain integer dot product. Build = one
+    * dimension-keyed groupBy (64 result rows, broadcast back) + a
+    * narrow map — linear, no corpus shuffle. */
+  private[operators] def sq8Dequantized(
+      spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "sq8Deq", dir) {
+      val sv = pqComponents(spark, dir).select("vec_id", "d", "se")
+      val mm = sv.groupBy("d")
+        .agg(min("se").as("mn"), max("se").as("mx"))
+      sv.join(broadcast(mm), "d")
+        .withColumn("code", when(col("mx") > col("mn"),
+          expr("(se - mn) * 255L div (mx - mn)")).otherwise(lit(0L)))
+        .withColumn("dq", expr("mn + code * (mx - mn) div 255"))
+        .select(col("vec_id"), col("d"), col("dq"))
+    }
+
+  /** ANN via int8 scalar quantization (the SQ8 of FAISS/Milvus):
+    * asymmetric search — the query keeps exact fixed-point components,
+    * candidates use their dequantized bytes, shortlist of 30 by the
+    * integer approximate dot, exact cosine rescore to top-10. Same
+    * two-stage serve shape as [[qAnnPq]]: the full-corpus pass touches
+    * the compressed codes only; the float vectors are read for 30
+    * rows. */
+  def qAnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    val qv = pqComponents(spark, dir).filter(col("vec_id") === 0)
+      .select(col("d"), col("se").as("qse"))
+    val shortlist = sq8Dequantized(spark, dir)
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(qv), "d")
+      .groupBy("vec_id")
+      .agg(sum(col("qse") * col("dq")).as("adot"))
+      .orderBy(desc("adot"), col("vec_id"))
+      .limit(30)
+      .select("vec_id")
+    val e = Search.embNormed(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    shortlist.join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6))
+      .select("vec_id", "score")
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF cell-balance report: member count, corpus fraction and skew
+    * (count ÷ ideal count) per cell. THE partition-skew diagnostic for
+    * the ANN serve path — a cell at skew k makes its probe k× the
+    * average scan; at 100 TB this table decides when to re-run
+    * [[qKmeansStep]] or split hot cells. One groupBy over the cached
+    * assignment (8 result rows). */
+  def qIvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val assign = ivfRanked(spark, dir).filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    val total = assign.agg(count(lit(1)).as("n_total"))
+    assign.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(total))
+      .withColumn("frac",
+        round(col("n_vecs").cast("double") / col("n_total"), 6))
+      .withColumn("skew",
+        round(col("n_vecs").cast("double") * 8 / col("n_total"), 6))
+      .select("cell", "n_vecs", "frac", "skew")
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_step"   -> (qKmeansStep _),
     "q_ann_lsh"       -> (qAnnLsh _),
@@ -382,7 +457,9 @@ object Ann {
     "q_ann_ivf"       -> (qAnnIvf _),
     "q_ann_ivf_batch" -> (qAnnIvfBatch _),
     "q_ann_pq"        -> (qAnnPq _),
+    "q_ann_sq8"       -> (qAnnSq8 _),
     "q_ann_recall"    -> (qAnnRecall _),
+    "q_ivf_balance"   -> (qIvfBalance _),
     "q_label_stats"   -> (qLabelStats _),
   )
 
@@ -578,6 +655,55 @@ object Ann {
         |JOIN e ON e.vec_id = a.vec_id, q
         |WHERE a.vec_id <> 0
         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
+    "q_ann_sq8" ->
+      """WITH sv AS (
+        |  SELECT vec_id, d,
+        |    CAST(round(embedding[d+1]::DOUBLE * 1000000, 0) AS BIGINT) AS se
+        |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) g),
+        |mm AS (SELECT d, min(se) AS mn, max(se) AS mx FROM sv GROUP BY d),
+        |codes AS (
+        |  SELECT vec_id, d,
+        |    CASE WHEN mx > mn THEN ((se - mn) * 255) // (mx - mn)
+        |         ELSE 0 END AS code
+        |  FROM sv JOIN mm USING (d)),
+        |deq AS (
+        |  SELECT vec_id, d, mn + (code * (mx - mn)) // 255 AS dq
+        |  FROM codes JOIN mm USING (d)),
+        |qc AS (SELECT d, se AS qse FROM sv WHERE vec_id = 0),
+        |short AS (
+        |  SELECT c.vec_id FROM deq c JOIN qc USING (d)
+        |  WHERE c.vec_id <> 0
+        |  GROUP BY c.vec_id
+        |  ORDER BY sum(qse * dq) DESC, c.vec_id LIMIT 30),
+        |e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+        |FROM e JOIN short USING (vec_id), q
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_ivf_balance" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS csim
+        |  FROM e, c),
+        |ranked AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        |  FROM scored),
+        |assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        |tot AS (SELECT count(*) AS n_total FROM assign)
+        |SELECT cell, count(*) AS n_vecs,
+        |  round(count(*)::DOUBLE / n_total, 6) AS frac,
+        |  round(count(*)::DOUBLE * 8 / n_total, 6) AS skew
+        |FROM assign, tot GROUP BY cell, n_total ORDER BY cell""".stripMargin,
     "q_ann_ivf_batch" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

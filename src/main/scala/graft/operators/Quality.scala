@@ -1,0 +1,302 @@
+package graft
+package operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.embed.Embedder.hash60Col
+import graft.operators.TextAnalysis.toks
+
+/** Corpus-quality operators for a large-scale training-data pipeline —
+  * the filters a 100 TB ingest runs between raw text and tokenization.
+  * Beyond-reference scope (the reference chunks and embeds whatever it
+  * is given: `src/core/chunk/chunk.ts`, `src/core/indexer.ts`); these
+  * are the standard published curation steps re-expressed Spark-first:
+  *
+  *  - [[qGopherRules]] — the document-level rule battery of Gopher
+  *    (Rae et al. 2021, appendix A1.1), minus the repetition rules that
+  *    live in [[Curation.qQualityRepetition]];
+  *  - [[qSubstrDedup]] — cross-document duplicated-span accounting in
+  *    the spirit of "Deduplicating Training Data Makes Language Models
+  *    Better" (Lee et al. 2022), at word-8-gram granularity with
+  *    first-occurrence-wins semantics;
+  *  - [[qPplBucket]] — CCNet-style (Wenzek et al. 2020) head/middle/
+  *    tail quality terciles per language over the deterministic
+  *    bigram-LM score ([[TextAnalysis.bigramScores]]);
+  *  - [[qWinnow]] — winnowing fingerprints (Schleimer, Wilkerson &
+  *    Aiken 2003, the MOSS algorithm) and the top shared-fingerprint
+  *    document pairs.
+  *
+  * Everything is exact integer counting or fixed-point arithmetic over
+  * codegen'd expressions — no UDFs, no floats until a final `round`,
+  * so results are bit-identical across engines and partitionings.
+  */
+object Quality {
+
+  /** Gopher's document-level stop words (Rae et al. 2021: a doc must
+    * contain ≥2 of these to pass). */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher rule battery per document: word count ∈ [50, 100k], mean
+    * word length ∈ [3, 10], symbol-to-word ratio (# and …) ≤ 0.1,
+    * ≥ 80% of words contain a letter, ≥ 2 stop words. One narrow
+    * projection over the corpus scan — no shuffle at all; the `keep`
+    * column is the filter a 100 TB pipeline applies before anything
+    * heavier runs. */
+  def qGopherRules(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", toks(col("text")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        aggregate(col("t"), lit(0L), (a, w) => a + length(w)).as("sum_len"),
+        size(filter(col("t"), w => w.rlike("[a-z]"))).cast("long")
+          .as("n_alpha"),
+        size(filter(col("t"), w => w.isin(GopherStops: _*))).cast("long")
+          .as("n_stop"),
+        (length(col("text")) -
+          length(replace(col("text"), lit("#"), lit("")))).cast("long")
+          .as("n_hash"),
+        ((length(col("text")) -
+          length(replace(col("text"), lit("..."), lit("")))) / 3)
+          .cast("long").as("n_ellipsis"))
+      .withColumn("mean_word_len",
+        round(col("sum_len").cast("double") / col("n_words"), 6))
+      .withColumn("symbol_ratio",
+        round((col("n_hash") + col("n_ellipsis")).cast("double") /
+          col("n_words"), 6))
+      .withColumn("alpha_frac",
+        round(col("n_alpha").cast("double") / col("n_words"), 6))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("symbol_ratio") <= 0.1 && col("alpha_frac") >= 0.8 &&
+          col("n_stop") >= 2)
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_frac", "n_stop", "keep")
+      .orderBy("doc_id")
+
+  private val SubstrGram = 8
+
+  /** Duplicated-span accounting at word-8-gram granularity: a doc's
+    * gram is `shared` if any other doc contains it, and `dup` if a doc
+    * with a SMALLER doc_id does (first occurrence owns the span — the
+    * keep-one semantics of suffix-style dedup). `keep` drops docs
+    * majority-covered by spans owned elsewhere.
+    *
+    * Shape: distinct (doc, gram) explode → gram-keyed stats groupBy
+    * (min owner + doc frequency) → gram-keyed join back → doc-keyed
+    * aggregate. Three shuffles, all linear in corpus grams; the gram
+    * key distributes uniformly (md5-like text), so no skew. */
+  def qSubstrDedup(spark: SparkSession, dir: String): DataFrame = {
+    val n = SubstrGram
+    val grams = Tables.documents(spark, dir)
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("t")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("t"), i + j)): _*))))
+          .as("g"))
+    val stats = grams.groupBy("g")
+      .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
+    grams.join(stats, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"),
+        sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_grams"), 6))
+      .withColumn("keep", col("dup_frac") <= 0.5)
+      .select("doc_id", "n_grams", "n_shared", "n_dup", "dup_frac", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style quality terciles: rank every document inside its
+    * language by the bigram-LM score (higher = more "likely" text) and
+    * cut into head/middle/tail thirds (bucket 1 = head). Emits per
+    * (lang, bucket) doc counts and score ranges — the table a pipeline
+    * joins back to sample head-heavy training mixes.
+    *
+    * Shape: reuses the cached per-doc scores, one lang-partitioned
+    * window (languages are independent → perfectly parallel), one
+    * grouped pass. `ntile` over (score DESC, doc_id) is fully ordered,
+    * so bucket edges are deterministic on any engine. */
+  def qPplBucket(spark: SparkSession, dir: String): DataFrame = {
+    val scores = TextAnalysis.bigramScores(spark, dir)
+      .select("doc_id", "avg_prob_micro")
+    val langs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val w = Window.partitionBy("lang")
+      .orderBy(desc("avg_prob_micro"), col("doc_id"))
+    scores.join(langs, "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("avg_prob_micro").as("min_score"),
+        max("avg_prob_micro").as("max_score"))
+      .orderBy("lang", "bucket")
+  }
+
+  private val WinnowK = 5 // gram size (words)
+  private val WinnowW = 4 // winnowing window (grams)
+  private val WinnowMaxDf = 50 // ignore fingerprints common to >50 docs
+
+  /** Winnowed fingerprint set per document — cached. Rolling word-5-gram
+    * hashes; each length-4 window contributes its minimum hash; distinct
+    * survivors are the fingerprints (density guarantee 2/(w+1), so the
+    * pair index is ~2/5 the gram count). */
+  private[operators] def winnowFingerprints(
+      spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "winnowFp", dir) {
+      val hashes = Tables.documents(spark, dir)
+        .withColumn("t", toks(col("text")))
+        .filter(size(col("t")) >= WinnowK + WinnowW - 1)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(1), size(col("t")) - (WinnowK - 1)),
+            i => hash60Col(concat_ws(" ",
+              (0 until WinnowK).map(j => element_at(col("t"), i + j)): _*))))
+            .as(Seq("pos", "h")))
+      val perDoc = Window.partitionBy("doc_id")
+      val wnd = perDoc.orderBy("pos").rowsBetween(0, WinnowW - 1)
+      hashes
+        .withColumn("n", count(lit(1)).over(perDoc))
+        .withColumn("fp", min(col("h")).over(wnd))
+        .filter(col("pos") <= col("n") - WinnowW) // full windows only
+        .select("doc_id", "fp")
+        .distinct()
+    }
+
+  /** MOSS-style near-dup pairs: join documents on shared winnowing
+    * fingerprints, count overlap, Jaccard over full fingerprint sets,
+    * top-20 pairs. Fingerprints in >  [[WinnowMaxDf]] docs are dropped
+    * before pairing (boilerplate — the MOSS "too common to mean
+    * anything" rule), which caps the per-key pair fan-out at df² and
+    * keeps the self-join linear-ish at corpus scale. */
+  def qWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val fp = winnowFingerprints(spark, dir)
+    val dfc = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= WinnowMaxDf)
+      .select("fp")
+    val shared = fp.join(dfc, "fp")
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    shared.as("a")
+      .join(shared.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
+        col("n_fp").as("n_a"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
+        col("n_fp").as("n_b"))), "doc_b")
+      .withColumn("sim", round(col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .select("doc_a", "doc_b", "n_shared", "n_a", "n_b", "sim")
+      .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher_rules" -> (qGopherRules _),
+    "q_substr_dedup" -> (qSubstrDedup _),
+    "q_ppl_bucket"   -> (qPplBucket _),
+    "q_winnow"       -> (qWinnow _),
+  )
+
+  import TextAnalysis.{toksSql, bigramScoreSql}
+
+  val oracles: Map[String, String] = Map(
+    "q_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_words,
+         |    list_sum(list_transform(toks, w -> length(w)))::BIGINT AS sum_len,
+         |    len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::BIGINT
+         |      AS n_alpha,
+         |    len(list_filter(toks, w -> w IN ('the','be','to','of','and',
+         |      'that','have','with')))::BIGINT AS n_stop,
+         |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+         |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+         |      AS n_ellipsis
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    round(sum_len::DOUBLE / n_words, 6) AS mean_word_len,
+         |    round((n_hash + n_ellipsis)::DOUBLE / n_words, 6) AS symbol_ratio,
+         |    round(n_alpha::DOUBLE / n_words, 6) AS alpha_frac,
+         |    n_stop
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+         |  n_stop,
+         |  n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3
+         |    AND mean_word_len <= 10 AND symbol_ratio <= 0.1
+         |    AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_substr_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |gr AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS g
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) u
+         |  WHERE len(toks) >= 8),
+         |s AS (
+         |  SELECT g, min(doc_id) AS owner, count(*) AS n_docs
+         |  FROM gr GROUP BY g),
+         |a AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+         |    sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END)::BIGINT AS n_dup
+         |  FROM gr JOIN s USING (g) GROUP BY doc_id)
+         |SELECT doc_id, n_grams, n_shared, n_dup,
+         |  round(n_dup::DOUBLE / n_grams, 6) AS dup_frac,
+         |  round(n_dup::DOUBLE / n_grams, 6) <= 0.5 AS keep
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "q_ppl_bucket" ->
+      s"""WITH $bigramScoreSql,
+         |j AS (
+         |  SELECT b.doc_id, d.lang, b.avg_prob_micro
+         |  FROM bscore b JOIN documents d USING (doc_id)),
+         |k AS (
+         |  SELECT lang, avg_prob_micro,
+         |    ntile(3) OVER (PARTITION BY lang
+         |      ORDER BY avg_prob_micro DESC, doc_id) AS bucket
+         |  FROM j)
+         |SELECT lang, bucket::BIGINT AS bucket, count(*) AS n_docs,
+         |  min(avg_prob_micro) AS min_score, max(avg_prob_micro) AS max_score
+         |FROM k GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "q_winnow" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id, i - 1 AS pos, len(toks) - 4 AS n,
+         |    ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))
+         |      ::BIGINT AS hh
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i) u
+         |  WHERE len(toks) >= 8),
+         |f AS (
+         |  SELECT doc_id, pos, n,
+         |    min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM h),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM f WHERE pos <= n - 4),
+         |dfc AS (
+         |  SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp)
+         |  WHERE df >= 2 AND df <= 50),
+         |sh AS (SELECT doc_id, fp FROM fps JOIN dfc USING (fp)),
+         |sz AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+         |  round(n_shared::DOUBLE / (sa.n_fp + sb.n_fp - n_shared), 6) AS sim
+         |FROM pr
+         |JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b
+         |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+  )
+}

@@ -26,8 +26,32 @@ object TextAnalysis {
   def toks(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
 
-  private val toksSql =
+  private[operators] val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+  /** DuckDB CTE chain ending in `bscore(doc_id, n_bigrams, sum_micro,
+    * avg_prob_micro)` — the oracle twin of [[bigramScores]], shared
+    * with Quality's perplexity-bucket oracle. */
+  private[operators] val bigramScoreSql =
+    s"""t AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+       |  WHERE len(toks) >= 2),
+       |uni AS (
+       |  SELECT w AS w1, count(*) AS c_a
+       |  FROM t, LATERAL (SELECT unnest(toks) AS w) u GROUP BY w),
+       |p AS (
+       |  SELECT doc_id, w1, count(*) OVER (PARTITION BY w1, w2) AS c_ab
+       |  FROM bg),
+       |m AS (
+       |  SELECT doc_id, (c_ab * 1000000) // c_a AS p_micro
+       |  FROM p JOIN uni USING (w1)),
+       |bscore AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, sum(p_micro)::BIGINT AS sum_micro,
+       |    (sum(p_micro)::BIGINT) // count(*) AS avg_prob_micro
+       |  FROM m GROUP BY doc_id)""".stripMargin
 
   /** X12/X15-shape token counting: char count, whitespace tokens,
     * regex word tokens, ceil(len/4) token estimate. */
@@ -231,25 +255,32 @@ object TextAnalysis {
     * shuffle key (one shuffle, no self-join); the unigram denominator
     * table is vocabulary-sized → broadcast; final per-doc groupBy on
     * the doc key. Linear in corpus bigrams at 100 TB. */
-  def qBigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).withColumn("t", toks(col("text")))
-    val uni = docs.select(explode(col("t")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c_a"))
-    val bg = docs.filter(size(col("t")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("t")) - 1),
-          i => struct(element_at(col("t"), i).as("w1"),
-            element_at(col("t"), i + 1).as("w2")))).as("b"))
-      .select(col("doc_id"), col("b.w1"), col("b.w2"))
-    val wBg = Window.partitionBy("w1", "w2")
-    bg.withColumn("c_ab", count(lit(1)).over(wBg))
-      .join(broadcast(uni), "w1")
-      .withColumn("p_micro", expr("c_ab * 1000000L div c_a"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("p_micro").as("sum_micro"))
-      .withColumn("avg_prob_micro", expr("sum_micro div n_bigrams"))
-      .orderBy("doc_id")
-  }
+  def qBigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramScores(spark, dir).orderBy("doc_id")
+
+  /** Cached per-doc bigram-LM scores `(doc_id, n_bigrams, sum_micro,
+    * avg_prob_micro)` — shared by [[qBigramLm]] and Quality's
+    * perplexity-bucket operator. */
+  private[operators] def bigramScores(
+      spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "bigramLm", dir) {
+      val docs = Tables.documents(spark, dir).withColumn("t", toks(col("text")))
+      val uni = docs.select(explode(col("t")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c_a"))
+      val bg = docs.filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val wBg = Window.partitionBy("w1", "w2")
+      bg.withColumn("c_ab", count(lit(1)).over(wBg))
+        .join(broadcast(uni), "w1")
+        .withColumn("p_micro", expr("c_ab * 1000000L div c_a"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("p_micro").as("sum_micro"))
+        .withColumn("avg_prob_micro", expr("sum_micro div n_bigrams"))
+    }
 
   /** Per-document keywords by log-free TF-IDF: rarity weight
     * `idf_micro = N·10⁶ div df` (integer, monotone in 1/df — the
@@ -393,24 +424,9 @@ object TextAnalysis {
         |  round(sum(length(text))::DOUBLE / count(*), 6) AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY ctype""".stripMargin,
     "q_bigram_lm" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $toksSql AS toks FROM documents),
-         |bg AS (
-         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
-         |  WHERE len(toks) >= 2),
-         |uni AS (
-         |  SELECT w AS w1, count(*) AS c_a
-         |  FROM t, LATERAL (SELECT unnest(toks) AS w) u GROUP BY w),
-         |p AS (
-         |  SELECT doc_id, w1, count(*) OVER (PARTITION BY w1, w2) AS c_ab
-         |  FROM bg),
-         |m AS (
-         |  SELECT doc_id, (c_ab * 1000000) // c_a AS p_micro
-         |  FROM p JOIN uni USING (w1))
-         |SELECT doc_id, count(*) AS n_bigrams, sum(p_micro)::BIGINT AS sum_micro,
-         |  (sum(p_micro)::BIGINT) // count(*) AS avg_prob_micro
-         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $bigramScoreSql
+         |SELECT doc_id, n_bigrams, sum_micro, avg_prob_micro
+         |FROM bscore ORDER BY doc_id""".stripMargin,
     "q_doc_keywords" ->
       s"""WITH tf AS (
          |  SELECT doc_id, tok AS term, count(*) AS tf
