@@ -69,6 +69,27 @@ object ScaleProbe {
       },
       time("rarity") {
         s"rows=${operators.Curation.qRarity(spark, work).count()}"
+      },
+      time("gopher_rules") {
+        s"rows=${operators.Quality.qGopherRules(spark, work).count()}"
+      },
+      time("substr_dedup") {
+        // every replica-k>0 doc's grams all exist under a replica-0
+        // doc_id, so first-occurrence-wins must drop ≥ (mult-1)/mult
+        // of the corpus; survivors are a subset of replica 0.
+        val s = operators.Quality.qSubstrDedup(spark, work)
+        val kept = s.filter(col("keep")).count()
+        s"rows=${s.count()} kept=$kept kept_outside_rep0=${
+          s.filter(col("keep") && col("doc_id") >= 10000000L).count()}"
+      },
+      time("winnow_pairs") {
+        // replicas share every fingerprint: the top pairs must all be
+        // perfect-overlap (sim = 1.0)
+        val p = operators.Quality.qWinnow(spark, work)
+        s"pairs=${p.count()} perfect=${p.filter(col("sim") === 1.0).count()}"
+      },
+      time("ppl_bucket") {
+        s"rows=${operators.Quality.qPplBucket(spark, work).count()}"
       })
 
     val expectPairs = n0 * mult.toLong * (mult - 1) / 2

@@ -253,15 +253,16 @@ object Ann {
   /** ADC lookup table for the query vector: exact fixed-point dot of
     * each query subvector with each centroid — `SubSpaces × 8` rows,
     * broadcast. */
-  private def pqQueryTable(spark: SparkSession, dir: String): DataFrame = {
-    val sv = pqComponents(spark, dir)
-    val cents = sv.filter(col("vec_id") < PqCentroids)
-      .select(col("vec_id").as("cid"), col("d"), col("se").as("ce"))
-    sv.filter(col("vec_id") === 0)
-      .join(broadcast(cents), "d")
-      .groupBy("sub", "cid")
-      .agg(sum(col("se") * col("ce")).as("dot_fp"))
-  }
+  private def pqQueryTable(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "pqQueryTable", dir) {
+      val sv = pqComponents(spark, dir)
+      val cents = sv.filter(col("vec_id") < PqCentroids)
+        .select(col("vec_id").as("cid"), col("d"), col("se").as("ce"))
+      sv.filter(col("vec_id") === 0)
+        .join(broadcast(cents), "d")
+        .groupBy("sub", "cid")
+        .agg(sum(col("se") * col("ce")).as("dot_fp"))
+    }
 
   /** ANN via product quantization, the standard two-stage serve path:
     * (1) asymmetric distance computation — a candidate's approximate
@@ -324,15 +325,20 @@ object Ann {
     * approximation quality — at scale you run this on a sampled query
     * set as a data-quality job. */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = Search.qKnn(spark, dir)
-      .select(col("vec_id")).withColumn("hit", lit(1L))
+    // The per-method top-10s are deterministic 10-row tables — persist
+    // them session-scoped (like the indices they probe) so the recall
+    // report costs four tiny cached reads, not four full serve paths.
+    def top10(key: String)(build: => DataFrame): DataFrame =
+      Cache.getOrBuild(spark, s"top10_$key", dir)(build.select(col("vec_id")))
+    val exact = top10("exact")(Search.qKnn(spark, dir))
+      .withColumn("hit", lit(1L))
     val all =
-      qAnnLsh(spark, dir).select(col("vec_id")).withColumn("method", lit("lsh"))
-        .unionByName(qAnnLshProbe(spark, dir).select(col("vec_id"))
+      top10("lsh")(qAnnLsh(spark, dir)).withColumn("method", lit("lsh"))
+        .unionByName(top10("lsh_probe")(qAnnLshProbe(spark, dir))
           .withColumn("method", lit("lsh_probe")))
-        .unionByName(qAnnIvf(spark, dir).select(col("vec_id"))
+        .unionByName(top10("ivf")(qAnnIvf(spark, dir))
           .withColumn("method", lit("ivf")))
-        .unionByName(qAnnPq(spark, dir).select(col("vec_id"))
+        .unionByName(top10("pq")(qAnnPq(spark, dir))
           .withColumn("method", lit("pq")))
     all.join(broadcast(exact), Seq("vec_id"), "left")
       .groupBy("method")
