@@ -202,11 +202,70 @@ object Quality {
       .limit(20)
   }
 
+  private val VocabK = 20
+
+  /** Tokenizer-pipeline diagnostic: build the top-[[VocabK]] corpus
+    * vocabulary (count desc, term tie-break — fully ordered, so the
+    * cut is deterministic) and report each document's out-of-vocabulary
+    * token fraction. The vocabulary is a broadcast-sized table by
+    * construction; the per-doc pass is one explode + broadcast lookup +
+    * doc-keyed groupBy — linear, one shuffle. */
+  def qVocabOov(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val vocab = tk.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(VocabK)
+      .select(col("w"), lit(1L).as("in_v"))
+    tk.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-flavored importance weighting (Xie et al. 2023), log-free:
+    * the target domain is the `en` slice; each term carries an integer
+    * micro-lift `(c_target · N_raw · 10⁶) div (c_raw · N_target)` —
+    * the unigram probability ratio in fixed point — and a document's
+    * relevance is the tf-weighted mean lift of its tokens. Exact
+    * integer arithmetic end-to-end (sums are order-independent), so
+    * weights are bit-stable on any engine; rank by `rel_micro` to
+    * importance-sample a target-like training mix.
+    *
+    * Shape: two vocabulary-sized aggregates (broadcast), then one
+    * doc-keyed groupBy over the token stream — linear, one corpus
+    * shuffle. */
+  def qDsirProxy(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("w"))
+    val raw = tk.groupBy("w").agg(count(lit(1)).as("c_r"))
+    val tgt = tk.filter(col("lang") === "en")
+      .groupBy("w").agg(count(lit(1)).as("c_t"))
+    val lift = raw.join(tgt, Seq("w"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(raw.agg(sum("c_r").cast("long").as("n_r"))))
+      .crossJoin(broadcast(tgt.agg(sum("c_t").cast("long").as("n_t"))))
+      .withColumn("lift_micro",
+        expr("c_t * n_r * 1000000L div (c_r * n_t)"))
+      .select("w", "lift_micro")
+    tk.join(broadcast(lift), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("lift_micro").as("sum_lift"))
+      .withColumn("rel_micro", expr("sum_lift div n_tokens"))
+      .select("doc_id", "n_tokens", "rel_micro")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher_rules" -> (qGopherRules _),
     "q_substr_dedup" -> (qSubstrDedup _),
     "q_ppl_bucket"   -> (qPplBucket _),
     "q_winnow"       -> (qWinnow _),
+    "q_vocab_oov"    -> (qVocabOov _),
+    "q_dsir_proxy"   -> (qDsirProxy _),
   )
 
   import TextAnalysis.{toksSql, bigramScoreSql}
@@ -274,6 +333,39 @@ object Quality {
          |SELECT lang, bucket::BIGINT AS bucket, count(*) AS n_docs,
          |  min(avg_prob_micro) AS min_score, max(avg_prob_micro) AS max_score
          |FROM k GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "q_vocab_oov" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, tok AS w
+         |  FROM documents, LATERAL (SELECT unnest($toksSql) AS tok) u),
+         |v AS (
+         |  SELECT w FROM (
+         |    SELECT w, count(*) AS n FROM tk GROUP BY w
+         |    ORDER BY n DESC, w LIMIT 20)),
+         |a AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+         |  FROM tk LEFT JOIN v ON tk.w = v.w GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  round(n_oov::DOUBLE / n_tokens, 6) AS oov_frac
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "q_dsir_proxy" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, tok AS w
+         |  FROM documents, LATERAL (SELECT unnest($toksSql) AS tok) u),
+         |raw AS (SELECT w, count(*) AS c_r FROM tk GROUP BY w),
+         |tgt AS (
+         |  SELECT w, count(*) AS c_t FROM tk WHERE lang = 'en' GROUP BY w),
+         |nr AS (SELECT sum(c_r)::BIGINT AS n_r FROM raw),
+         |nt AS (SELECT sum(c_t)::BIGINT AS n_t FROM tgt),
+         |lift AS (
+         |  SELECT raw.w,
+         |    (coalesce(tgt.c_t, 0) * n_r * 1000000) // (raw.c_r * n_t)
+         |      AS lift_micro
+         |  FROM raw LEFT JOIN tgt USING (w), nr, nt)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  (sum(lift_micro)::BIGINT) // count(*) AS rel_micro
+         |FROM tk JOIN lift USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_winnow" ->
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents),

@@ -68,6 +68,30 @@ class QualitySpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("vocab oov: rates are valid and token accounting is total") {
+    val q = Quality.qVocabOov(spark, sfDir)
+    assert(q.filter(col("oov_frac") < 0 || col("oov_frac") > 1).count() === 0)
+    assert(q.filter(col("n_oov") > col("n_tokens")).count() === 0)
+    val total = Tables.documents(spark, sfDir)
+      .select(explode(TextAnalysis.toks(col("text"))).as("w")).count()
+    assert(q.agg(sum("n_tokens")).head.getLong(0) === total)
+  }
+
+  test("dsir proxy: lifts center on 10⁶ (unit ratio) for a shared vocabulary") {
+    val q = Quality.qDsirProxy(spark, sfDir)
+    assert(q.count() === Tables.documents(spark, sfDir).count())
+    // the synthetic corpus draws every language from one vocabulary, so
+    // each term's target/raw probability ratio ≈ 1 and every document's
+    // tf-weighted mean lift must sit near 10⁶ micro-units; a doc far
+    // from 10⁶ would mean the ratio table or the floor-div lost mass
+    assert(q.filter(col("rel_micro") < 900000L ||
+      col("rel_micro") > 1100000L).count() === 0)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val enAvg = q.join(docs, "doc_id").filter(col("lang") === "en")
+      .agg(avg("rel_micro")).head.getDouble(0)
+    assert(enAvg > 950000.0 && enAvg < 1050000.0)
+  }
+
   test("winnow fingerprints: density within the winnowing guarantee") {
     // winnowing selects at least one hash per window and at most one per
     // position: 0 < |fp| <= grams, and |fp| >= grams/w (every window has
