@@ -85,13 +85,13 @@ object Quality {
     * keep-one semantics of suffix-style dedup). `keep` drops docs
     * majority-covered by spans owned elsewhere.
     *
-    * Shape: distinct (doc, gram-hash) explode → hash-keyed stats
-    * groupBy (min owner + doc frequency) → hash-keyed join back →
-    * doc-keyed aggregate. Three shuffles, all linear in corpus grams.
-    * Grams shuffle as 8-byte portable hashes (hash60), not ~50-char
-    * strings — 6× narrower shuffle rows, uniformly distributed keys
-    * (no skew), same answer: a 60-bit hash collides within a corpus's
-    * distinct grams only past ~10⁹ of them per partition-independent
+    * Shape: distinct (doc, gram-hash) explode → ONE window over the
+    * hash key (owner = min doc_id, df = count — no groupBy+join-back
+    * round trip) → doc-keyed aggregate. Two shuffles, both linear in
+    * corpus grams. Grams shuffle as 8-byte portable hashes (hash60),
+    * not ~50-char strings — 6× narrower shuffle rows, uniformly
+    * distributed keys (no skew), same answer: a 60-bit hash collides
+    * within a corpus's distinct grams only past ~10⁹ of them per
     * birthday math, and the oracle hashes identically. */
   def qSubstrDedup(spark: SparkSession, dir: String): DataFrame = {
     val n = SubstrGram
@@ -104,9 +104,10 @@ object Quality {
           i => hash60Col(concat_ws(" ",
             (0 until n).map(j => element_at(col("t"), i + j)): _*)))))
           .as("g"))
-    val stats = grams.groupBy("g")
-      .agg(min("doc_id").as("owner"), count(lit(1)).as("n_docs"))
-    grams.join(stats, "g")
+    val wG = Window.partitionBy("g")
+    grams
+      .withColumn("owner", min("doc_id").over(wG))
+      .withColumn("n_docs", count(lit(1)).over(wG))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"),
