@@ -134,6 +134,69 @@ object Events {
       .select("event_type", "n", "corr_vk")
       .orderBy("event_type")
 
+  private val FunnelWindowMs = 86400000L // each step must follow within 24h
+
+  /** Ordered-step funnel view → click → purchase: step k counts users
+    * whose earliest qualifying event strictly follows their step-k−1
+    * time within a 24-hour window. Emits one row per step with the
+    * conversion fraction from the previous step. Each stage is a
+    * user-keyed min-aggregate plus a user-keyed join — the corpus
+    * shuffles once per step on the user key (150 users here; billions
+    * of users partition uniformly), never on an event cross product. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ms").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ms") > col("t1") && col("ms") <= col("t1") + FunnelWindowMs)
+      .groupBy("user_id").agg(min("ms").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ms") > col("t2") && col("ms") <= col("t2") + FunnelWindowMs)
+      .groupBy("user_id").agg(min("ms").as("t3"))
+    val n = v.agg(count(lit(1)).as("n1"))
+      .crossJoin(c.agg(count(lit(1)).as("n2")))
+      .crossJoin(p.agg(count(lit(1)).as("n3")))
+    n.select(lit(1L).as("step"), lit("view").as("stage"),
+        col("n1").as("n_users"), lit(1.0).as("conv"))
+      .unionByName(n.select(lit(2L).as("step"), lit("click").as("stage"),
+        col("n2").as("n_users"),
+        round(col("n2").cast("double") / col("n1"), 6).as("conv")))
+      .unionByName(n.select(lit(3L).as("step"), lit("purchase").as("stage"),
+        col("n3").as("n_users"),
+        round(col("n3").cast("double") / col("n2"), 6).as("conv")))
+      .orderBy("step")
+  }
+
+  /** Daily retention cohorts: users grouped by first-activity day,
+    * fraction still active at day offsets 0–7. Day indices are integer
+    * epoch-millis floor-division (engine-portable; no calendar logic).
+    * Shape: user-keyed min for the cohort, distinct (user, offset)
+    * activity, one (cohort, offset) groupBy — all linear, keys
+    * uniform. The table every training-data freshness dashboard is
+    * built from. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+    val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val active = days.join(cohort, "user_id")
+      .withColumn("offset", col("day") - col("cohort_day"))
+      .filter(col("offset") <= 7)
+      .select("user_id", "cohort_day", "offset")
+      .distinct()
+    val counts = active.groupBy("cohort_day", "offset")
+      .agg(count(lit(1)).as("n_users"))
+    val base = counts.filter(col("offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("n0"))
+    counts.join(base, "cohort_day")
+      .withColumn("retained",
+        round(col("n_users").cast("double") / col("n0"), 6))
+      .select("cohort_day", "offset", "n_users", "retained")
+      .orderBy("cohort_day", "offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corr"           -> (qCorr _),
     "q_json_extract"   -> (qJsonExtract _),
@@ -142,6 +205,8 @@ object Events {
     "q_pivot"          -> (qPivot _),
     "q_running_window" -> (qRunningWindow _),
     "q_ntile"          -> (qNtile _),
+    "q_funnel"         -> (qFunnel _),
+    "q_retention"      -> (qRetention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,6 +248,51 @@ object Events {
         |    AS moving_avg4
         |FROM events WHERE user_id < 50
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.t1
+        |    AND epoch_ms(e.ts) <= v.t1 + 86400000
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(epoch_ms(e.ts)) AS t3
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t2
+        |    AND epoch_ms(e.ts) <= c.t2 + 86400000
+        |  GROUP BY e.user_id),
+        |n AS (
+        |  SELECT (SELECT count(*) FROM v) AS n1,
+        |         (SELECT count(*) FROM c) AS n2,
+        |         (SELECT count(*) FROM p) AS n3)
+        |SELECT 1::BIGINT AS step, 'view' AS stage, n1 AS n_users,
+        |  1.0::DOUBLE AS conv FROM n
+        |UNION ALL
+        |SELECT 2::BIGINT, 'click', n2, round(n2::DOUBLE / n1, 6) FROM n
+        |UNION ALL
+        |SELECT 3::BIGINT, 'purchase', n3, round(n3::DOUBLE / n2, 6) FROM n
+        |ORDER BY step""".stripMargin,
+    "q_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT d.user_id, cohort_day, day - cohort_day AS "offset"
+        |  FROM d JOIN cohort USING (user_id)
+        |  WHERE day - cohort_day <= 7),
+        |counts AS (
+        |  SELECT cohort_day, "offset", count(*) AS n_users
+        |  FROM active GROUP BY 1, 2),
+        |base AS (
+        |  SELECT cohort_day, n_users AS n0 FROM counts WHERE "offset" = 0)
+        |SELECT c.cohort_day, c."offset", c.n_users,
+        |  round(c.n_users::DOUBLE / b.n0, 6) AS retained
+        |FROM counts c JOIN base b USING (cohort_day)
+        |ORDER BY c.cohort_day, c."offset"""".stripMargin,
     "q_ntile" ->
       """WITH t AS (
         |  SELECT event_type, value,

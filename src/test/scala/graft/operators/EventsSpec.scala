@@ -28,4 +28,27 @@ class EventsSpec extends SparkSpec {
     val (in, ex, near) = (r.getLong(0), r.getLong(1), r.getLong(2))
     assert(in >= ex && ex >= near && near > 0)
   }
+
+  test("funnel: monotone step counts, conversions are step-over-step ratios") {
+    val rows = Events.qFunnel(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("step")).toSeq == Seq(1L, 2L, 3L))
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2))
+    assert(rows(0).getAs[Double]("conv") === 1.0)
+    if (ns(0) > 0)
+      assert(math.abs(rows(1).getAs[Double]("conv") -
+        ns(1).toDouble / ns(0)) < 1e-5)
+  }
+
+  test("retention: offset 0 is full, fractions never exceed 1") {
+    val r = Events.qRetention(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    assert(r.filter(col("offset") === 0 && col("retained") =!= 1.0).count() === 0)
+    assert(r.filter(col("retained") > 1.0 || col("retained") <= 0.0).count() === 0)
+    assert(r.filter(col("offset") < 0 || col("offset") > 7).count() === 0)
+    // every user appears in exactly one cohort at offset 0
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(r.filter(col("offset") === 0)
+      .agg(sum("n_users")).head.getLong(0) === users)
+  }
 }
