@@ -438,7 +438,52 @@ object Dedup {
       .select(col("grp").as("group_id"), col("group_size"), col("members"))
       .orderBy("group_id")
 
+  /** LSH band-configuration sweep: for (bands × rows) ∈ {8×2, 4×4,
+    * 2×8} over the same 16 minima, the candidate-pair count and the
+    * fraction whose signature-estimated Jaccard clears 0.5 — the
+    * precision/recall tuning table you consult BEFORE committing a
+    * banding to a 100 TB run (more rows per band → fewer, more precise
+    * candidates; the S-curve threshold is (1/b)^(1/r)). Everything
+    * derives from the cached wide signature matrix: per config one
+    * bucket self-join (never all pairs) + one broadcast-signature
+    * agreement count; no shingle re-scan. */
+  def qLshTune(spark: SparkSession, dir: String): DataFrame = {
+    val wide = minhashSigsWide(spark, dir)
+    val agree = (0 until 16).map(i =>
+      when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val aSig = wide.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(i => col(s"m$i").as(s"a_m$i")): _*)
+    val bSig = wide.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(i => col(s"m$i").as(s"b_m$i")): _*)
+    val per = Seq(2, 4, 8).map { r =>
+      val b = 16 / r
+      val sigs = wide.select(col("doc_id"),
+        posexplode(array((0 until b).map(j =>
+          md5(concat_ws(",",
+            (0 until r).map(k => col(s"m${j * r + k}")): _*))): _*))
+          .as(Seq("band", "sig")))
+      val cand = sigs.as("a")
+        .join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand.join(aSig, "doc_a").join(bSig, "doc_b")
+        .withColumn("n_agree", agree)
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("n_agree") >= 8, 1L).otherwise(0L)).as("n_est_half"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_est_half"))
+    }
+    per.reduce(_.unionByName(_))
+      .withColumn("precision_est",
+        round(col("n_est_half").cast("double") / col("n_candidates"), 6))
+      .orderBy("rows_per_band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_tune"       -> (qLshTune _),
     "q_dedup_groups"   -> (qDedupGroups _),
     "q_decontaminate"  -> (qDecontaminate _),
     "q_dedup_pipeline" -> (qDedupPipeline _),
@@ -488,6 +533,34 @@ object Dedup {
       |  FROM bitsums GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_lsh_tune" ->
+      s"""WITH $sigSql,
+         |bands AS (
+         |  SELECT doc_id, r, h // r AS band,
+         |    md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS bsig
+         |  FROM sig, (VALUES (2), (4), (8)) rc(r)
+         |  GROUP BY doc_id, r, band),
+         |cand AS (
+         |  SELECT DISTINCT r, a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (r, band, bsig)
+         |  WHERE a.doc_id < b.doc_id),
+         |agr AS (
+         |  SELECT c.r, c.doc_a, c.doc_b,
+         |    sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS n_agree
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+         |  GROUP BY 1, 2, 3),
+         |res AS (
+         |  SELECT r, count(*) AS n_candidates,
+         |    sum(CASE WHEN n_agree >= 8 THEN 1 ELSE 0 END)::BIGINT AS n_est_half
+         |  FROM agr GROUP BY r)
+         |SELECT (16 // rc.r)::BIGINT AS bands, rc.r::BIGINT AS rows_per_band,
+         |  coalesce(res.n_candidates, 0) AS n_candidates, res.n_est_half,
+         |  round(res.n_est_half::DOUBLE / res.n_candidates, 6) AS precision_est
+         |FROM (VALUES (2), (4), (8)) rc(r)
+         |LEFT JOIN res ON res.r = rc.r
+         |ORDER BY rows_per_band""".stripMargin,
     "q_dedup_groups" ->
       s"""WITH RECURSIVE $sigSql,
          |bands AS (

@@ -170,4 +170,17 @@ class DedupSpec extends SparkSpec {
     assert(banded.count() > 0)
     sigs.unpersist()
   }
+
+  test("lsh tune: nested bands make candidate counts monotone in rows-per-band") {
+    val rows = Dedup.qLshTune(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("rows_per_band"))
+    assert(rows.map(_.getAs[Long]("rows_per_band")).toSeq == Seq(2L, 4L, 8L))
+    // an r=2k band match implies both nested r=k half-band matches, so
+    // candidates(r=8) ⊆ candidates(r=4) ⊆ candidates(r=2) structurally
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    assert(cands(0) >= cands(1) && cands(1) >= cands(2))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_est_half") <= r.getAs[Long]("n_candidates"))
+    }
+  }
 }
