@@ -77,4 +77,30 @@ class PlanSpec extends SparkSpec {
     assert(p.split("HashAggregate").length >= 3, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_gopher_rules: pure narrow projection — no shuffle, no join") {
+    val p = planOf("q_gopher_rules")
+    assert(!p.contains("Join"), p)
+    // the only exchange allowed is the final orderBy's range partitioning
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("q_substr_dedup: gram stats come from a window, not a join-back") {
+    val p = planOf("q_substr_dedup")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_vocab_oov / q_dsir_proxy: term tables broadcast, no sort-merge join") {
+    Seq("q_vocab_oov", "q_dsir_proxy").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q\n$p")
+    }
+  }
+
+  test("q_funnel: user-keyed equi-joins only, no event cross product") {
+    val p = planOf("q_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
