@@ -2,6 +2,7 @@ package graft
 package operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.embed.Embedder.hash60Col
@@ -482,8 +483,31 @@ object Dedup {
       .orderBy("rows_per_band")
   }
 
+  /** SemDeDup-style cluster curation (Abbas et al. 2023, composed from
+    * the engine's own primitives): within every near-dup component
+    * (cached [[componentLabels]]), keep exactly one representative —
+    * the longest document, doc_id tie-break — and account for what was
+    * dropped. One window + one groupBy over component-keyed rows; the
+    * component table is pair-graph-sized, orders of magnitude smaller
+    * than the corpus, so the keep-best pass is never the bottleneck. */
+  def qSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val labels = componentLabels(spark, dir)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    val w = Window.partitionBy("grp").orderBy(desc("n_chars"), col("doc_id"))
+    labels.join(docs, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("grp").as("group_id"))
+      .agg(count(lit(1)).as("group_size"),
+        sum(when(col("rk") === 1, col("doc_id"))).as("kept_doc"),
+        sum(when(col("rk") === 1, col("n_chars"))).as("kept_chars"))
+      .withColumn("n_dropped", col("group_size") - 1)
+      .orderBy("group_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lsh_tune"       -> (qLshTune _),
+    "q_semdedup"       -> (qSemdedup _),
     "q_dedup_groups"   -> (qDedupGroups _),
     "q_decontaminate"  -> (qDecontaminate _),
     "q_dedup_pipeline" -> (qDedupPipeline _),
@@ -532,7 +556,55 @@ object Dedup {
       |    sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, b) AS BIGINT))::BIGINT AS simhash
       |  FROM bitsums GROUP BY doc_id)""".stripMargin
 
+  /** CTE chain ending in `labels(doc_id, grp)` — the near-dup
+    * connected-components oracle (band candidates → exact-Jaccard
+    * pairs → recursive min-label closure), shared by q_dedup_groups
+    * and q_semdedup. Requires `WITH RECURSIVE`. */
+  private lazy val ccSql =
+    s"""$sigSql,
+       |bands AS (
+       |  SELECT doc_id, h // 4 AS band,
+       |    md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS band_sig
+       |  FROM sig GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b USING (band, band_sig)
+       |  WHERE a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b
+       |  GROUP BY c.doc_a, c.doc_b, sa.sz, sb.sz
+       |  HAVING round(count(*)::DOUBLE / (sa.sz + sb.sz - count(*)), 6) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(u, root) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+       |  UNION
+       |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.u),
+       |labels AS (SELECT u AS doc_id, min(root) AS grp FROM reach GROUP BY u)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_semdedup" ->
+      s"""WITH RECURSIVE $ccSql,
+         |j AS (
+         |  SELECT l.doc_id, l.grp, d.n_chars
+         |  FROM labels l JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, grp, n_chars,
+         |    row_number() OVER (PARTITION BY grp
+         |      ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM j)
+         |SELECT grp AS group_id, count(*) AS group_size,
+         |  sum(CASE WHEN rk = 1 THEN doc_id END)::BIGINT AS kept_doc,
+         |  sum(CASE WHEN rk = 1 THEN n_chars END)::BIGINT AS kept_chars,
+         |  (count(*) - 1)::BIGINT AS n_dropped
+         |FROM r GROUP BY grp ORDER BY group_id""".stripMargin,
     "q_lsh_tune" ->
       s"""WITH $sigSql,
          |bands AS (
@@ -562,33 +634,7 @@ object Dedup {
          |LEFT JOIN res ON res.r = rc.r
          |ORDER BY rows_per_band""".stripMargin,
     "q_dedup_groups" ->
-      s"""WITH RECURSIVE $sigSql,
-         |bands AS (
-         |  SELECT doc_id, h // 4 AS band,
-         |    md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS band_sig
-         |  FROM sig GROUP BY doc_id, band),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b USING (band, band_sig)
-         |  WHERE a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-         |  JOIN sizes sa ON sa.doc_id = c.doc_a
-         |  JOIN sizes sb ON sb.doc_id = c.doc_b
-         |  GROUP BY c.doc_a, c.doc_b, sa.sz, sb.sz
-         |  HAVING round(count(*)::DOUBLE / (sa.sz + sb.sz - count(*)), 6) >= 0.5),
-         |edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(u, root) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
-         |  UNION
-         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.u),
-         |labels AS (SELECT u AS doc_id, min(root) AS grp FROM reach GROUP BY u)
+      s"""WITH RECURSIVE $ccSql
          |SELECT grp AS group_id, count(*) AS group_size,
          |  string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
          |FROM labels GROUP BY grp ORDER BY group_id""".stripMargin,

@@ -197,7 +197,30 @@ object Events {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Heavy-hitter shuffle-key diagnostic: the top-10 user keys by
+    * event volume with their corpus share and skew (share ÷ ideal
+    * uniform share). This is the table that decides whether a user-
+    * keyed stage needs [[Salted]] two-stage aggregation — run it
+    * BEFORE the 100 TB shuffle, not after it straggles. One groupBy +
+    * global top-k (TakeOrdered, no full sort). */
+  def qKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val tot = counts.agg(sum("n_events").cast("long").as("n_total"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share",
+        round(col("n_events").cast("double") / col("n_total"), 6))
+      .withColumn("skew",
+        round(col("n_events").cast("double") * col("n_keys") /
+          col("n_total"), 6))
+      .select("user_id", "n_events", "share", "skew")
+      .orderBy(desc("n_events"), col("user_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_key_skew"       -> (qKeySkew _),
     "q_corr"           -> (qCorr _),
     "q_json_extract"   -> (qJsonExtract _),
     "q_sessionize"     -> (qSessionize _),
@@ -248,6 +271,16 @@ object Events {
         |    AS moving_avg4
         |FROM events WHERE user_id < 50
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_key_skew" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT sum(n_events)::BIGINT AS n_total, count(*) AS n_keys FROM c)
+        |SELECT user_id, n_events,
+        |  round(n_events::DOUBLE / n_total, 6) AS share,
+        |  round(n_events::DOUBLE * n_keys / n_total, 6) AS skew
+        |FROM c, t
+        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
     "q_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events

@@ -183,4 +183,20 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("n_est_half") <= r.getAs[Long]("n_candidates"))
     }
   }
+
+  test("semdedup: one representative per component, from inside the component") {
+    val s = Dedup.qSemdedup(spark, sfDir)
+    val labels = Dedup.componentLabels(spark, sfDir)
+    // one output row per component
+    assert(s.count() === labels.select("grp").distinct().count())
+    // accounting: sizes sum to the labeled population; exactly size-1 dropped
+    import org.apache.spark.sql.functions._
+    assert(s.agg(sum("group_size")).head.getLong(0) === labels.count())
+    assert(s.filter(col("n_dropped") =!= col("group_size") - 1).count() === 0)
+    // the kept doc belongs to its own component
+    val bad = s.join(labels,
+        s("kept_doc") === labels("doc_id") && s("group_id") === labels("grp"),
+        "left_anti").count()
+    assert(bad === 0)
+  }
 }

@@ -51,4 +51,18 @@ class EventsSpec extends SparkSpec {
     assert(r.filter(col("offset") === 0)
       .agg(sum("n_users")).head.getLong(0) === users)
   }
+
+  test("key skew: shares are consistent and ranking is by volume") {
+    import org.apache.spark.sql.functions._
+    val r = Events.qKeySkew(spark, sfDir).collect()
+    assert(r.length === 10)
+    val ns = r.map(_.getAs[Long]("n_events"))
+    assert(ns.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    r.foreach { row =>
+      val share = row.getAs[Double]("share")
+      assert(share > 0 && share <= 1)
+      // skew = share × key count: a uniform key sits at 1.0
+      assert(row.getAs[Double]("skew") >= share)
+    }
+  }
 }
