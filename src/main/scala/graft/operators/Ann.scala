@@ -456,7 +456,32 @@ object Ann {
       .orderBy("cell")
   }
 
+  /** Cluster-vs-label purity: for every IVF cell, the dominant
+    * ground-truth label and its share of the cell — the external
+    * cluster-quality check run after [[qKmeansStep]] refinements
+    * (purity rising across iterations = the quantizer is learning the
+    * label structure). One (cell, label) groupBy over the cached
+    * assignment + a cell-keyed argmax window; K·L result rows. */
+  def qTopicPurity(spark: SparkSession, dir: String): DataFrame = {
+    val assign = ivfRanked(spark, dir).filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    val labeled = assign.join(
+      Tables.embeddings(spark, dir).select("vec_id", "label"), "vec_id")
+    val w = Window.partitionBy("cell").orderBy(desc("n"), col("label"))
+    labeled.groupBy("cell", "label")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members", sum("n").over(Window.partitionBy("cell")))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("n_members"),
+        col("label").as("top_label"), col("n").as("top_n"))
+      .withColumn("purity",
+        round(col("top_n").cast("double") / col("n_members"), 6))
+      .orderBy("cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topic_purity"  -> (qTopicPurity _),
     "q_kmeans_step"   -> (qKmeansStep _),
     "q_ann_lsh"       -> (qAnnLsh _),
     "q_ann_lsh_probe" -> (qAnnLshProbe _),
@@ -690,6 +715,32 @@ object Ann {
         |  round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
         |FROM e JOIN short USING (vec_id), q
         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_topic_purity" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS csim
+        |  FROM e, c),
+        |ranked AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        |  FROM scored),
+        |assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        |cl AS (
+        |  SELECT a.cell, e.label, count(*) AS n
+        |  FROM assign a JOIN e USING (vec_id) GROUP BY 1, 2),
+        |r AS (
+        |  SELECT cell, label, n,
+        |    row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rk,
+        |    sum(n) OVER (PARTITION BY cell)::BIGINT AS n_members
+        |  FROM cl)
+        |SELECT cell, n_members, label AS top_label, n AS top_n,
+        |  round(n::DOUBLE / n_members, 6) AS purity
+        |FROM r WHERE rk = 1 ORDER BY cell""".stripMargin,
     "q_ivf_balance" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -37,6 +37,20 @@ class AnnQuantSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("topic purity: shares valid, members reconcile with the balance report") {
+    val pur = Ann.qTopicPurity(spark, sfDir).collect()
+    pur.foreach { r =>
+      val p = r.getAs[Double]("purity")
+      assert(p > 0 && p <= 1)
+      assert(r.getAs[Long]("top_n") <= r.getAs[Long]("n_members"))
+    }
+    val bal = Ann.qIvfBalance(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_vecs")).toMap
+    pur.foreach { r =>
+      assert(bal(r.getAs[Long]("cell")) === r.getAs[Long]("n_members"))
+    }
+  }
+
   test("ivf balance: fractions and skew are consistent with the assignment") {
     val bal = Ann.qIvfBalance(spark, sfDir).collect()
     val total = bal.map(_.getAs[Long]("n_vecs")).sum
