@@ -260,6 +260,27 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** The composed quality gate — one decision table with every
+    * rule-family verdict side by side (Gopher document rules,
+    * Gopher repetition rules, substring-span dedup) and the AND of all
+    * three: the single boolean a 100 TB ingest partition-prunes on.
+    * Per-family flags stay visible so filter attrition is auditable
+    * (which rule kills how much is itself a standard pipeline report).
+    * At scale each family's table would be a persisted artifact; here
+    * each is one scan lineage joined on the doc key. */
+  def qFilterChain(spark: SparkSession, dir: String): DataFrame = {
+    val g = qGopherRules(spark, dir)
+      .select(col("doc_id"), col("keep").as("keep_gopher"))
+    val r = Curation.qQualityRepetition(spark, dir)
+      .select(col("doc_id"), col("keep").as("keep_rep"))
+    val s = qSubstrDedup(spark, dir)
+      .select(col("doc_id"), col("keep").as("keep_substr"))
+    g.join(r, "doc_id").join(s, "doc_id")
+      .withColumn("keep",
+        col("keep_gopher") && col("keep_rep") && col("keep_substr"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gopher_rules" -> (qGopherRules _),
     "q_substr_dedup" -> (qSubstrDedup _),
@@ -267,11 +288,12 @@ object Quality {
     "q_winnow"       -> (qWinnow _),
     "q_vocab_oov"    -> (qVocabOov _),
     "q_dsir_proxy"   -> (qDsirProxy _),
+    "q_filter_chain" -> (qFilterChain _),
   )
 
   import TextAnalysis.{toksSql, bigramScoreSql}
 
-  val oracles: Map[String, String] = Map(
+  private lazy val baseOracles: Map[String, String] = Map(
     "q_gopher_rules" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, $toksSql AS toks FROM documents),
@@ -398,4 +420,17 @@ object Quality {
          |JOIN sz sb ON sb.doc_id = doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
   )
+
+  /** The chain oracle composes the component oracles verbatim as
+    * subqueries, so the flags can never drift from the per-family
+    * queries they audit. */
+  lazy val oracles: Map[String, String] = baseOracles +
+    ("q_filter_chain" ->
+      s"""SELECT g.doc_id, g.keep AS keep_gopher, r.keep AS keep_rep,
+         |  s.keep AS keep_substr,
+         |  g.keep AND r.keep AND s.keep AS keep
+         |FROM (${baseOracles("q_gopher_rules")}) g
+         |JOIN (${Curation.oracles("q_quality_rep")}) r USING (doc_id)
+         |JOIN (${baseOracles("q_substr_dedup")}) s USING (doc_id)
+         |ORDER BY g.doc_id""".stripMargin)
 }

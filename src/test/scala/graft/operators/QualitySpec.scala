@@ -92,6 +92,17 @@ class QualitySpec extends SparkSpec {
     assert(enAvg > 950000.0 && enAvg < 1050000.0)
   }
 
+  test("filter chain: composite flag is the AND of its family verdicts") {
+    val c = Quality.qFilterChain(spark, sfDir)
+    assert(c.filter(col("keep") =!= (col("keep_gopher") &&
+      col("keep_rep") && col("keep_substr"))).count() === 0)
+    // each family column agrees with its standalone query
+    val g = Quality.qGopherRules(spark, sfDir).select("doc_id", "keep")
+    val bad = c.join(g, "doc_id")
+      .filter(col("keep_gopher") =!= g("keep")).count()
+    assert(bad === 0)
+  }
+
   test("winnow fingerprints: density within the winnowing guarantee") {
     // winnowing selects at least one hash per window and at most one per
     // position: 0 < |fp| <= grams, and |fp| >= grams/w (every window has
