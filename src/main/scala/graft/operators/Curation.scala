@@ -50,34 +50,40 @@ object Curation {
     * bigram exceeds 18% of the text or >30% of trigrams repeat).
     * Shape: explode → (doc_id, gram) count → per-doc aggregate — two
     * hash shuffles keyed by doc_id, linear in corpus size. */
-  def qQualityRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("t", toks(col("text")))
-      .filter(size(col("t")) >= 3)
-    def grams(n: Int) = docs.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j)): _*)))
-        .as("g"))
-    val bi = grams(2)
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_bigram"))
-    val tri = grams(3)
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_trigrams"), count(lit(1)).as("n_tri_distinct"))
-    bi.join(tri, "doc_id")
-      .withColumn("top_bigram_frac",
-        round(col("max_bigram").cast("double") / col("n_bigrams"), 6))
-      .withColumn("dup_trigram_frac",
-        round((col("n_trigrams") - col("n_tri_distinct")).cast("double") /
-          col("n_trigrams"), 6))
-      .withColumn("keep",
-        col("top_bigram_frac") <= 0.18 && col("dup_trigram_frac") <= 0.3)
-      .select("doc_id", "n_bigrams", "max_bigram", "top_bigram_frac",
-        "dup_trigram_frac", "keep")
-      .orderBy("doc_id")
-  }
+  def qQualityRepetition(spark: SparkSession, dir: String): DataFrame =
+    qualityRepStats(spark, dir).orderBy("doc_id")
+
+  /** Cached per-doc repetition table — read by [[qQualityRepetition]]
+    * and Quality's filter chain. */
+  private[operators] def qualityRepStats(
+      spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "qualityRepStats", dir) {
+      val docs = Tables.documents(spark, dir)
+        .withColumn("t", toks(col("text")))
+        .filter(size(col("t")) >= 3)
+      def grams(n: Int) = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j)): _*)))
+          .as("g"))
+      val bi = grams(2)
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_bigram"))
+      val tri = grams(3)
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_trigrams"), count(lit(1)).as("n_tri_distinct"))
+      bi.join(tri, "doc_id")
+        .withColumn("top_bigram_frac",
+          round(col("max_bigram").cast("double") / col("n_bigrams"), 6))
+        .withColumn("dup_trigram_frac",
+          round((col("n_trigrams") - col("n_tri_distinct")).cast("double") /
+            col("n_trigrams"), 6))
+        .withColumn("keep",
+          col("top_bigram_frac") <= 0.18 && col("dup_trigram_frac") <= 0.3)
+        .select("doc_id", "n_bigrams", "max_bigram", "top_bigram_frac",
+          "dup_trigram_frac", "keep")
+    }
 
   /** Tokens per packing bin. */
   private[graft] val PackCapacity = 512

@@ -93,31 +93,38 @@ object Quality {
     * distributed keys (no skew), same answer: a 60-bit hash collides
     * within a corpus's distinct grams only past ~10⁹ of them per
     * birthday math, and the oracle hashes identically. */
-  def qSubstrDedup(spark: SparkSession, dir: String): DataFrame = {
-    val n = SubstrGram
-    val grams = Tables.documents(spark, dir)
-      .withColumn("t", toks(col("text")))
-      .filter(size(col("t")) >= n)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("t")) - (n - 1)),
-          i => hash60Col(concat_ws(" ",
-            (0 until n).map(j => element_at(col("t"), i + j)): _*)))))
-          .as("g"))
-    val wG = Window.partitionBy("g")
-    grams
-      .withColumn("owner", min("doc_id").over(wG))
-      .withColumn("n_docs", count(lit(1)).over(wG))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"),
-        sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_dup"))
-      .withColumn("dup_frac",
-        round(col("n_dup").cast("double") / col("n_grams"), 6))
-      .withColumn("keep", col("dup_frac") <= 0.5)
-      .select("doc_id", "n_grams", "n_shared", "n_dup", "dup_frac", "keep")
-      .orderBy("doc_id")
-  }
+  def qSubstrDedup(spark: SparkSession, dir: String): DataFrame =
+    substrStats(spark, dir).orderBy("doc_id")
+
+  /** Cached per-doc span-duplication table — read by [[qSubstrDedup]]
+    * and [[qFilterChain]] (a 100 TB pipeline persists this artifact
+    * once and both reports read it). */
+  private[operators] def substrStats(
+      spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "substrStats", dir) {
+      val n = SubstrGram
+      val grams = Tables.documents(spark, dir)
+        .withColumn("t", toks(col("text")))
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), size(col("t")) - (n - 1)),
+            i => hash60Col(concat_ws(" ",
+              (0 until n).map(j => element_at(col("t"), i + j)): _*)))))
+            .as("g"))
+      val wG = Window.partitionBy("g")
+      grams
+        .withColumn("owner", min("doc_id").over(wG))
+        .withColumn("n_docs", count(lit(1)).over(wG))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"),
+          sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          round(col("n_dup").cast("double") / col("n_grams"), 6))
+        .withColumn("keep", col("dup_frac") <= 0.5)
+        .select("doc_id", "n_grams", "n_shared", "n_dup", "dup_frac", "keep")
+    }
 
   /** CCNet-style quality terciles: rank every document inside its
     * language by the bigram-LM score (higher = more "likely" text) and
@@ -271,9 +278,9 @@ object Quality {
   def qFilterChain(spark: SparkSession, dir: String): DataFrame = {
     val g = qGopherRules(spark, dir)
       .select(col("doc_id"), col("keep").as("keep_gopher"))
-    val r = Curation.qQualityRepetition(spark, dir)
+    val r = Curation.qualityRepStats(spark, dir)
       .select(col("doc_id"), col("keep").as("keep_rep"))
-    val s = qSubstrDedup(spark, dir)
+    val s = substrStats(spark, dir)
       .select(col("doc_id"), col("keep").as("keep_substr"))
     g.join(r, "doc_id").join(s, "doc_id")
       .withColumn("keep",
