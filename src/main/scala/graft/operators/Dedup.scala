@@ -560,7 +560,7 @@ object Dedup {
     * connected-components oracle (band candidates → exact-Jaccard
     * pairs → recursive min-label closure), shared by q_dedup_groups
     * and q_semdedup. Requires `WITH RECURSIVE`. */
-  private lazy val ccSql =
+  private[operators] lazy val ccSql =
     s"""$sigSql,
        |bands AS (
        |  SELECT doc_id, h // 4 AS band,

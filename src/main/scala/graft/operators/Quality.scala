@@ -296,6 +296,10 @@ object Quality {
     "q_vocab_oov"    -> (qVocabOov _),
     "q_dsir_proxy"   -> (qDsirProxy _),
     "q_filter_chain" -> (qFilterChain _),
+    // the end-to-end curation job's attrition manifest (api layer, but
+    // oracle-checked like any operator: the pipeline IS a query)
+    "q_curation_manifest" ->
+      ((s: SparkSession, d: String) => api.CurationPipeline.curate(s, d)),
   )
 
   import TextAnalysis.{toksSql, bigramScoreSql}
@@ -428,16 +432,42 @@ object Quality {
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
   )
 
-  /** The chain oracle composes the component oracles verbatim as
-    * subqueries, so the flags can never drift from the per-family
-    * queries they audit. */
+  private lazy val chainSql =
+    s"""SELECT g.doc_id, g.keep AS keep_gopher, r.keep AS keep_rep,
+       |  s.keep AS keep_substr,
+       |  g.keep AND r.keep AND s.keep AS keep
+       |FROM (${baseOracles("q_gopher_rules")}) g
+       |JOIN (${Curation.oracles("q_quality_rep")}) r USING (doc_id)
+       |JOIN (${baseOracles("q_substr_dedup")}) s USING (doc_id)
+       |ORDER BY g.doc_id""".stripMargin
+
+  /** The chain and manifest oracles compose the component oracles
+    * verbatim as subqueries, so the flags and counts can never drift
+    * from the per-family queries they audit. */
   lazy val oracles: Map[String, String] = baseOracles +
-    ("q_filter_chain" ->
-      s"""SELECT g.doc_id, g.keep AS keep_gopher, r.keep AS keep_rep,
-         |  s.keep AS keep_substr,
-         |  g.keep AND r.keep AND s.keep AS keep
-         |FROM (${baseOracles("q_gopher_rules")}) g
-         |JOIN (${Curation.oracles("q_quality_rep")}) r USING (doc_id)
-         |JOIN (${baseOracles("q_substr_dedup")}) s USING (doc_id)
-         |ORDER BY g.doc_id""".stripMargin)
+    ("q_filter_chain" -> chainSql) +
+    ("q_curation_manifest" ->
+      s"""WITH RECURSIVE ${Dedup.ccSql},
+         |keepq AS (SELECT doc_id FROM ($chainSql) ch WHERE ch.keep),
+         |jq AS (
+         |  SELECT l.doc_id, l.grp, d.n_chars
+         |  FROM labels l JOIN documents d USING (doc_id)),
+         |rq AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY grp
+         |    ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM jq),
+         |losers AS (SELECT doc_id FROM rq WHERE rk > 1),
+         |s2base AS (SELECT d.* FROM documents d JOIN keepq USING (doc_id)),
+         |s3base AS (
+         |  SELECT * FROM s2base
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+         |SELECT 1::BIGINT AS stage, 'input' AS name, count(*) AS n_docs,
+         |  coalesce(sum(n_chars), 0)::BIGINT AS n_chars FROM documents
+         |UNION ALL
+         |SELECT 2::BIGINT, 'after_quality', count(*),
+         |  coalesce(sum(n_chars), 0)::BIGINT FROM s2base
+         |UNION ALL
+         |SELECT 3::BIGINT, 'after_neardup', count(*),
+         |  coalesce(sum(n_chars), 0)::BIGINT FROM s3base
+         |ORDER BY stage""".stripMargin)
 }
