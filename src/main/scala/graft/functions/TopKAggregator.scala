@@ -54,3 +54,49 @@ object TopKAggregator {
   /** Column form for `Dataset.groupByKey(...).agg(...)`. */
   def topK(k: Int) = new TopKAggregator(k).toColumn
 }
+
+/** The keep-k-SMALLEST sibling of [[TopKAggregator]], ordered
+  * lexicographically on a `(Long, Long)` pair — the shape of "k
+  * smallest keyed hashes per stratum" sampling (hash asc, id asc as
+  * the tie-break). Same map-side partial-aggregation property: each
+  * upstream partition ships at most k pairs per group into the
+  * shuffle, where the window/row_number formulation shuffles every
+  * row of the stratum and sorts it in one task. Exact-integer
+  * ordering end-to-end (no Double cast — a 60-bit hash does not fit a
+  * 53-bit mantissa), so the result is identical to the window plan. */
+class MinKPairAggregator(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+
+  private def smaller(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: Seq[(Long, Long)] = Seq.empty
+
+  override def reduce(buf: Seq[(Long, Long)],
+      x: (Long, Long)): Seq[(Long, Long)] = insert(buf, x)
+
+  override def merge(a: Seq[(Long, Long)],
+      b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    b.foldLeft(a)(insert)
+
+  private def insert(buf: Seq[(Long, Long)],
+      x: (Long, Long)): Seq[(Long, Long)] = {
+    if (buf.length == k && !smaller(x, buf.last)) buf
+    else {
+      val (before, after) = buf.span(smaller(_, x))
+      (before :+ x) ++ after.take(k - before.length - 1)
+    }
+  }
+
+  override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
+object MinKPairAggregator {
+  /** Column form for `Dataset.groupByKey(...).agg(...)`. */
+  def minK(k: Int) = new MinKPairAggregator(k).toColumn
+}

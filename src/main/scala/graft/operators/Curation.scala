@@ -209,18 +209,36 @@ object Curation {
     * docs per language, chosen as the k smallest portable hashes.
     * Ordering by a keyed hash is the standard 100 TB trick for "pick k
     * uniformly at random, reproducibly, on any partitioning": no RNG
-    * state, no global sort — rank within each stratum only (window on
-    * the lang shuffle key; at scale a per-stratum top-k aggregator
-    * bounds memory to k rows per partition, `functions.TopKAggregator`
-    * is that operator). Hash ties are impossible (hash60 of distinct
-    * doc_ids), doc_id tie-break pinned anyway. */
+    * state, no global sort.
+    *
+    * Scale shape: the k winners per stratum come from
+    * [[graft.functions.MinKPairAggregator]] — a bounded map-side
+    * partial aggregate, so each upstream partition ships AT MOST k
+    * `(hash, doc_id)` pairs per language into the shuffle. The
+    * window/row_number formulation (still the oracle) shuffles the
+    * ENTIRE dominant-language stratum into one task and sorts it; at
+    * 100 TB that task is half the corpus. The winner table
+    * (langs × k rows) broadcast-joins back to the scan for payload
+    * columns. Hash ties are impossible (hash60 of distinct doc_ids),
+    * doc_id tie-break pinned anyway; the ordering is exact-integer, so
+    * the two plans agree row-for-row (TopKSpec proves it). */
   def qSampleStrat(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    import spark.implicits._
+    val winners = Tables.documents(spark, dir)
+      .select(col("lang"),
+        hash60Col(concat(lit("samp:"), col("doc_id").cast("string"))).as("h"),
+        col("doc_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.functions.MinKPairAggregator.minK(SampleK))
+      .toDF("lang", "top")
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("p._2").as("doc_id"))
     Tables.documents(spark, dir)
-      .withColumn("h",
-        hash60Col(concat(lit("samp:"), col("doc_id").cast("string"))))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= SampleK)
+      .select("doc_id", "n_chars")
+      .join(broadcast(winners), "doc_id")
       .select("lang", "rk", "doc_id", "n_chars")
       .orderBy("lang", "rk")
   }

@@ -1,7 +1,7 @@
 package graft
 package operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -159,14 +159,18 @@ object Events {
     val n = v.agg(count(lit(1)).as("n1"))
       .crossJoin(c.agg(count(lit(1)).as("n2")))
       .crossJoin(p.agg(count(lit(1)).as("n3")))
+    // empty-stage guard: both engines must agree on 0-denominator
+    // conversions (Spark div-by-zero → NULL, DuckDB 0.0/0.0 → NaN),
+    // so pin NULL on both sides (oracle uses NULLIF)
+    def conv(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 6))
+        .otherwise(lit(null).cast("double"))
     n.select(lit(1L).as("step"), lit("view").as("stage"),
         col("n1").as("n_users"), lit(1.0).as("conv"))
       .unionByName(n.select(lit(2L).as("step"), lit("click").as("stage"),
-        col("n2").as("n_users"),
-        round(col("n2").cast("double") / col("n1"), 6).as("conv")))
+        col("n2").as("n_users"), conv(col("n2"), col("n1")).as("conv")))
       .unionByName(n.select(lit(3L).as("step"), lit("purchase").as("stage"),
-        col("n3").as("n_users"),
-        round(col("n3").cast("double") / col("n2"), 6).as("conv")))
+        col("n3").as("n_users"), conv(col("n3"), col("n2")).as("conv")))
       .orderBy("step")
   }
 
@@ -304,9 +308,11 @@ object Events {
         |SELECT 1::BIGINT AS step, 'view' AS stage, n1 AS n_users,
         |  1.0::DOUBLE AS conv FROM n
         |UNION ALL
-        |SELECT 2::BIGINT, 'click', n2, round(n2::DOUBLE / n1, 6) FROM n
+        |SELECT 2::BIGINT, 'click', n2,
+        |  round(n2::DOUBLE / NULLIF(n1, 0), 6) FROM n
         |UNION ALL
-        |SELECT 3::BIGINT, 'purchase', n3, round(n3::DOUBLE / n2, 6) FROM n
+        |SELECT 3::BIGINT, 'purchase', n3,
+        |  round(n3::DOUBLE / NULLIF(n2, 0), 6) FROM n
         |ORDER BY step""".stripMargin,
     "q_retention" ->
       """WITH d AS (

@@ -132,22 +132,66 @@ object Quality {
     * (lang, bucket) doc counts and score ranges — the table a pipeline
     * joins back to sample head-heavy training mixes.
     *
-    * Shape: reuses the cached per-doc scores, one lang-partitioned
-    * window (languages are independent → perfectly parallel), one
-    * grouped pass. `ntile` over (score DESC, doc_id) is fully ordered,
-    * so bucket edges are deterministic on any engine. */
+    * Scale shape — NO document-level per-language sort: a naive
+    * `ntile(3)` window partitioned by language makes the dominant
+    * language (half a 100 TB web corpus is English) ONE task totally
+    * sorting its whole slice. Instead the tercile cuts come from the
+    * (lang, score) HISTOGRAM: `avg_prob_micro` is an integer in
+    * [0, 10⁶], so the histogram holds ≤ 10⁶ rows per language however
+    * big the corpus is — the per-language window below sorts that
+    * bounded table, not documents. A cumulative count gives each score
+    * value its rank interval; ntile's exact bucket sizes
+    * (⌈n/3⌉-first) convert to two cut ranks; score values whose
+    * interval sits inside one bucket contribute their whole count
+    * directly, and only the ≤ 2 boundary-straddling score values per
+    * language go back to the corpus (broadcast semi-join) for a
+    * doc_id-ordered refinement within that single score group. Bucket
+    * edges stay deterministic on any engine — identical to the ntile
+    * formulation (the oracle still uses ntile; the hashes agree). */
   def qPplBucket(spark: SparkSession, dir: String): DataFrame = {
     val scores = TextAnalysis.bigramScores(spark, dir)
       .select("doc_id", "avg_prob_micro")
     val langs = Tables.documents(spark, dir).select("doc_id", "lang")
-    val w = Window.partitionBy("lang")
-      .orderBy(desc("avg_prob_micro"), col("doc_id"))
-    scores.join(langs, "doc_id")
-      .withColumn("bucket", ntile(3).over(w).cast("long"))
+    val j = scores.join(langs, "doc_id")
+
+    // bounded (lang, score) histogram with rank intervals (lo, cum]
+    val wCum = Window.partitionBy("lang").orderBy(desc("avg_prob_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = j.groupBy("lang", "avg_prob_micro")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+      .withColumn("lo", col("cum") - col("c"))
+      // ntile(3): first (n mod 3) buckets get one extra row
+      .withColumn("b1", expr("n div 3 + least(n % 3, 1L)"))
+      .withColumn("b2", expr("2 * (n div 3) + least(n % 3, 2L)"))
+
+    val whole = ranked
+      .filter(col("cum") <= col("b1") ||
+        (col("lo") >= col("b1") && col("cum") <= col("b2")) ||
+        col("lo") >= col("b2"))
+      .withColumn("bucket", when(col("cum") <= col("b1"), 1L)
+        .when(col("cum") <= col("b2"), 2L).otherwise(3L))
+      .select(col("lang"), col("bucket"),
+        col("avg_prob_micro").as("s"), col("c").as("n_d"))
+
+    // score values crossing a cut rank: ≤ 2 rows per language
+    val straddle = ranked
+      .filter((col("lo") < col("b1") && col("cum") > col("b1")) ||
+        (col("lo") < col("b2") && col("cum") > col("b2")))
+      .select("lang", "avg_prob_micro", "lo", "b1", "b2")
+    val wIn = Window.partitionBy("lang", "avg_prob_micro").orderBy("doc_id")
+    val refined = j.join(broadcast(straddle), Seq("lang", "avg_prob_micro"))
+      .withColumn("rk", col("lo") + row_number().over(wIn))
+      .withColumn("bucket", when(col("rk") <= col("b1"), 1L)
+        .when(col("rk") <= col("b2"), 2L).otherwise(3L))
+      .select(col("lang"), col("bucket"),
+        col("avg_prob_micro").as("s"), lit(1L).as("n_d"))
+
+    whole.unionByName(refined)
       .groupBy("lang", "bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        min("avg_prob_micro").as("min_score"),
-        max("avg_prob_micro").as("max_score"))
+      .agg(sum("n_d").as("n_docs"),
+        min("s").as("min_score"), max("s").as("max_score"))
       .orderBy("lang", "bucket")
   }
 
@@ -255,8 +299,13 @@ object Quality {
       .na.fill(0L, Seq("c_t"))
       .crossJoin(broadcast(raw.agg(sum("c_r").cast("long").as("n_r"))))
       .crossJoin(broadcast(tgt.agg(sum("c_t").cast("long").as("n_t"))))
+      // DECIMAL(38,0) intermediates: c_t·n_r·10⁶ overflows BIGINT once
+      // the corpus passes ~10⁸ tokens (c_t·n_r ~ 10¹⁶ for a frequent
+      // term already); 38 digits hold it to ~10¹⁶ tokens/side — past
+      // the 100 TB design point. `div` lowers back to BIGINT exactly.
       .withColumn("lift_micro",
-        expr("c_t * n_r * 1000000L div (c_r * n_t)"))
+        expr("CAST(c_t AS DECIMAL(38,0)) * n_r * 1000000" +
+          " div (CAST(c_r AS DECIMAL(38,0)) * n_t)"))
       .select("w", "lift_micro")
     tk.join(broadcast(lift), "w")
       .groupBy("doc_id")
@@ -273,8 +322,15 @@ object Quality {
     * three: the single boolean a 100 TB ingest partition-prunes on.
     * Per-family flags stay visible so filter attrition is auditable
     * (which rule kills how much is itself a standard pipeline report).
-    * At scale each family's table would be a persisted artifact; here
-    * each is one scan lineage joined on the doc key. */
+    *
+    * Coverage: the Gopher table covers EVERY document, but the
+    * repetition stats skip docs with < 3 tokens and the substring
+    * stats docs with < 8 — so those families LEFT-join in and a
+    * missing row reads as `false` (too short to even produce the
+    * family's statistic = fails the family). Every document therefore
+    * appears exactly once in the audit trail. At scale each family's
+    * table would be a persisted artifact; here each is one scan
+    * lineage joined on the doc key. */
   def qFilterChain(spark: SparkSession, dir: String): DataFrame = {
     val g = qGopherRules(spark, dir)
       .select(col("doc_id"), col("keep").as("keep_gopher"))
@@ -282,7 +338,9 @@ object Quality {
       .select(col("doc_id"), col("keep").as("keep_rep"))
     val s = substrStats(spark, dir)
       .select(col("doc_id"), col("keep").as("keep_substr"))
-    g.join(r, "doc_id").join(s, "doc_id")
+    g.join(r, Seq("doc_id"), "left").join(s, Seq("doc_id"), "left")
+      .withColumn("keep_rep", coalesce(col("keep_rep"), lit(false)))
+      .withColumn("keep_substr", coalesce(col("keep_substr"), lit(false)))
       .withColumn("keep",
         col("keep_gopher") && col("keep_rep") && col("keep_substr"))
       .orderBy("doc_id")
@@ -393,8 +451,8 @@ object Quality {
          |nt AS (SELECT sum(c_t)::BIGINT AS n_t FROM tgt),
          |lift AS (
          |  SELECT raw.w,
-         |    (coalesce(tgt.c_t, 0) * n_r * 1000000) // (raw.c_r * n_t)
-         |      AS lift_micro
+         |    ((coalesce(tgt.c_t, 0)::HUGEINT * n_r * 1000000)
+         |      // (raw.c_r::HUGEINT * n_t))::BIGINT AS lift_micro
          |  FROM raw LEFT JOIN tgt USING (w), nr, nt)
          |SELECT doc_id, count(*) AS n_tokens,
          |  (sum(lift_micro)::BIGINT) // count(*) AS rel_micro
@@ -433,12 +491,14 @@ object Quality {
   )
 
   private lazy val chainSql =
-    s"""SELECT g.doc_id, g.keep AS keep_gopher, r.keep AS keep_rep,
-       |  s.keep AS keep_substr,
-       |  g.keep AND r.keep AND s.keep AS keep
+    s"""SELECT g.doc_id, g.keep AS keep_gopher,
+       |  coalesce(r.keep, false) AS keep_rep,
+       |  coalesce(s.keep, false) AS keep_substr,
+       |  g.keep AND coalesce(r.keep, false) AND coalesce(s.keep, false)
+       |    AS keep
        |FROM (${baseOracles("q_gopher_rules")}) g
-       |JOIN (${Curation.oracles("q_quality_rep")}) r USING (doc_id)
-       |JOIN (${baseOracles("q_substr_dedup")}) s USING (doc_id)
+       |LEFT JOIN (${Curation.oracles("q_quality_rep")}) r USING (doc_id)
+       |LEFT JOIN (${baseOracles("q_substr_dedup")}) s USING (doc_id)
        |ORDER BY g.doc_id""".stripMargin
 
   /** The chain and manifest oracles compose the component oracles

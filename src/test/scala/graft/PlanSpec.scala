@@ -103,4 +103,21 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q_funnel")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_ppl_bucket: terciles from the score histogram — no doc-level " +
+      "per-language ntile sort") {
+    val p = planOf("q_ppl_bucket")
+    assert(!p.contains("ntile"), p)
+    // boundary refinement joins the ≤2-row straddle table by broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_sample_strat: bounded map-side top-k aggregate, no stratum window") {
+    val p = planOf("q_sample_strat")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("row_number"), p)
+    // winners table broadcast back to the scan for payload columns
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

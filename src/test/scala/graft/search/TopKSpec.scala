@@ -38,6 +38,36 @@ class TopKSpec extends SparkSpec {
       viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("stratified min-k aggregator == window row_number stratified sample") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.embed.Embedder.hash60Col
+    // the shipped aggregator plan
+    val viaAgg = operators.Curation.qSampleStrat(spark, sfDir)
+    // the window formulation it replaced (still the oracle's shape)
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    val viaWindow = Tables.documents(spark, sfDir)
+      .withColumn("h",
+        hash60Col(concat(lit("samp:"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= operators.Curation.SampleK)
+      .select("lang", "rk", "doc_id", "n_chars")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
+  test("min-k pair buffer stays bounded, sorted, exact on 60-bit keys") {
+    val agg = new graft.functions.MinKPairAggregator(3)
+    // keys past 2^53 — a Double cast would collapse these neighbors
+    val big = (1L << 60) - 1L
+    val xs = Seq((big, 9L), (big - 1L, 8L), (5L, 1L), (5L, 0L), (7L, 2L))
+    val half1 = xs.take(2).foldLeft(agg.zero)(agg.reduce)
+    val half2 = xs.drop(2).foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.finish(agg.merge(half1, half2))
+    assert(merged === Seq((5L, 0L), (5L, 1L), (7L, 2L)))
+  }
+
   test("buffer stays bounded and sorted under merges") {
     val agg = new TopKAggregator(3)
     val xs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.7))
