@@ -1,0 +1,309 @@
+package graft.chunk
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.model.{Boundary, ChunkPiece}
+
+/** Structural (CST-level) code chunker — the C4 semantics of the
+  * reference's tree-sitter pipeline (`src/core/chunk/cst-operations.ts`
+  * + the per-language boundary inventory of
+  * `src/core/chunk/language-node-types.ts:6-126`), reproduced with
+  * deterministic block scanning instead of a native tree-sitter
+  * runtime (a platform-binary dependency this offline JVM build cannot
+  * carry; the scanner needs no parser and gives the same boundary
+  * inventory on well-formed sources).
+  *
+  * Reference semantics preserved:
+  *   - a chunk per OUTERMOST boundary construct; constructs nested
+  *     inside a boundary are swallowed by it (`cst-operations.ts:36-70`
+  *     `insideBoundary` — a method inside a class is part of the class
+  *     chunk, never its own);
+  *   - the chunk spans the WHOLE construct (body included), and text
+  *     between boundaries is not emitted (`boundariesToChunks`,
+  *     `cst-operations.ts:100-110`);
+  *   - boundary types are the tree-sitter node-type names per language
+  *     (`function_definition`, `method_declaration`, `struct_item`, …)
+  *     so downstream filters written against the reference match;
+  *   - names come from the declaration identifier, mirroring the
+  *     node-name extractor (`language-node-types.ts:154-227`): nodes
+  *     whose grammar has no `name` field (imports, type/var blocks,
+  *     impl blocks) stay unnamed, exactly as the extractor returns
+  *     `undefined` for them;
+  *   - Python decorators attach to their definition
+  *     (`decorated_definition` modifier inclusion,
+  *     `language-node-types.ts:230-256`): the chunk text starts at the
+  *     first decorator but type/name stay those of the `def`/`class`.
+  *     Java annotations are likewise part of the declaration (they live
+  *     in its `modifiers` child). Rust attributes are NOT attached —
+  *     `attribute_item` is a sibling node in the grammar.
+  *
+  * Block extents: Python blocks end where indentation returns to the
+  * opening level (the grammar's own block rule); brace languages
+  * balance `{}`/`()`/`[]` with line comments and string/char literals
+  * skipped. On sources too mangled to scan, [[ChunkDispatch]] falls
+  * back to the regex chunker — the reference's own any-failure fallback
+  * (`cst-operations.ts:148-190`).
+  */
+object CstChunker {
+
+  /** Languages with a ported boundary inventory. */
+  val supported: Set[String] = Set("python", "go", "rust", "java")
+
+  private case class Cst(
+      tpe: String, name: Option[String], start: Int, end: Int)
+
+  /** CST-mode chunking: one piece per outermost boundary (no size
+    * splitting — the reference ignores size options in CST mode,
+    * `cst-operations.ts:134-146`). */
+  def chunk(text: String, language: String): Seq[ChunkPiece] = {
+    val bs = language match {
+      case "python" => pythonBoundaries(text)
+      case "go"     => braceBoundaries(text, GoRules)
+      case "rust"   => braceBoundaries(text, RustRules)
+      case "java"   => braceBoundaries(text, JavaRules)
+      case other =>
+        throw new IllegalArgumentException(s"no CST rules for $other")
+    }
+    bs.zipWithIndex.map { case (b, i) =>
+      val (sl, el) = Chunker.lineNumbers(text, b.start, b.end)
+      ChunkPiece(text.substring(b.start, b.end), i, b.start, b.end,
+        Some(Boundary(b.tpe, name = b.name,
+          startLine = Some(sl), endLine = Some(el))))
+    }
+  }
+
+  // ---------------------------------------------------------------- lines
+
+  /** (content, startOffset) per line; offsets index the original text. */
+  private def splitLines(text: String): Array[(String, Int)] = {
+    val out = ArrayBuffer.empty[(String, Int)]
+    var off = 0
+    for (l <- text.split("\n", -1)) { out += ((l, off)); off += l.length + 1 }
+    out.toArray
+  }
+
+  private def indentOf(line: String): Int = {
+    var i = 0
+    while (i < line.length && (line(i) == ' ' || line(i) == '\t')) i += 1
+    i
+  }
+
+  private def lineEnd(lines: Array[(String, Int)], i: Int): Int =
+    lines(i)._2 + lines(i)._1.length
+
+  /** Net bracket balance of a line with strings, chars and line
+    * comments stripped (naive but deterministic — the fallback path
+    * covers sources this mis-scans). */
+  private def netBalance(line: String, commentStart: String): Int = {
+    var bal = 0
+    var i = 0
+    var quote: Char = 0
+    while (i < line.length) {
+      val c = line(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '"' || c == '\'' || c == '`') quote = c
+      else if (commentStart.nonEmpty && line.startsWith(commentStart, i)) {
+        i = line.length
+      } else c match {
+        case '(' | '[' | '{' => bal += 1
+        case ')' | ']' | '}' => bal -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    bal
+  }
+
+  /** Last line of a construct starting at `i`: extends while the
+    * cumulative bracket balance stays positive. */
+  private def balancedEnd(
+      lines: Array[(String, Int)], i: Int, commentStart: String): Int = {
+    var bal = netBalance(lines(i)._1, commentStart)
+    var j = i
+    while (bal > 0 && j + 1 < lines.length) {
+      j += 1
+      bal += netBalance(lines(j)._1, commentStart)
+    }
+    j
+  }
+
+  // --------------------------------------------------------------- python
+
+  private val PyDef = """^(?:async\s+)?def\s+([A-Za-z_]\w*).*""".r
+  private val PyClass = """^class\s+([A-Za-z_]\w*).*""".r
+  private val PyImport = """^import\s+\S.*""".r
+  private val PyFromImport = """^from\s+\S+\s+import\b.*""".r
+  private val PyAssign = """^([A-Za-z_]\w*)\s*(?::[^=]+)?=(?!=).*""".r
+
+  /** Last line of an indentation block opened at line `i` (blank lines
+    * don't close a block; the block ends before the first non-blank
+    * line at or left of the opening indent). */
+  private def indentBlockEnd(lines: Array[(String, Int)], i: Int): Int = {
+    val open = indentOf(lines(i)._1)
+    var last = i
+    var j = i + 1
+    var scanning = true
+    while (j < lines.length && scanning) {
+      val l = lines(j)._1
+      if (l.trim.isEmpty) j += 1
+      else if (indentOf(l) > open) { last = j; j += 1 }
+      else scanning = false
+    }
+    last
+  }
+
+  private def pythonBoundaries(text: String): Seq[Cst] = {
+    val lines = splitLines(text)
+    val out = ArrayBuffer.empty[Cst]
+    var i = 0
+    while (i < lines.length) {
+      val (line, off) = lines(i)
+      val t = line.trim
+      if (t.isEmpty) i += 1
+      else if (t.startsWith("@")) {
+        // decorated_definition: decorators belong to the def below
+        var j = i + 1
+        while (j < lines.length &&
+          (lines(j)._1.trim.startsWith("@") || lines(j)._1.trim.isEmpty)) j += 1
+        val decl = if (j < lines.length) lines(j)._1.trim else ""
+        (decl match {
+          case PyDef(n)   => Some(("function_definition", n))
+          case PyClass(n) => Some(("class_definition", n))
+          case _          => None
+        }) match {
+          case Some((tpe, n)) =>
+            val end = indentBlockEnd(lines, j)
+            out += Cst(tpe, Some(n), off, lineEnd(lines, end))
+            i = end + 1
+          case None => i += 1 // stray decorator: not a definition
+        }
+      } else {
+        val matched: Option[(Cst, Boolean)] = t match {
+          case PyDef(n) =>
+            Some((Cst("function_definition", Some(n), off, 0), true))
+          case PyClass(n) =>
+            Some((Cst("class_definition", Some(n), off, 0), true))
+          case PyFromImport() =>
+            Some((Cst("import_from_statement", None, off, 0), false))
+          case PyImport() =>
+            Some((Cst("import_statement", None, off, 0), false))
+          case PyAssign(n) =>
+            Some((Cst("assignment", Some(n), off, 0), false))
+          case _ => None
+        }
+        matched match {
+          case Some((b, isBlock)) =>
+            val end =
+              if (isBlock) indentBlockEnd(lines, i)
+              else balancedEnd(lines, i, "#") // paren-continued import/assign
+            out += b.copy(end = lineEnd(lines, end))
+            i = end + 1
+          case None => i += 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------------- brace languages
+
+  /** One recognizer: declaration-line regex → (node type, has name). */
+  private case class Rule(re: scala.util.matching.Regex,
+      tpe: String, named: Boolean)
+
+  /** Language = its recognizer list (first match wins — order encodes
+    * e.g. Go method-before-function) + preceding-annotation attachment
+    * (Java `modifiers` include annotations; Rust `attribute_item` is a
+    * sibling, so Rust must NOT attach). */
+  private case class BraceRules(rules: Seq[Rule], commentStart: String,
+      attachAnnotations: Boolean)
+
+  /** Go inventory (`language-node-types.ts:51-62`): functions, methods,
+    * type/import/var/const declarations. `short_var_declaration` only
+    * occurs inside functions, so like the reference it is always
+    * swallowed by its enclosing boundary. */
+  private val GoRules = BraceRules(Seq(
+    Rule("""^func\s+\([^)]*\)\s+([A-Za-z_]\w*)\s*\(.*""".r,
+      "method_declaration", named = true),
+    Rule("""^func\s+([A-Za-z_]\w*)\s*\(.*""".r,
+      "function_declaration", named = true),
+    // no `name` field on the declaration node itself (it lives on the
+    // inner *_spec), so these stay unnamed like the reference extractor
+    Rule("""^type\b.*""".r, "type_declaration", named = false),
+    Rule("""^import\b.*""".r, "import_declaration", named = false),
+    Rule("""^var\b.*""".r, "var_declaration", named = false),
+    Rule("""^const\b.*""".r, "const_declaration", named = false)),
+    commentStart = "//", attachAnnotations = false)
+
+  private val RustVis = """(?:pub(?:\s*\([^)]*\))?\s+)?"""
+
+  /** Rust inventory (`language-node-types.ts:63-70`): fn, struct, impl,
+    * trait, use, let. `pub` visibility rides the declaration line (the
+    * grammar keeps `visibility_modifier` inside the item node). */
+  private val RustRules = BraceRules(Seq(
+    Rule((s"^$RustVis(?:async\\s+)?(?:unsafe\\s+)?" +
+      "(?:extern\\s+\"[^\"]*\"\\s+)?fn\\s+([A-Za-z_]\\w*).*").r,
+      "function_item", named = true),
+    Rule(s"^${RustVis}struct\\s+([A-Za-z_]\\w*).*".r,
+      "struct_item", named = true),
+    Rule("""^(?:unsafe\s+)?impl\b.*""".r, "impl_item", named = false),
+    Rule(s"^$RustVis(?:unsafe\\s+)?trait\\s+([A-Za-z_]\\w*).*".r,
+      "trait_item", named = true),
+    Rule(s"^${RustVis}use\\s.*".r, "use_declaration", named = false),
+    Rule("""^let\s.*""".r, "let_declaration", named = false)),
+    commentStart = "//", attachAnnotations = false)
+
+  private val JavaMods =
+    """(?:(?:public|private|protected|abstract|final|static|strictfp|sealed|non-sealed)\s+)*"""
+
+  /** Java inventory (`language-node-types.ts:71-77`): classes,
+    * interfaces, imports. `method_declaration` and
+    * `local_variable_declaration` are boundary types too, but valid
+    * Java only places them inside a class/interface body, so — exactly
+    * like the reference's suppression test — they are always part of
+    * the enclosing class chunk. */
+  private val JavaRules = BraceRules(Seq(
+    Rule(s"^${JavaMods}class\\s+([A-Za-z_$$][\\w$$]*).*".r,
+      "class_declaration", named = true),
+    Rule(s"^${JavaMods}interface\\s+([A-Za-z_$$][\\w$$]*).*".r,
+      "interface_declaration", named = true),
+    Rule("""^import\s.*""".r, "import_declaration", named = false)),
+    commentStart = "//", attachAnnotations = true)
+
+  private def braceBoundaries(text: String, lang: BraceRules): Seq[Cst] = {
+    val lines = splitLines(text)
+    val out = ArrayBuffer.empty[Cst]
+    var pendingAnnotation = -1 // first line of a contiguous @… run
+    var i = 0
+    while (i < lines.length) {
+      val (line, off) = lines(i)
+      val t = line.trim
+      if (t.isEmpty) { i += 1 }
+      else if (lang.attachAnnotations && t.startsWith("@")) {
+        if (pendingAnnotation < 0) pendingAnnotation = i
+        i += 1
+      } else {
+        lang.rules.iterator.flatMap { r =>
+          t match {
+            case r.re(groups @ _*) =>
+              Some(Cst(r.tpe,
+                if (r.named) groups.headOption else None, off, 0))
+            case _ => None
+          }
+        }.nextOption() match {
+          case Some(b) =>
+            val start =
+              if (pendingAnnotation >= 0) lines(pendingAnnotation)._2 else off
+            val end = balancedEnd(lines, i, lang.commentStart)
+            out += b.copy(start = start, end = lineEnd(lines, end))
+            i = end + 1
+          case None => i += 1
+        }
+        pendingAnnotation = -1
+      }
+    }
+    out.toSeq
+  }
+}

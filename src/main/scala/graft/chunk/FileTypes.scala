@@ -74,10 +74,12 @@ object FileTypes {
 }
 
 /** C6 dispatch: pick the chunker from the file path (reference
-  * `src/core/chunk/chunking.ts:240-288`). The CST chunker (C4) is not
-  * ported — the reference itself falls back to the regex code chunker on
-  * any CST failure (`cst-operations.ts:148-190`), and that fallback is
-  * the behavior implemented here.
+  * `src/core/chunk/chunking.ts:240-288`). Languages with a ported
+  * structural inventory go through [[CstChunker]] (C4); any scan
+  * failure falls back to the regex code chunker — the reference's own
+  * any-failure fallback (`cst-operations.ts:148-190`). Languages
+  * without an inventory use the regex chunker directly (the
+  * reference's `chunkCodeByBoundary` fallback path).
   */
 object ChunkDispatch {
   import graft.model.ChunkPiece
@@ -92,9 +94,15 @@ object ChunkDispatch {
     val ext = filePath.map(FileTypes.extensionOf).getOrElse("")
     if (preserveBoundaries && filePath.isDefined && FileTypes.isMarkdownFile(ext))
       MarkdownChunker.chunk(text, size, overlap)
-    else if (preserveBoundaries && filePath.isDefined && FileTypes.isCodeFile(ext))
-      CodeChunker.chunk(text, FileTypes.languageFor(ext), size, overlap)
-    else
+    else if (preserveBoundaries && filePath.isDefined && FileTypes.isCodeFile(ext)) {
+      val lang = FileTypes.languageFor(ext)
+      if (CstChunker.supported(lang))
+        try CstChunker.chunk(text, lang)
+        catch { case scala.util.control.NonFatal(_) =>
+          CodeChunker.chunk(text, lang, size, overlap)
+        }
+      else CodeChunker.chunk(text, lang, size, overlap)
+    } else
       Chunker.chunk(text, size, overlap, preserveWords)
   }
 }

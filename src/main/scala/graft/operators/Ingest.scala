@@ -3,7 +3,7 @@ package operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.chunk.{Chunker, CodeChunker, MarkdownChunker}
+import graft.chunk.{ChunkDispatch, Chunker, MarkdownChunker}
 
 /** Ingestion-side operators: the chunking UDTFs (SURVEY.md §2.9) applied
   * over the `documents` table. Chunkers are pure Scala `flatMap`s on a
@@ -53,14 +53,19 @@ object Ingest {
       .orderBy("doc_id", "chunk_index")
   }
 
-  /** C3 code-boundary chunking over synthesized TypeScript-ish source
-    * (imports block, one function, one class per doc). Rows-only check;
-    * semantics pinned by BoundaryChunkerSpec. */
+  /** C3 + C4 code-boundary chunking over synthesized source: a
+    * TypeScript-ish fixture through the regex chunker (C3) and a
+    * Python fixture through the structural CST chunker (C4 — real
+    * `function_definition` / `class_definition` / import / assignment
+    * boundaries with decorator attachment, dispatched via
+    * [[graft.chunk.ChunkDispatch]] exactly as an indexed `.py` file
+    * is). Rows-only check; semantics pinned by BoundaryChunkerSpec and
+    * CstChunkerSpec. */
   def qChunkCode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val code =
+        val ts =
           s"""import { a } from 'b'
              |import { c } from 'd'
              |
@@ -71,15 +76,33 @@ object Ingest {
              |class C$id {
              |  m() { return "${text.slice(100, 200)}" }
              |}""".stripMargin
-        CodeChunker.chunk(code, "typescript", maxSize = 200, overlap = 40).map { p =>
-          (id, p.index.toLong,
-            p.boundary.map(_.boundaryType).getOrElse(""),
-            p.boundary.flatMap(_.name).getOrElse(""),
-            p.content.length.toLong)
-        }
+        val py =
+          s"""import os
+             |from typing import List
+             |
+             |@cache
+             |def f$id():
+             |    return "${text.take(100)}"
+             |
+             |class C$id:
+             |    def m(self):
+             |        return "${text.slice(100, 200)}"
+             |
+             |SEED_$id = $id""".stripMargin
+        def rows(lang: String, path: String, code: String) =
+          ChunkDispatch.chunk(code, Some(path), size = 200, overlap = 40,
+              preserveBoundaries = true).map { p =>
+            (id, lang, p.index.toLong,
+              p.boundary.map(_.boundaryType).getOrElse(""),
+              p.boundary.flatMap(_.name).getOrElse(""),
+              p.content.length.toLong)
+          }
+        rows("typescript", s"/src/f$id.ts", ts) ++
+          rows("python", s"/src/f$id.py", py)
       }
-      .toDF("doc_id", "chunk_index", "boundary_type", "name", "content_len")
-      .orderBy("doc_id", "chunk_index")
+      .toDF("doc_id", "lang", "chunk_index", "boundary_type", "name",
+        "content_len")
+      .orderBy("doc_id", "lang", "chunk_index")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
