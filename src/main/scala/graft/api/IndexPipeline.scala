@@ -3,11 +3,11 @@ package graft.api
 import java.security.MessageDigest
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.chunk.{ChunkDispatch, FileTypes}
-import graft.embed.Embedder
+import graft.embed.{BatchEmbedding, Embedder, EmbeddingProvider}
 import graft.functions.VectorFunctions.dot
 import graft.model.{Boundary, Chunk, DocMeta, SourceRec}
 import graft.store.ChunkStore
@@ -46,8 +46,11 @@ object IndexPipeline {
       createdAt: Timestamp,
       preserveBoundaries: Boolean = true,
       dim: Int = Embedder.DefaultDim,
-      maxFileBytes: Long = 10L * 1024 * 1024): IndexResult = {
+      maxFileBytes: Long = 10L * 1024 * 1024,
+      provider: Option[EmbeddingProvider] = None,
+      embedBatchSize: Int = BatchEmbedding.DefaultBatchSize): IndexResult = {
     import spark.implicits._
+    val prov = provider.getOrElse(Embedder.withDim(dim))
     val all = spark.read.format("text")
       .option("wholetext", "true")
       .option("pathGlobFilter", glob)
@@ -66,11 +69,17 @@ object IndexPipeline {
         (path, s"file exceeds $maxFileBytes bytes (${content.length})")
       }
       .toDF("path", "error")
-    ChunkStore.write(errors, s"$storePath/errors", mode = SaveMode.Append)
+    // Result counts ride the write actions via Observation — ONE pass
+    // per output. A naive `.count()` after the write would re-execute
+    // the plan, which for chunks means calling the embedding provider
+    // a second time (2× the API bill of the whole index run).
+    val errObs = new Observation()
+    ChunkStore.write(errors.observe(errObs, count(lit(1)).as("n")),
+      s"$storePath/errors", mode = SaveMode.Append)
     val files = all
       .filter((r: (String, String)) => r._2.length.toLong <= maxFileBytes)
 
-    val chunks: Dataset[Chunk] = files.flatMap { case (path, text) =>
+    val unembedded: Dataset[Chunk] = files.flatMap { case (path, text) =>
       val fileName = path.substring(path.lastIndexOf('/') + 1)
       val ext = FileTypes.extensionOf(fileName)
       val settings = FileTypes.optimalSettings(fileName)
@@ -88,10 +97,25 @@ object IndexPipeline {
           chunkIndex = p.index,
           totalChunks = pieces.length,
           content = p.content,
-          embedding = Embedder.embed(p.content, dim).map(_.toFloat),
+          embedding = Array.empty[Float],
           metadata = meta,
           boundary = p.boundary,
           createdAt = createdAt)
+      }
+    }
+    // E2/E3: the distributed rendering of the reference's batch-of-100
+    // contract (embedding.ts:88-123) — each partition's chunks go to
+    // the provider in consecutive ≤embedBatchSize slices, ONE bulk
+    // call per slice, results index-aligned. For a network provider
+    // this amortizes round-trips per partition; for the local hashing
+    // embedder it degrades to the same per-text math.
+    val chunks: Dataset[Chunk] = unembedded.mapPartitions { it =>
+      it.grouped(embedBatchSize).flatMap { batch =>
+        val vecs = BatchEmbedding.embedAll(prov, batch.map(_.content),
+          embedBatchSize)
+        batch.iterator.zip(vecs.iterator).map { case (c, v) =>
+          c.copy(embedding = v.map(_.toFloat))
+        }
       }
     }
 
@@ -106,28 +130,37 @@ object IndexPipeline {
     // partition chunks by a materialized sourceType column: F3 filters
     // prune whole directories; at 100 TB add .bucketBy(sourceId) for
     // co-located reassembly joins.
+    val chunkObs = new Observation()
+    val sourceObs = new Observation()
     ChunkStore.write(
-      chunks.toDF().withColumn("sourceType", col("metadata.sourceType")),
+      chunks.toDF().withColumn("sourceType", col("metadata.sourceType"))
+        .observe(chunkObs, count(lit(1)).as("n")),
       s"$storePath/chunks", partitionCols = Seq("sourceType"),
       mode = SaveMode.Append)
-    ChunkStore.write(sources.toDF(), s"$storePath/sources",
-      mode = SaveMode.Append)
-    IndexResult(sources.count(), chunks.count(), errors.count())
+    ChunkStore.write(
+      sources.toDF().observe(sourceObs, count(lit(1)).as("n")),
+      s"$storePath/sources", mode = SaveMode.Append)
+    IndexResult(
+      sourceObs.get("n").asInstanceOf[Long],
+      chunkObs.get("n").asInstanceOf[Long],
+      errObs.get("n").asInstanceOf[Long])
   }
 
   /** S1/S11: index one raw text (stdin / --text path). */
   def indexText(spark: SparkSession, text: String, title: String,
       storePath: String, createdAt: Timestamp,
       chunkSize: Int = 1000, chunkOverlap: Int = 200,
-      dim: Int = Embedder.DefaultDim): IndexResult = {
+      dim: Int = Embedder.DefaultDim,
+      provider: Option[EmbeddingProvider] = None): IndexResult = {
     import spark.implicits._
+    val prov = provider.getOrElse(Embedder.withDim(dim))
     val sourceId = md5hex(s"text:$title")
     val pieces = ChunkDispatch.chunk(text, None, chunkSize, chunkOverlap)
     val meta = DocMeta(sourceType = "text", title = Some(title))
-    val chunks = pieces.map { p =>
+    val vecs = BatchEmbedding.embedAll(prov, pieces.map(_.content))
+    val chunks = pieces.zip(vecs).map { case (p, v) =>
       Chunk(md5hex(s"$sourceId:${p.index}"), sourceId, p.index, pieces.length,
-        p.content, Embedder.embed(p.content, dim).map(_.toFloat), meta,
-        p.boundary, createdAt)
+        p.content, v.map(_.toFloat), meta, p.boundary, createdAt)
     }
     ChunkStore.write(
       spark.createDataset(chunks).toDF()
@@ -153,8 +186,9 @@ object IndexPipeline {
     * rerank (X7, boost 0.1/word). `sourceType` is the F3 filter. */
   def search(spark: SparkSession, storePath: String, query: String, k: Int = 5,
       sourceType: Option[String] = None, rerank: Boolean = true,
-      dim: Int = Embedder.DefaultDim): DataFrame = {
-    val qv = lit(Embedder.embed(query, dim))
+      dim: Int = Embedder.DefaultDim,
+      provider: Option[EmbeddingProvider] = None): DataFrame = {
+    val qv = lit(provider.getOrElse(Embedder.withDim(dim)).embed(query))
     val chunks = ChunkStore.read(spark, s"$storePath/chunks")
     // partition-column filter → directory pruning
     val filtered = sourceType.fold(chunks)(t =>
@@ -185,9 +219,11 @@ object IndexPipeline {
 
   /** Q2 hybrid search: blend `score·(1−w) + keywordRatio·w`, w=0.3. */
   def hybridSearch(spark: SparkSession, storePath: String, query: String,
-      k: Int = 5, dim: Int = Embedder.DefaultDim): DataFrame = {
+      k: Int = 5, dim: Int = Embedder.DefaultDim,
+      provider: Option[EmbeddingProvider] = None): DataFrame = {
     val words = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-    search(spark, storePath, query, k * 3, rerank = false, dim = dim)
+    search(spark, storePath, query, k * 3, rerank = false, dim = dim,
+      provider = provider)
       .withColumn("matches",
         graft.operators.Search.matchCount(lower(col("content")), words))
       .withColumn("score",

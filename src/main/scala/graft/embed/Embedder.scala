@@ -20,6 +20,48 @@ import org.apache.spark.sql.functions._
 trait EmbeddingProvider extends Serializable {
   def dim: Int
   def embed(text: String): Array[Double]
+  /** E2: embed up to one API batch of texts in ONE provider call,
+    * results index-aligned with the input (reference
+    * `embedding.ts:30-81` `generateEmbeddings`). The default delegates
+    * per-text; a real network provider overrides this with its bulk
+    * endpoint. Callers must not pass more than their batch size —
+    * [[BatchEmbedding.embedAll]] does the splitting (E3). */
+  def embedBatch(texts: Seq[String]): Seq[Array[Double]] = texts.map(embed)
+}
+
+/** E3: the batch-of-100 splitting contract of the reference's
+  * `generateEmbeddingsBatch` (`src/core/embedding/embedding.ts:88-123`):
+  * empty input short-circuits, inputs within one batch make exactly one
+  * provider call, larger inputs are split into consecutive `batchSize`
+  * slices each embedded in one call, with per-batch error context and
+  * an optional progress callback after each batch.
+  */
+object BatchEmbedding {
+  val DefaultBatchSize = 100
+
+  def embedAll(provider: EmbeddingProvider, texts: Seq[String],
+      batchSize: Int = DefaultBatchSize,
+      onProgress: (Int, Int) => Unit = null): Seq[Array[Double]] = {
+    if (texts.isEmpty) return Nil
+    if (texts.length <= batchSize) return provider.embedBatch(texts)
+    val out = Seq.newBuilder[Array[Double]]
+    var done = 0
+    texts.grouped(batchSize).zipWithIndex.foreach { case (batch, i) =>
+      val vecs =
+        try provider.embedBatch(batch)
+        catch {
+          case e: Exception =>
+            throw new RuntimeException(
+              s"Failed to generate embeddings for batch ${i + 1}", e)
+        }
+      require(vecs.length == batch.length,
+        s"provider returned ${vecs.length} vectors for ${batch.length} texts")
+      out ++= vecs
+      done += batch.length
+      if (onProgress != null) onProgress(done, texts.length)
+    }
+    out.result()
+  }
 }
 
 object Embedder extends EmbeddingProvider {
@@ -28,6 +70,16 @@ object Embedder extends EmbeddingProvider {
     * is 768 (`src/core/vector-db/constants.ts:6`) — configurable. */
   val DefaultDim = 64
   def dim: Int = DefaultDim
+
+  /** The default hashing embedder at a non-default dimension, as a
+    * provider (so the pipeline's `dim` knob and the provider seam
+    * compose). */
+  def withDim(d: Int): EmbeddingProvider =
+    if (d == DefaultDim) this
+    else new EmbeddingProvider {
+      val dim: Int = d
+      def embed(text: String): Array[Double] = Embedder.embed(text, d)
+    }
 
   def md5hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
