@@ -32,28 +32,46 @@ object CurationPipeline {
     val docs = Tables.documents(spark, dir)
 
     val kept = Quality.qFilterChain(spark, dir)
-      .filter(col("keep")).select("doc_id")
-    val afterQuality = docs.join(kept, "doc_id")
+      .filter(col("keep")).select(col("doc_id"), lit(true).as("__q"))
 
-    // drop non-representative members of every near-dup component
+    // non-representative members of every near-dup component
     val losers = Dedup.componentLabels(spark, dir)
       .join(Dedup.qSemdedup(spark, dir)
           .select(col("group_id").as("grp"), col("kept_doc")), "grp")
       .filter(col("doc_id") =!= col("kept_doc"))
-      .select("doc_id")
-    val curated = afterQuality.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(true).as("__l"))
+
+    // ONE pass over docs: stage membership becomes two boolean flags
+    // (left joins against the small stage verdict tables), and all
+    // three stage aggregates are conditional sums over that single
+    // scan — the manifest no longer re-reads the corpus per stage.
+    val flagged = docs
+      .join(kept, Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .withColumn("__q", coalesce(col("__q"), lit(false)))
+      .withColumn("__curated", col("__q") && col("__l").isNull)
 
     if (outPath.nonEmpty)
-      graft.store.ChunkStore.write(curated, outPath, Seq("lang"))
+      graft.store.ChunkStore.write(
+        flagged.filter(col("__curated")).drop("__q", "__l", "__curated"),
+        outPath, Seq("lang"))
 
-    def stage(name: String, order: Int, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum("n_chars"), lit(0L)).cast("long").as("n_chars"))
-        .select(lit(order.toLong).as("stage"), lit(name).as("name"),
-          col("n_docs"), col("n_chars"))
-    stage("input", 1, docs)
-      .unionByName(stage("after_quality", 2, afterQuality))
-      .unionByName(stage("after_neardup", 3, curated))
+    flagged
+      .agg(
+        count(lit(1)).as("n1"),
+        coalesce(sum("n_chars"), lit(0L)).cast("long").as("c1"),
+        count(when(col("__q"), 1)).as("n2"),
+        coalesce(sum(when(col("__q"), col("n_chars"))), lit(0L))
+          .cast("long").as("c2"),
+        count(when(col("__curated"), 1)).as("n3"),
+        coalesce(sum(when(col("__curated"), col("n_chars"))), lit(0L))
+          .cast("long").as("c3"))
+      .select(expr(
+        """stack(3,
+          |  1L, 'input',         n1, c1,
+          |  2L, 'after_quality', n2, c2,
+          |  3L, 'after_neardup', n3, c3)
+          |  AS (stage, name, n_docs, n_chars)""".stripMargin))
       .orderBy("stage")
   }
 }

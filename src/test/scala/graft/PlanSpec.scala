@@ -120,4 +120,21 @@ class PlanSpec extends SparkSpec {
     // winners table broadcast back to the scan for payload columns
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q_curation_manifest: all three stage aggregates ride ONE docs scan") {
+    def docScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        .split("\n").count(_.contains("documents.parquet"))
+    // the manifest layer may add exactly one corpus scan beyond what
+    // its stage-verdict subqueries already cost (a per-stage recount
+    // would add three)
+    val components =
+      docScans(operators.Quality.qFilterChain(spark, sfDir)) +
+      docScans(operators.Dedup.componentLabels(spark, sfDir)) +
+      docScans(operators.Dedup.qSemdedup(spark, sfDir))
+    val manifest = docScans(SparkEntry.queries("q_curation_manifest")(spark, sfDir))
+    assert(manifest === components + 1,
+      s"manifest=$manifest components=$components")
+  }
 }
