@@ -119,9 +119,14 @@ object Curation {
     * planted near-dup pairs in the synthetic corpus light up here).
     *
     * Scale shape: one explode → (gram) global doc-frequency agg → one
-    * shuffle join back on the gram key → per-doc agg. The gram-keyed
-    * join is AQE-skew-safe (hot grams split at runtime); nothing is
-    * collected to the driver. */
+    * shuffle join back on the gram key → per-doc agg. This shape is
+    * already hot-key-safe: the df aggregate collapses map-side
+    * (partial agg) and the join back is one stats row per gram, which
+    * AQE skew-join splits at runtime. The window-based gram stages
+    * (substring dedup) instead go through [[Salted.autoOwnerStats]],
+    * whose sampled probe swaps the window for a salted aggregate when
+    * a gram exceeds the hot share. Nothing is collected to the
+    * driver. */
   def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
     // shared upstream of BOTH sides: per-doc gram occurrence counts —
     // session-cached like the dedup family's shingle table, so the one

@@ -112,10 +112,13 @@ object Quality {
             i => hash60Col(concat_ws(" ",
               (0 until n).map(j => element_at(col("t"), i + j)): _*)))))
             .as("g"))
-      val wG = Window.partitionBy("g")
-      grams
-        .withColumn("owner", min("doc_id").over(wG))
-        .withColumn("n_docs", count(lit(1)).over(wG))
+      // auto-salting hook: a sampled heavy-hitter probe picks the
+      // per-gram stats plan — single-shuffle window normally, salted
+      // two-stage aggregate + join-back when a gram exceeds the hot
+      // share (a ubiquitous boilerplate 8-gram at 100 TB would
+      // otherwise pin its whole partition on one task)
+      Salted.autoOwnerStats(grams, col("g"), col("doc_id"))
+        .withColumnRenamed("n_keyrows", "n_docs")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"),
