@@ -46,21 +46,34 @@ object Quality {
     * column is the filter a 100 TB pipeline applies before anything
     * heavier runs. */
   def qGopherRules(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    gopherFlags(Tables.documents(spark, dir))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_frac", "n_stop", "keep")
+      .orderBy("doc_id")
+
+  /** The Gopher rule battery as a pure row-local transform over any
+    * frame with (doc_id, text) — zero shuffle, so it applies verbatim
+    * to a document STREAM (the streaming quality gate,
+    * [[graft.streaming.StreamingQuality]]) with bit-identical flags:
+    * batch/stream equivalence is by construction, not by porting.
+    * Input columns are preserved; the verdict columns are appended. */
+  def gopherFlags(docs: DataFrame): DataFrame =
+    docs
       .withColumn("t", toks(col("text")))
-      .select(col("doc_id"),
-        size(col("t")).cast("long").as("n_words"),
-        aggregate(col("t"), lit(0L), (a, w) => a + length(w)).as("sum_len"),
-        size(filter(col("t"), w => w.rlike("[a-z]"))).cast("long")
-          .as("n_alpha"),
-        size(filter(col("t"), w => w.isin(GopherStops: _*))).cast("long")
-          .as("n_stop"),
+      .withColumn("n_words", size(col("t")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(col("t"), lit(0L), (a, w) => a + length(w)))
+      .withColumn("n_alpha",
+        size(filter(col("t"), w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("t"), w => w.isin(GopherStops: _*))).cast("long"))
+      .withColumn("n_hash",
         (length(col("text")) -
-          length(replace(col("text"), lit("#"), lit("")))).cast("long")
-          .as("n_hash"),
+          length(replace(col("text"), lit("#"), lit("")))).cast("long"))
+      .withColumn("n_ellipsis",
         ((length(col("text")) -
           length(replace(col("text"), lit("..."), lit("")))) / 3)
-          .cast("long").as("n_ellipsis"))
+          .cast("long"))
       .withColumn("mean_word_len",
         round(col("sum_len").cast("double") / col("n_words"), 6))
       .withColumn("symbol_ratio",
@@ -73,9 +86,7 @@ object Quality {
           col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
           col("symbol_ratio") <= 0.1 && col("alpha_frac") >= 0.8 &&
           col("n_stop") >= 2)
-      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
-        "alpha_frac", "n_stop", "keep")
-      .orderBy("doc_id")
+      .drop("t", "sum_len", "n_alpha", "n_hash", "n_ellipsis")
 
   private val SubstrGram = 8
 
