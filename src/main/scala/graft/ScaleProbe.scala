@@ -32,8 +32,33 @@ object ScaleProbe {
     // embeddings pass through (vector ops scale-tested at base size)
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    // events: mult per-replica users, each with the base user's exact
+    // history — funnel/retention counts must then scale by exactly mult
+    // while every rate stays bit-identical to the base run
+    Tables.events(spark, sfDir)
+      .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+      .withColumn("user_id", col("user_id") + col("rep") * 10000000L)
+      .withColumn("event_id", col("event_id") + col("rep") * 1000000000L)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
 
+    // base-scale answers for the exact-scaling checks (cheap: sf base)
+    val baseFunnel = operators.Events.qFunnel(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val baseRet = operators.Events.qRetention(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    /** Each probe runs as its own JOB: session caches are dropped
+      * first, so the time covers the operator's full lineage (shingle
+      * builds included) — the production shape, where a 100 TB dedup
+      * job does not share a JVM with the quality job. (Keeping every
+      * family's caches hot in one 8 GB driver made the 20× working set
+      * overflow storage memory and thrash — a real lesson: session
+      * caches need a per-job budget. The warm-session sharing story is
+      * what Bench measures at sf0.1.) */
     def time[A](name: String)(f: => A): (String, Double, A) = {
+      Cache.clear(spark)
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val r = f
       (name, (System.nanoTime() - t0) / 1e9, r)
@@ -90,6 +115,67 @@ object ScaleProbe {
       },
       time("ppl_bucket") {
         s"rows=${operators.Quality.qPplBucket(spark, work).count()}"
+      },
+      time("lsh_tune") {
+        // every replica pair agrees on all 16 minima, so it collides in
+        // EVERY band of every config: each config's candidate and
+        // est-half counts must cover all planted pairs; and because the
+        // band boundaries nest (an r=8 band is two whole r=4 bands),
+        // candidates must be monotone non-increasing in rows-per-band
+        val planted = n0 * mult.toLong * (mult - 1) / 2
+        val t = operators.Dedup.qLshTune(spark, work)
+          .orderBy("rows_per_band").collect()
+        val cands = t.map(_.getLong(2))
+        val est = t.map(_.getLong(3))
+        val covers = cands.forall(_ >= planted) && est.forall(_ >= planted)
+        val mono = cands.sliding(2).forall(p => p(0) >= p(1))
+        s"cands=${cands.mkString("/")} covers_planted=$covers monotone=$mono"
+      },
+      time("semdedup") {
+        // exact replicas are jaccard-1.0 pairs, so all mult replicas of
+        // a base doc land in one component; sizes are therefore exact
+        // multiples of mult, and the keep-best representative (max
+        // n_chars, min doc_id tie-break) must ALWAYS be a replica-0 doc
+        val g = operators.Dedup.qSemdedup(spark, work)
+        val badSize = g.filter(col("group_size") % mult =!= 0).count()
+        val badRep = g.filter(col("kept_doc") >= 10000000L).count()
+        s"groups=${g.count()} size_not_mult_of_$mult=$badSize non_rep0_kept=$badRep"
+      },
+      time("funnel") {
+        val f = operators.Events.qFunnel(spark, work).collect()
+        val exact = f.forall { r =>
+          val (bn, bc) = baseFunnel(r.getLong(0))
+          r.getLong(2) == bn * mult && r.getDouble(3) == bc
+        }
+        s"steps=${f.length} counts_x${mult}_rates_exact=$exact"
+      },
+      time("line_dedup") {
+        // a replica-k>0 doc's every segment already occurred at the
+        // same position of its replica-0 twin (smaller doc_id), so
+        // first-occurrence-wins must keep ZERO segments outside
+        // replica 0 — and replica-0 docs must keep exactly what the
+        // base corpus kept (duplication adds nothing new)
+        val d = operators.Dedup.qLineDedup(spark, work)
+        val outside = d.filter(col("doc_id") >= 10000000L &&
+          col("n_kept") > 0).count()
+        val keptTotal = d.agg(sum("n_kept")).head.getLong(0)
+        s"docs=${d.count()} kept_outside_rep0=$outside kept_total=$keptTotal"
+      },
+      time("kmv_distinct") {
+        // the distinct set per language is replication-invariant, so
+        // the sketch AND the exact count must be bit-identical to the
+        // base corpus run
+        val base = operators.TextAnalysis.qKmvDistinct(spark, sfDir)
+        val rep = operators.TextAnalysis.qKmvDistinct(spark, work)
+        val same = rep.exceptAll(base).isEmpty && base.exceptAll(rep).isEmpty
+        s"langs=${rep.count()} identical_to_base=$same"
+      },
+      time("retention") {
+        val r = operators.Events.qRetention(spark, work).collect()
+        val exact = r.length == baseRet.size && r.forall { row =>
+          baseRet((row.getLong(0), row.getLong(1))) * mult == row.getLong(2)
+        }
+        s"cells=${r.length} counts_x${mult}_exact=$exact"
       })
 
     val expectPairs = n0 * mult.toLong * (mult - 1) / 2
