@@ -505,7 +505,125 @@ object Dedup {
       .orderBy("group_id")
   }
 
+  /** Non-overlapping segment length (tokens) for line-level dedup. */
+  private[graft] val SegLen = 10
+
+  /** C4-style segment-level exact dedup with reassembly (Raffel et al.
+    * 2020 dropped duplicate three-sentence spans corpus-wide; the
+    * delimiter-free analogue here is consecutive non-overlapping
+    * [[SegLen]]-token segments): a segment survives only at its
+    * globally first occurrence — minimal (doc_id, position) — and every
+    * document is re-emitted with its surviving segments in order plus
+    * the attrition accounting. Unlike [[Quality.qSubstrDedup]] (doc
+    * keep/drop by overlapping-span coverage) this TRANSFORMS documents,
+    * the way C4's line dedup rewrites pages.
+    *
+    * Scale shape: segments shuffle as 8-byte hash60 keys (not strings);
+    * first-owner is a groupBy-min + join-back — map-side partial agg,
+    * AQE-skew-safe, same reasoning as [[Curation.qBoilerplate]]'s gram
+    * join — then one doc-keyed agg rebuilds the text. Linear, two
+    * shuffles, no windows over corpus-wide keys. */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(spark, dir)
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("t")) - 1) / SegLen).cast("int")),
+          i => concat_ws(" ", slice(col("t"), i * SegLen + 1, lit(SegLen)))))
+          .as(Seq("pos", "seg")))
+      .withColumn("g", hash60Col(col("seg")))
+    val owners = segs.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+    segs.join(owners, "g")
+      .withColumn("keep",
+        col("o.doc_id") === col("doc_id") && col("o.pos") === col("pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("seg"))))),
+          x => x.getField("seg"))).as("dedup_text"))
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_segs"), 6))
+      .select("doc_id", "n_segs", "n_kept", "kept_frac", "dedup_text")
+      .orderBy("doc_id")
+  }
+
+  /** Decontamination, Bloom-prefilter formulation — the 100 TB shape of
+    * [[qDecontaminate]] for when the held-out set is too big to
+    * broadcast as a join table: the test shingles collapse to a Bloom
+    * bitset (~10 bits/key vs a 16+-byte hash-join row, an order of
+    * magnitude smaller broadcast), the corpus scan keeps only
+    * bloom-positive shingles, and the exact join then runs on that
+    * sliver. No false negatives by construction, and the join removes
+    * the false positives, so the answer is IDENTICAL to the broadcast
+    * twin — same oracle row. The UDF probe is a narrow per-row filter
+    * ahead of the shuffle; everything emitted downstream is exact. */
+  def qBloomDecon(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val test = sh.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("test_doc"), col("shingle"))
+    val bloom = test.stat.bloomFilter("shingle",
+      math.max(test.count(), 1000L), 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    sh.filter(col("doc_id") >= 20)
+      .filter(mightContain(col("shingle")))
+      .join(test, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("test_doc")).as("first_test_doc"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental (batch-vs-corpus) near-dup — the daily-crawl path: the
+    * newest 10% of doc_ids stand in for today's batch, everything
+    * before them is the already-deduped corpus. Each new doc gets a
+    * verdict: `dup_of_corpus` (near-dup of an existing doc — corpus
+    * matches take priority), `dup_in_batch` (near-dup of an
+    * earlier-id doc in the same batch: first-occurrence-wins inside
+    * the increment), or `unique`, with the best partner and its
+    * Jaccard. Best = corpus-class first, Jaccard desc, partner asc —
+    * fully deterministic.
+    *
+    * Scale shape: rides the CACHED banded signature index
+    * ([[nearDupPairs]] — the "Spark builds the index, the daily job
+    * probes it" split the ANN family also uses); the verdict layer
+    * filters pairs to new-doc right sides and runs one window over
+    * doc_id — keys uniform (a few matches per new doc), never the
+    * corpus. The batch boundary is a 1-row broadcast, not a driver
+    * scalar. */
+  def qIncrDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(expr("((max(doc_id)+1)*9) div 10").as("cut"))
+    val m = nearDupPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .crossJoin(broadcast(cut))
+      .filter(col("doc_b") >= col("cut"))
+      .select(col("doc_b").as("doc_id"),
+        col("doc_a").as("partner"), col("jaccard"),
+        when(col("doc_a") < col("cut"), lit("dup_of_corpus"))
+          .otherwise(lit("dup_in_batch")).as("cls"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+          (col("cls") === "dup_of_corpus").desc, col("jaccard").desc,
+          col("partner"))))
+      .filter(col("rn") === 1)
+    docs.select("doc_id").crossJoin(broadcast(cut))
+      .filter(col("doc_id") >= col("cut"))
+      .join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cls"), lit("unique")).as("verdict"),
+        col("partner"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_dedup"     -> (qIncrDedup _),
+    "q_line_dedup"     -> (qLineDedup _),
+    "q_bloom_decon"    -> (qBloomDecon _),
     "q_lsh_tune"       -> (qLshTune _),
     "q_semdedup"       -> (qSemdedup _),
     "q_dedup_groups"   -> (qDedupGroups _),
@@ -590,6 +708,75 @@ object Dedup {
        |labels AS (SELECT u AS doc_id, min(root) AS grp FROM reach GROUP BY u)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_incr_dedup" ->
+      s"""WITH $sigSql,
+         |bands AS (
+         |  SELECT doc_id, h // 4 AS band,
+         |    md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS band_sig
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, band_sig)
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(count(*)::DOUBLE / (sa.sz + sb.sz - count(*)), 6) AS jaccard
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  GROUP BY c.doc_a, c.doc_b, sa.sz, sb.sz),
+         |cut AS (SELECT ((max(doc_id)+1)*9)//10 AS cut FROM documents),
+         |nd AS (SELECT d.doc_id FROM documents d, cut c
+         |       WHERE d.doc_id >= c.cut),
+         |m AS (
+         |  SELECT p.doc_b AS doc_id, p.doc_a AS partner, p.jaccard,
+         |    CASE WHEN p.doc_a < c.cut THEN 'dup_of_corpus'
+         |         ELSE 'dup_in_batch' END AS cls
+         |  FROM pairs p, cut c
+         |  WHERE p.doc_b >= c.cut AND p.jaccard >= 0.5),
+         |r AS (
+         |  SELECT doc_id, partner, jaccard, cls, row_number() OVER (
+         |      PARTITION BY doc_id
+         |      ORDER BY (cls = 'dup_of_corpus') DESC, jaccard DESC, partner)
+         |    AS rn
+         |  FROM m)
+         |SELECT n.doc_id, coalesce(r.cls, 'unique') AS verdict,
+         |  r.partner, r.jaccard
+         |FROM nd n LEFT JOIN r ON r.doc_id = n.doc_id AND r.rn = 1
+         |ORDER BY n.doc_id""".stripMargin,
+    "q_line_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |seg AS (
+         |  SELECT doc_id, i AS pos,
+         |    array_to_string(toks[i*$SegLen+1 : i*$SegLen+$SegLen], ' ') AS seg
+         |  FROM t, LATERAL (
+         |    SELECT unnest(range(0, (len(toks)-1)//$SegLen + 1)) AS i) g
+         |  WHERE len(toks) > 0),
+         |k AS (
+         |  SELECT doc_id, pos, seg, row_number() OVER (
+         |      PARTITION BY ('0x'||substr(md5(seg),1,15))::BIGINT
+         |      ORDER BY doc_id, pos) AS rn
+         |  FROM seg)
+         |SELECT doc_id, count(*) AS n_segs,
+         |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         |    AS kept_frac,
+         |  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '')
+         |    AS dedup_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bloom_decon" ->
+      s"""WITH ${shinglesCte()}
+         |SELECT c.doc_id, count(*) AS n_shared,
+         |  min(t.doc_id) AS first_test_doc
+         |FROM sh c JOIN sh t ON t.shingle = c.shingle AND t.doc_id < 20
+         |WHERE c.doc_id >= 20
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "q_semdedup" ->
       s"""WITH RECURSIVE $ccSql,
          |j AS (

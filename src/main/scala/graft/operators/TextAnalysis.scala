@@ -347,7 +347,62 @@ object TextAnalysis {
         sum(pmod(col("h"), lit(1000003L))).as("scrub_digest"))
       .orderBy("source")
 
+  /** KMV sketch size. */
+  private[graft] val KmvK = 64
+
+  /** K-minimum-values distinct-cardinality sketch per language over
+    * token trigrams — the deterministic stand-in for HyperLogLog:
+    * unlike `approx_count_distinct`, the sketch here is "the K
+    * smallest 60-bit hashes of the distinct values", a pure function
+    * of the data, so the estimate `(K−1)·2⁶⁰ div h_K` (Beyer et al.
+    * 2007's unbiased KMV estimator, in exact integer arithmetic) is
+    * bit-stable on any engine and any partitioning. The report pairs
+    * the estimate with the exact distinct count and the realized
+    * relative error — the sketch-accuracy audit a pipeline runs at
+    * sample scale before trusting sketches on the 100 TB corpus where
+    * exact distinct counts are unaffordable. Strata with fewer than K
+    * distinct values fall back to the sketch's own exact content.
+    *
+    * Scale shape: one distinct over (lang, hash60) — map-side partial
+    * dedup on uniform 8-byte keys — then
+    * [[graft.functions.MinKPairAggregator]] ships at most K rows per
+    * language per partition into a tiny final shuffle: no per-language
+    * sort, no dominant-language single-task window. The exact count
+    * rides the same distinct table. */
+  def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.embed.Embedder.hash60Col
+    val dh = Tables.documents(spark, dir)
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= 3)
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), size(col("t")) - 2),
+          i => hash60Col(concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
+          .as("h"))
+      .distinct()
+    val exact = dh.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    val kth = dh.select(col("lang"), col("h"), lit(0L))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(graft.functions.MinKPairAggregator.minK(KmvK))
+      .toDF("lang", "mins")
+      .select(col("lang"),
+        when(size(col("mins")) >= KmvK,
+          element_at(col("mins"), KmvK).getField("_1")).as("h_k"))
+    exact.join(kth, "lang")
+      .withColumn("kmv_est",
+        when(col("h_k").isNull, col("n_exact")).otherwise(expr(
+          s"CAST(CAST(${KmvK - 1} AS DECIMAL(38,0)) * 1152921504606846976 AS DECIMAL(38,0)) div h_k")))
+      .withColumn("rel_err",
+        round(abs(col("kmv_est") - col("n_exact")).cast("double") /
+          col("n_exact"), 6))
+      .select("lang", "n_exact", "kmv_est", "rel_err")
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct"   -> (qKmvDistinct _),
     "q_bigram_lm"      -> (qBigramLm _),
     "q_doc_keywords"   -> (qDocKeywords _),
     "q_pii_scrub"      -> (qPiiScrub _),
@@ -364,6 +419,26 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_kmv_distinct" ->
+      s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+         |tg AS (
+         |  SELECT lang, toks[i]||' '||toks[i+1]||' '||toks[i+2] AS tg
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks)-1)) AS i) g
+         |  WHERE len(toks) >= 3),
+         |dh AS (SELECT DISTINCT lang,
+         |    ('0x'||substr(md5(tg),1,15))::BIGINT AS h FROM tg),
+         |ex AS (SELECT lang, count(*) AS n_exact FROM dh GROUP BY 1),
+         |rk AS (SELECT lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM dh),
+         |kth AS (SELECT lang, h AS h_k FROM rk WHERE rn = 64),
+         |est AS (SELECT e.lang, e.n_exact,
+         |    CASE WHEN k.h_k IS NULL THEN e.n_exact
+         |      ELSE ((63::HUGEINT * 1152921504606846976::HUGEINT) // k.h_k)::BIGINT
+         |    END AS kmv_est
+         |  FROM ex e LEFT JOIN kth k USING (lang))
+         |SELECT lang, n_exact, kmv_est,
+         |  round(abs(kmv_est - n_exact)::DOUBLE / n_exact, 6) AS rel_err
+         |FROM est ORDER BY lang""".stripMargin,
     "q_source_stats" ->
       """SELECT source, count(*) AS n_docs,
         |  count(DISTINCT lang) AS n_langs,

@@ -137,4 +137,29 @@ class PlanSpec extends SparkSpec {
     assert(manifest === components + 1,
       s"manifest=$manifest components=$components")
   }
+
+  test("q_line_dedup: partial aggregation, no window over the segment key") {
+    val p = planOf("q_line_dedup")
+    // owner = groupBy-min + join-back (map-side partial agg), NOT a
+    // window over the corpus-wide segment key (single-task hot key)
+    assert(p.split("HashAggregate").length >= 3, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_kmv_distinct: no per-language sort or window") {
+    val p = planOf("q_kmv_distinct")
+    // the K minima come from the bounded aggregator, never from a
+    // per-stratum row_number window (dominant-language single task)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_bloom_decon: bloom prefilter sits ahead of the verify join") {
+    val p = planOf("q_bloom_decon")
+    // the corpus side is Filter(UDF) before any join
+    assert(p.contains("Filter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
