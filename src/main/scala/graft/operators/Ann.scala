@@ -480,7 +480,44 @@ object Ann {
       .orderBy("cell")
   }
 
+  /** Hard-negative mining for embedding-model training (the
+    * contrastive-learning data op: the most-similar vectors that are
+    * NOT the query's class are the informative negatives): for each
+    * probe vector (vec_id < 8, the family's standing query set), the
+    * top-5 cosine-nearest embeddings with a DIFFERENT ground-truth
+    * label.
+    *
+    * Scale shape: queries broadcast, corpus scanned once; the per-query
+    * top-5 comes from [[graft.functions.TopKAggregator]] — a bounded
+    * map-side buffer, so each partition ships at most 5 rows per query
+    * into the shuffle instead of the corpus-sized partition a
+    * row_number window would sort (the window formulation stays the
+    * oracle; TopKSpec proves equivalence). */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Search.embNormed(spark, dir)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("qlabel"))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6))
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(graft.functions.TopKAggregator.topK(5))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("p._1").as("vec_id"), col("p._2").as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_topic_purity"  -> (qTopicPurity _),
     "q_kmeans_step"   -> (qKmeansStep _),
     "q_ann_lsh"       -> (qAnnLsh _),
@@ -550,6 +587,24 @@ object Ann {
       |  ORDER BY score DESC, sh.vec_id LIMIT 10)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+        |      FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+        |  FROM e, q
+        |  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel),
+        |ranked AS (
+        |  SELECT query_id, vec_id, score, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, vec_id, score FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_kmeans_step" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -77,4 +77,33 @@ class TopKSpec extends SparkSpec {
     assert(merged === Seq((2L, 0.9), (3L, 0.9), (5L, 0.7)))
     assert(merged.length <= 3)
   }
+
+  test("hard negatives: never the query's label, equals the window plan") {
+    val out = operators.Ann.qHardNegatives(spark, sfDir)
+    val labels = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+    val shared = out
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "qlabel"), "query_id")
+      .join(labels, "vec_id")
+      .filter(col("label") === col("qlabel"))
+    assert(shared.count() === 0)
+    // window twin (the oracle formulation) must agree row for row
+    val e = operators.Search.embNormed(spark, sfDir)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+    val viaWindow = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("qlabel"))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("score"))
+    assert(out.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(out).isEmpty)
+  }
 }
