@@ -9,17 +9,20 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media payloads as opaque `binary`
   * columns with typed, deterministic metadata extraction.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked stub ([[MediaStub.decode]]) — but everything Spark
-  * cares about is real and tested: the binary column, the typed
-  * `mapPartitions` batch shape (executor-side, streaming per
-  * partition — no collect), the metadata schema, and the
-  * deterministic md5-derived values that let a DuckDB oracle verify
-  * the plumbing end to end. Swapping the stub for a real decoder
-  * (JavaCV, TwelveMonkeys, ffmpeg-cli per partition) changes ONE
-  * function and no plan shape. At 100 TB this is the
-  * `spark.read.format("binaryFile")` → mapPartitions(decode) →
-  * metadata-table pattern.
+  * Two tiers. Formats that need no native libs get REAL codecs, pure
+  * JVM: [[wavDecode]] walks RIFF/WAVE chunks and re-signs PCM16LE
+  * samples; [[bmpDecode]] reads BITMAPINFOHEADER fields and walks the
+  * bottom-up 4-byte-padded pixel rows — and their oracle rows verify
+  * the full encode→decode roundtrip byte-for-byte (the DuckDB side
+  * recomputes the expected metadata/features analytically). Formats
+  * that genuinely need native codecs (JPEG/H.264) keep the
+  * clearly-marked stub ([[MediaStub.decode]]) as the single swap
+  * point — the binary column, the typed `mapPartitions` batch shape
+  * (executor-side, streaming per partition — no collect), and the
+  * metadata schema are identical in both tiers, so swapping in
+  * JavaCV/ffmpeg-cli changes ONE function and no plan shape. At
+  * 100 TB this is the `spark.read.format("binaryFile")` →
+  * mapPartitions(decode) → metadata-table pattern.
   */
 object Media {
 
@@ -163,14 +166,223 @@ object Media {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------------
+  // Real codecs (pure JVM — no external libs): WAV PCM and BMP. The
+  // payloads are synthesized deterministically per doc, but as REAL
+  // well-formed files, and the decode path parses the BYTES back
+  // (RIFF chunk walk, BMP header + 4-byte row padding) — it never
+  // peeks at the synth parameters. The DuckDB oracle computes the
+  // same metadata/features analytically from the synth formulas, so a
+  // hash-exact oracle row proves the encoder→decoder roundtrip,
+  // including every little-endian offset. MediaStub remains the swap
+  // point for codecs that genuinely need native libs (JPEG/H.264).
+  // ------------------------------------------------------------------
+
+  private def le16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+    le16(b, off, v & 0xffff); le16(b, off + 2, (v >>> 16) & 0xffff)
+  }
+  private def rd16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def rd32(b: Array[Byte], off: Int): Int =
+    rd16(b, off) | (rd16(b, off + 2) << 16)
+
+  /** 16-bit mono PCM sample i of doc `docId`: ((id·31 + i·7) mod 4096)
+    * − 2048 — spans negative/positive so zero-crossings are real. */
+  private[graft] def wavSample(docId: Long, i: Int): Int =
+    (((docId * 31 + i * 7) % 4096) - 2048).toInt
+
+  /** Real RIFF/WAVE writer: 44-byte canonical header + PCM16LE data. */
+  private[graft] def wavBytes(docId: Long, nSamples: Int): Array[Byte] = {
+    val rate = 8000
+    val data = nSamples * 2
+    val b = new Array[Byte](44 + data)
+    "RIFF".getBytes("US-ASCII").copyToArray(b, 0)
+    le32(b, 4, 36 + data)
+    "WAVEfmt ".getBytes("US-ASCII").copyToArray(b, 8)
+    le32(b, 16, 16); le16(b, 20, 1); le16(b, 22, 1) // PCM, mono
+    le32(b, 24, rate); le32(b, 28, rate * 2)        // byte rate
+    le16(b, 32, 2); le16(b, 34, 16)                 // block align, bits
+    "data".getBytes("US-ASCII").copyToArray(b, 36)
+    le32(b, 40, data)
+    var i = 0
+    while (i < nSamples) { le16(b, 44 + 2 * i, wavSample(docId, i) & 0xffff); i += 1 }
+    b
+  }
+
+  case class WavMeta(
+      doc_id: Long, sample_rate: Long, channels: Long, bits: Long,
+      n_samples: Long, duration_ms: Long, sum_sq: Long, zcr: Long,
+      rms: Double)
+
+  /** Real RIFF parse: chunk magics checked, fmt fields read from the
+    * bytes, PCM16LE samples re-signed; RMS/zero-crossings from the
+    * decoded waveform (exact integer sums; sqrt at the very end). */
+  private[graft] def wavDecode(docId: Long, b: Array[Byte]): WavMeta = {
+    require(new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(b, 8, 8, "US-ASCII") == "WAVEfmt ", s"bad RIFF: doc $docId")
+    require(rd16(b, 20) == 1, "not PCM")
+    val channels = rd16(b, 22)
+    val rate = rd32(b, 24)
+    val bits = rd16(b, 34)
+    require(new String(b, 36, 4, "US-ASCII") == "data", "missing data chunk")
+    val dataLen = rd32(b, 40)
+    val n = dataLen / (bits / 8) / channels
+    var i = 0; var sumSq = 0L; var zcr = 0L; var prevNeg = false
+    while (i < n) {
+      val raw = rd16(b, 44 + 2 * i)
+      val s = if (raw >= 0x8000) raw - 0x10000 else raw // re-sign
+      sumSq += s.toLong * s
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zcr += 1
+      prevNeg = neg
+      i += 1
+    }
+    WavMeta(docId, rate, channels, bits, n, n.toLong * 1000 / rate, sumSq,
+      zcr, math.sqrt(sumSq.toDouble / n)) // rounded at the plan layer
+  }
+
+  /** Audio decode + feature extraction with a REAL codec end to end:
+    * synthesize a well-formed WAV per doc (100–199 samples, length
+    * keyed by n_chars), parse the bytes back, emit decoded header
+    * fields + integer-exact waveform features. The oracle recomputes
+    * everything analytically — a hash match proves the roundtrip. */
+  def qWavDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (lit(100) + col("n_chars") % 100).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) => wavDecode(id, wavBytes(id, n)) })
+      .toDF()
+      .withColumn("rms", round(col("rms"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** 24-bit BMP pixel channels of doc `docId` at (x, y). */
+  private[graft] def bmpPixel(docId: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((docId + x + y) % 256).toInt, ((docId * 2 + x) % 256).toInt,
+      ((docId + x.toLong * y) % 256).toInt)
+
+  /** Real BMP writer: BITMAPFILEHEADER + BITMAPINFOHEADER, 24 bpp,
+    * bottom-up rows padded to 4 bytes — the classic stride gotcha. */
+  private[graft] def bmpBytes(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val b = new Array[Byte](54 + stride * h)
+    b(0) = 'B'; b(1) = 'M'
+    le32(b, 2, b.length); le32(b, 10, 54)
+    le32(b, 14, 40); le32(b, 18, w); le32(b, 22, h)
+    le16(b, 26, 1); le16(b, 28, 24)
+    le32(b, 34, stride * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = bmpPixel(docId, x, y)
+        val off = 54 + (h - 1 - y) * stride + x * 3 // bottom-up, BGR
+        b(off) = bl.toByte; b(off + 1) = g.toByte; b(off + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  case class BmpMeta(
+      doc_id: Long, width: Long, height: Long, bpp: Long, byte_len: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long, brightness_milli: Long)
+
+  /** Real BMP parse: header fields read back from the bytes, pixels
+    * walked bottom-up through the padded stride; channel sums exact. */
+  private[graft] def bmpDecode(docId: Long, b: Array[Byte]): BmpMeta = {
+    require(b(0) == 'B' && b(1) == 'M', s"bad BMP magic: doc $docId")
+    val off = rd32(b, 10)
+    val w = rd32(b, 18); val h = rd32(b, 22)
+    val bpp = rd16(b, 28)
+    require(bpp == 24, "only 24bpp supported")
+    val stride = ((w * 3 + 3) / 4) * 4
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = off + (h - 1 - y) * stride + x * 3
+        bs += b(p) & 0xff; gs += b(p + 1) & 0xff; rs += b(p + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    BmpMeta(docId, w, h, bpp, b.length.toLong, rs, gs, bs,
+      (rs + gs + bs) * 1000 / (3L * w * h * 255))
+  }
+
+  /** Image decode with a REAL codec end to end: well-formed 24bpp BMP
+    * per doc (geometry keyed by doc_id), parsed back byte-for-byte
+    * (padding included), channel sums + fixed-point brightness. */
+  def qBmpDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 4 + (id % 13).toInt; val h = 3 + (id % 7).toInt
+        bmpDecode(id, bmpBytes(id, w, h))
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_meta"     -> (qMediaMeta _),
     "q_media_frames"   -> (qMediaFrames _),
     "q_media_features" -> (qMediaFeatures _),
     "q_media_resize"   -> (qMediaResize _),
+    "q_wav_decode"     -> (qWavDecode _),
+    "q_bmp_decode"     -> (qBmpDecode _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_wav_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 100 + n_chars % 100 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, i,
+        |    ((doc_id*31 + i*7) % 4096 - 2048)::BIGINT AS v
+        |  FROM d, LATERAL (SELECT unnest(range(n)) AS i) g),
+        |z AS (
+        |  SELECT doc_id, n, v,
+        |    CASE WHEN i > 0 AND ((v < 0) <>
+        |        (lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0))
+        |      THEN 1 ELSE 0 END AS flip
+        |  FROM s)
+        |SELECT doc_id, 8000::BIGINT AS sample_rate, 1::BIGINT AS channels,
+        |  16::BIGINT AS bits, any_value(n)::BIGINT AS n_samples,
+        |  ((any_value(n)*1000)//8000)::BIGINT AS duration_ms,
+        |  sum(v*v)::BIGINT AS sum_sq, sum(flip)::BIGINT AS zcr,
+        |  round(sqrt(sum(v*v)::DOUBLE / any_value(n)), 6) AS rms
+        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bmp_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id + x + y) % 256 AS r,
+        |    (doc_id*2 + x) % 256 AS g,
+        |    (doc_id + x*y) % 256 AS b
+        |  FROM d, LATERAL (SELECT unnest(range(w)) AS x) gx,
+        |       LATERAL (SELECT unnest(range(h)) AS y) gy)
+        |SELECT doc_id, any_value(w)::BIGINT AS width,
+        |  any_value(h)::BIGINT AS height, 24::BIGINT AS bpp,
+        |  (54 + ((any_value(w)*3 + 3)//4)*4 * any_value(h))::BIGINT
+        |    AS byte_len,
+        |  sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum,
+        |  sum(b)::BIGINT AS b_sum,
+        |  (((sum(r)+sum(g)+sum(b)) * 1000) //
+        |    (3 * any_value(w) * any_value(h) * 255))::BIGINT
+        |    AS brightness_milli
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id, strlen(text)::BIGINT AS byte_len,
         |  md5(text) AS content_hash,

@@ -3,6 +3,8 @@ package media
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Media.MediaStub
 
 class MediaSpec extends SparkSpec {
@@ -82,5 +84,47 @@ class MediaSpec extends SparkSpec {
       .filter(octet_length(col("text")) =!= length(col("text"))).count()
     assert(nonAscii === 0)
     r.unpersist()
+  }
+
+  test("wav codec: real RIFF roundtrip, corruption detected") {
+    val b = operators.Media.wavBytes(7L, 150)
+    val m = operators.Media.wavDecode(7L, b)
+    assert(m.sample_rate === 8000L && m.channels === 1L && m.bits === 16L)
+    assert(m.n_samples === 150L && m.duration_ms === 18L)
+    // decoded waveform features equal the synth formula computed directly
+    val vs = (0 until 150).map(operators.Media.wavSample(7L, _))
+    assert(m.sum_sq === vs.map(v => v.toLong * v).sum)
+    assert(m.zcr === vs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    // a flipped magic byte must not decode silently
+    val bad = b.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](operators.Media.wavDecode(7L, bad))
+  }
+
+  test("bmp codec: padded-stride roundtrip, header read from bytes") {
+    // w=5 forces a non-trivial row pad (15 bytes -> stride 16)
+    val b = operators.Media.bmpBytes(1L, 5, 4)
+    assert(b.length === 54 + 16 * 4)
+    val m = operators.Media.bmpDecode(1L, b)
+    assert(m.width === 5L && m.height === 4L && m.bpp === 24L)
+    val px = for { y <- 0 until 4; x <- 0 until 5 }
+      yield operators.Media.bmpPixel(1L, x, y)
+    assert(m.r_sum === px.map(_._1.toLong).sum)
+    assert(m.g_sum === px.map(_._2.toLong).sum)
+    assert(m.b_sum === px.map(_._3.toLong).sum)
+    val bad = b.clone(); bad(1) = 'X'.toByte
+    intercept[IllegalArgumentException](operators.Media.bmpDecode(1L, bad))
+  }
+
+  test("wav/bmp queries: one row per doc, features positive") {
+    val w = operators.Media.qWavDecode(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(w.count() === docs)
+    assert(w.filter(col("sum_sq") <= 0 || col("zcr") < 0).count() === 0)
+    // the slow mod-4096 ramp crosses zero in SOME docs, not all
+    assert(w.filter(col("zcr") > 0).count() > 0)
+    val bm = operators.Media.qBmpDecode(spark, sfDir)
+    assert(bm.count() === docs)
+    assert(bm.filter(col("brightness_milli") < 0 ||
+      col("brightness_milli") > 1000).count() === 0)
   }
 }
