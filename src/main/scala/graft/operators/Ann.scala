@@ -516,7 +516,42 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** All-pairs approximate kNN JOIN — the corpus-wide "top-k similar
+    * neighbors for EVERY vector" primitive (semantic-dedup blocking,
+    * diversity pruning, graph construction all start here): candidates
+    * are LSH-bucket-mates only (≈N²/16, never N²), scored exactly, top-3
+    * per vector via [[graft.functions.TopKAggregator]].
+    *
+    * Scale shape: vectors ride WITH their bucket assignment into ONE
+    * bucket-keyed shuffle (payload joined before the self-join, so no
+    * second pass over the corpus); the self-join co-locates per bucket;
+    * the bounded aggregator ships ≤3 rows per query vector per
+    * partition. Bucket skew is the knob: q_ivf_balance / q_key_skew
+    * are the diagnostics, more planes the mitigation. */
+  def qKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val be = lshBuckets(spark, dir).join(Search.embNormed(spark, dir), "vec_id")
+    be.alias("a")
+      .join(be.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")), 6))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        col("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(graft.functions.TopKAggregator.topK(3))
+      .toDF("vec_id", "top")
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("p._1").as("neighbor_id"), col("p._2").as("score"))
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_join"       -> (qKnnJoin _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_topic_purity"  -> (qTopicPurity _),
     "q_kmeans_step"   -> (qKmeansStep _),
@@ -587,6 +622,22 @@ object Ann {
       |  ORDER BY score DESC, sh.vec_id LIMIT 10)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_knn_join" ->
+      s"""WITH $bucketsSql,
+         |be AS (
+         |  SELECT b.vec_id, b.bucket, e.v, e.nrm
+         |  FROM buckets b JOIN e USING (vec_id)),
+         |cand AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+         |  FROM be a JOIN be b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT qid, nid, score, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, nid) AS rank
+         |  FROM cand)
+         |SELECT qid AS vec_id, rank, nid AS neighbor_id, score
+         |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
     "q_hard_negatives" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,

@@ -333,7 +333,36 @@ object Media {
       .orderBy("doc_id")
   }
 
+  case class DecodeStatus(doc_id: Long, status: String, n_samples: Option[Long])
+
+  /** Error-channel decode — the production posture for a 100 TB media
+    * scan where some payloads are ALWAYS corrupt: per-row try/catch in
+    * the same typed mapPartitions, bad rows become ('error', null)
+    * rows instead of failing the job (the IndexPipeline errors[]
+    * pattern applied to the codec tier). Corruption is injected
+    * deterministically (every 97th doc gets a flipped RIFF magic) so
+    * the oracle can verify BOTH channels exactly. */
+  def qMediaErrors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (lit(100) + col("n_chars") % 100).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        val bytes = wavBytes(id, n)
+        if (id % 97 == 0) bytes(0) = 'X'.toByte // planted corruption
+        try {
+          val m = wavDecode(id, bytes)
+          DecodeStatus(id, "ok", Some(m.n_samples))
+        } catch {
+          case _: IllegalArgumentException => DecodeStatus(id, "error", None)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_errors"   -> (qMediaErrors _),
     "q_media_meta"     -> (qMediaMeta _),
     "q_media_frames"   -> (qMediaFrames _),
     "q_media_features" -> (qMediaFeatures _),
@@ -343,6 +372,12 @@ object Media {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_media_errors" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN 'error' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       ELSE (100 + n_chars % 100)::BIGINT END AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_wav_decode" ->
       """WITH d AS (
         |  SELECT doc_id, 100 + n_chars % 100 AS n FROM documents),

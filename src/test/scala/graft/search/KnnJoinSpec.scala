@@ -1,0 +1,62 @@
+package graft
+package search
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.{Ann, Search}
+
+/** All-pairs kNN join: neighbors must come from the query's LSH
+  * bucket, be exactly scored, and be the bucket's true top-3. */
+class KnnJoinSpec extends SparkSpec {
+
+  test("knn join: every neighbor shares the query's bucket, top-3 exact") {
+    val out = Ann.qKnnJoin(spark, sfDir)
+    val b = Ann.lshBuckets(spark, sfDir)
+    // neighbor always bucket-mate
+    val crossBucket = out
+      .join(b.withColumnRenamed("bucket", "qb"), "vec_id")
+      .join(b.select(col("vec_id").as("neighbor_id"),
+        col("bucket").as("nb")), "neighbor_id")
+      .filter(col("qb") =!= col("nb"))
+    assert(crossBucket.count() === 0)
+    // ranks are 1..k dense per vector, scores non-increasing
+    val badRank = out.groupBy("vec_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(badRank.count() === 0)
+    // spot-exactness: for the largest bucket, rank-1 equals the
+    // brute-force best bucket-mate
+    val big = b.groupBy("bucket").count().orderBy(desc("count"), col("bucket"))
+      .head.getLong(0)
+    val members = b.filter(col("bucket") === big)
+    val e = Search.embNormed(spark, sfDir).join(members, "vec_id")
+    val brute = e.alias("a").join(e.alias("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")), 6))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a.vec_id"))
+          .orderBy(desc("score"), col("b.vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("bf_neighbor"), col("score").as("bf_score"))
+    val mismatch = out.filter(col("rank") === 1)
+      .join(brute, "vec_id")
+      .filter(col("neighbor_id") =!= col("bf_neighbor") ||
+        col("score") =!= col("bf_score"))
+    assert(mismatch.count() === 0)
+  }
+
+  test("media error channel: exactly the planted corruptions fail") {
+    val out = operators.Media.qMediaErrors(spark, sfDir)
+    assert(out.filter((col("doc_id") % 97 === 0) =!=
+      (col("status") === "error")).count() === 0)
+    assert(out.filter(col("status") === "error" &&
+      col("n_samples").isNotNull).count() === 0)
+    assert(out.filter(col("status") === "ok" &&
+      col("n_samples").isNull).count() === 0)
+  }
+}
