@@ -360,7 +360,48 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** Deflate length of a payload at compression level 6 — pure
+    * java.util.zip, one Deflater per call (cheap; executor-local). */
+  private[graft] def deflateLen(raw: Array[Byte]): Long = {
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    n
+  }
+
+  /** Compression-ratio quality signal (the CCNet/RedPajama/DataTrove
+    * heuristic): highly repetitive or templated text deflates far
+    * below normal prose; random or binary junk barely deflates at
+    * all. Emits the exact byte counts and a fixed-point ratio; keep =
+    * ratio within [0.25, 0.95]. Deflate has no SQL analogue, so this
+    * is a declared rows-only query (like the boundary chunkers) —
+    * determinism and the orderings that make the signal meaningful
+    * are pinned by QualitySpec instead.
+    *
+    * Scale shape: row-local mapPartitions over the scan — zero
+    * shuffles, embarrassingly parallel, CPU-bound; exactly the
+    * 100 TB posture for a per-document codec pass. */
+  def qCompressRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        val comp = deflateLen(raw)
+        (id, raw.length.toLong, comp, comp * 1000 / raw.length)
+      })
+      .toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio_milli")
+      .withColumn("keep",
+        col("ratio_milli") >= 250 && col("ratio_milli") <= 950)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compress_ratio" -> (qCompressRatio _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_substr_dedup" -> (qSubstrDedup _),
     "q_ppl_bucket"   -> (qPplBucket _),

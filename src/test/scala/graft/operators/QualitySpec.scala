@@ -117,4 +117,21 @@ class QualitySpec extends SparkSpec {
     assert(joined.filter(col("n_fp") < 1 || col("n_fp") > col("n_g")).count() === 0)
     assert(fps.count() === grams.count())
   }
+
+  test("compression ratio: deterministic, separates repetition from variety") {
+    val a = Quality.qCompressRatio(spark, sfDir)
+    val b = Quality.qCompressRatio(spark, sfDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() === Tables.documents(spark, sfDir).count())
+    assert(a.filter(col("deflate_bytes") <= 0 ||
+      col("deflate_bytes") > col("raw_bytes") + 64).count() === 0)
+    assert(a.filter(col("keep") =!=
+      (col("ratio_milli") >= 250 && col("ratio_milli") <= 950)).count() === 0)
+    // the signal itself: pure repetition deflates far below varied text
+    def ratio(s: String): Long =
+      Quality.deflateLen(s.getBytes("UTF-8")) * 1000 / s.length
+    val repeated = ("spam " * 200).trim
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 1000}").mkString(" ")
+    assert(ratio(repeated) < ratio(varied) / 3)
+  }
 }
