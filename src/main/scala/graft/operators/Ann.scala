@@ -340,6 +340,8 @@ object Ann {
           .withColumn("method", lit("ivf")))
         .unionByName(top10("pq")(qAnnPq(spark, dir))
           .withColumn("method", lit("pq")))
+        .unionByName(top10("ivfpq")(qAnnIvfPq(spark, dir))
+          .withColumn("method", lit("ivfpq")))
     all.join(broadcast(exact), Seq("vec_id"), "left")
       .groupBy("method")
       .agg(count(lit(1)).as("n_returned"),
@@ -550,7 +552,47 @@ object Ann {
       .orderBy("vec_id", "rank")
   }
 
+  /** IVF-PQ — the canonical FAISS serving composition, built from the
+    * engine's own cached pieces: the query probes its 2 nearest IVF
+    * cells ([[ivfRanked]]), ADC-scores ONLY those cells' members from
+    * their 4-byte PQ codes ([[pqCodes]] × the broadcast query lookup
+    * table), shortlists 50, exact-rescores the shortlist, top-10.
+    * Scan fraction ≈ (2/8 cells) × (codes vs floats ≈ 1/64 bytes) —
+    * multiplicative, which is the whole point of the composition. At
+    * 100 TB both the assignment and the codes live cell-partitioned
+    * ([[buildIndexes]]); a probe reads two partitions of 4-byte codes
+    * and exactly 50 full vectors. */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Search.embNormed(spark, dir)
+    val ranked = ivfRanked(spark, dir)
+    val members = ranked.filter(col("rn") === 1)
+      .join(broadcast(ranked.filter(col("vec_id") === 0 && col("rn") <= 2)
+        .select(col("cell"))), "cell")
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val shortlist = pqCodes(spark, dir)
+      .join(members, "vec_id")
+      .join(broadcast(pqQueryTable(spark, dir)
+        .withColumnRenamed("cid", "code")), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("dot_fp")).as("s"))
+      .orderBy(desc("s"), col("vec_id"))
+      .limit(50)
+      .select(col("vec_id"))
+    shortlist
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .select(col("vec_id"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivfpq"      -> (qAnnIvfPq _),
     "q_knn_join"       -> (qKnnJoin _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_topic_purity"  -> (qTopicPurity _),
@@ -622,6 +664,49 @@ object Ann {
       |  ORDER BY score DESC, sh.vec_id LIMIT 10)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ann_ivfpq" ->
+      s"""WITH $bucketsSql,
+         |pqc AS (
+         |  SELECT vec_id AS cid, d, se AS ce FROM sv WHERE vec_id < 8),
+         |pqdist AS (
+         |  SELECT s.vec_id, CAST(floor(s.d / 16) AS BIGINT) AS sub, c.cid,
+         |    sum((s.se - c.ce) * (s.se - c.ce)) AS dist
+         |  FROM sv s JOIN pqc c USING (d) GROUP BY 1, 2, 3),
+         |pqcodes AS (
+         |  SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT vec_id, sub, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+         |    FROM pqdist) WHERE rn = 1),
+         |pqqd AS (
+         |  SELECT CAST(floor(s.d / 16) AS BIGINT) AS sub, c.cid,
+         |    sum(s.se * c.ce) AS dot_fp
+         |  FROM sv s JOIN pqc c USING (d) WHERE s.vec_id = 0 GROUP BY 1, 2),
+         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+         |iscored AS (
+         |  SELECT e.vec_id, c.cell,
+         |    round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS csim
+         |  FROM e, c),
+         |iranked AS (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |  FROM iscored),
+         |members AS (
+         |  SELECT a.vec_id FROM iranked a
+         |  JOIN (SELECT cell FROM iranked WHERE vec_id = 0 AND rn <= 2) p
+         |    USING (cell)
+         |  WHERE a.rn = 1 AND a.vec_id <> 0),
+         |adc AS (
+         |  SELECT k.vec_id, sum(t.dot_fp)::BIGINT AS s
+         |  FROM pqcodes k
+         |  JOIN members m ON m.vec_id = k.vec_id
+         |  JOIN pqqd t ON t.sub = k.sub AND t.cid = k.code
+         |  GROUP BY 1),
+         |short AS (
+         |  SELECT vec_id FROM adc ORDER BY s DESC, vec_id LIMIT 50)
+         |SELECT sh.vec_id,
+         |  round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+         |FROM short sh JOIN e ON e.vec_id = sh.vec_id, q
+         |ORDER BY score DESC, sh.vec_id LIMIT 10""".stripMargin,
     "q_knn_join" ->
       s"""WITH $bucketsSql,
          |be AS (
@@ -736,11 +821,27 @@ object Ann {
          |  ORDER BY round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) DESC,
          |    e.vec_id LIMIT 10),
          |pq10 AS (SELECT vec_id FROM pqtop),
+         |ipqmembers AS (
+         |  SELECT a.vec_id FROM assign a
+         |  JOIN probe2 USING (cell) WHERE a.vec_id <> 0),
+         |ipqadc AS (
+         |  SELECT k.vec_id, sum(t.dot_fp)::BIGINT AS s
+         |  FROM pqcodes k
+         |  JOIN ipqmembers m ON m.vec_id = k.vec_id
+         |  JOIN pqqd t ON t.sub = k.sub AND t.cid = k.code
+         |  GROUP BY 1),
+         |ipqshort AS (
+         |  SELECT vec_id FROM ipqadc ORDER BY s DESC, vec_id LIMIT 50),
+         |ipq10 AS (
+         |  SELECT sh.vec_id FROM ipqshort sh JOIN e ON e.vec_id = sh.vec_id, q
+         |  ORDER BY round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) DESC,
+         |    sh.vec_id LIMIT 10),
          |allm AS (
          |  SELECT vec_id, 'lsh' AS method FROM lsh10
          |  UNION ALL SELECT vec_id, 'lsh_probe' FROM lshp10
          |  UNION ALL SELECT vec_id, 'ivf' FROM ivf10
-         |  UNION ALL SELECT vec_id, 'pq' FROM pq10)
+         |  UNION ALL SELECT vec_id, 'pq' FROM pq10
+         |  UNION ALL SELECT vec_id, 'ivfpq' FROM ipq10)
          |SELECT method, count(*) AS n_returned,
          |  sum(coalesce(hit, 0))::BIGINT AS n_hits,
          |  round(sum(coalesce(hit, 0))::DOUBLE / 10, 6) AS recall
