@@ -170,6 +170,30 @@ object ScaleProbe {
         val same = rep.exceptAll(base).isEmpty && base.exceptAll(rep).isEmpty
         s"langs=${rep.count()} identical_to_base=$same"
       },
+      time("knn_join_planted") {
+        // replicate the embeddings (shifted ids) into a side dir: every
+        // vector then has mult−1 exact twins in its own LSH bucket
+        // (bucketing is value-determined), so EVERY vector's rank-1
+        // neighbor must score 1.0 and be a twin (id ≡ mod shift)
+        // bounded base slice: the bucket self-join is quadratic per
+        // bucket, and replication multiplies every bucket by mult —
+        // 500 × mult vectors keeps the probe minutes-free while still
+        // exercising the planted-twin structure
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") < 500)
+        emb.crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$work/knn/embeddings.parquet")
+        // (rank-1 may be a non-twin only if it ALSO scores 1.0 — the
+        // base corpus plants exact-duplicate embeddings — so the check
+        // is on the score, which the twin guarantees)
+        val nEmb = emb.count()
+        val out = operators.Ann.qKnnJoin(spark, s"$work/knn")
+        val r1 = out.filter(col("rank") === 1)
+        val notPerfect = r1.filter(col("score") =!= 1.0).count()
+        s"vectors=${r1.count()}/${nEmb * mult} rank1_not_1.0=$notPerfect"
+      },
       time("retention") {
         val r = operators.Events.qRetention(spark, work).collect()
         val exact = r.length == baseRet.size && r.forall { row =>

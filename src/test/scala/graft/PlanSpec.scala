@@ -155,6 +155,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_hard_negatives / q_knn_join: bounded aggregator, no rank window") {
+    Seq("q_hard_negatives", "q_knn_join").foreach { q =>
+      val p = planOf(q)
+      // top-k comes from the typed bounded-buffer aggregator (object
+      // hash aggregate), never a per-group row_number sort
+      assert(!p.contains("Window"), s"$q:\n$p")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("q_ann_ivfpq: lookup tables broadcast, top-k lowered") {
+    val p = planOf("q_ann_ivfpq")
+    // probe cells + PQ lookup table + query vector are all broadcast;
+    // the codes⋈members equi-join has no static stats (both derived),
+    // so its strategy is AQE's runtime call — not pinned here
+    assert(p.split("BroadcastExchange").length >= 4, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_bloom_decon: bloom prefilter sits ahead of the verify join") {
     val p = planOf("q_bloom_decon")
     // the corpus side is Filter(UDF) before any join
