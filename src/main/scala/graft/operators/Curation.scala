@@ -295,7 +295,56 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Token budget for the epoch plan: 3.5× the corpus — between 3×
+    * (nothing caps on this corpus) and 4× (budget = Σcaps exactly, so
+    * EVERYTHING caps), i.e. the regime where low-resource strata hit
+    * the repetition cap and the surplus genuinely redistributes. */
+  private[graft] val MaxEpochMilli = 4000L // ≤4 epochs per stratum
+
+  /** Epoch/repetition budget plan — the data-constrained-scaling
+    * allocation (Muennighoff et al. 2023: repeating data beyond ~4
+    * epochs stops paying): given a token budget (3.5× corpus here) and
+    * temperature weights (√n, the [[qTempSampling]] rule), allocate
+    * tokens per language, cap each stratum at 4 epochs, and hand the
+    * capped surplus to the uncapped strata in ONE exact-integer
+    * redistribution round (production iterates this driver-side to a
+    * fixpoint; one round is the oracle-checkable core). Everything
+    * after the √-weights is BIGINT arithmetic, so the plan is
+    * bit-identical on any engine.
+    *
+    * Scale shape: per-lang token totals are one groupBy; the plan
+    * itself is arithmetic on a languages-sized table — broadcast
+    * scale, no second corpus pass. */
+  def qEpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(sum(size(TextAnalysis.toks(col("text")))).cast("long").as("n_tokens"))
+      .withColumn("w", expr("CAST(round(sqrt(n_tokens) * 1000000, 0) AS BIGINT)"))
+    val tot = toks.agg(sum("n_tokens").cast("long").as("n_corpus"),
+      sum("w").cast("long").as("w_sum"))
+    val r1 = toks.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(n_corpus * 7) div 2"))
+      .withColumn("alloc1", expr("(budget * w) div w_sum"))
+      .withColumn("cap", expr(s"(n_tokens * $MaxEpochMilli) div 1000"))
+      .withColumn("capped", col("alloc1") > col("cap"))
+      .withColumn("take1", least(col("alloc1"), col("cap")))
+    val leftovers = r1.agg(
+      (first(col("budget")) - sum("take1")).cast("long").as("leftover"),
+      sum(when(!col("capped"), col("w")).otherwise(0L)).cast("long")
+        .as("w_open"))
+    r1.crossJoin(broadcast(leftovers))
+      .withColumn("alloc2",
+        when(col("capped") || col("w_open") === 0, col("take1"))
+          .otherwise(least(col("cap"),
+            col("take1") + expr("(leftover * w) div w_open"))))
+      .withColumn("epochs_milli", expr("(alloc2 * 1000) div n_tokens"))
+      .select(col("lang"), col("n_tokens"), col("w").as("weight_micro"),
+        col("alloc2").as("tokens_allocated"), col("epochs_milli"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_epoch_plan"    -> (qEpochPlan _),
     "q_temp_sampling" -> (qTempSampling _),
     "q_sample_strat" -> (qSampleStrat _),
     "q_domain_cap"   -> (qDomainCap _),
@@ -311,6 +360,39 @@ object Curation {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_epoch_plan" ->
+      s"""WITH t AS (
+         |  SELECT lang, sum(len($toksSql))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |w AS (
+         |  SELECT lang, n_tokens,
+         |    CAST(round(sqrt(n_tokens) * 1000000, 0) AS BIGINT) AS w
+         |  FROM t),
+         |tot AS (
+         |  SELECT sum(n_tokens)::BIGINT AS n_corpus, sum(w)::BIGINT AS w_sum
+         |  FROM w),
+         |r1 AS (
+         |  SELECT lang, n_tokens, w, (n_corpus * 7) // 2 AS budget,
+         |    (((n_corpus * 7) // 2) * w) // w_sum AS alloc1,
+         |    (n_tokens * 4000) // 1000 AS cap
+         |  FROM w, tot),
+         |r2 AS (
+         |  SELECT *, alloc1 > cap AS capped, least(alloc1, cap) AS take1
+         |  FROM r1),
+         |lo AS (
+         |  SELECT any_value(budget) - sum(take1) AS leftover,
+         |    sum(CASE WHEN NOT capped THEN w ELSE 0 END)::BIGINT AS w_open
+         |  FROM r2),
+         |alloc AS (
+         |  SELECT lang, n_tokens, w,
+         |    CASE WHEN capped OR w_open = 0 THEN take1
+         |         ELSE least(cap, take1 + (leftover * w) // w_open)
+         |    END AS alloc2
+         |  FROM r2, lo)
+         |SELECT lang, n_tokens, w AS weight_micro,
+         |  alloc2::BIGINT AS tokens_allocated,
+         |  ((alloc2 * 1000) // n_tokens)::BIGINT AS epochs_milli
+         |FROM alloc ORDER BY lang""".stripMargin,
     "q_temp_sampling" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |t AS (SELECT max(n_docs) AS n_max, sum(n_docs)::BIGINT AS n_total FROM c)

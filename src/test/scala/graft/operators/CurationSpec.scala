@@ -168,4 +168,24 @@ class CurationSpec extends SparkSpec {
       .count() === 0)
     q.unpersist()
   }
+
+  test("epoch plan: caps respected, budget never exceeded, surplus lands") {
+    val p = Curation.qEpochPlan(spark, sfDir).persist()
+    // nobody exceeds the 4-epoch repetition cap
+    assert(p.filter(col("epochs_milli") > 4000).count() === 0)
+    // allocation never exceeds the 3.5x budget
+    val agg = p.agg(sum("n_tokens").cast("long").as("n"),
+      sum("tokens_allocated").cast("long").as("a")).head
+    assert(agg.getLong(1) <= agg.getLong(0) * 7 / 2)
+    // allocation is positive and no stratum starves
+    assert(p.filter(col("tokens_allocated") <= 0).count() === 0)
+    // smaller strata get MORE epochs (temperature up-sampling), and
+    // the capped set is a prefix of the by-size ordering
+    val rows = p.orderBy("n_tokens").collect()
+      .map(r => (r.getLong(1), r.getLong(4)))
+    assert(rows.sliding(2).forall { w =>
+      w.length < 2 || w(0)._2 >= w(1)._2
+    })
+    p.unpersist()
+  }
 }
