@@ -46,8 +46,12 @@ import graft.model.{Boundary, ChunkPiece}
   */
 object CstChunker {
 
-  /** Languages with a ported boundary inventory. */
-  val supported: Set[String] = Set("python", "go", "rust", "java")
+  /** Languages with a ported boundary inventory — the reference's full
+    * 14-language table (`language-node-types.ts:6-126`). */
+  val supported: Set[String] = Set(
+    "python", "go", "rust", "java",
+    "javascript", "typescript", "tsx", "ruby",
+    "c", "cpp", "html", "css", "bash", "vue")
 
   private case class Cst(
       tpe: String, name: Option[String], start: Int, end: Int)
@@ -61,6 +65,15 @@ object CstChunker {
       case "go"     => braceBoundaries(text, GoRules)
       case "rust"   => braceBoundaries(text, RustRules)
       case "java"   => braceBoundaries(text, JavaRules)
+      case "javascript"        => braceBoundaries(text, JsRules)
+      case "typescript" | "tsx" => braceBoundaries(text, TsRules)
+      case "ruby"   => rubyBoundaries(text)
+      case "c"      => cBoundaries(text, CRules)
+      case "cpp"    => cBoundaries(text, CppRules)
+      case "html"   => markupBoundaries(text, vueMode = false)
+      case "vue"    => markupBoundaries(text, vueMode = true)
+      case "css"    => cssBoundaries(text)
+      case "bash"   => bashBoundaries(text)
       case other =>
         throw new IllegalArgumentException(s"no CST rules for $other")
     }
@@ -272,6 +285,42 @@ object CstChunker {
     Rule("""^import\s.*""".r, "import_declaration", named = false)),
     commentStart = "//", attachAnnotations = true)
 
+  /** JS/TS `export` prefix — the reference's modifier-node inclusion
+    * (`export_statement` wraps the declaration; chunk text includes it,
+    * the TYPE stays the inner declaration's —
+    * `language-node-types.ts:230-239`, `cst-operations.ts:38-54`).
+    * Line-based scanning keeps the prefix in the chunk for free. */
+  private val JsExport = """(?:export\s+(?:default\s+)?)?"""
+
+  /** JavaScript inventory (`language-node-types.ts:7-17`): functions,
+    * classes, imports, variable declarations. A `const f = () => {}`
+    * arrow is OUTERMOST a `lexical_declaration` (the arrow node nests
+    * inside), and the name extractor finds no direct identifier child
+    * on the declaration node, so these stay unnamed — reference
+    * extractor semantics (`language-node-types.ts:154-161, 246-250`). */
+  private val JsRulesBase = Seq(
+    Rule((s"^$JsExport(?:async\\s+)?function\\*?\\s+([A-Za-z_$$][\\w$$]*).*").r,
+      "function_declaration", named = true),
+    Rule(s"^${JsExport}class\\s+([A-Za-z_$$][\\w$$]*).*".r,
+      "class_declaration", named = true),
+    Rule("""^import\s.*""".r, "import_statement", named = false),
+    Rule(s"^$JsExport(?:const|let)\\s.*".r,
+      "lexical_declaration", named = false),
+    Rule(s"^${JsExport}var\\s.*".r, "variable_declaration", named = false))
+
+  private val JsRules =
+    BraceRules(JsRulesBase, commentStart = "//", attachAnnotations = false)
+
+  /** TypeScript/TSX add interfaces and type aliases
+    * (`language-node-types.ts:18-44`). */
+  private val TsRules = BraceRules(
+    Seq(
+      Rule(s"^${JsExport}interface\\s+([A-Za-z_$$][\\w$$]*).*".r,
+        "interface_declaration", named = true),
+      Rule(s"^${JsExport}type\\s+([A-Za-z_$$][\\w$$]*)\\b[^=]*=.*".r,
+        "type_alias_declaration", named = true)) ++ JsRulesBase,
+    commentStart = "//", attachAnnotations = false)
+
   private def braceBoundaries(text: String, lang: BraceRules): Seq[Cst] = {
     val lines = splitLines(text)
     val out = ArrayBuffer.empty[Cst]
@@ -302,6 +351,280 @@ object CstChunker {
           case None => i += 1
         }
         pendingAnnotation = -1
+      }
+    }
+    out.toSeq
+  }
+
+  // ----------------------------------------------------------------- ruby
+
+  private val RbDef = """^def\s+(?:self\.)?([A-Za-z_]\w*[?!=]?).*""".r
+  private val RbClass = """^class\s+([A-Z]\w*).*""".r
+  private val RbModule = """^module\s+([A-Z]\w*).*""".r
+  private val RbRequire = """^(require|load)\b.*""".r
+  private val RbAssign = """^([A-Za-z_]\w*)\s*=(?!=).*""".r
+  private val RbOpener =
+    """^(?:def|class|module|if|unless|while|until|case|begin|for)\b.*""".r
+  private val RbDo = """.*\bdo\s*(?:\|[^|]*\|)?\s*$""".r
+  private val RbEnd = """\bend\b""".r
+
+  /** `end`-matched block extent: statement-START block keywords and
+    * trailing `do` open, `end` closes. Modifier-position conditionals
+    * (`x if y`) never sit at line start, so they do not open — the
+    * naive-scan caveat, covered by the dispatch fallback. */
+  private def rubyBlockEnd(lines: Array[(String, Int)], i: Int): Int = {
+    var depth = 0
+    var j = i
+    while (j < lines.length) {
+      val t0 = lines(j)._1.trim
+      // strip line comment (naive: # outside quotes)
+      val t = {
+        var q: Char = 0; var k = 0; var cut = t0.length
+        while (k < t0.length && cut == t0.length) {
+          val c = t0(k)
+          if (q != 0) { if (c == q) q = 0 }
+          else if (c == '"' || c == '\'') q = c
+          else if (c == '#') cut = k
+          k += 1
+        }
+        t0.substring(0, cut)
+      }
+      val opens = (if (RbOpener.matches(t)) 1 else 0) +
+        (if (!RbOpener.matches(t) && RbDo.matches(t)) 1 else 0)
+      val ends = RbEnd.findAllIn(t).length
+      depth += opens - ends
+      if (depth <= 0) return j // incl. one-liner `def x; y; end`
+      j += 1
+    }
+    lines.length - 1
+  }
+
+  /** Ruby inventory (`language-node-types.ts:78-84`): methods, classes,
+    * modules, require/load, assignments. Assignment names come from the
+    * extractor's direct-identifier-child fallback (the left side). */
+  private def rubyBoundaries(text: String): Seq[Cst] = {
+    val lines = splitLines(text)
+    val out = ArrayBuffer.empty[Cst]
+    var i = 0
+    while (i < lines.length) {
+      val (line, off) = lines(i)
+      val t = line.trim
+      val matched: Option[(String, Option[String], Boolean)] = t match {
+        case RbDef(n)     => Some(("method", Some(n), true))
+        case RbClass(n)   => Some(("class", Some(n), true))
+        case RbModule(n)  => Some(("module", Some(n), true))
+        case RbRequire(k) => Some((k, None, false))
+        case RbAssign(n)  => Some(("assignment", Some(n), false))
+        case _            => None
+      }
+      matched match {
+        case Some((tpe, name, block)) =>
+          val end = if (block) rubyBlockEnd(lines, i) else i
+          out += Cst(tpe, name, off, lineEnd(lines, end))
+          i = end + 1
+        case None => i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  // ----------------------------------------------------------------- c/c++
+
+  /** Generalized construct end for C-family layout: runs to the close
+    * of the first brace group (which may OPEN on a later line — K&R /
+    * Allman styles), or to the first `;`-terminated line if no brace
+    * group starts before it. */
+  private def cConstructEnd(
+      lines: Array[(String, Int)], i: Int): Int = {
+    var cum = 0
+    var sawOpen = false
+    var j = i
+    while (j < lines.length) {
+      cum += netBalance(lines(j)._1, "//")
+      if (cum > 0) sawOpen = true
+      if (sawOpen && cum <= 0) return j
+      if (!sawOpen && lines(j)._1.trim.endsWith(";")) return j
+      j += 1
+    }
+    lines.length - 1
+  }
+
+  private case class CRule(re: scala.util.matching.Regex,
+      tpe: String, named: Boolean)
+
+  /** C inventory (`language-node-types.ts:85-92`). `function_definition`
+    * carries its name in a `declarator` (not a `name` field), so — per
+    * the reference extractor — C functions stay UNNAMED; structs/enums
+    * have real name fields. */
+  private val CRules = Seq(
+    CRule("""^#\s*include\b.*""".r, "preproc_include", named = false),
+    CRule("""^typedef\b.*""".r, "type_definition", named = false),
+    CRule("""^(?:static\s+|const\s+)*struct\s+([A-Za-z_]\w*).*""".r,
+      "struct_specifier", named = true),
+    CRule("""^(?:static\s+|const\s+)*enum\s+([A-Za-z_]\w*).*""".r,
+      "enum_specifier", named = true),
+    // call-less top level: an identifier line with '(' and no ';' end
+    CRule("""^[A-Za-z_][\w\s\*]*\([^;]*$""".r,
+      "function_definition", named = false),
+    CRule("""^[A-Za-z_].*;\s*$""".r, "declaration", named = false))
+
+  /** C++ adds classes, namespaces, templates
+    * (`language-node-types.ts:93-101`). */
+  private val CppRules = Seq(
+    CRule("""^#\s*include\b.*""".r, "preproc_include", named = false),
+    CRule("""^typedef\b.*""".r, "type_definition", named = false),
+    CRule("""^template\s*<.*""".r, "template_declaration", named = false),
+    CRule("""^namespace\s+([A-Za-z_][\w:]*).*""".r,
+      "namespace_definition", named = true),
+    CRule("""^class\s+([A-Za-z_]\w*).*""".r, "class_specifier", named = true),
+    CRule("""^(?:static\s+|const\s+)*struct\s+([A-Za-z_]\w*).*""".r,
+      "struct_specifier", named = true),
+    CRule("""^[A-Za-z_][\w\s\*:<>~]*\([^;]*$""".r,
+      "function_definition", named = false),
+    CRule("""^[A-Za-z_].*;\s*$""".r, "declaration", named = false))
+
+  private def cBoundaries(text: String, rules: Seq[CRule]): Seq[Cst] = {
+    val lines = splitLines(text)
+    val out = ArrayBuffer.empty[Cst]
+    var i = 0
+    while (i < lines.length) {
+      val (line, off) = lines(i)
+      val t = line.trim
+      if (t.isEmpty || t.startsWith("//")) i += 1
+      else rules.iterator.flatMap { r =>
+        t match {
+          case r.re(groups @ _*) =>
+            Some(Cst(r.tpe, if (r.named) groups.headOption else None, off, 0))
+          case _ => None
+        }
+      }.nextOption() match {
+        case Some(b) =>
+          val end =
+            if (b.tpe == "preproc_include") i else cConstructEnd(lines, i)
+          out += b.copy(end = lineEnd(lines, end))
+          i = end + 1
+        case None => i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------- html/vue
+
+  private val TagOpen = """^<([a-zA-Z][\w-]*)([^>]*)>?.*""".r
+  private val VoidTags = Set("br", "hr", "img", "input", "link", "meta",
+    "area", "base", "col", "embed", "source", "track", "wbr")
+
+  /** Top-level markup elements. HTML: every outermost element is a
+    * boundary (script/style get their dedicated types). Vue: only the
+    * SFC blocks template/script/style are top-level boundaries
+    * (`language-node-types.ts:102-106, 118-125`); components,
+    * directives and interpolations nest inside the template and are
+    * swallowed, per the outermost-boundary rule. */
+  private def markupBoundaries(text: String, vueMode: Boolean): Seq[Cst] = {
+    val lines = splitLines(text)
+    val out = ArrayBuffer.empty[Cst]
+    var i = 0
+    while (i < lines.length) {
+      val (line, off) = lines(i)
+      line.trim match {
+        case TagOpen(tag, attrs) if !line.startsWith(" ") =>
+          val lt = tag.toLowerCase
+          val keep = !vueMode || Set("template", "script", "style")(lt)
+          val selfClosed = attrs.endsWith("/") || VoidTags(lt)
+          val end =
+            if (selfClosed) i
+            else {
+              // word-boundary-safe tag occurrence counts (`<div` must
+              // not count `<divider`)
+              val openRe = s"(?i)<$lt(?![\\w-])".r
+              val closeRe = s"(?i)</$lt(?![\\w-])".r
+              var depth = 0
+              var j = i
+              var found = -1
+              while (j < lines.length && found < 0) {
+                val l = lines(j)._1
+                val nc = closeRe.findAllIn(l).length
+                depth += openRe.findAllIn(l).length - nc
+                if (depth <= 0 && nc > 0) found = j
+                j += 1
+              }
+              if (found < 0) lines.length - 1 else found
+            }
+          if (keep) {
+            val tpe = lt match {
+              case "script"   => "script_element"
+              case "style"    => "style_element"
+              case "template" if vueMode => "template_element"
+              case _          => "element"
+            }
+            out += Cst(tpe, None, off, lineEnd(lines, end))
+          }
+          i = end + 1
+        case _ => i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------------ css
+
+  /** CSS inventory (`language-node-types.ts:107-112`): rule sets,
+    * @media, @keyframes, @import. Selector lines open a brace-balanced
+    * rule_set; none of these node types carries a name field. */
+  private def cssBoundaries(text: String): Seq[Cst] = {
+    val lines = splitLines(text)
+    val out = ArrayBuffer.empty[Cst]
+    var i = 0
+    while (i < lines.length) {
+      val (line, off) = lines(i)
+      val t = line.trim
+      if (t.isEmpty || t.startsWith("/*")) i += 1
+      else {
+        val tpe =
+          if (t.startsWith("@import")) "import_statement"
+          else if (t.startsWith("@media")) "media_statement"
+          else if (t.startsWith("@keyframes")) "keyframes_statement"
+          else "rule_set"
+        val end =
+          if (tpe == "import_statement") i else cConstructEnd(lines, i)
+        out += Cst(tpe, None, off, lineEnd(lines, end))
+        i = end + 1
+      }
+    }
+    out.toSeq
+  }
+
+  // ----------------------------------------------------------------- bash
+
+  private val ShFun1 = """^(?:function\s+)?([A-Za-z_]\w*)\s*\(\)\s*\{?.*""".r
+  private val ShFun2 = """^function\s+([A-Za-z_]\w*)\s*\{?.*""".r
+  private val ShAssign = """^([A-Za-z_]\w*)=.*""".r
+
+  /** Bash inventory (`language-node-types.ts:113-117`): function
+    * definitions (named — the grammar has a name field), variable
+    * assignments, and plain commands (each top-level command IS a
+    * boundary node in the grammar, so each becomes a chunk). */
+  private def bashBoundaries(text: String): Seq[Cst] = {
+    val lines = splitLines(text)
+    val out = ArrayBuffer.empty[Cst]
+    var i = 0
+    while (i < lines.length) {
+      val (line, off) = lines(i)
+      val t = line.trim
+      if (t.isEmpty || t.startsWith("#")) i += 1
+      else {
+        val (tpe, name) = t match {
+          case ShFun1(n)  => ("function_definition", Some(n))
+          case ShFun2(n)  => ("function_definition", Some(n))
+          case ShAssign(n) => ("variable_assignment", Some(n))
+          case _          => ("command", None)
+        }
+        val end =
+          if (tpe == "function_definition") balancedEnd(lines, i, "#")
+          else i
+        out += Cst(tpe, name, off, lineEnd(lines, end))
+        i = end + 1
       }
     }
     out.toSeq

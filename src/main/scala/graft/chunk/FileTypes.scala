@@ -94,7 +94,11 @@ object ChunkDispatch {
     val ext = filePath.map(FileTypes.extensionOf).getOrElse("")
     if (preserveBoundaries && filePath.isDefined && FileTypes.isMarkdownFile(ext))
       MarkdownChunker.chunk(text, size, overlap)
-    else if (preserveBoundaries && filePath.isDefined && FileTypes.isCodeFile(ext)) {
+    else if (preserveBoundaries && filePath.isDefined &&
+        FileTypes.languageByExtension.contains(ext)) {
+      // any extension with a mapped language (the reference's
+      // file-extensions.ts table includes html/css/bash/vue, not just
+      // the classic code extensions) goes through the CST path
       val lang = FileTypes.languageFor(ext)
       if (CstChunker.supported(lang))
         try CstChunker.chunk(text, lang)

@@ -94,14 +94,15 @@ class BoundaryChunkerSpec extends AnyFunSuite {
     val md = "# T\nbody"
     val viaMd = ChunkDispatch.chunk(md, Some("d.md"), 100, 20, preserveBoundaries = true)
     assert(viaMd.head.boundary.exists(_.boundaryType == "heading"))
-    // .py routes through the structural CST chunker (C4) → tree-sitter
-    // node-type names; .js keeps the regex chunker (C3) → its kinds
+    // every mapped language routes through the structural CST chunker
+    // (C4) → tree-sitter node-type names; the regex chunker (C3)
+    // remains the any-failure fallback
     val viaCst = ChunkDispatch.chunk("def f(): pass", Some("d.py"), 100, 20,
       preserveBoundaries = true)
     assert(viaCst.head.boundary.exists(_.boundaryType == "function_definition"))
-    val viaCode = ChunkDispatch.chunk("function f() {}", Some("d.js"), 100, 20,
+    val viaJs = ChunkDispatch.chunk("function f() {}", Some("d.js"), 100, 20,
       preserveBoundaries = true)
-    assert(viaCode.head.boundary.exists(_.boundaryType == "function"))
+    assert(viaJs.head.boundary.exists(_.boundaryType == "function_declaration"))
     val plain = ChunkDispatch.chunk(md, Some("d.md"), 100, 20)
     assert(plain.head.boundary.isEmpty)
   }

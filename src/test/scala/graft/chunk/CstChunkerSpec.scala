@@ -186,4 +186,208 @@ class CstChunkerSpec extends AnyFunSuite {
     // offsets index the original text exactly
     ps.foreach(p => assert(code.substring(p.start, p.end) === p.content))
   }
+
+  // ---- JavaScript / TypeScript (cst-operations.test.ts:16-130) ----
+
+  test("javascript: function declaration with name, whole text") {
+    val code = "function add(a, b) { return a + b; }"
+    val bs = boundaries(code, "javascript")
+    assert(bs === Seq(("function_declaration", Some("add"), code)))
+  }
+
+  test("javascript: arrow inside lexical_declaration, unnamed, whole line") {
+    val code = "const add = (a, b) => a + b;"
+    val b = boundaries(code, "javascript").find(_._1 == "lexical_declaration")
+    assert(b.isDefined && b.get._2 === None && b.get._3 === code)
+  }
+
+  test("javascript: class swallows methods; name extracted") {
+    val code =
+      "class Calculator { constructor() {} add(a, b) { return a + b; } }"
+    val bs = boundaries(code, "javascript")
+    val c = bs.find(_._1 == "class_declaration")
+    assert(c.isDefined && c.get._2 === Some("Calculator") && c.get._3 === code)
+    assert(!bs.exists(_._1 == "method_definition"))
+  }
+
+  test("javascript: imports and var kinds") {
+    val code = "import { x } from \"m\";\nimport React from \"react\";\n" +
+      "const a = 10;\nlet b = 20;\nvar c = 30;"
+    val bs = boundaries(code, "javascript")
+    assert(bs.count(_._1 == "import_statement") === 2)
+    assert(bs.count(_._1 == "lexical_declaration") === 2)
+    assert(bs.count(_._1 == "variable_declaration") === 1)
+  }
+
+  test("javascript: export prefix rides the chunk, type stays inner") {
+    val code = "export default function main() {\n  return 1;\n}"
+    val bs = boundaries(code, "javascript")
+    assert(bs.head._1 === "function_declaration")
+    assert(bs.head._2 === Some("main"))
+    assert(bs.head._3.startsWith("export default function"))
+  }
+
+  test("typescript: interface and type alias named") {
+    val code = "export interface User {\n  id: number;\n}\n" +
+      "type Id = string | number;"
+    val bs = boundaries(code, "typescript")
+    assert(bs.exists(b => b._1 == "interface_declaration" &&
+      b._2 == Some("User") && b._3.contains("id: number")))
+    assert(bs.exists(b => b._1 == "type_alias_declaration" &&
+      b._2 == Some("Id")))
+  }
+
+  // ---- Ruby ----
+
+  test("ruby: class swallows methods, end-matched extent") {
+    val code = """class Greeter
+                 |  def initialize(name)
+                 |    @name = name
+                 |  end
+                 |
+                 |  def greet
+                 |    puts "hi #{@name}"
+                 |  end
+                 |end
+                 |
+                 |def standalone
+                 |  42
+                 |end""".stripMargin
+    val bs = boundaries(code, "ruby")
+    val c = bs.find(_._1 == "class")
+    assert(c.isDefined && c.get._2 === Some("Greeter"))
+    assert(c.get._3.contains("def greet")) // swallowed
+    val m = bs.filter(_._1 == "method")
+    assert(m.map(_._2) === Seq(Some("standalone")))
+  }
+
+  test("ruby: nested blocks don't end the method early; requires detected") {
+    val code = """require "json"
+                 |
+                 |def risky(x)
+                 |  if x > 0
+                 |    x
+                 |  else
+                 |    -x
+                 |  end
+                 |end""".stripMargin
+    val bs = boundaries(code, "ruby")
+    assert(bs.exists(_._1 == "require"))
+    val m = bs.find(_._1 == "method")
+    assert(m.isDefined && m.get._2 === Some("risky"))
+    assert(m.get._3.trim.endsWith("end")) // outer end, not the if's
+    assert(m.get._3.contains("else"))
+  }
+
+  // ---- C / C++ ----
+
+  test("c: functions unnamed (declarator, not name field); structs named") {
+    val code = """#include <stdio.h>
+                 |
+                 |struct Point {
+                 |  int x;
+                 |  int y;
+                 |};
+                 |
+                 |int main(void)
+                 |{
+                 |  return 0;
+                 |}""".stripMargin
+    val bs = boundaries(code, "c")
+    assert(bs.exists(_._1 == "preproc_include"))
+    val s = bs.find(_._1 == "struct_specifier")
+    assert(s.isDefined && s.get._2 === Some("Point"))
+    val f = bs.find(_._1 == "function_definition")
+    assert(f.isDefined && f.get._2 === None) // reference: C fns unnamed
+    assert(f.get._3.contains("return 0")) // Allman brace handled
+  }
+
+  test("cpp: namespace and class named, template unnamed") {
+    val code = """namespace util {
+                 |  int helper() { return 1; }
+                 |}
+                 |
+                 |template <typename T>
+                 |class Box {
+                 |  T value;
+                 |};""".stripMargin
+    val bs = boundaries(code, "cpp")
+    val n = bs.find(_._1 == "namespace_definition")
+    assert(n.isDefined && n.get._2 === Some("util"))
+    assert(n.get._3.contains("helper")) // swallowed
+    val t = bs.find(_._1 == "template_declaration")
+    assert(t.isDefined && t.get._2 === None)
+    assert(t.get._3.contains("T value")) // template wraps the class body
+  }
+
+  // ---- HTML / Vue ----
+
+  test("html: top-level elements with script/style types") {
+    val code = """<div class="app">
+                 |  <p>inner</p>
+                 |</div>
+                 |<script>
+                 |var x = 1;
+                 |</script>
+                 |<style>
+                 |.a { color: red; }
+                 |</style>""".stripMargin
+    val bs = boundaries(code, "html")
+    assert(bs.map(_._1) === Seq("element", "script_element", "style_element"))
+    assert(bs.head._3.contains("<p>inner</p>")) // nested swallowed
+  }
+
+  test("vue: only SFC blocks are boundaries (cst-operations-vue.test.ts)") {
+    val code = """<template>
+                 |  <div class="app">
+                 |    <h1>{{ title }}</h1>
+                 |  </div>
+                 |</template>
+                 |
+                 |<script setup lang="ts">
+                 |const title = 'Hello Vue'
+                 |</script>
+                 |
+                 |<style scoped>
+                 |.app { text-align: center; }
+                 |</style>""".stripMargin
+    val bs = boundaries(code, "vue")
+    assert(bs.map(_._1) ===
+      Seq("template_element", "script_element", "style_element"))
+    assert(bs.head._3.contains("{{ title }}"))
+  }
+
+  // ---- CSS / Bash ----
+
+  test("css: rule sets, media and keyframes blocks, import") {
+    val code = """@import url("base.css");
+                 |.app {
+                 |  color: red;
+                 |}
+                 |@media (max-width: 600px) {
+                 |  .app { color: blue; }
+                 |}
+                 |@keyframes spin {
+                 |  from { transform: rotate(0); }
+                 |}""".stripMargin
+    val bs = boundaries(code, "css")
+    assert(bs.map(_._1) === Seq("import_statement", "rule_set",
+      "media_statement", "keyframes_statement"))
+    assert(bs(2)._3.contains("color: blue")) // nested rule swallowed
+  }
+
+  test("bash: functions named, assignments named, commands chunked") {
+    val code = """NAME=world
+                 |greet() {
+                 |  echo "hi $NAME"
+                 |}
+                 |greet""".stripMargin
+    val bs = boundaries(code, "bash")
+    assert(bs.exists(b => b._1 == "variable_assignment" &&
+      b._2 == Some("NAME")))
+    val f = bs.find(_._1 == "function_definition")
+    assert(f.isDefined && f.get._2 === Some("greet"))
+    assert(f.get._3.contains("echo"))
+    assert(bs.last._1 === "command")
+  }
 }
