@@ -95,17 +95,24 @@ object ChunkDispatch {
     if (preserveBoundaries && filePath.isDefined && FileTypes.isMarkdownFile(ext))
       MarkdownChunker.chunk(text, size, overlap)
     else if (preserveBoundaries && filePath.isDefined &&
-        FileTypes.languageByExtension.contains(ext)) {
+        (FileTypes.languageByExtension.contains(ext) ||
+          FileTypes.isCodeFile(ext))) {
       // any extension with a mapped language (the reference's
       // file-extensions.ts table includes html/css/bash/vue, not just
-      // the classic code extensions) goes through the CST path
+      // the classic code extensions) goes through the CST path;
+      // code extensions WITHOUT a mapped language (e.g. .cs) keep the
+      // regex chunker via the javascript default
       val lang = FileTypes.languageFor(ext)
-      if (CstChunker.supported(lang))
-        try CstChunker.chunk(text, lang)
-        catch { case scala.util.control.NonFatal(_) =>
-          CodeChunker.chunk(text, lang, size, overlap)
-        }
-      else CodeChunker.chunk(text, lang, size, overlap)
+      if (CstChunker.supported(lang)) {
+        // zero boundaries on non-blank text means the scanner didn't
+        // recognize the dialect (e.g. a .cs file under the javascript
+        // default) — that is a parse failure, take the fallback
+        val viaCst =
+          try CstChunker.chunk(text, lang)
+          catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        if (viaCst.nonEmpty || text.trim.isEmpty) viaCst
+        else CodeChunker.chunk(text, lang, size, overlap)
+      } else CodeChunker.chunk(text, lang, size, overlap)
     } else
       Chunker.chunk(text, size, overlap, preserveWords)
   }

@@ -103,6 +103,13 @@ class BoundaryChunkerSpec extends AnyFunSuite {
     val viaJs = ChunkDispatch.chunk("function f() {}", Some("d.js"), 100, 20,
       preserveBoundaries = true)
     assert(viaJs.head.boundary.exists(_.boundaryType == "function_declaration"))
+    // a code extension whose dialect the scanner can't read (C# under
+    // the javascript default) falls back to the regex chunker rather
+    // than emitting nothing
+    val viaCs = ChunkDispatch.chunk(
+      "public class A {\n  public int X() { return 1; }\n}", Some("d.cs"),
+      100, 20, preserveBoundaries = true)
+    assert(viaCs.nonEmpty)
     val plain = ChunkDispatch.chunk(md, Some("d.md"), 100, 20)
     assert(plain.head.boundary.isEmpty)
   }
