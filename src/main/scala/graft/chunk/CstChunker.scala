@@ -377,17 +377,20 @@ object CstChunker {
     var j = i
     while (j < lines.length) {
       val t0 = lines(j)._1.trim
-      // strip line comment (naive: # outside quotes)
+      // strip string contents AND the line comment — a literal like
+      // "the end" must not close a block
       val t = {
-        var q: Char = 0; var k = 0; var cut = t0.length
-        while (k < t0.length && cut == t0.length) {
+        val sb = new StringBuilder
+        var q: Char = 0; var k = 0; var done = false
+        while (k < t0.length && !done) {
           val c = t0(k)
           if (q != 0) { if (c == q) q = 0 }
           else if (c == '"' || c == '\'') q = c
-          else if (c == '#') cut = k
+          else if (c == '#') done = true
+          else sb.append(c)
           k += 1
         }
-        t0.substring(0, cut)
+        sb.toString
       }
       val opens = (if (RbOpener.matches(t)) 1 else 0) +
         (if (!RbOpener.matches(t) && RbDo.matches(t)) 1 else 0)

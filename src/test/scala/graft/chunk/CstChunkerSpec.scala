@@ -279,6 +279,15 @@ class CstChunkerSpec extends AnyFunSuite {
     assert(m.get._3.contains("else"))
   }
 
+  test("ruby: 'end' inside a string literal doesn't close the block") {
+    val code = """def story
+                 |  puts "the end"
+                 |  42
+                 |end""".stripMargin
+    val m = boundaries(code, "ruby").find(_._1 == "method")
+    assert(m.isDefined && m.get._3.contains("42")) // body fully included
+  }
+
   // ---- C / C++ ----
 
   test("c: functions unnamed (declarator, not name field); structs named") {
