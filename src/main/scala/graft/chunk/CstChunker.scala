@@ -531,7 +531,7 @@ object CstChunker {
     while (i < lines.length) {
       val (line, off) = lines(i)
       line.trim match {
-        case TagOpen(tag, attrs) if !line.startsWith(" ") =>
+        case TagOpen(tag, attrs) if indentOf(line) == 0 =>
           val lt = tag.toLowerCase
           val keep = !vueMode || Set("template", "script", "style")(lt)
           val selfClosed = attrs.endsWith("/") || VoidTags(lt)
