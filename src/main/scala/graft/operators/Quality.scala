@@ -392,7 +392,7 @@ object Quality {
       .mapPartitions(_.map { case (id, text) =>
         val raw = text.getBytes("UTF-8")
         val comp = deflateLen(raw)
-        (id, raw.length.toLong, comp, comp * 1000 / raw.length)
+        (id, raw.length.toLong, comp, comp * 1000 / math.max(raw.length, 1))
       })
       .toDF("doc_id", "raw_bytes", "deflate_bytes", "ratio_milli")
       .withColumn("keep",
