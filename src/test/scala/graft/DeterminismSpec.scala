@@ -11,6 +11,26 @@ import graft.functions.VectorFunctions._
   * under any partitioning"). */
 class DeterminismSpec extends SparkSpec {
 
+  test("EVERY registered query is invariant to the shuffle-partition count") {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def runAll(): Map[String, Seq[String]] = {
+      Cache.clear(spark)
+      spark.sharedState.cacheManager.clearCache()
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+        n -> fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      }.toMap
+    }
+    try {
+      spark.conf.set(key, "4")
+      val a = runAll()
+      spark.conf.set(key, "7")
+      val b = runAll()
+      val diff = a.keys.filter(k => a(k) != b(k)).toSeq.sorted
+      assert(diff.isEmpty, s"partitioning-dependent queries: $diff")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("sparse vectors identical under adversarial repartitioning") {
     val docs = Tables.documents(spark, sfDir)
     val a = Embedder.sparseVectors(docs, "doc_id", "text")
