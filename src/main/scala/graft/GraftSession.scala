@@ -23,6 +23,12 @@ object GraftSession {
       // events.ts is parquet TIMESTAMP(NANOS) — read as long, converted
       // in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // this VM's host can freeze the guest for minutes at a time
+      // (SCALE.md round 6); the default 120s heartbeat timeout then
+      // kills healthy long jobs in local mode. 10 min absorbs observed
+      // stalls; a real cluster would tune this per-fleet.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
 
   /** Local session for tests. */
   def local(cores: Int = 4): SparkSession = {

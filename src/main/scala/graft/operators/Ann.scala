@@ -530,12 +530,27 @@ object Ann {
     * the bounded aggregator ships ≤3 rows per query vector per
     * partition. Bucket skew is the knob: q_ivf_balance / q_key_skew
     * are the diagnostics, more planes the mitigation. */
+  /** Salt factor for the kNN-join bucket self-join: splits each
+    * bucket's pair space into S disjoint salt slices so a hot bucket's
+    * quadratic work runs on S tasks instead of one. */
+  private val KnnJoinSalt = 8L
+
   def qKnnJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val be = lshBuckets(spark, dir).join(Search.embNormed(spark, dir), "vec_id")
-    be.alias("a")
-      .join(be.alias("b"),
-        col("a.bucket") === col("b.bucket") &&
+    // Clustered embeddings make the LSH buckets SKEWED (q_ivf_balance
+    // is the diagnostic; the 50× probe measured one bucket pinning a
+    // single task for ~19 min). Salting fixes the shape: the right
+    // side carries salt = vec_id mod S, the left side replicates once
+    // per salt value, and the shuffle key becomes (bucket, salt) —
+    // the identical disjoint pair set at S× the parallelism, with the
+    // (vectors × S)-row left replication as the tiny price.
+    val a = be.crossJoin(broadcast(
+      spark.range(KnnJoinSalt).withColumnRenamed("id", "tb")))
+    val b = be.withColumn("sb", pmod(col("vec_id"), lit(KnnJoinSalt)))
+    a.alias("a")
+      .join(b.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.tb") === col("b.sb") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("score",
         round(cosinePrenormed(dot(col("a.embedding"), col("b.embedding")),
