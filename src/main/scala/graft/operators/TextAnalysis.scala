@@ -273,8 +273,15 @@ object TextAnalysis {
             i => struct(element_at(col("t"), i).as("w1"),
               element_at(col("t"), i + 1).as("w2")))).as("b"))
         .select(col("doc_id"), col("b.w1"), col("b.w2"))
-      val wBg = Window.partitionBy("w1", "w2")
-      bg.withColumn("c_ab", count(lit(1)).over(wBg))
+      // bigram counts via groupBy + join-back, NOT a window over the
+      // (w1, w2) key: a window partition cannot split, so a Zipfian
+      // hot bigram ("of the" at 100 TB) would pin its whole row set
+      // on one task — the 100k-doc probe measured exactly that
+      // (SCALE.md round 6). The aggregate collapses map-side and the
+      // join back is one count row per bigram, AQE-skew-safe; same
+      // values, same oracle.
+      val cAb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      bg.join(cAb, Seq("w1", "w2"))
         .join(broadcast(uni), "w1")
         .withColumn("p_micro", expr("c_ab * 1000000L div c_a"))
         .groupBy("doc_id")
