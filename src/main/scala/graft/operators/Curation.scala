@@ -255,19 +255,35 @@ object Curation {
     * applies (no single domain may contribute more than N documents):
     * rank each source's docs by length desc (the quality proxy here;
     * any score column slots in), keep the top [[DomainCap]], report
-    * per-source kept/total rows and chars. One window + one groupBy on
-    * the source shuffle key; domains are independent, so 1000
-    * executors cap 1000 domains with zero coordination. */
+    * per-source kept/total rows and chars.
+    *
+    * Scale shape: the kept set comes from
+    * [[graft.functions.TopKAggregator]] — a bounded map-side buffer
+    * shipping at most [[DomainCap]] rows per source per partition —
+    * NOT a row_number window over the source key: a window partition
+    * cannot split, so at web scale the hottest domain would pin its
+    * millions of rows on one task (the same hazard class the 100k-doc
+    * probe caught in the bigram counts). Totals ride a plain groupBy
+    * (partial agg). The window formulation stays the oracle. */
   def qDomainCap(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy(desc("n_chars"), col("doc_id"))
-    Tables.documents(spark, dir)
-      .withColumn("rk", row_number().over(w))
-      .withColumn("kept", col("rk") <= DomainCap)
-      .groupBy("source")
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val totals = docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
-        sum(col("n_chars")).as("total_chars"),
-        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+        sum(col("n_chars")).as("total_chars"))
+    val kept = docs
+      .select(col("source"), col("doc_id"), col("n_chars").cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(graft.functions.TopKAggregator.topK(DomainCap))
+      .toDF("source", "top")
+      .select(col("source"),
+        size(col("top")).cast("long").as("kept_docs"),
+        expr("aggregate(top, 0L, (acc, x) -> acc + CAST(x._2 AS BIGINT))")
+          .as("kept_chars"))
+    totals.join(kept, "source")
+      .select("source", "n_docs", "kept_docs", "total_chars", "kept_chars")
       .orderBy("source")
   }
 

@@ -101,7 +101,18 @@ object Events {
       .orderBy("user_id", "ts", "event_id")
   }
 
-  /** ntile quartiles by value within event type + per-tile stats. */
+  /** ntile quartiles by value within event type + per-tile stats.
+    *
+    * Scale caveat (documented, not silent): this is the engine's one
+    * remaining window over a corpus-value key — exact quantile RANKS
+    * of unbounded doubles genuinely need a per-key total order, so the
+    * hottest event_type sorts on one task. The integer-scored twin of
+    * this problem is solved histogram-style in `Quality.qPplBucket`;
+    * for unbounded doubles at 100 TB the production fix is two-pass
+    * distributed selection (sample → candidate cut values → exact
+    * rank counts), which changes no output but adds a pass — kept out
+    * of the shipped query, whose event_type cardinality bounds the
+    * sort at this corpus shape. */
   def qNtile(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
     Tables.events(spark, dir)
