@@ -46,6 +46,23 @@ object Keywords {
 
   val All: Set[String] = English ++ Japanese
 
+  /** Corpus-side index exclusion list: the degenerate highest-df
+    * determiners dropped before any (term, doc) artifact is built —
+    * the columnar analogue of the reference's stop-word drop
+    * (stop-words.ts:234-246) applied at index-build time rather than
+    * per collected page. Declared here (a strict subset of
+    * [[English]]) so the corpus operators and their DuckDB oracle
+    * twins share one definition instead of magic literals; kept tiny
+    * so oracle SQL stays hand-readable. Scale note: exclusion bounds
+    * nothing by itself — the posting-list operators bound their
+    * per-term work with `TopKAggregator` regardless, so an unlisted
+    * hot term cannot pin a task. */
+  val IndexExcluded: Seq[String] = Seq("the", "a")
+
+  /** `'the','a'` — [[IndexExcluded]] rendered as a SQL literal list
+    * for the oracle twins. */
+  def indexExcludedSql: String = IndexExcluded.map(w => s"'$w'").mkString(",")
+
   /** The tokenizer separator class (stop-words.ts:228-232): whitespace,
     * ideographic space, ASCII + CJK punctuation. */
   private val Separators =

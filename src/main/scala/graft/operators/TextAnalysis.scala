@@ -121,7 +121,7 @@ object TextAnalysis {
   def qKeywordFreq(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(toks(col("text"))).as("word"))
-      .filter(!col("word").isin("the", "a"))
+      .filter(!col("word").isin(graft.api.Keywords.IndexExcluded: _*))
       .groupBy("word")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("word"))
@@ -176,14 +176,16 @@ object TextAnalysis {
         array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
       .orderBy("source")
 
-  /** (doc_id, term, tf) with stop words dropped — the shared upstream
-    * of [[qInvertedIndex]] and [[qDocKeywords]]: tokenize + the
-    * (term, doc) shuffle happen once per session, not once per query. */
+  /** (doc_id, term, tf) with the declared
+    * [[graft.api.Keywords.IndexExcluded]] terms dropped — the shared
+    * upstream of [[qInvertedIndex]] and [[qDocKeywords]]: tokenize +
+    * the (term, doc) shuffle happen once per session, not once per
+    * query. */
   private[graft] def termFreqs(spark: SparkSession, dir: String): DataFrame =
     Cache.getOrBuild(spark, "termFreqs", dir) {
       Tables.documents(spark, dir)
         .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-        .filter(!col("term").isin("the", "a"))
+        .filter(!col("term").isin(graft.api.Keywords.IndexExcluded: _*))
         .groupBy("term", "doc_id")
         .agg(count(lit(1)).as("tf"))
     }
@@ -191,22 +193,32 @@ object TextAnalysis {
   /** Inverted-index build — the batch artifact behind BM25/lexical
     * serving (the index the reference's SQLite FTS would hold, built
     * as a table): per (term, doc) tf, then per-term document
-    * frequency, total tf, and the top-5 posting list ordered by tf.
-    * Postings are emitted as a comma-joined string (deterministic
-    * order: tf desc, doc_id) so the artifact is engine-comparable.
-    * Shape: the shared [[termFreqs]] table → term-keyed window + agg;
-    * the term key is the shuffle key throughout, so posting lists
-    * build domain-parallel; a real deployment writes the full lists
-    * bucketed by term instead of top-20-by-df. */
+    * frequency, total tf, and the top-5 posting list ordered by
+    * (tf desc, doc_id). Postings are emitted as a comma-joined string
+    * so the artifact is engine-comparable.
+    *
+    * Scale shape: the top-5 posting list comes from the bounded
+    * [[graft.functions.TopKAggregator]], NOT a per-term rank window —
+    * a window partition holds df(term) rows and cannot split, so the
+    * hottest term (df ≈ |corpus| for stop-word-class terms, exactly
+    * the keys an inverted index exists for) would single-task-sort its
+    * full posting set at 100 TB. The aggregator's buffer is bounded at
+    * k=5 and Spark runs it with map-side partial aggregation, so each
+    * upstream partition ships at most 5 rows per term into the
+    * shuffle; df/total_tf ride a plain hash aggregate on the same term
+    * key. PlanSpec pins the no-window shape; a real deployment writes
+    * the full lists bucketed by term instead of top-20-by-df. */
   def qInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val tf = termFreqs(spark, dir)
-    val w = Window.partitionBy("term").orderBy(desc("tf"), col("doc_id"))
-    val postings = tf.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .groupBy("term")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("rk"), col("doc_id")))),
-          x => x.getField("doc_id").cast("string")), ",").as("postings"))
+    val postings = tf.select(col("term"), col("doc_id"), col("tf"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3.toDouble))
+      .agg(graft.functions.TopKAggregator.topK(5))
+      .toDF("term", "top")
+      .select(col("term"),
+        array_join(transform(col("top"),
+          x => x.getField("_1").cast("string")), ",").as("postings"))
     tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
       .join(postings, "term")
@@ -493,10 +505,11 @@ object TextAnalysis {
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS bow_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_keyword_freq" ->
-      """SELECT tok AS word, count(*) AS n
+      ("""SELECT tok AS word, count(*) AS n
         |FROM documents, LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok) u
-        |WHERE tok <> '' AND tok NOT IN ('the','a')
-        |GROUP BY tok ORDER BY n DESC, word LIMIT 20""".stripMargin,
+        |WHERE tok <> '' AND tok NOT IN (""" +
+        graft.api.Keywords.indexExcludedSql + """)
+        |GROUP BY tok ORDER BY n DESC, word LIMIT 20""").stripMargin,
     "q_content_type" ->
       """SELECT CASE WHEN contains(text, 'vector') THEN 'vector-doc'
         |            WHEN contains(text, 'stream') THEN 'streaming-doc'
@@ -513,7 +526,7 @@ object TextAnalysis {
       s"""WITH tf AS (
          |  SELECT doc_id, tok AS term, count(*) AS tf
          |  FROM documents, LATERAL (SELECT unnest($toksSql) AS tok) u
-         |  WHERE tok NOT IN ('the', 'a')
+         |  WHERE tok NOT IN (${graft.api.Keywords.indexExcludedSql})
          |  GROUP BY doc_id, tok),
          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
          |n AS (SELECT count(*) AS n_docs FROM documents),
@@ -550,7 +563,7 @@ object TextAnalysis {
       s"""WITH tf AS (
          |  SELECT tok AS term, doc_id, count(*) AS tf
          |  FROM documents, LATERAL (SELECT unnest($toksSql) AS tok) u
-         |  WHERE tok NOT IN ('the', 'a')
+         |  WHERE tok NOT IN (${graft.api.Keywords.indexExcludedSql})
          |  GROUP BY tok, doc_id),
          |r AS (
          |  SELECT term, doc_id, tf,

@@ -60,6 +60,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
 
+  test("q_inverted_index: postings from the bounded aggregator, " +
+      "no per-term rank window") {
+    val p = planOf("q_inverted_index")
+    // a per-term row_number window would single-task-sort the hottest
+    // term's full posting set (df ≈ |corpus| for stop-word-class terms)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("q_simhash_near: band join is a hash equi-join, not a cartesian") {
     val p = planOf("q_simhash_near")
     assert(!p.contains("CartesianProduct"), p)

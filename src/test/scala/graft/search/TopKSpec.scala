@@ -57,6 +57,29 @@ class TopKSpec extends SparkSpec {
       viaWindow.exceptAll(viaAgg).isEmpty)
   }
 
+  test("inverted-index postings: aggregator top-5 == per-term window top-5") {
+    import org.apache.spark.sql.expressions.Window
+    // the shipped aggregator plan
+    val viaAgg = operators.TextAnalysis.qInvertedIndex(spark, sfDir)
+    // the per-term rank-window formulation it replaced (the oracle's
+    // shape; unshippable at scale — df(hot term) rows in one task)
+    val tf = operators.TextAnalysis.termFreqs(spark, sfDir)
+    val w = Window.partitionBy("term").orderBy(desc("tf"), col("doc_id"))
+    val postings = tf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy("term")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rk"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), ",").as("postings"))
+    val viaWindow = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .join(postings, "term")
+      .orderBy(desc("df"), col("term"))
+      .limit(20)
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
   test("min-k pair buffer stays bounded, sorted, exact on 60-bit keys") {
     val agg = new graft.functions.MinKPairAggregator(3)
     // keys past 2^53 — a Double cast would collapse these neighbors
