@@ -103,22 +103,41 @@ object Events {
 
   /** ntile quartiles by value within event type + per-tile stats.
     *
-    * Scale caveat (documented, not silent): this is the engine's one
-    * remaining window over a corpus-value key — exact quantile RANKS
-    * of unbounded doubles genuinely need a per-key total order, so the
-    * hottest event_type sorts on one task. The integer-scored twin of
-    * this problem is solved histogram-style in `Quality.qPplBucket`;
-    * for unbounded doubles at 100 TB the production fix is two-pass
-    * distributed selection (sample → candidate cut values → exact
-    * rank counts), which changes no output but adds a pass — kept out
-    * of the shipped query, whose event_type cardinality bounds the
-    * sort at this corpus shape. */
+    * Scale shape: `ntile(4)` over a per-event_type window makes the
+    * hottest event_type ONE task totally sorting its ~n/|types| rows.
+    * But every emitted statistic (count, min, max per quartile) is a
+    * function of the VALUE distribution alone — ntile's event_id
+    * tie-break only shuffles identical values between adjacent
+    * quartiles — so the whole answer comes from the bounded
+    * (event_type, value) HISTOGRAM (2-decimal domain; same technique
+    * as [[graft.operators.Quality.qPplBucket]]). Each value's rank
+    * interval is (lo, cum]; ntile's exact bucket boundaries are
+    * b_k = k·(n div 4) + min(n mod 4, k); a value contributes
+    * overlap(lo, cum, b_{q-1}, b_q) rows to quartile q. The window
+    * below runs over the histogram, never over events; the 4-way
+    * explode multiplies the bounded histogram only. Bit-identical to
+    * the ntile formulation (the oracle keeps it). */
   def qNtile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-    Tables.events(spark, dir)
-      .withColumn("quartile", ntile(4).over(w))
+    val wCum = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+      .withColumn("lo", col("cum") - col("c"))
+    hist
+      .select(col("event_type"), col("value"), col("cum"), col("n"), col("lo"),
+        explode(sequence(lit(1), lit(4))).as("quartile"))
+      .withColumn("b_lo",
+        expr("(quartile - 1) * (n div 4) + least(n % 4, quartile - 1L)"))
+      .withColumn("b_hi",
+        expr("quartile * (n div 4) + least(n % 4, cast(quartile as bigint))"))
+      .withColumn("k",
+        least(col("cum"), col("b_hi")) - greatest(col("lo"), col("b_lo")))
+      .filter(col("k") > 0)
       .groupBy("event_type", "quartile")
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("k")).as("n"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .orderBy("event_type", "quartile")

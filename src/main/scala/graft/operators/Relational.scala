@@ -158,20 +158,37 @@ object Relational {
       .orderBy($"event_type")
 
   /** A7 exact ceil-rank percentiles (the reference's method,
-    * score-analysis.ts:42-93: index = ceil(p·n), 1-based) — via
-    * row_number so the emitted value is an actual row value (exact). */
+    * score-analysis.ts:42-93: index = ceil(p·n), 1-based) — the emitted
+    * value is an actual row value (exact).
+    *
+    * Scale shape: a per-event_type row_number over the events table
+    * would put ~n/|event_types| rows in ONE window task. Instead the
+    * cut values come from the (event_type, value) HISTOGRAM: `value`
+    * is 2-decimal data on a bounded domain, so the histogram holds a
+    * bounded number of rows per type however big the corpus is — the
+    * cumulative-count window below sorts that bounded table, not
+    * events. Each value's rank interval is (lo, cum]; the percentile
+    * at cut rank r = max(ceil(n·p/100), 1) is the value whose interval
+    * contains r. Only the VALUE at the rank is needed (ranks that land
+    * mid-tie share one value), so no corpus join-back is required at
+    * all — same technique as [[graft.operators.Quality.qPplBucket]]
+    * minus its boundary refinement. Bit-identical to the row_number
+    * formulation (the oracle keeps it). */
   def qPercentile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
-    val ranked = Tables.events(spark, dir)
-      .select($"event_type", $"event_id", $"value")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+    val wCum = Window.partitionBy($"event_type").orderBy($"value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = Tables.events(spark, dir)
+      .groupBy($"event_type", $"value")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+      .withColumn("lo", $"cum" - $"c")
     val pcts = Seq(25, 50, 75, 90)
     val agg = pcts.map { p =>
-      max(when($"rn" === greatest(ceil($"n" * p / 100.0), lit(1)), $"value"))
-        .as(s"p$p")
+      val r = greatest(ceil($"n" * p / 100.0), lit(1))
+      max(when($"lo" < r && r <= $"cum", $"value")).as(s"p$p")
     }
-    ranked.groupBy($"event_type").agg(agg.head, agg.tail: _*)
+    hist.groupBy($"event_type").agg(agg.head, agg.tail: _*)
       .orderBy($"event_type")
   }
 

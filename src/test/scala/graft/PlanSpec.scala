@@ -123,6 +123,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_percentile: cut values from the value histogram — no per-type " +
+      "row_number over events") {
+    val p = planOf("q_percentile")
+    // the window must run over the bounded (event_type, value) histogram
+    // (aggregate keyed on both), never rank raw events
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("Keys [2]: [event_type#"), p)
+  }
+
+  test("q_ntile: quartiles from the value histogram — no per-type " +
+      "ntile sort over events") {
+    val p = planOf("q_ntile")
+    assert(!p.contains("ntile"), p)
+    assert(p.contains("Keys [2]: [event_type#"), p)
+  }
+
   test("q_sample_strat: bounded map-side top-k aggregate, no stratum window") {
     val p = planOf("q_sample_strat")
     assert(!p.contains("Window"), p)
