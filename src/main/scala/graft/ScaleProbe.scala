@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * dedup correctness check — every fingerprint group must contain
   * exactly N members.
   *
-  * Usage: runMain graft.ScaleProbe [sfDir] [multiplier] [workDir]
+  * Usage: runMain graft.ScaleProbe [sfDir] [multiplier] [workDir] [only]
+  * (`only` = comma-separated probe names for a targeted run)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -18,6 +19,8 @@ object ScaleProbe {
     val mult = args.lift(1).map(_.toInt).getOrElse(20)
     val work = args.lift(2).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_scale").toString)
+    val only: Set[String] =
+      args.lift(3).map(_.split(",").toSet).getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,12 +59,15 @@ object ScaleProbe {
       * overflow storage memory and thrash — a real lesson: session
       * caches need a per-job budget. The warm-session sharing story is
       * what Bench measures at sf0.1.) */
-    def time[A](name: String)(f: => A): (String, Double, A) = {
-      Cache.clear(spark)
-      spark.sharedState.cacheManager.clearCache()
-      val t0 = System.nanoTime()
-      val r = f
-      (name, (System.nanoTime() - t0) / 1e9, r)
+    def time[A](name: String)(f: => A): Option[(String, Double, A)] = {
+      if (only.nonEmpty && !only.contains(name)) None
+      else {
+        Cache.clear(spark)
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val r = f
+        Some((name, (System.nanoTime() - t0) / 1e9, r))
+      }
     }
 
     val results = Seq(
@@ -194,6 +200,19 @@ object ScaleProbe {
         val notPerfect = r1.filter(col("score") =!= 1.0).count()
         s"vectors=${r1.count()}/${nEmb * mult} rank1_not_1.0=$notPerfect"
       },
+      time("pack_batches_giant_shard") {
+        // worst case for sequential packing: ONE source owning the
+        // whole replicated corpus. The shipped two-pass plan must emit
+        // exactly the single-window formulation's bins while no task
+        // sorts more than PackSegmentDocs rows.
+        spark.read.parquet(s"$work/documents.parquet")
+          .withColumn("source", lit("giant"))
+          .write.mode("overwrite").parquet(s"$work/giant/documents.parquet")
+        val fast = operators.Curation.qPackBatches(spark, s"$work/giant")
+        val twin = operators.Curation.packBatchesWindowTwin(spark, s"$work/giant")
+        val same = fast.exceptAll(twin).isEmpty && twin.exceptAll(fast).isEmpty
+        s"bins=${fast.count()} identical_to_window_twin=$same"
+      },
       time("retention") {
         val r = operators.Events.qRetention(spark, work).collect()
         val exact = r.length == baseRet.size && r.forall { row =>
@@ -205,7 +224,7 @@ object ScaleProbe {
     val expectPairs = n0 * mult.toLong * (mult - 1) / 2
     println(s"""{"probe":"scale","base_docs":$n0,"mult":$mult,""" +
       s""""derived_docs":${n0 * mult},"expected_dup_pairs":$expectPairs,""" +
-      results.map { case (n, t, r) => s""""$n":{"sec":${f"$t%.2f"},"result":"$r"}""" }
+      results.flatten.map { case (n, t, r) => s""""$n":{"sec":${f"$t%.2f"},"result":"$r"}""" }
         .mkString("", ",", "}"))
     spark.stop()
   }

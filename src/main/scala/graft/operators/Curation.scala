@@ -88,19 +88,64 @@ object Curation {
   /** Tokens per packing bin. */
   private[graft] val PackCapacity = 512
 
+  /** doc_ids per packing segment — the bound on any single packing
+    * task's sort (segment width, not shard width). */
+  private[graft] val PackSegmentDocs = 4096L
+
   /** Sequence packing (concatenate-then-chunk): docs are laid out in
     * doc_id order within each source shard; a doc starts the bin its
     * running start-offset falls in (`floor(start / capacity)`). Emits
-    * per-bin document counts and token totals. One window + one groupBy
-    * per shard — bins never cross shards, so 1000 executors pack 1000
-    * shards with zero coordination. */
-  def qPackBatches(spark: SparkSession, dir: String): DataFrame = {
+    * per-bin document counts and token totals. Bins never cross
+    * shards, so 1000 executors pack 1000 shards with zero coordination.
+    *
+    * Scale shape: the per-shard running sum is intrinsically
+    * sequential, but a single window over `source` would make a giant
+    * shard ONE task. Two-pass instead: docs are cut into segments of
+    * [[PackSegmentDocs]] doc_ids (`doc_id div 4096` is monotone in
+    * doc_id, so segment order IS doc order); pass 1 aggregates
+    * per-(source, segment) token totals — a table 4096× smaller than
+    * docs — and an exclusive prefix sum over THAT table yields each
+    * segment's carry-in offset; pass 2 joins the carry-in back and
+    * runs the cumulative sum inside (source, segment) partitions,
+    * each ≤ 4096 rows however big the shard is. Identical output to
+    * the one-window formulation (the oracle keeps it). */
+  /** The single-window formulation qPackBatches replaced — kept as the
+    * equivalence twin for specs and the giant-shard ScaleProbe (it IS
+    * the oracle's SQL shape). Unshippable at scale: one task per
+    * source shard. */
+  private[graft] def packBatchesWindowTwin(
+      spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(toks(col("text"))).cast("long").as("tok"))
       .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("tok")) / PackCapacity))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
+  def qPackBatches(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("tok"))
+      .withColumn("seg", floor(col("doc_id") / PackSegmentDocs))
+    val wCarry = Window.partitionBy("source").orderBy("seg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = docs.groupBy("source", "seg")
+      .agg(sum(col("tok")).as("seg_tok"))
+      .withColumn("carry",
+        coalesce(sum(col("seg_tok")).over(wCarry), lit(0L)))
+      .select("source", "seg", "carry")
+    val wLocal = Window.partitionBy("source", "seg").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(carry, Seq("source", "seg"))
+      .withColumn("cum", col("carry") + sum(col("tok")).over(wLocal))
       .withColumn("bin", floor((col("cum") - col("tok")) / PackCapacity))
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"),

@@ -139,6 +139,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Keys [2]: [event_type#"), p)
   }
 
+  test("q_pack_batches: cumsum windows are segment-bounded, never " +
+      "whole-shard") {
+    val p = planOf("q_pack_batches")
+    // a windowspec partitioned by source alone and ordered by doc_id
+    // would make a giant shard one task; both windows must carry the
+    // bounding segment key (carry: partition source order seg;
+    // local: partition source,seg order doc_id)
+    assert(!"windowspecdefinition\\(source#\\d+, doc_id#".r
+      .findFirstIn(p).isDefined, p)
+    assert("windowspecdefinition\\(source#\\d+, seg#".r
+      .findFirstIn(p).isDefined, p)
+  }
+
   test("q_sample_strat: bounded map-side top-k aggregate, no stratum window") {
     val p = planOf("q_sample_strat")
     assert(!p.contains("Window"), p)

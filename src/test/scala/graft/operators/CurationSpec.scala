@@ -61,6 +61,12 @@ class CurationSpec extends SparkSpec {
     assert(under === 0)
   }
 
+  test("pack batches: two-pass packing == single-window formulation") {
+    val fast = Curation.qPackBatches(spark, sfDir)
+    val twin = Curation.packBatchesWindowTwin(spark, sfDir)
+    assert(fast.exceptAll(twin).isEmpty && twin.exceptAll(fast).isEmpty)
+  }
+
   test("bm25: positive scores, deterministic top-10, ranks docs containing query terms") {
     val top = Search.qSearchBm25(spark, sfDir)
     val rows = top.collect()
