@@ -366,12 +366,17 @@ object CstChunker {
   private val RbOpener =
     """^(?:def|class|module|if|unless|while|until|case|begin|for)\b.*""".r
   private val RbDo = """.*\bdo\s*(?:\|[^|]*\|)?\s*$""".r
-  private val RbEnd = """\bend\b""".r
+  // statement-position `end` only: line start or right after `;`.
+  // A bare \bend\b would also count method calls (`arr.end`) and
+  // range accessors (`(1..x).end`), silently truncating the block.
+  private val RbEnd = """(?:^|;)\s*end\b""".r
 
   /** `end`-matched block extent: statement-START block keywords and
     * trailing `do` open, `end` closes. Modifier-position conditionals
     * (`x if y`) never sit at line start, so they do not open — the
-    * naive-scan caveat, covered by the dispatch fallback. */
+    * naive-scan caveat, covered by the dispatch fallback. `end` counts
+    * only in statement position (line start / after `;`), so `arr.end`
+    * or `(1..x).end` inside a block cannot truncate it. */
   private def rubyBlockEnd(lines: Array[(String, Int)], i: Int): Int = {
     var depth = 0
     var j = i

@@ -95,25 +95,30 @@ object ChunkDispatch {
     if (preserveBoundaries && filePath.isDefined && FileTypes.isMarkdownFile(ext))
       MarkdownChunker.chunk(text, size, overlap)
     else if (preserveBoundaries && filePath.isDefined &&
-        (FileTypes.languageByExtension.contains(ext) ||
-          FileTypes.isCodeFile(ext))) {
-      // any extension with a mapped language (the reference's
-      // file-extensions.ts table includes html/css/bash/vue, not just
-      // the classic code extensions) goes through the CST path;
-      // code extensions WITHOUT a mapped language (e.g. .cs) keep the
-      // regex chunker via the javascript default
+        FileTypes.languageByExtension.contains(ext)) {
+      // only extensions with a MAPPED language enter the CST path —
+      // the reference's isTreeSitterSupported gate (chunking.ts:
+      // 240-288). An unmapped dialect (.cs) must never be scanned
+      // under another language's rules: lines starting with `class` /
+      // `function` would match the JS inventory and yield
+      // JS-semantics chunks instead of the reference's regex path.
       val lang = FileTypes.languageFor(ext)
       if (CstChunker.supported(lang)) {
         // zero boundaries on non-blank text means the scanner didn't
-        // recognize the dialect (e.g. a .cs file under the javascript
-        // default) — that is a parse failure, take the fallback
+        // recognize the source — a parse failure; take the fallback
         val viaCst =
           try CstChunker.chunk(text, lang)
           catch { case scala.util.control.NonFatal(_) => Seq.empty }
         if (viaCst.nonEmpty || text.trim.isEmpty) viaCst
         else CodeChunker.chunk(text, lang, size, overlap)
       } else CodeChunker.chunk(text, lang, size, overlap)
-    } else
+    } else if (preserveBoundaries && filePath.isDefined &&
+        FileTypes.isCodeFile(ext))
+      // code extension without a language mapping (e.g. .cs):
+      // straight to the regex chunker, as the reference routes
+      // non-tree-sitter extensions to chunkCodeByBoundary
+      CodeChunker.chunk(text, FileTypes.languageFor(ext), size, overlap)
+    else
       Chunker.chunk(text, size, overlap, preserveWords)
   }
 }

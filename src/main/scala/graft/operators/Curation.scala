@@ -370,8 +370,12 @@ object Curation {
     * capped surplus to the uncapped strata in ONE exact-integer
     * redistribution round (production iterates this driver-side to a
     * fixpoint; one round is the oracle-checkable core). Everything
-    * after the √-weights is BIGINT arithmetic, so the plan is
-    * bit-identical on any engine.
+    * after the √-weights is exact integer arithmetic with the
+    * products computed in DECIMAL(38,0) (budget·w ≈ corpus_tokens ×
+    * √corpus_tokens × 3.5e6 exceeds 2⁶³ already at ~10¹³ corpus
+    * tokens; decimal keeps the plan bit-identical on any engine to
+    * ~10³³ — the oracle mirrors with HUGEINT). Operating range:
+    * per-stratum n_tokens < ~10²⁵ (w stays a BIGINT).
     *
     * Scale shape: per-lang token totals are one groupBy; the plan
     * itself is arithmetic on a languages-sized table — broadcast
@@ -385,8 +389,10 @@ object Curation {
       sum("w").cast("long").as("w_sum"))
     val r1 = toks.crossJoin(broadcast(tot))
       .withColumn("budget", expr("(n_corpus * 7) div 2"))
-      .withColumn("alloc1", expr("(budget * w) div w_sum"))
-      .withColumn("cap", expr(s"(n_tokens * $MaxEpochMilli) div 1000"))
+      .withColumn("alloc1",
+        expr("(CAST(budget AS DECIMAL(38,0)) * w) div w_sum"))
+      .withColumn("cap",
+        expr(s"(CAST(n_tokens AS DECIMAL(38,0)) * $MaxEpochMilli) div 1000"))
       .withColumn("capped", col("alloc1") > col("cap"))
       .withColumn("take1", least(col("alloc1"), col("cap")))
     val leftovers = r1.agg(
@@ -397,8 +403,10 @@ object Curation {
       .withColumn("alloc2",
         when(col("capped") || col("w_open") === 0, col("take1"))
           .otherwise(least(col("cap"),
-            col("take1") + expr("(leftover * w) div w_open"))))
-      .withColumn("epochs_milli", expr("(alloc2 * 1000) div n_tokens"))
+            col("take1") +
+              expr("(CAST(leftover AS DECIMAL(38,0)) * w) div w_open"))))
+      .withColumn("epochs_milli",
+        expr("(CAST(alloc2 AS DECIMAL(38,0)) * 1000) div n_tokens"))
       .select(col("lang"), col("n_tokens"), col("w").as("weight_micro"),
         col("alloc2").as("tokens_allocated"), col("epochs_milli"))
       .orderBy("lang")
@@ -434,8 +442,8 @@ object Curation {
          |  FROM w),
          |r1 AS (
          |  SELECT lang, n_tokens, w, (n_corpus * 7) // 2 AS budget,
-         |    (((n_corpus * 7) // 2) * w) // w_sum AS alloc1,
-         |    (n_tokens * 4000) // 1000 AS cap
+         |    ((((n_corpus * 7) // 2))::HUGEINT * w) // w_sum AS alloc1,
+         |    (n_tokens::HUGEINT * 4000) // 1000 AS cap
          |  FROM w, tot),
          |r2 AS (
          |  SELECT *, alloc1 > cap AS capped, least(alloc1, cap) AS take1
@@ -447,12 +455,12 @@ object Curation {
          |alloc AS (
          |  SELECT lang, n_tokens, w,
          |    CASE WHEN capped OR w_open = 0 THEN take1
-         |         ELSE least(cap, take1 + (leftover * w) // w_open)
+         |         ELSE least(cap, take1 + (leftover::HUGEINT * w) // w_open)
          |    END AS alloc2
          |  FROM r2, lo)
          |SELECT lang, n_tokens, w AS weight_micro,
          |  alloc2::BIGINT AS tokens_allocated,
-         |  ((alloc2 * 1000) // n_tokens)::BIGINT AS epochs_milli
+         |  ((alloc2::HUGEINT * 1000) // n_tokens)::BIGINT AS epochs_milli
          |FROM alloc ORDER BY lang""".stripMargin,
     "q_temp_sampling" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.embed.Embedder
 import graft.operators.Dedup
@@ -14,18 +15,22 @@ case class SegClaim(doc_id: Long, ts: Timestamp, pos: Int, g: Long, seg: String)
 
 /** Streaming twin of `Dedup.qLineDedup` — C4-style segment-level exact
   * dedup over a document STREAM: each arriving doc claims its
-  * non-overlapping [[Dedup.SegLen]]-token segments;
-  * `dropDuplicatesWithinWatermark(g)` keeps the FIRST claimant of each
-  * segment hash, so a segment that fails its claim already streamed by
-  * in an earlier doc — first-occurrence-wins, the batch rule, with
-  * state bounded by arrival rate × watermark delay (the dedup horizon,
-  * exactly [[StreamingDedup]]'s trade).
+  * non-overlapping [[Dedup.SegLen]]-token segments; the first claimant
+  * of each segment hash wins, so a segment that fails its claim
+  * already streamed by in an earlier doc — first-occurrence-wins, the
+  * batch rule, with state bounded by arrival rate × watermark delay
+  * (the dedup horizon, exactly [[StreamingDedup]]'s trade).
   *
-  * Within-doc repeats are collapsed ROW-LOCALLY before claiming
-  * ([[firstOccurrence]] — a pure function, no shuffle), so claim
-  * outcomes are deterministic even when a doc's segments share one
-  * micro-batch. Reassembly ([[rebuiltFromClaims]]) is a sink-side
-  * groupBy over the claims table, like `novelFromClaims`.
+  * Deterministic at BOTH tie granularities: within-doc repeats are
+  * collapsed row-locally before claiming ([[firstOccurrence]] — a
+  * pure function, no shuffle), and cross-doc ties inside one
+  * micro-batch are resolved by `flatMapGroupsWithState` keeping the
+  * min (doc_id, pos) claimant per segment hash — the batch rule's
+  * attribution, where `dropDuplicatesWithinWatermark` would keep an
+  * arbitrary first-seen row. State is one boolean per live segment
+  * hash with an event-time timeout at last-arrival + delay.
+  * Reassembly ([[rebuiltFromClaims]]) is a sink-side groupBy over the
+  * claims table, like `novelFromClaims`.
   */
 object StreamingLineDedup {
 
@@ -49,14 +54,54 @@ object StreamingLineDedup {
   def segClaims(docs: Dataset[(Long, Timestamp, String)],
       delay: String = "1 hour"): DataFrame = {
     import docs.sparkSession.implicits._
+    val delayMs = delayToMs(delay)
     docs.flatMap { case (id, ts, text) =>
       firstOccurrence(segmentsOf(text)).map { case (pos, seg) =>
         SegClaim(id, ts, pos, Embedder.hash60(seg), seg)
       }
-    }.toDF()
+    }
       .withWatermark("ts", delay)
-      .dropDuplicatesWithinWatermark("g")
+      .groupByKey(_.g)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        claimFirst(delayMs))
+      .toDF()
   }
+
+  /** Per segment hash: emit the min (doc_id, pos) claimant of the
+    * first micro-batch that sees the hash, then hold a claimed flag
+    * until the watermark passes last-arrival + delay. */
+  private[streaming] def claimFirst(delayMs: Long)(
+      g: Long, rows: Iterator[SegClaim],
+      state: GroupState[Boolean]): Iterator[SegClaim] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val batch = rows.toSeq
+      val out =
+        if (state.exists || batch.isEmpty) Iterator.empty
+        else Iterator.single(batch.minBy(r => (r.doc_id, r.pos)))
+      if (batch.nonEmpty) {
+        state.update(true)
+        state.setTimeoutTimestamp(batch.map(_.ts.getTime).max + delayMs)
+      }
+      out
+    }
+  }
+
+  private[streaming] def delayToMs(delay: String): Long =
+    delay.trim.split("\\s+") match {
+      case Array(n, u) =>
+        val unit = u.stripSuffix("s") match {
+          case "hour" => 3600000L
+          case "minute" => 60000L
+          case "second" => 1000L
+          case other => throw new IllegalArgumentException(
+            s"unsupported delay unit: $other")
+        }
+        n.toLong * unit
+      case _ => throw new IllegalArgumentException(
+        s"unsupported delay: $delay")
+    }
 
   /** Sink-side reassembly over the claims table: each doc re-emitted
     * as its surviving segments in position order — the streaming

@@ -103,13 +103,21 @@ class BoundaryChunkerSpec extends AnyFunSuite {
     val viaJs = ChunkDispatch.chunk("function f() {}", Some("d.js"), 100, 20,
       preserveBoundaries = true)
     assert(viaJs.head.boundary.exists(_.boundaryType == "function_declaration"))
-    // a code extension whose dialect the scanner can't read (C# under
-    // the javascript default) falls back to the regex chunker rather
-    // than emitting nothing
+    // an unmapped code extension (C#) routes STRAIGHT to the regex
+    // chunker — never through another language's CST rules — matching
+    // the reference's isTreeSitterSupported gate. The fixture starts
+    // lines with `class`/`function` on purpose: under the old
+    // javascript-default CST routing these would have produced
+    // JS-semantics boundary kinds.
     val viaCs = ChunkDispatch.chunk(
-      "public class A {\n  public int X() { return 1; }\n}", Some("d.cs"),
+      "class A {\n  function X() { return 1; }\n}", Some("d.cs"),
       100, 20, preserveBoundaries = true)
     assert(viaCs.nonEmpty)
+    val regexKinds = Set("imports", "function", "class", "interface",
+      "type", "statement")
+    assert(viaCs.flatMap(_.boundary).forall(b =>
+      regexKinds.contains(b.boundaryType)),
+      viaCs.flatMap(_.boundary).map(_.boundaryType))
     val plain = ChunkDispatch.chunk(md, Some("d.md"), 100, 20)
     assert(plain.head.boundary.isEmpty)
   }

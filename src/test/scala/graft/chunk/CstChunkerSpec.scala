@@ -288,6 +288,19 @@ class CstChunkerSpec extends AnyFunSuite {
     assert(m.isDefined && m.get._3.contains("42")) // body fully included
   }
 
+  test("ruby: 'end' as a method call or range accessor doesn't close " +
+      "the block") {
+    val code = """def span(arr)
+                 |  last = arr.end
+                 |  r = (1..9).end
+                 |  last + r
+                 |end""".stripMargin
+    val m = boundaries(code, "ruby").find(_._1 == "method")
+    assert(m.isDefined && m.get._2 === Some("span"))
+    assert(m.get._3.contains("last + r")) // not truncated at arr.end
+    assert(m.get._3.trim.endsWith("end"))
+  }
+
   // ---- C / C++ ----
 
   test("c: functions unnamed (declarator, not name field); structs named") {

@@ -61,4 +61,29 @@ class StreamingLineDedupSpec extends SparkSpec {
         StreamingLineDedup.segmentsOf(first._2))
         .map(_._2).mkString(" "))
   }
+
+  test("cross-doc tie in ONE micro-batch: min (doc_id, pos) claimant wins") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // two docs sharing their text arrive in the SAME batch, the
+    // higher doc_id added first — dropDuplicatesWithinWatermark would
+    // keep doc 99's arbitrary first-seen claim; the batch rule
+    // (qLineDedup) demands doc 7's
+    val shared = Seq.fill(graft.operators.Dedup.SegLen)("tok").mkString(" ")
+    val ts = Timestamp.valueOf("2026-01-01 00:00:00")
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingLineDedup.segClaims(stream.toDS())
+      .writeStream.format("memory").queryName("seg_claims_tie")
+      .outputMode("append").start()
+    try {
+      stream.addData((99L, ts, shared), (7L, ts, shared))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("seg_claims_tie")
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq === Seq((7L, 0)))
+  }
 }
