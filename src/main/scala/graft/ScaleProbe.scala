@@ -200,6 +200,28 @@ object ScaleProbe {
         val notPerfect = r1.filter(col("score") =!= 1.0).count()
         s"vectors=${r1.count()}/${nEmb * mult} rank1_not_1.0=$notPerfect"
       },
+      time("semdedup_giant_cluster") {
+        // one 10k-member duplicate component planted beside the real
+        // corpus labels: keep-best must reduce it map-side (argmax
+        // aggregate — the window formulation would single-task the
+        // cluster) and pick the longest member, min doc_id tie-break
+        val big = spark.range(10000).select(
+          (col("id") + 500000000L).as("doc_id"), lit(777777L).as("grp"))
+        val labels = operators.Dedup.componentLabels(spark, work)
+          .unionByName(big)
+        val docs = Tables.documents(spark, work)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+          .unionByName(spark.range(10000).select(
+            (col("id") + 500000000L).as("doc_id"),
+            (col("id") % 997).as("n_chars")))
+        val out = operators.Dedup.keepBest(labels, docs)
+        val g = out.filter(col("group_id") === 777777L).collect().head
+        // max n_chars = 996, first doc_id achieving it = 500000996
+        val ok = g.getAs[Long]("group_size") == 10000L &&
+          g.getAs[Long]("kept_doc") == 500000996L &&
+          g.getAs[Long]("kept_chars") == 996L
+        s"groups=${out.count()} giant_argmax_ok=$ok"
+      },
       time("pack_batches_giant_shard") {
         // worst case for sequential packing: ONE source owning the
         // whole replicated corpus. The shipped two-pass plan must emit

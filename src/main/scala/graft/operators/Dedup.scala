@@ -487,23 +487,33 @@ object Dedup {
     * the engine's own primitives): within every near-dup component
     * (cached [[componentLabels]]), keep exactly one representative —
     * the longest document, doc_id tie-break — and account for what was
-    * dropped. One window + one groupBy over component-keyed rows; the
-    * component table is pair-graph-sized, orders of magnitude smaller
-    * than the corpus, so the keep-best pass is never the bottleneck. */
-  def qSemdedup(spark: SparkSession, dir: String): DataFrame = {
-    val labels = componentLabels(spark, dir)
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
-    val w = Window.partitionBy("grp").orderBy(desc("n_chars"), col("doc_id"))
+    * dropped.
+    *
+    * Scale shape: keep-best is an ARGMAX, so it rides a plain
+    * `max(struct(n_chars, -doc_id))` hash aggregate — map-side partial
+    * aggregation reduces every upstream partition to one row per
+    * component before the shuffle, so a pathological million-member
+    * duplicate cluster ships |partitions| rows, not |cluster|. (The
+    * row_number-window formulation this replaced put the whole
+    * cluster in one task; see the giant-cluster ScaleProbe row.) */
+  def qSemdedup(spark: SparkSession, dir: String): DataFrame =
+    keepBest(componentLabels(spark, dir),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars")))
+
+  /** The keep-best core of [[qSemdedup]] over an explicit (doc_id, grp)
+    * labels table — isolated so the giant-cluster probe can drive it
+    * with a planted 10k-member component. */
+  private[graft] def keepBest(labels: DataFrame, docs: DataFrame): DataFrame =
     labels.join(docs, "doc_id")
-      .withColumn("rk", row_number().over(w))
       .groupBy(col("grp").as("group_id"))
       .agg(count(lit(1)).as("group_size"),
-        sum(when(col("rk") === 1, col("doc_id"))).as("kept_doc"),
-        sum(when(col("rk") === 1, col("n_chars"))).as("kept_chars"))
-      .withColumn("n_dropped", col("group_size") - 1)
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("group_id"), col("group_size"),
+        (-col("best.neg_id")).as("kept_doc"),
+        col("best.n_chars").as("kept_chars"),
+        (col("group_size") - 1).as("n_dropped"))
       .orderBy("group_id")
-  }
 
   /** Non-overlapping segment length (tokens) for line-level dedup. */
   private[graft] val SegLen = 10

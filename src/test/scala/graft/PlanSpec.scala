@@ -139,6 +139,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Keys [2]: [event_type#"), p)
   }
 
+  test("q_semdedup: keep-best is an argmax aggregate, no per-component " +
+      "rank window") {
+    val p = planOf("q_semdedup")
+    // a row_number window over grp would put a giant duplicate
+    // cluster in one task; the argmax aggregate partial-reduces it
+    assert(!p.contains("row_number"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_pack_batches: cumsum windows are segment-bounded, never " +
       "whole-shard") {
     val p = planOf("q_pack_batches")
