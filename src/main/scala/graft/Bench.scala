@@ -8,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   * long-lived cluster session would, so the timed numbers measure the
   * operators rather than JVM startup. Queries are timed in sorted name
   * order for run-to-run comparability.
+  *
+  * Host-stall hardening: a shared host can freeze the JVM for seconds
+  * mid-iteration (the BENCH_r06 artifact: alphabetically-contiguous
+  * blocks of inflated timings from stall windows sweeping the run
+  * order). Each query therefore runs SPARK_GRAFT_BENCH_ITERS (default
+  * 3) times; the reported per-query number and the headline total are
+  * MEDIANS — one stalled iteration out of three cannot move them —
+  * and the line also carries the min-total plus `stall_iters`, the
+  * count of iterations that diverged >5× (and >1 s) from their
+  * query's median, so a contaminated run is self-identifying instead
+  * of silently inflated.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,18 +35,29 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
 
-    // steady-state latency: min over N iterations in one warm session
-    // (the engine's session cache is part of the design — a long-lived
-    // cluster context serves many queries, not one).
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = names.map { case (name, fn) =>
+    // steady-state latency: median over N iterations in one warm
+    // session (the engine's session cache is part of the design — a
+    // long-lived cluster context serves many queries, not one).
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val raw = names.map { case (name, fn) =>
       val ts = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> ts.min
+      (name, ts)
     }
+    val results = raw.map { case (name, ts) => name -> median(ts) }
+    val minTotal = raw.map(_._2.min).sum
+    val stallIters = raw.map { case (_, ts) =>
+      val m = median(ts)
+      ts.count(t => t > 5 * m && t - m > 1.0)
+    }.sum
     // The driver machine-parses ONE JSON line from the tail of stdout
     // (last ~2000 chars), so the line must be short: 2-decimal seconds
     // with trailing zeros stripped, numeric sf. Full precision goes to
@@ -49,7 +71,8 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
     def mkLine(queries: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queries,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","min_total":${
+        fmt(minTotal)},"stall_iters":$stallIters,"queries":$queries,"sf":$sfNum}"""
     // Headroom guard: the registry grows every round; if the per-query
     // map ever pushes the line past the driver's ~2000-char tail
     // window, keep only the slowest queries (they're the informative
@@ -64,11 +87,13 @@ object Bench {
         mkLine(top)
       }
     }
-    val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val full = raw.map { case (k, ts) =>
+      s"\"" + k + "\":{\"median\":" + median(ts) + ",\"min\":" + ts.min +
+        ",\"iters\":" + ts.mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"stall_iters":$stallIters,"queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
     println(line)
