@@ -1,0 +1,37 @@
+package graft
+
+/** Materializes the boundary-chunker golden tables that back the
+  * `q_chunk_markdown` / `q_chunk_code` oracles.
+  *
+  * The two boundary chunkers are pure Scala (C2/C3/C4) and not
+  * SQL-expressible, so their oracle is a COMMITTED ARTIFACT instead of
+  * a formula: this main runs each query at the Verify scale factor
+  * (sf0.01 — the driver contract) and writes the result as a
+  * single-file parquet under `fixtures/`; the oracle SQL replays it
+  * with `read_parquet`. Chunker CORRECTNESS is pinned independently
+  * by BoundaryChunkerSpec/CstChunkerSpec against the reference's own
+  * fixtures (`cst-operations*.test.ts`); the golden rows pin the
+  * integrated output against drift — regenerating them is a
+  * deliberate, reviewable act (rerun this main), never a side effect.
+  *
+  * Usage: runMain graft.GoldenChunks [sfDir] [outDir]
+  */
+object GoldenChunks {
+  val Queries = Seq("q_chunk_markdown", "q_chunk_code")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("/root/repo/fixtures")
+    val sfTag = "sf[0-9.]+".r.findFirstIn(sfDir).getOrElse("sf")
+    val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("WARN")
+    Queries.foreach { name =>
+      val out = s"$outDir/${name.stripPrefix("q_")}_$sfTag.parquet"
+      SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(out)
+      println(s"[golden] wrote $out")
+    }
+    spark.stop()
+  }
+}

@@ -31,8 +31,9 @@ object Ingest {
   /** C2 markdown-boundary chunking over synthesized markdown (the
     * documents table is single-line prose, so headers/sections are
     * derived deterministically from each row). Not SQL-expressible —
-    * registered without an oracle (rows-only check); exact semantics
-    * are pinned by BoundaryChunkerSpec. */
+    * the oracle replays the committed golden table (see
+    * [[graft.GoldenChunks]]); exact semantics are pinned by
+    * BoundaryChunkerSpec. */
   def qChunkMarkdown(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)]
@@ -59,8 +60,8 @@ object Ingest {
     * `function_definition` / `class_definition` / import / assignment
     * boundaries with decorator attachment, dispatched via
     * [[graft.chunk.ChunkDispatch]] exactly as an indexed `.py` file
-    * is). Rows-only check; semantics pinned by BoundaryChunkerSpec and
-    * CstChunkerSpec. */
+    * is). Oracle = the committed golden table ([[graft.GoldenChunks]]);
+    * semantics pinned by BoundaryChunkerSpec and CstChunkerSpec. */
   def qChunkCode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)]
@@ -133,5 +134,18 @@ object Ingest {
         |  FROM w WHERE content <> '')
         |SELECT * FROM single UNION ALL SELECT * FROM multi
         |ORDER BY doc_id, chunk_index""".stripMargin,
+    // The boundary chunkers are pure Scala and not SQL-expressible;
+    // their oracle is the committed golden parquet (generated once by
+    // `runMain graft.GoldenChunks`, chunker semantics independently
+    // spec-pinned against the reference fixtures). Tagged sf0.01 —
+    // the driver's Verify scale factor.
+    "q_chunk_markdown" ->
+      """SELECT * FROM
+        |read_parquet('/root/repo/fixtures/chunk_markdown_sf0.01.parquet/*.parquet')
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+    "q_chunk_code" ->
+      """SELECT * FROM
+        |read_parquet('/root/repo/fixtures/chunk_code_sf0.01.parquet/*.parquet')
+        |ORDER BY doc_id, lang, chunk_index""".stripMargin,
   )
 }
