@@ -412,4 +412,60 @@ class CstChunkerSpec extends AnyFunSuite {
     assert(f.get._3.contains("echo"))
     assert(bs.last._1 === "command")
   }
+
+  // ---- malformed sources: scanner resilience + any-failure fallback
+  // (reference: tree-sitter error recovery still yields what it can,
+  // cst-operations.ts:148-190; anything worse routes to the regex
+  // chunker via chunkWithFallback, cst-operations.test.ts:199-225) ----
+
+  test("malformed js: unclosed brace — boundary extends to EOF, no crash") {
+    val code = """function broken(x) {
+                 |  if (x) {
+                 |    return x
+                 |""".stripMargin
+    val bs = boundaries(code, "javascript")
+    val f = bs.find(_._1 == "function_declaration")
+    assert(f.isDefined && f.get._2 === Some("broken"))
+    assert(f.get._3.contains("return x")) // extent ran to EOF
+  }
+
+  test("malformed python: truncated def header and dangling indent") {
+    val code = "def orphan(\n    return 1\nclass Half:\n    def m(self"
+    val bs = boundaries(code, "python")
+    // error recovery: both decls still surface with their names
+    assert(bs.exists(b => b._1 == "function_definition" &&
+      b._2 == Some("orphan")))
+    assert(bs.exists(b => b._1 == "class_definition" && b._2 == Some("Half")))
+  }
+
+  test("malformed go: truncated mid-function — no crash, func surfaces") {
+    val code = "package main\n\nfunc gone() {\n  x := 1\n  if x >"
+    val bs = boundaries(code, "go")
+    val f = bs.find(_._1 == "function_declaration")
+    assert(f.isDefined && f.get._2 === Some("gone"))
+    assert(f.get._3.contains("x :="))
+  }
+
+  test("unrecognizable source under a code extension routes to the " +
+      "regex fallback") {
+    // prose carries no boundary the JS inventory recognizes → the
+    // scanner yields zero boundaries → dispatch MUST fall back (the
+    // reference's any-failure fallback), never return an empty chunk set
+    val prose = "just some plain words\nwithout any code structure\nat all"
+    assert(CstChunker.chunk(prose, "javascript").isEmpty)
+    val viaDispatch = ChunkDispatch.chunk(prose, Some("weird.js"), 100, 20,
+      preserveBoundaries = true)
+    assert(viaDispatch.nonEmpty)
+    assert(viaDispatch.forall(_.boundary.exists(_.boundaryType == "statement")))
+    // and the fallback loses no text
+    assert(viaDispatch.map(_.content).mkString("\n") === prose)
+  }
+
+  test("empty and whitespace-only sources yield zero chunks, no fallback") {
+    assert(CstChunker.chunk("", "javascript").isEmpty)
+    assert(ChunkDispatch.chunk("", Some("e.js"), 100, 20,
+      preserveBoundaries = true).isEmpty)
+    assert(ChunkDispatch.chunk("  \n\t\n", Some("e.py"), 100, 20,
+      preserveBoundaries = true).isEmpty)
+  }
 }
