@@ -3,26 +3,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One-off sf1-equivalent bench probe (VERDICT r5 item 10): replicate
-  * the sf0.1 corpus 10× — documents, events, lineitem, and embeddings,
-  * each with per-replica id shifts — and time the slowest registry
-  * queries from BENCH_r05 against it, cold and steady-state. Answers
-  * "does the flat profile hold another 10×" without registering a new
-  * scale factor in the driver contract. Results land in SCALE.md.
+/** sf1-equivalent steady-state sweep: replicate the sf0.1 corpus 10× —
+  * every fact table, with per-replica id shifts that keep join keys
+  * consistent within a replica — and time the WHOLE query registry
+  * against it (median of 3 steady-state iterations after a cold pass,
+  * host-stall detection as in [[Bench]]). Answers "does the flat
+  * profile hold another 10×, query by query" without registering a new
+  * scale factor in the driver contract. Dimension tables pass through
+  * unreplicated (their cardinality is scale-invariant — that IS the
+  * dim-table contract). Results land in SCALE.md + sf1_full.json.
   *
-  * Usage: runMain graft.Sf1Probe [srcDir] [mult] [workDir]
+  * Usage: runMain graft.Sf1Probe [srcDir] [mult] [workDir] [only]
+  * (`only` = comma-separated query names for a targeted run)
   */
 object Sf1Probe {
-  val SlowQueries: Seq[String] = Seq(
-    "q_curation_manifest", "q_winnow", "q_boilerplate", "q_doc_keywords",
-    "q_inverted_index", "q_lsh_tune", "q_window_dedup", "q1_agg",
-    "q_decontaminate", "q_ann_pq")
-
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val work = args.lift(2).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_sf1").toString)
+    val only: Set[String] =
+      args.lift(3).map(_.split(",").toSet).getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,25 +41,55 @@ object Sf1Probe {
     replicate(Tables.events(spark, srcDir),
         "user_id" -> 10000000L, "event_id" -> 1000000000L)
       .write.mode("overwrite").parquet(s"$work/events.parquet")
+    // lineitem and orders shift the SAME order-key unit so every
+    // replica keeps its fact-fact join intact
     replicate(Tables.lineitem(spark, srcDir), "l_orderkey" -> 100000000L)
       .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+    replicate(Tables.orders(spark, srcDir), "o_orderkey" -> 100000000L)
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
     replicate(Tables.embeddings(spark, srcDir), "vec_id" -> 10000000L)
       .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$work/$t.parquet")
+    }
 
-    val rows = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SlowQueries.foreach { name =>
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
+    val rows = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Seq[Double])]
+    var stalls = 0
+    names.foreach { name =>
       val q = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
         q(spark, work).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val cold = once()
-      val steady = once()
-      rows(name) = f"""{"cold":$cold%.2f,"steady":$steady%.2f}"""
+      try {
+        val cold = once()
+        val ts = (1 to 3).map(_ => once())
+        val m = median(ts)
+        stalls += ts.count(t => t > 5 * m && t - m > 1.0)
+        rows(name) = (cold, m, ts)
+      } catch {
+        case e: Throwable =>
+          rows(name) = (-1.0, -1.0, Nil)
+          System.err.println(s"[sf1] $name failed: ${e.getMessage}")
+      }
     }
-    println(s"""{"probe":"sf1","src":"$srcDir","mult":$mult,""" +
-      rows.map { case (k, v) => s""""$k":$v""" }.mkString("", ",", "}"))
+    val totalMedian = rows.values.map(_._2).filter(_ >= 0).sum
+    val line = s"""{"probe":"sf1","src":"$srcDir","mult":$mult,""" +
+      s""""total_median":${f"$totalMedian%.2f"},"stall_iters":$stalls,""" +
+      rows.map { case (k, (c, m, _)) =>
+        s""""$k":{"cold":${f"$c%.2f"},"median":${f"$m%.2f"}}"""
+      }.mkString("\"queries\":{", ",", "}}")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("sf1_full.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }
