@@ -606,7 +606,96 @@ object Ann {
       .limit(10)
   }
 
+  /** Neighborhood size for the bitext-mining margin denominator. */
+  private val MineK = 4
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * CCMatrix/LASER parallel-corpus op): for every English document,
+    * find the non-English candidate maximizing the RATIO margin
+    * `cos(x,y) / ((avgcos_k(x→B) + avgcos_k(y→A)) / 2)` over its
+    * cross-lingual neighborhood, then report the top-20 mined pairs
+    * corpus-wide. Margin beats raw cosine because hub vectors that
+    * are "near everything" get their similarity discounted by their
+    * own neighborhood average.
+    *
+    * Scale shape: candidates are LSH-bucket-mates ACROSS the two
+    * language partitions (never all-pairs), through the same salted
+    * (bucket, salt) shuffle the 50× probe validated for q_knn_join;
+    * both directions' top-k neighborhoods come from ONE candidate
+    * set via the bounded [[graft.functions.TopKAggregator]] (≤k rows
+    * per vector per partition into each shuffle); the per-query
+    * argmax is the same map-side argmax aggregate as q_semdedup; the
+    * global top-20 lowers to TakeOrderedAndProject. Exactness: scores
+    * are 6-decimal-rounded then lifted to integer micro space, so
+    * neighborhood sums and the margin (one integer division, positive
+    * operands pinned by the s_micro > 0 guard) are bit-identical on
+    * any engine. */
+  def qMineBitext(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val be = lshBuckets(spark, dir)
+      .join(Search.embNormed(spark, dir), "vec_id")
+      .join(langs, "vec_id")
+    // distinct bucket aliases per side: both legs descend from the same
+    // `be` plan, so en("bucket") === xx("bucket") would resolve to one
+    // attribute and collapse to `true`, silently widening candidates to
+    // salt-mates across ALL buckets (Spark logs "trivially true equals")
+    val en = be.filter(col("lang") === "en")
+      .select(col("vec_id").as("en_id"), col("bucket").as("e_bucket"),
+        col("embedding").as("ev"), col("nrm").as("e_nrm"))
+      .crossJoin(broadcast(
+        spark.range(KnnJoinSalt).withColumnRenamed("id", "tb")))
+    val xx = be.filter(col("lang") =!= "en")
+      .select(col("vec_id").as("other_id"), col("bucket").as("x_bucket"),
+        col("embedding").as("xv"), col("nrm").as("x_nrm"))
+      .withColumn("sb", pmod(col("other_id"), lit(KnnJoinSalt)))
+    val cand = en.join(xx,
+        col("e_bucket") === col("x_bucket") && col("tb") === col("sb"))
+      .withColumn("s_micro",
+        round(round(cosinePrenormed(dot(col("ev"), col("xv")),
+          col("e_nrm"), col("x_nrm")), 6) * 1000000, 0).cast("long"))
+      .filter(col("s_micro") > 0)
+      .select("en_id", "other_id", "s_micro")
+    val fwd = cand.as[(Long, Long, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3.toDouble))
+      .agg(graft.functions.TopKAggregator.topK(MineK))
+      .toDF("en_id", "ftop")
+    val bwd = cand.select(col("other_id"), col("en_id"), col("s_micro"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3.toDouble))
+      .agg(graft.functions.TopKAggregator.topK(MineK))
+      .toDF("other_id", "btop")
+      .select(col("other_id"),
+        expr("CAST(aggregate(btop, CAST(0.0 AS DOUBLE), (a, x) -> a + x._2) AS BIGINT)")
+          .as("sb_sum"),
+        size(col("btop")).cast("long").as("kb"))
+    fwd
+      .select(col("en_id"),
+        expr("CAST(aggregate(ftop, CAST(0.0 AS DOUBLE), (a, x) -> a + x._2) AS BIGINT)")
+          .as("sf_sum"),
+        size(col("ftop")).cast("long").as("kf"),
+        posexplode(col("ftop")).as(Seq("pos", "p")))
+      .select(col("en_id"), col("sf_sum"), col("kf"),
+        col("p._1").as("other_id"), col("p._2").cast("long").as("s_micro"))
+      .join(bwd, "other_id")
+      .filter(col("sf_sum") * col("kb") + col("sb_sum") * col("kf") > 0)
+      .withColumn("margin_micro",
+        expr("(2 * s_micro * kf * kb * 1000000) div (sf_sum * kb + sb_sum * kf)"))
+      .groupBy("en_id")
+      .agg(max(struct(col("margin_micro"), (-col("other_id")).as("neg_id"),
+        col("s_micro"))).as("best"))
+      .select(col("en_id"), (-col("best.neg_id")).as("other_id"),
+        col("best.s_micro").as("score_micro"),
+        col("best.margin_micro").as("margin_micro"))
+      .join(langs.withColumnRenamed("vec_id", "other_id"), "other_id")
+      .select("en_id", "other_id", "lang", "score_micro", "margin_micro")
+      .orderBy(desc("margin_micro"), col("en_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mine_bitext"    -> (qMineBitext _),
     "q_ann_ivfpq"      -> (qAnnIvfPq _),
     "q_knn_join"       -> (qKnnJoin _),
     "q_hard_negatives" -> (qHardNegatives _),
@@ -679,6 +768,49 @@ object Ann {
       |  ORDER BY score DESC, sh.vec_id LIMIT 10)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_mine_bitext" ->
+      s"""WITH $bucketsSql,
+         |langs AS (SELECT doc_id AS vec_id, lang FROM documents),
+         |be AS (
+         |  SELECT b.vec_id, b.bucket, e.v, e.nrm, l.lang
+         |  FROM buckets b JOIN e USING (vec_id) JOIN langs l USING (vec_id)),
+         |cand AS (
+         |  SELECT a.vec_id AS en_id, b.vec_id AS other_id,
+         |    CAST(round(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         |      * 1000000, 0) AS BIGINT) AS s_micro
+         |  FROM be a JOIN be b ON a.bucket = b.bucket
+         |  WHERE a.lang = 'en' AND b.lang <> 'en'),
+         |pos AS (SELECT * FROM cand WHERE s_micro > 0),
+         |f AS (
+         |  SELECT en_id, other_id, s_micro, row_number() OVER (
+         |      PARTITION BY en_id ORDER BY s_micro DESC, other_id) AS rk
+         |  FROM pos),
+         |ftop AS (SELECT * FROM f WHERE rk <= $MineK),
+         |fstat AS (
+         |  SELECT en_id, sum(s_micro)::BIGINT AS sf_sum, count(*)::BIGINT AS kf
+         |  FROM ftop GROUP BY 1),
+         |bk AS (
+         |  SELECT other_id, s_micro, row_number() OVER (
+         |      PARTITION BY other_id ORDER BY s_micro DESC, en_id) AS rk
+         |  FROM pos),
+         |bstat AS (
+         |  SELECT other_id, sum(s_micro)::BIGINT AS sb_sum, count(*)::BIGINT AS kb
+         |  FROM bk WHERE rk <= $MineK GROUP BY 1),
+         |m AS (
+         |  SELECT t.en_id, t.other_id, t.s_micro,
+         |    (2 * t.s_micro * f.kf * b.kb * 1000000)
+         |      // (f.sf_sum * b.kb + b.sb_sum * f.kf) AS margin_micro
+         |  FROM ftop t JOIN fstat f USING (en_id) JOIN bstat b USING (other_id)
+         |  WHERE f.sf_sum * b.kb + b.sb_sum * f.kf > 0),
+         |best AS (
+         |  SELECT en_id, other_id, s_micro AS score_micro, margin_micro,
+         |    row_number() OVER (
+         |      PARTITION BY en_id ORDER BY margin_micro DESC, other_id) AS brk
+         |  FROM m)
+         |SELECT b.en_id, b.other_id, l.lang, b.score_micro, b.margin_micro
+         |FROM best b JOIN langs l ON l.vec_id = b.other_id
+         |WHERE b.brk = 1
+         |ORDER BY b.margin_micro DESC, b.en_id LIMIT 20""".stripMargin,
     "q_ann_ivfpq" ->
       s"""WITH $bucketsSql,
          |pqc AS (

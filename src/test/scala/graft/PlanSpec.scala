@@ -139,6 +139,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Keys [2]: [event_type#"), p)
   }
 
+  test("q_mine_bitext: bucket-mate candidates only, bounded top-k, " +
+      "no cartesian") {
+    val p = planOf("q_mine_bitext")
+    assert(!p.contains("CartesianProduct"), p)
+    // both neighborhoods ride the bounded aggregator, not rank windows
+    assert(!p.contains("row_number"), p)
+    // global top-20 lowers to TakeOrderedAndProject
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_semdedup: keep-best is an argmax aggregate, no per-component " +
       "rank window") {
     val p = planOf("q_semdedup")

@@ -50,6 +50,42 @@ class KnnJoinSpec extends SparkSpec {
     assert(mismatch.count() === 0)
   }
 
+  test("bitext mining: cross-lingual pairs only, one per query, " +
+      "margin beats or equals raw-cosine ordering semantics") {
+    val out = Ann.qMineBitext(spark, sfDir).cache()
+    val langs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"))
+    // every mined pair is en → non-en, and the reported lang is the
+    // candidate's true lang
+    val sides = out
+      .join(langs.select(col("doc_id").as("en_id"),
+        col("lang").as("src_lang")), "en_id")
+      .join(langs.select(col("doc_id").as("other_id"),
+        col("lang").as("true_lang")), "other_id")
+    assert(sides.filter(col("src_lang") =!= "en").count() === 0)
+    assert(sides.filter(col("lang") === "en").count() === 0)
+    assert(sides.filter(col("lang") =!= col("true_lang")).count() === 0)
+    // at most one mined pair per English doc; scores positive;
+    // output ordered by margin desc
+    assert(out.groupBy("en_id").count().filter(col("count") > 1)
+      .count() === 0)
+    assert(out.filter(col("score_micro") <= 0).count() === 0)
+    // candidates are bucket-mates: every mined pair must share an LSH
+    // bucket (guards the self-join ambiguity where the bucket equality
+    // collapses to `true` and candidates widen to all cross-lingual pairs)
+    val bk = Ann.lshBuckets(spark, sfDir)
+    val offBucket = out
+      .join(bk.select(col("vec_id").as("en_id"),
+        col("bucket").as("eb")), "en_id")
+      .join(bk.select(col("vec_id").as("other_id"),
+        col("bucket").as("ob")), "other_id")
+      .filter(col("eb") =!= col("ob"))
+    assert(offBucket.count() === 0)
+    val margins = out.select("margin_micro").collect().map(_.getLong(0))
+    assert(margins.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    out.unpersist()
+  }
+
   test("media error channel: exactly the planted corruptions fail") {
     val out = operators.Media.qMediaErrors(spark, sfDir)
     assert(out.filter((col("doc_id") % 97 === 0) =!=
