@@ -412,7 +412,98 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** One BPE merge-step pair count (Sennrich et al. 2016 §3.2) — the
+    * tokenizer-training primitive: count adjacent character pairs
+    * inside every word, weighted by corpus word frequency, and report
+    * the top-20 merge candidates (the pair a BPE trainer would merge
+    * next, plus its runners-up, each with its distinct-word-form
+    * support). Training iterates this to a vocabulary; one step is the
+    * oracle-checkable core, same framing as `q_kmeans_step` (driver
+    * loop over a distributed step).
+    *
+    * Scale shape: the ONLY corpus-sized pass is the word-frequency
+    * groupBy (uniform hash keys, map-side partials). Pair generation
+    * and counting run over the DISTINCT-WORD table — vocabulary-sized,
+    * sublinear in corpus size (Heaps' law) — which is exactly the
+    * published BPE trick of training on (word, freq) instead of the
+    * running text: at 100 TB the corpus pass is a count, and every
+    * subsequent merge iteration touches only the vocabulary. The
+    * global top-20 lowers to TakeOrderedAndProject. */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    words
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("freq"),
+        explode(expr(
+          "transform(sequence(1, length(word) - 1)," +
+            " i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum("freq").cast("long").as("pair_count"),
+        countDistinct("word").as("n_words"))
+      .orderBy(desc("pair_count"), col("pair"))
+      .limit(20)
+  }
+
+  private[graft] val UniMaxEpochCap = 4L
+
+  /** UniMax language allocation (Chung et al. 2023 §3): spread the
+    * token budget as UNIFORMLY as possible across languages subject to
+    * a per-language repetition cap of [[UniMaxEpochCap]] epochs — the
+    * uniform-first counterpart of [[qEpochPlan]]'s temperature
+    * weighting. Closed-form waterfill: with languages sorted by cap
+    * ascending, language k caps iff its cap sits below the uniform
+    * share of what remains after paying out all smaller caps
+    * (`cap_k · (n−k+1) ≤ budget − prefix_{k−1}`); cappedness is then a
+    * prefix of the sorted order, so one prefix-sum pass plus one
+    * aggregate finds the water level, and every uncapped language gets
+    * the same integer floor share. Budget = 3.5× corpus tokens — the
+    * same surplus-genuinely-moves regime as the epoch plan, and since
+    * 3.5 < 4 the budget can never cover every cap, so the uncapped
+    * divisor is provably nonzero. All-integer arithmetic; the only
+    * products are cap·n_langs and alloc·1000 (safe to ~10¹⁶ tokens per
+    * language, ~10³× past a 100 TB corpus).
+    *
+    * Scale shape: one corpus groupBy for per-lang token totals; the
+    * waterfill — including its row_number/prefix-sum window — runs on
+    * the LANGUAGES-sized table (broadcast scale, one partition by
+    * construction), never over documents. */
+  def qUnimaxAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(sum(size(TextAnalysis.toks(col("text")))).cast("long")
+        .as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * UniMaxEpochCap)
+    val tot = toks.agg(sum("n_tokens").cast("long").as("n_corpus"),
+      count(lit(1)).cast("long").as("n_langs"))
+    val w = Window.orderBy("cap", "lang")
+    val r = toks.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(n_corpus * 7) div 2"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pfx", sum("cap").over(w))
+      .withColumn("capped",
+        col("cap") * (col("n_langs") - col("k") + 1L) <=
+          col("budget") - (col("pfx") - col("cap")))
+    val paid = r.agg(
+      sum(when(col("capped"), col("cap")).otherwise(0L)).cast("long")
+        .as("paid"),
+      sum(when(col("capped"), 1L).otherwise(0L)).cast("long")
+        .as("n_capped"))
+    r.crossJoin(broadcast(paid))
+      .withColumn("alloc",
+        when(col("capped"), col("cap"))
+          .otherwise(expr("(budget - paid) div (n_langs - n_capped)")))
+      .withColumn("epochs_milli", expr("(alloc * 1000) div n_tokens"))
+      .select(col("lang"), col("n_tokens"), col("cap").as("cap_tokens"),
+        col("capped"), col("alloc").as("tokens_allocated"),
+        col("epochs_milli"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_pairs"     -> (qBpePairs _),
+    "q_unimax_alloc"  -> (qUnimaxAlloc _),
     "q_epoch_plan"    -> (qEpochPlan _),
     "q_temp_sampling" -> (qTempSampling _),
     "q_sample_strat" -> (qSampleStrat _),
@@ -429,6 +520,52 @@ object Curation {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      s"""WITH w AS (
+         |  SELECT x.w AS word, count(*) AS freq
+         |  FROM documents, LATERAL (SELECT unnest($toksSql) AS w) x
+         |  GROUP BY 1),
+         |p AS (
+         |  SELECT word, freq, substring(word, i, 2) AS pair
+         |  FROM w, LATERAL (SELECT unnest(range(1, length(word))) AS i) g
+         |  WHERE length(word) >= 2)
+         |SELECT pair, sum(freq)::BIGINT AS pair_count,
+         |  count(DISTINCT word)::BIGINT AS n_words
+         |FROM p GROUP BY pair
+         |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
+    "q_unimax_alloc" ->
+      s"""WITH t AS (
+         |  SELECT lang, sum(len($toksSql))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |c AS (SELECT lang, n_tokens, n_tokens * $UniMaxEpochCap AS cap
+         |  FROM t),
+         |tot AS (
+         |  SELECT sum(n_tokens)::BIGINT AS n_corpus,
+         |    count(*)::BIGINT AS n_langs
+         |  FROM c),
+         |r AS (
+         |  SELECT lang, n_tokens, cap, n_langs,
+         |    (n_corpus * 7) // 2 AS budget,
+         |    row_number() OVER (ORDER BY cap, lang) AS k,
+         |    sum(cap) OVER (ORDER BY cap, lang) AS pfx
+         |  FROM c, tot),
+         |f AS (
+         |  SELECT *,
+         |    cap * (n_langs - k + 1) <= budget - (pfx - cap) AS capped
+         |  FROM r),
+         |paid AS (
+         |  SELECT sum(CASE WHEN capped THEN cap ELSE 0 END)::BIGINT AS paid,
+         |    sum(CASE WHEN capped THEN 1 ELSE 0 END)::BIGINT AS n_capped
+         |  FROM f),
+         |a AS (
+         |  SELECT lang, n_tokens, cap, capped,
+         |    CASE WHEN capped THEN cap
+         |         ELSE (budget - paid) // (n_langs - n_capped) END AS alloc
+         |  FROM f, paid)
+         |SELECT lang, n_tokens, cap AS cap_tokens, capped,
+         |  alloc AS tokens_allocated,
+         |  (alloc * 1000) // n_tokens AS epochs_milli
+         |FROM a ORDER BY lang""".stripMargin,
     "q_epoch_plan" ->
       s"""WITH t AS (
          |  SELECT lang, sum(len($toksSql))::BIGINT AS n_tokens

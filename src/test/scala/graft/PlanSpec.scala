@@ -139,6 +139,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Keys [2]: [event_type#"), p)
   }
 
+  test("q_bpe_pairs: pair counting rides the vocab table — no window, " +
+      "top-20 lowered") {
+    val p = planOf("q_bpe_pairs")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_unimax_alloc: waterfill window runs over the languages-sized " +
+      "aggregate, never documents") {
+    val p = planOf("q_unimax_alloc")
+    // the only aggregate below the window is keyed on lang — the
+    // window's input is the per-language table, not the corpus
+    assert(p.contains("Keys [1]: [lang#"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_mine_bitext: bucket-mate candidates only, bounded top-k, " +
       "no cartesian") {
     val p = planOf("q_mine_bitext")

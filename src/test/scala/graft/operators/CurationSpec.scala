@@ -175,6 +175,58 @@ class CurationSpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("bpe pairs: counts match a brute-force recount of the word table") {
+    val out = Curation.qBpePairs(spark, sfDir).collect()
+    assert(out.length === 20)
+    // every pair is exactly two characters and counts are positive
+    assert(out.forall(r => r.getString(0).length === 2))
+    assert(out.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
+    // ordered by count desc, pair asc
+    val keys = out.map(r => (r.getLong(1), r.getString(0)))
+    assert(keys.sliding(2).forall { w =>
+      w.length < 2 || w(0)._1 > w(1)._1 ||
+        (w(0)._1 == w(1)._1 && w(0)._2 < w(1)._2)
+    })
+    // brute force: recount the top pair from the raw word list
+    val (top, topCount) = (out.head.getString(0), out.head.getLong(1))
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(TextAnalysis.toks(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+    val expected = words.map { w =>
+      (0 until math.max(w.length - 1, 0))
+        .count(i => w.substring(i, i + 2) == top).toLong
+    }.sum
+    assert(topCount === expected)
+  }
+
+  test("unimax alloc: uniform-first waterfill — caps respected, " +
+      "uncapped langs share equally") {
+    val p = Curation.qUnimaxAlloc(spark, sfDir).persist()
+    // nobody exceeds the 4-epoch cap; alloc never exceeds cap
+    assert(p.filter(col("epochs_milli") > 4000).count() === 0)
+    assert(p.filter(col("tokens_allocated") > col("cap_tokens"))
+      .count() === 0)
+    // capped rows get exactly their cap
+    assert(p.filter(col("capped") &&
+      col("tokens_allocated") =!= col("cap_tokens")).count() === 0)
+    // budget is respected and some language is left uncapped (3.5 < 4)
+    val agg = p.agg(sum("n_tokens").cast("long"),
+      sum("tokens_allocated").cast("long")).head
+    assert(agg.getLong(1) <= agg.getLong(0) * 7 / 2)
+    assert(p.filter(!col("capped")).count() >= 1)
+    // all uncapped languages receive the SAME share (uniformity —
+    // the property that distinguishes UniMax from the epoch plan)
+    val shares = p.filter(!col("capped"))
+      .select("tokens_allocated").collect().map(_.getLong(0)).distinct
+    assert(shares.length === 1)
+    // the uncapped share is >= every capped language's cap (waterfill:
+    // caps below the water level cap, everyone else sits at it)
+    val capsBelow = p.filter(col("capped"))
+      .select("cap_tokens").collect().map(_.getLong(0))
+    assert(capsBelow.forall(_ <= shares.head))
+    p.unpersist()
+  }
+
   test("epoch plan: caps respected, budget never exceeded, surplus lands") {
     val p = Curation.qEpochPlan(spark, sfDir).persist()
     // nobody exceeds the 4-epoch repetition cap
