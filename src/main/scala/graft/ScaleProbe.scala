@@ -235,6 +235,38 @@ object ScaleProbe {
         val same = fast.exceptAll(twin).isEmpty && twin.exceptAll(fast).isEmpty
         s"bins=${fast.count()} identical_to_window_twin=$same"
       },
+      time("mine_bitext_planted") {
+        // parallel-corpus plant: an en-only corpus plus mult exact
+        // "translations" per en doc (identical embedding, shifted id,
+        // lang 'xx'). Identical vectors share an LSH bucket, every
+        // twin's backward neighborhood contains a perfect score, and
+        // both sides of every margin share the forward average — so
+        // each en doc's argmax-margin candidate must itself be a
+        // perfect match: all 20 mined pairs score s_micro = 1e6 with
+        // margin ≥ 1, en on the left, planted ids on the right, while
+        // the candidate join stays bucket-mate-bounded as the non-en
+        // side grows ×mult.
+        val en = Tables.documents(spark, sfDir).filter(col("lang") === "en")
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .join(en.select(col("doc_id").as("vec_id")), "vec_id")
+        val reps = spark.range(mult).withColumnRenamed("id", "rep")
+        en.unionByName(en.crossJoin(reps)
+            .withColumn("doc_id", col("doc_id") + (col("rep") + 2) * 10000000L)
+            .withColumn("lang", lit("xx")).drop("rep"))
+          .write.mode("overwrite").parquet(s"$work/bitext/documents.parquet")
+        emb.unionByName(emb.crossJoin(reps)
+            .withColumn("vec_id", col("vec_id") + (col("rep") + 2) * 10000000L)
+            .drop("rep"))
+          .write.mode("overwrite").parquet(s"$work/bitext/embeddings.parquet")
+        val out = operators.Ann.qMineBitext(spark, s"$work/bitext").collect()
+        val perfect = out.count(_.getAs[Long]("score_micro") == 1000000L)
+        val marginOk = out.count(_.getAs[Long]("margin_micro") >= 1000000L)
+        val sides = out.count { r =>
+          r.getAs[Long]("en_id") < 10000000L &&
+            r.getAs[Long]("other_id") >= 20000000L }
+        s"mined=${out.length} perfect=$perfect margin_ge_1=$marginOk " +
+          s"planted_side=$sides"
+      },
       time("retention") {
         val r = operators.Events.qRetention(spark, work).collect()
         val exact = r.length == baseRet.size && r.forall { row =>
