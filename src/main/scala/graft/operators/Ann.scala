@@ -147,6 +147,51 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Delta-segment ANN serving — the growing-segment pattern every
+    * production vector store uses (FAISS/Milvus sealed+growing
+    * segments, Lucene's in-memory buffer): the IVF index covers the
+    * vectors that existed at build time; vectors that arrived since
+    * (the newest 10% of ids here) form an unindexed DELTA that is
+    * brute-force-scanned and merged into the same top-k. Freshness
+    * without rebuild: the nightly [[buildIndexes]] job re-seals the
+    * delta, exactly the "build once, probe daily" split q_incr_dedup
+    * runs for dedup.
+    *
+    * Scale shape: the indexed side reads only the query's 2 probe
+    * cells (2/8 of the sealed corpus, cell = partition key); the
+    * delta side is a full scan of the delta ONLY — bounded by ingest
+    * rate between index builds, not corpus size. The segment boundary
+    * is a broadcast aggregate row, never a driver scalar, and the
+    * merged top-10 lowers to TakeOrderedAndProject. */
+  def qAnnDelta(spark: SparkSession, dir: String): DataFrame = {
+    val e = Search.embNormed(spark, dir)
+    val cut = e.agg(expr(
+      "min(vec_id) + ((max(vec_id) - min(vec_id) + 1) * 9) div 10")
+      .as("cutoff"))
+    val ranked = ivfRanked(spark, dir)
+    val probe = ranked.filter(col("vec_id") === 0 && col("rn") <= 2)
+      .select(col("cell"))
+    val idx = ranked.filter(col("rn") === 1).select("vec_id", "cell")
+      .join(broadcast(probe), "cell")
+      .crossJoin(broadcast(cut))
+      .filter(col("vec_id") < col("cutoff") && col("vec_id") =!= 0)
+      .select(col("vec_id"), lit("indexed").as("segment"))
+    val del = e.select("vec_id").crossJoin(broadcast(cut))
+      .filter(col("vec_id") >= col("cutoff"))
+      .select(col("vec_id"), lit("delta").as("segment"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    idx.unionByName(del)
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6))
+      .select(col("vec_id"), col("segment"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
   /** Multi-probe LSH: probe the query bucket AND its 4 Hamming-1
     * neighbors (flip each hyperplane bit) — the standard recall fix
     * when a near neighbor falls just across one hyperplane. Still
@@ -696,6 +741,7 @@ object Ann {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mine_bitext"    -> (qMineBitext _),
+    "q_ann_delta"      -> (qAnnDelta _),
     "q_ann_ivfpq"      -> (qAnnIvfPq _),
     "q_knn_join"       -> (qKnnJoin _),
     "q_hard_negatives" -> (qHardNegatives _),
@@ -1016,6 +1062,38 @@ object Ann {
          |JOIN e ON e.vec_id = b.vec_id, q
          |WHERE b.vec_id <> 0
          |ORDER BY score DESC, b.vec_id LIMIT 10""".stripMargin,
+    "q_ann_delta" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS csim
+        |  FROM e, c),
+        |ranked AS (
+        |  SELECT vec_id, cell, csim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        |  FROM scored),
+        |probe AS (SELECT cell FROM ranked WHERE vec_id = 0 AND rn <= 2),
+        |cut AS (
+        |  SELECT min(vec_id) + ((max(vec_id) - min(vec_id) + 1) * 9) // 10
+        |    AS cutoff
+        |  FROM e),
+        |idx AS (
+        |  SELECT r.vec_id, 'indexed' AS segment
+        |  FROM ranked r JOIN probe USING (cell), cut
+        |  WHERE r.rn = 1 AND r.vec_id < cutoff AND r.vec_id <> 0),
+        |del AS (
+        |  SELECT e.vec_id, 'delta' AS segment FROM e, cut
+        |  WHERE e.vec_id >= cutoff),
+        |cand AS (SELECT * FROM idx UNION ALL SELECT * FROM del),
+        |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+        |SELECT cand.vec_id, cand.segment,
+        |  round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+        |FROM cand JOIN e USING (vec_id), q
+        |ORDER BY score DESC, cand.vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

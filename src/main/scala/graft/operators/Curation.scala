@@ -446,6 +446,40 @@ object Curation {
       .limit(20)
   }
 
+  /** Candidate training context lengths for the truncation forecast. */
+  private[graft] val CtxLens = Seq(128L, 256L, 512L, 1024L)
+
+  /** Context-length truncation forecast: for each candidate training
+    * context length, how many documents would truncate and what
+    * fraction of corpus tokens survives — the number that decides the
+    * packing context ([[qPackBatches]]'s bin size) before committing
+    * to a full packing run.
+    *
+    * Scale shape: one corpus pass reduces documents to a BOUNDED
+    * (n_tokens, count) histogram — at most max-doc-length rows, the
+    * same bounded-histogram move as q_percentile/q_ppl_bucket — and
+    * the per-length sweep is arithmetic over histogram × 4 broadcast
+    * lengths. Exact integer token accounting throughout. */
+  def qSeqLenHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.documents(spark, dir)
+      .select(size(TextAnalysis.toks(col("text"))).cast("long")
+        .as("n_tokens"))
+      .groupBy("n_tokens").agg(count(lit(1)).as("n_docs"))
+    hist.crossJoin(broadcast(CtxLens.toDF("ctx_len")))
+      .groupBy("ctx_len")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum(when(col("n_tokens") > col("ctx_len"), col("n_docs"))
+          .otherwise(0L)).cast("long").as("docs_truncated"),
+        sum(col("n_tokens") * col("n_docs")).cast("long")
+          .as("total_tokens"),
+        sum(least(col("n_tokens"), col("ctx_len")) * col("n_docs"))
+          .cast("long").as("tokens_kept"))
+      .withColumn("kept_frac_micro",
+        expr("(tokens_kept * 1000000) div total_tokens"))
+      .orderBy("ctx_len")
+  }
+
   private[graft] val UniMaxEpochCap = 4L
 
   /** UniMax language allocation (Chung et al. 2023 §3): spread the
@@ -504,6 +538,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pairs"     -> (qBpePairs _),
     "q_unimax_alloc"  -> (qUnimaxAlloc _),
+    "q_seq_len_hist"  -> (qSeqLenHist _),
     "q_epoch_plan"    -> (qEpochPlan _),
     "q_temp_sampling" -> (qTempSampling _),
     "q_sample_strat" -> (qSampleStrat _),
@@ -533,6 +568,21 @@ object Curation {
          |  count(DISTINCT word)::BIGINT AS n_words
          |FROM p GROUP BY pair
          |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin,
+    "q_seq_len_hist" ->
+      s"""WITH h AS (
+         |  SELECT len($toksSql)::BIGINT AS n_tokens, count(*) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |l AS (SELECT CAST(unnest([${CtxLens.mkString(", ")}]) AS BIGINT)
+         |  AS ctx_len)
+         |SELECT ctx_len,
+         |  sum(n_docs)::BIGINT AS n_docs,
+         |  sum(CASE WHEN n_tokens > ctx_len THEN n_docs ELSE 0 END)::BIGINT
+         |    AS docs_truncated,
+         |  sum(n_tokens * n_docs)::BIGINT AS total_tokens,
+         |  sum(least(n_tokens, ctx_len) * n_docs)::BIGINT AS tokens_kept,
+         |  (sum(least(n_tokens, ctx_len) * n_docs)::BIGINT * 1000000)
+         |    // sum(n_tokens * n_docs)::BIGINT AS kept_frac_micro
+         |FROM h, l GROUP BY ctx_len ORDER BY ctx_len""".stripMargin,
     "q_unimax_alloc" ->
       s"""WITH t AS (
          |  SELECT lang, sum(len($toksSql))::BIGINT AS n_tokens

@@ -156,6 +156,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_seq_len_hist: sweep runs over the bounded token histogram, " +
+      "not documents") {
+    val p = planOf("q_seq_len_hist")
+    assert(!p.contains("Window"), p)
+    // the corpus reduces to a (n_tokens, count) histogram first; the
+    // context-length sweep aggregates THAT, keyed on ctx_len
+    assert(p.contains("Keys [1]: [n_tokens#"), p)
+    assert(p.contains("Keys [1]: [ctx_len#"), p)
+  }
+
+  test("q_ann_delta: merged top-10 lowered, no cartesian blowup") {
+    val p = planOf("q_ann_delta")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_mine_bitext: bucket-mate candidates only, bounded top-k, " +
       "no cartesian") {
     val p = planOf("q_mine_bitext")

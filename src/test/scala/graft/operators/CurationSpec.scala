@@ -199,6 +199,26 @@ class CurationSpec extends SparkSpec {
     assert(topCount === expected)
   }
 
+  test("seq len hist: truncation forecast is monotone in context length") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val rows = Curation.qSeqLenHist(spark, sfDir)
+      .orderBy("ctx_len").collect()
+    assert(rows.length === Curation.CtxLens.length)
+    // every row accounts for the whole corpus with one token total
+    assert(rows.forall(_.getLong(1) === docs))
+    assert(rows.map(_.getLong(3)).distinct.length === 1)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3))          // kept <= total
+      assert(r.getLong(5) <= 1000000L)              // frac valid
+      assert(r.getLong(2) <= r.getLong(1))          // truncated <= docs
+    }
+    // longer context: fewer truncations, more tokens kept
+    assert(rows.sliding(2).forall { w =>
+      w.length < 2 || (w(0).getLong(2) >= w(1).getLong(2) &&
+        w(0).getLong(4) <= w(1).getLong(4))
+    })
+  }
+
   test("unimax alloc: uniform-first waterfill — caps respected, " +
       "uncapped langs share equally") {
     val p = Curation.qUnimaxAlloc(spark, sfDir).persist()

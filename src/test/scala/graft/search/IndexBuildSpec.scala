@@ -52,4 +52,37 @@ class IndexBuildSpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("delta-segment serving: attribution matches the cutoff and the " +
+      "delta side is exhaustive") {
+    val out = Ann.qAnnDelta(spark, sfDir).collect()
+    assert(out.length === 10)
+    assert(!out.exists(_.getLong(0) == 0L)) // query excluded
+    val scores = out.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // segment attribution must match the 90% id cutoff
+    val ids = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .agg(min("vec_id"), max("vec_id")).head
+    val cutoff = ids.getLong(0) + ((ids.getLong(1) - ids.getLong(0) + 1) * 9) / 10
+    assert(out.forall { r =>
+      (r.getString(1) == "delta") == (r.getLong(0) >= cutoff)
+    })
+    // the delta side is brute-forced, so every delta vector scoring
+    // above the 10th result MUST be present (no recall loss on fresh
+    // data — the property the pattern exists for)
+    val floor = scores.last
+    val e = graft.operators.Search.embNormed(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    import graft.functions.VectorFunctions._
+    val deltaAbove = e.filter(col("vec_id") >= cutoff)
+      .crossJoin(broadcast(q))
+      .withColumn("score", round(
+        cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6))
+      .filter(col("score") > floor)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val served = out.filter(_.getString(1) == "delta").map(_.getLong(0)).toSet
+    assert(deltaAbove.subsetOf(served))
+  }
 }
