@@ -651,6 +651,67 @@ object Ann {
       .limit(10)
   }
 
+  /** kNN label-agreement audit — Confident-Learning-style label-error
+    * mining (Northcutt et al. 2021's signal, computed geometrically):
+    * a vector whose nearest neighbors all carry a DIFFERENT label is a
+    * likely mislabel. Per ground-truth label: how many vectors, how
+    * many of their top-3 neighbors agree, the exact integer agreement
+    * fraction, and the suspect count (zero agreeing neighbors) — the
+    * per-class noise report that decides which labels need human
+    * re-annotation before training.
+    *
+    * Scale shape: rides [[qKnnJoin]]'s salted bucket-mate join
+    * unchanged (the expensive part, already probe-validated at 50×);
+    * label attachment is two uniform equi-joins on vector id; the
+    * verdict layer is a (vec_id)-keyed aggregate then a labels-sized
+    * aggregate. No new corpus-quadratic stage. */
+  def qLabelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select("vec_id", "label")
+    val per = qKnnJoin(spark, dir)
+      .join(labels, "vec_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), "neighbor_id")
+      .groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("n_nbrs"),
+        sum(when(col("nlabel") === col("label"), 1L).otherwise(0L))
+          .as("n_agree"))
+    per.groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum("n_nbrs").cast("long").as("n_neighbors"),
+        sum("n_agree").cast("long").as("n_agree"),
+        expr("(sum(n_agree) * 1000000) div sum(n_nbrs)")
+          .as("agree_frac_micro"),
+        sum(when(col("n_agree") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_suspect"))
+      .orderBy("label")
+  }
+
+  /** Embedding-space outlier audit: the 10 vectors farthest from their
+    * assigned IVF centroid (lowest assignment cosine), each with its
+    * cell's population and exact summed similarity for context — the
+    * corrupt-embedding / out-of-distribution detector an embedding
+    * ingest runs before vectors enter the index (a degenerate encoder
+    * output lands here first). Sums, not averages: cosines can be
+    * negative and floor-vs-truncate integer division would diverge
+    * across engines, so the report carries exact integer sums.
+    *
+    * Scale shape: reads the CACHED cell-keyed assignment (shared with
+    * qAnnIvf/q_ivf_balance — no new corpus pass); per-cell stats are a
+    * cells-sized aggregate broadcast back; the bottom-10 lowers to
+    * TakeOrderedAndProject. */
+  def qEmbOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val a = ivfRanked(spark, dir).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"),
+        round(col("csim") * 1000000, 0).cast("long").as("csim_micro"))
+    val cells = a.groupBy("cell")
+      .agg(count(lit(1)).cast("long").as("cell_n"),
+        sum("csim_micro").cast("long").as("cell_sum_micro"))
+    a.join(broadcast(cells), "cell")
+      .select("vec_id", "cell", "csim_micro", "cell_n", "cell_sum_micro")
+      .orderBy(col("csim_micro"), col("vec_id"))
+      .limit(10)
+  }
+
   /** Neighborhood size for the bitext-mining margin denominator. */
   private val MineK = 4
 
@@ -742,6 +803,8 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mine_bitext"    -> (qMineBitext _),
     "q_ann_delta"      -> (qAnnDelta _),
+    "q_label_noise"    -> (qLabelNoise _),
+    "q_emb_outliers"   -> (qEmbOutliers _),
     "q_ann_ivfpq"      -> (qAnnIvfPq _),
     "q_knn_join"       -> (qKnnJoin _),
     "q_hard_negatives" -> (qHardNegatives _),
@@ -916,6 +979,61 @@ object Ann {
          |  FROM cand)
          |SELECT qid AS vec_id, rank, nid AS neighbor_id, score
          |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    "q_label_noise" ->
+      s"""WITH $bucketsSql,
+         |be AS (
+         |  SELECT b.vec_id, b.bucket, e.v, e.nrm
+         |  FROM buckets b JOIN e USING (vec_id)),
+         |cand AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+         |  FROM be a JOIN be b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT qid, nid, score, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, nid) AS rank
+         |  FROM cand),
+         |knn AS (SELECT qid, nid FROM r WHERE rank <= 3),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |per AS (
+         |  SELECT k.qid, ql.label, count(*) AS n_nbrs,
+         |    sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS n_agree
+         |  FROM knn k
+         |  JOIN lab ql ON ql.vec_id = k.qid
+         |  JOIN lab nl ON nl.vec_id = k.nid
+         |  GROUP BY k.qid, ql.label)
+         |SELECT label, count(*)::BIGINT AS n_vecs,
+         |  sum(n_nbrs)::BIGINT AS n_neighbors,
+         |  sum(n_agree)::BIGINT AS n_agree,
+         |  (sum(n_agree)::BIGINT * 1000000) // sum(n_nbrs)::BIGINT
+         |    AS agree_frac_micro,
+         |  sum(CASE WHEN n_agree = 0 THEN 1 ELSE 0 END)::BIGINT AS n_suspect
+         |FROM per GROUP BY label ORDER BY label""".stripMargin,
+    "q_emb_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS csim
+        |  FROM e, c),
+        |ranked AS (
+        |  SELECT vec_id, cell, csim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        |  FROM scored),
+        |a AS (
+        |  SELECT vec_id, cell,
+        |    CAST(round(csim * 1000000, 0) AS BIGINT) AS csim_micro
+        |  FROM ranked WHERE rn = 1),
+        |cells AS (
+        |  SELECT cell, count(*)::BIGINT AS cell_n,
+        |    sum(csim_micro)::BIGINT AS cell_sum_micro
+        |  FROM a GROUP BY cell)
+        |SELECT a.vec_id, a.cell, a.csim_micro, c.cell_n, c.cell_sum_micro
+        |FROM a JOIN cells c USING (cell)
+        |ORDER BY a.csim_micro, a.vec_id LIMIT 10""".stripMargin,
     "q_hard_negatives" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,

@@ -172,6 +172,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_label_noise: rides the bounded knn join — no rank window, " +
+      "no cartesian") {
+    val p = planOf("q_label_noise")
+    assert(!p.contains("row_number"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_emb_outliers: bottom-10 lowered to TakeOrderedAndProject") {
+    val p = planOf("q_emb_outliers")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_mine_bitext: bucket-mate candidates only, bounded top-k, " +
       "no cartesian") {
     val p = planOf("q_mine_bitext")

@@ -86,6 +86,34 @@ class KnnJoinSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("label noise: agreement accounting conserves the knn row count") {
+    val out = Ann.qLabelNoise(spark, sfDir).persist()
+    // agreement never exceeds neighborhood size; suspects never exceed
+    // vectors; fractions valid
+    assert(out.filter(col("n_agree") > col("n_neighbors")).count() === 0)
+    assert(out.filter(col("n_suspect") > col("n_vecs")).count() === 0)
+    assert(out.filter(col("agree_frac_micro") > 1000000L ||
+      col("agree_frac_micro") < 0L).count() === 0)
+    // every knn edge lands in exactly one label row
+    val knnRows = Ann.qKnnJoin(spark, sfDir).count()
+    assert(out.agg(sum("n_neighbors")).head.getLong(0) === knnRows)
+    // the corpus's planted exact-duplicate embeddings share labels, so
+    // SOME agreement must exist
+    assert(out.agg(sum("n_agree")).head.getLong(0) > 0)
+    out.unpersist()
+  }
+
+  test("emb outliers: bottom-10 ascending, cell stats consistent") {
+    val out = Ann.qEmbOutliers(spark, sfDir).collect()
+    assert(out.length === 10)
+    val sims = out.map(_.getLong(2))
+    assert(sims.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    // joined cell stats agree with an independent recount
+    val byCell = operators.Ann.qIvfBalance(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall(r => byCell(r.getLong(1)) == r.getLong(3)))
+  }
+
   test("media error channel: exactly the planted corruptions fail") {
     val out = operators.Media.qMediaErrors(spark, sfDir)
     assert(out.filter((col("doc_id") % 97 === 0) =!=
