@@ -21,6 +21,15 @@ import org.apache.spark.sql.SparkSession
   * of silently inflated.
   */
 object Bench {
+  /** Even-length inputs average the two middle values; shared with
+    * [[Sf1Probe]] so the two reports agree on what "median" means. */
+  private[graft] def median(ts: Seq[Double]): Double = {
+    require(ts.nonEmpty, "median of empty sequence")
+    val s = ts.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,11 +48,6 @@ object Bench {
     // session (the engine's session cache is part of the design — a
     // long-lived cluster context serves many queries, not one).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
-    }
     val raw = names.map { case (name, fn) =>
       val ts = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -1,11 +1,12 @@
 package graft
 
-/** Materializes the boundary-chunker golden tables that back the
-  * `q_chunk_markdown` / `q_chunk_code` oracles.
+/** Materializes the golden tables that back the non-SQL-expressible
+  * oracles: `q_chunk_markdown` / `q_chunk_code` (pure-Scala boundary
+  * chunkers) and `q_compress_ratio` (JVM deflate).
   *
-  * The two boundary chunkers are pure Scala (C2/C3/C4) and not
-  * SQL-expressible, so their oracle is a COMMITTED ARTIFACT instead of
-  * a formula: this main runs each query at the Verify scale factor
+  * These operators are pure Scala and not SQL-expressible, so their
+  * oracle is a COMMITTED ARTIFACT instead of a formula: this main runs
+  * each query at the Verify scale factor
   * (sf0.01 — the driver contract) and writes the result as a
   * single-file parquet under `fixtures/`; the oracle SQL replays it
   * with `read_parquet`. Chunker CORRECTNESS is pinned independently
@@ -17,11 +18,12 @@ package graft
   * Usage: runMain graft.GoldenChunks [sfDir] [outDir]
   */
 object GoldenChunks {
-  val Queries = Seq("q_chunk_markdown", "q_chunk_code")
+  val Queries =
+    Seq("q_chunk_markdown", "q_chunk_code", "q_compress_ratio")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val outDir = args.lift(1).getOrElse("/root/repo/fixtures")
+    val outDir = args.lift(1).getOrElse(fixturesDir)
     val sfTag = "sf[0-9.]+".r.findFirstIn(sfDir).getOrElse("sf")
     val spark = GraftSession.local(8)
     spark.sparkContext.setLogLevel("WARN")

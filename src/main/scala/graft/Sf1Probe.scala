@@ -54,7 +54,7 @@ object Sf1Probe {
         .write.mode("overwrite").parquet(s"$work/$t.parquet")
     }
 
-    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
+    def median(ts: Seq[Double]): Double = Bench.median(ts)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only.contains(n))
     val rows = scala.collection.mutable.LinkedHashMap

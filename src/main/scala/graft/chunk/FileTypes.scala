@@ -115,8 +115,10 @@ object ChunkDispatch {
     } else if (preserveBoundaries && filePath.isDefined &&
         FileTypes.isCodeFile(ext))
       // code extension without a language mapping (e.g. .cs):
-      // straight to the regex chunker, as the reference routes
-      // non-tree-sitter extensions to chunkCodeByBoundary
+      // straight to the regex chunker — the reference's sync
+      // performBoundaryAwareChunking path (chunking.ts:195-198); its
+      // indexer path never reaches here because unmapped code
+      // extensions are not in the text allow-list
       CodeChunker.chunk(text, FileTypes.languageFor(ext), size, overlap)
     else
       Chunker.chunk(text, size, overlap, preserveWords)

@@ -67,7 +67,15 @@ class HttpEmbeddingProvider(
       if (!v.isArray || v.size() != dim)
         throw new RuntimeException(
           s"embedding $i has dim ${if (v.isArray) v.size() else "?"}, want $dim")
-      Array.tabulate(dim)(j => v.get(j).asDouble())
+      Array.tabulate(dim) { j =>
+        val x = v.get(j)
+        // asDouble() would coerce nulls/strings to 0.0 and smuggle a
+        // malformed response past the shape checks (ADVICE r7)
+        if (x == null || !x.isNumber)
+          throw new RuntimeException(
+            s"embedding $i component $j is non-numeric: $x")
+        x.asDouble()
+      }
     }
   }
 }

@@ -140,12 +140,12 @@ object Ingest {
     // spec-pinned against the reference fixtures). Tagged sf0.01 —
     // the driver's Verify scale factor.
     "q_chunk_markdown" ->
-      """SELECT * FROM
-        |read_parquet('/root/repo/fixtures/chunk_markdown_sf0.01.parquet/*.parquet')
-        |ORDER BY doc_id, chunk_index""".stripMargin,
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/chunk_markdown_sf0.01.parquet/*.parquet')
+         |ORDER BY doc_id, chunk_index""".stripMargin,
     "q_chunk_code" ->
-      """SELECT * FROM
-        |read_parquet('/root/repo/fixtures/chunk_code_sf0.01.parquet/*.parquet')
-        |ORDER BY doc_id, lang, chunk_index""".stripMargin,
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/chunk_code_sf0.01.parquet/*.parquet')
+         |ORDER BY doc_id, lang, chunk_index""".stripMargin,
   )
 }

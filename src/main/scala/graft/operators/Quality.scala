@@ -376,10 +376,11 @@ object Quality {
     * heuristic): highly repetitive or templated text deflates far
     * below normal prose; random or binary junk barely deflates at
     * all. Emits the exact byte counts and a fixed-point ratio; keep =
-    * ratio within [0.25, 0.95]. Deflate has no SQL analogue, so this
-    * is a declared rows-only query (like the boundary chunkers) —
-    * determinism and the orderings that make the signal meaningful
-    * are pinned by QualitySpec instead.
+    * ratio within [0.25, 0.95]. Deflate has no SQL analogue, so the
+    * oracle is the committed golden table (the boundary-chunker
+    * mechanism — [[graft.GoldenChunks]]); determinism and the
+    * orderings that make the signal meaningful are pinned by
+    * QualitySpec.
     *
     * Scale shape: row-local mapPartitions over the scan — zero
     * shuffles, embarrassingly parallel, CPU-bound; exactly the
@@ -560,6 +561,13 @@ object Quality {
     * verbatim as subqueries, so the flags and counts can never drift
     * from the per-family queries they audit. */
   lazy val oracles: Map[String, String] = baseOracles +
+    // Deflate has no SQL analogue, so like the boundary chunkers the
+    // oracle is the committed golden table ([[graft.GoldenChunks]]) —
+    // the ratio semantics themselves are pinned by QualitySpec.
+    ("q_compress_ratio" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/compress_ratio_sf0.01.parquet/*.parquet')
+         |ORDER BY doc_id""".stripMargin) +
     ("q_filter_chain" -> chainSql) +
     ("q_curation_manifest" ->
       s"""WITH RECURSIVE ${Dedup.ccSql},

@@ -88,20 +88,17 @@ object StreamingLineDedup {
     }
   }
 
-  private[streaming] def delayToMs(delay: String): Long =
-    delay.trim.split("\\s+") match {
-      case Array(n, u) =>
-        val unit = u.stripSuffix("s") match {
-          case "hour" => 3600000L
-          case "minute" => 60000L
-          case "second" => 1000L
-          case other => throw new IllegalArgumentException(
-            s"unsupported delay unit: $other")
-        }
-        n.toLong * unit
-      case _ => throw new IllegalArgumentException(
-        s"unsupported delay: $delay")
-    }
+  /** Parse with Spark's own interval parser so every delay string a
+    * watermark accepts (multi-term, 'milliseconds', 'days', …) is
+    * accepted here too (ADVICE r7). Month-based delays have no fixed
+    * millisecond length and are rejected, as Spark's watermark does. */
+  private[streaming] def delayToMs(delay: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(delay))
+    require(iv.months == 0,
+      s"month-based delay not supported: $delay")
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
 
   /** Sink-side reassembly over the claims table: each doc re-emitted
     * as its surviving segments in position order — the streaming

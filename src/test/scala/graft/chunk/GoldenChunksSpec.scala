@@ -12,7 +12,7 @@ class GoldenChunksSpec extends SparkSpec {
   test("boundary-chunker goldens match current output at sf0.01") {
     GoldenChunks.Queries.foreach { name =>
       val golden = spark.read.parquet(
-        s"/root/repo/fixtures/${name.stripPrefix("q_")}_sf0.01.parquet")
+        s"$fixturesDir/${name.stripPrefix("q_")}_sf0.01.parquet")
       val now = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
       assert(now.exceptAll(golden).isEmpty && golden.exceptAll(now).isEmpty,
         s"$name drifted from its committed golden")
