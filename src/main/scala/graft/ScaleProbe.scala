@@ -267,6 +267,104 @@ object ScaleProbe {
         s"mined=${out.length} perfect=$perfect margin_ge_1=$marginOk " +
           s"planted_side=$sides"
       },
+      time("ann_geometry") {
+        // r7 verdict item 1's "done" probe. Derived corpus: mult
+        // sign-flip replicas of the base embeddings — DISTINCT vectors
+        // (a per-replica deterministic sign pattern re-orients every
+        // vector), so candidate volume reflects the GEOMETRY, not
+        // intrinsic duplication — plus a planted near-twin (one nudged
+        // component, cosine ≈ 1) for every 97th vector. Checks:
+        // candidates under AnnGeometry.forCorpus stay near-linear
+        // (cand_per_vec ~flat across 20×/50× runs) while the pinned
+        // 4-plane geometry goes quadratic, and the multi-table
+        // OR-of-ANDs keeps planted-twin recall high at the higher
+        // plane count.
+        import operators.{Ann, AnnGeometry}
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val flipped = emb
+          .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CASE WHEN rep = 0 THEN x " +
+              "WHEN pmod(hash(rep, i), 2) = 0 THEN x ELSE -x END)"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
+          .drop("rep")
+        val twins = flipped.filter(col("vec_id") % 97 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000000L)
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = " +
+              "CAST(vec_id % 64 AS INT) THEN CAST(x + 0.02 AS FLOAT) " +
+              "ELSE x END)"))
+        flipped.unionByName(twins)
+          .write.mode("overwrite").parquet(s"$work/geo/embeddings.parquet")
+        val gdir = s"$work/geo"
+        val n = spark.read.parquet(s"$gdir/embeddings.parquet").count()
+        val nTwins = twins.count()
+        val geo = AnnGeometry.forCorpus(n)
+        val candGeo = Ann.knnCandidatePairs(spark, gdir, geo).count()
+        val candPinned =
+          Ann.knnCandidatePairs(spark, gdir, AnnGeometry.Pinned).count()
+        val hits = Ann.qKnnJoinG(spark, gdir, geo)
+          .filter(col("vec_id") >= 1000000000L &&
+            col("neighbor_id") === col("vec_id") - 1000000000L)
+          .select("vec_id").distinct().count()
+        s"n=$n geo=${geo.planes}p${geo.tables}t cand_geo=$candGeo " +
+          s"cand_pinned=$candPinned cand_per_vec=${candGeo / n} " +
+          s"pinned_per_vec=${candPinned / n} " +
+          s"twin_recall=${f"${hits.toDouble / nTwins}%.3f"}"
+      },
+      time("salt_mega_bucket") {
+        // r7 verdict item 7's "done" probe: a corpus whose every vector
+        // shares ONE sign pattern (positive scalings of one base
+        // vector) lands entirely in a single LSH bucket in every
+        // table — the maximally task-pinned join. The measured-skew
+        // salt must exceed the baseline 8 so the single bucket's pair
+        // space still spreads across tasks.
+        import operators.{Ann, AnnGeometry}
+        val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") === 0).select("embedding")
+        spark.range(100L * mult).withColumnRenamed("id", "vec_id")
+          .crossJoin(base)
+          .withColumn("embedding", expr(
+            "transform(embedding, x -> CAST(x * (1.0 + " +
+              "pmod(vec_id, 13) / 1000.0) AS FLOAT))"))
+          .write.mode("overwrite").parquet(s"$work/mega/embeddings.parquet")
+        val salt = Ann.saltFor(spark, s"$work/mega", AnnGeometry.Pinned)
+        val out = Ann.qKnnJoinG(spark, s"$work/mega")
+        s"vectors=${100L * mult} salt=$salt salt_gt_8=${salt > 8} " +
+          s"rank1_rows=${out.filter(col("rank") === 1).count()}"
+      },
+      time("ivf_reseal") {
+        // r7 verdict item 4's "done" probe: seal the base corpus, grow
+        // a mult× delta on top, time the sealed+delta serve and the
+        // re-seal compaction, then prove the post-seal probe equals the
+        // from-scratch full-corpus qAnnIvf.
+        import operators.Ann
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        emb.write.mode("overwrite")
+          .parquet(s"$work/seal_base/embeddings.parquet")
+        emb.unionByName(emb
+            .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+            .withColumn("vec_id", col("vec_id") + (col("rep") + 1) * 10000000L)
+            .drop("rep"))
+          .write.mode("overwrite")
+          .parquet(s"$work/seal_grown/embeddings.parquet")
+        val idx = s"$work/seal_idx"
+        Ann.buildIndexes(spark, s"$work/seal_base", idx)
+        val t1 = System.nanoTime()
+        val preRows = Ann.probeIvfDelta(spark, s"$work/seal_grown", idx).count()
+        val serveSec = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        Ann.resealIndex(spark, s"$work/seal_grown", idx)
+        val sealSec = (System.nanoTime() - t2) / 1e9
+        val post = Ann.probeIvfIndex(spark, s"$work/seal_grown", idx)
+        val scratch = Ann.qAnnIvf(spark, s"$work/seal_grown")
+        val same = post.exceptAll(scratch).isEmpty &&
+          scratch.exceptAll(post).isEmpty
+        s"delta=${mult * emb.count()} pre_rows=$preRows " +
+          s"delta_serve_s=${f"$serveSec%.2f"} seal_s=${f"$sealSec%.2f"} " +
+          s"post_eq_scratch=$same"
+      },
       time("retention") {
         val r = operators.Events.qRetention(spark, work).collect()
         val exact = r.length == baseRet.size && r.forall { row =>

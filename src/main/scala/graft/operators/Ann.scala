@@ -32,12 +32,16 @@ import graft.functions.VectorFunctions._
   */
 object Ann {
 
-  val Planes = 4
+  val Planes: Int = AnnGeometry.Pinned.planes
   val Dim = 64
 
-  /** ±1 hyperplane weights from md5 parity — reproducible everywhere. */
-  private def planeWeights(spark: SparkSession): DataFrame =
-    spark.range(Planes).withColumnRenamed("id", "p")
+  /** ±1 hyperplane weights from md5 parity — reproducible everywhere.
+    * Plane ids index a single global family: multi-table geometries
+    * ([[AnnGeometry]]) slice consecutive `planes`-sized runs off it,
+    * so table 0 of ANY geometry with `planes = 4` reproduces the
+    * pinned bucket values bit-for-bit. */
+  private def planeWeights(spark: SparkSession, nPlanes: Int = Planes): DataFrame =
+    spark.range(nPlanes).withColumnRenamed("id", "p")
       .crossJoin(spark.range(Dim).withColumnRenamed("id", "d"))
       .withColumn("w",
         when(pmod(hash60Col(concat(col("p").cast("string"), lit(":"),
@@ -58,12 +62,45 @@ object Ann {
         .agg(sum(col("bit") * expr("CAST(pow(2, p) AS BIGINT)")).as("bucket"))
     }
 
+  /** Multi-table LSH bucket assignment under an [[AnnGeometry]]:
+    * `(vec_id, table, bucket)` — one row per vector per table, each
+    * table a disjoint `planes`-sized slice of the global hyperplane
+    * family. The pinned geometry delegates to [[lshBuckets]] so the
+    * registry path's plan (and cache entry) is untouched. */
+  def lshTables(spark: SparkSession, dir: String,
+      geo: AnnGeometry): DataFrame =
+    if (geo == AnnGeometry.Pinned)
+      lshBuckets(spark, dir).withColumn("table", lit(0L))
+    else Cache.getOrBuild(spark, s"lshTables_${geo.planes}x${geo.tables}", dir) {
+      val sv = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("se", round(col("x").cast("double") * 1000000, 0).cast("long"))
+      sv.join(broadcast(planeWeights(spark, geo.planes * geo.tables)), "d")
+        .groupBy("vec_id", "p")
+        .agg(sum(col("se") * col("w")).as("s"))
+        .withColumn("bit", when(col("s") >= 0, 1L).otherwise(0L))
+        .withColumn("table", (col("p") / geo.planes).cast("long"))
+        .withColumn("pp", pmod(col("p"), lit(geo.planes)))
+        .groupBy("vec_id", "table")
+        .agg(sum(col("bit") * expr("CAST(pow(2, pp) AS BIGINT)")).as("bucket"))
+    }
+
   /** Cached IVF cell ranking (assignment + probe ranks) — shared by
-    * qAnnIvf, qAnnRecall and the index builder. */
+    * qAnnIvf, qAnnRecall and the index builder. Cell count is geometry
+    * ([[ivfRankedG]]); this is the pinned-8-cell view the registry
+    * queries ride. */
   private[operators] def ivfRanked(spark: SparkSession, dir: String): DataFrame =
-    Cache.getOrBuild(spark, "ivfRanked", dir) {
+    ivfRankedG(spark, dir, AnnGeometry.Pinned.ivfCells)
+
+  /** [[ivfRanked]] at an arbitrary coarse-cell count: codebook = the
+    * first `cells` vectors (deterministic, no-iteration; production
+    * swaps in [[qKmeansStep]] output without changing shape). */
+  private[operators] def ivfRankedG(spark: SparkSession, dir: String,
+      cells: Int): DataFrame =
+    Cache.getOrBuild(spark,
+      if (cells == 8) "ivfRanked" else s"ivfRanked_$cells", dir) {
       val e = Search.embNormed(spark, dir)
-      val c = e.filter(col("vec_id") < 8)
+      val c = e.filter(col("vec_id") < cells)
         .select(col("vec_id").as("cell"), col("embedding").as("cv"),
           col("nrm").as("cn"))
       val w = Window.partitionBy("vec_id").orderBy(desc("csim"), col("cell"))
@@ -223,14 +260,123 @@ object Ann {
     * batch-builds the index; a serving layer (or later Spark jobs)
     * probes it without recomputing signatures. Bucket/cell are the
     * partition columns, so a probe reads one directory. */
-  def buildIndexes(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    graft.store.ChunkStore.write(lshBuckets(spark, dir),
-      s"$indexPath/lsh", partitionCols = Seq("bucket"))
-    val assign = ivfRanked(spark, dir)
+  def buildIndexes(spark: SparkSession, dir: String, indexPath: String,
+      geo: AnnGeometry = AnnGeometry.Pinned): Unit = {
+    val lsh =
+      if (geo.tables == 1) lshTables(spark, dir, geo).drop("table")
+      else lshTables(spark, dir, geo)
+    graft.store.ChunkStore.write(lsh, s"$indexPath/lsh",
+      partitionCols = if (geo.tables == 1) Seq("bucket")
+        else Seq("table", "bucket"))
+    val assign = ivfRankedG(spark, dir, geo.ivfCells)
       .filter(col("rn") === 1)
       .select("vec_id", "cell")
     graft.store.ChunkStore.write(assign, s"$indexPath/ivf",
       partitionCols = Seq("cell"))
+  }
+
+  /** Deterministic argmax cell assignment for an embedding slice
+    * against a broadcast codebook — the window-free formulation
+    * ([[ivfRankedG]]'s rn=1 rows computed as a map-side aggregate):
+    * max on (csim, -cell) reproduces the window's
+    * (desc csim, asc cell) ordering exactly. */
+  private def cellAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(cosinePrenormed(dot(col("embedding"), col("cv")),
+          col("nrm"), col("cn")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cell")).as("negc"))).as("best"))
+      .select(col("vec_id"), (-col("best.negc")).as("cell"))
+
+  /** The sealed-segment cutoff [[qAnnDelta]] serves against: ids below
+    * it existed at index-build time. One broadcast aggregate row. */
+  private def deltaCutoff(e: DataFrame): DataFrame =
+    e.agg(expr(
+      "min(vec_id) + ((max(vec_id) - min(vec_id) + 1) * 9) div 10")
+      .as("cutoff"))
+
+  /** Build the PARTIAL IVF index [[qAnnDelta]] presumes: cell
+    * assignment for the sealed segment only (ids below the 90%
+    * cutoff). The delta stays unindexed until [[resealIndex]]. */
+  def buildSealedIndex(spark: SparkSession, dir: String,
+      indexPath: String): Unit = {
+    val assign = ivfRanked(spark, dir).filter(col("rn") === 1)
+      .select("vec_id", "cell")
+      .crossJoin(broadcast(deltaCutoff(Search.embNormed(spark, dir))))
+      .filter(col("vec_id") < col("cutoff"))
+      .select("vec_id", "cell")
+    graft.store.ChunkStore.write(assign, s"$indexPath/ivf",
+      partitionCols = Seq("cell"))
+  }
+
+  /** Serve sealed+delta from the PREBUILT partial index: the indexed
+    * side reads only the query's 2 probe cells' directories; vectors
+    * absent from the index (the delta — an anti-join, no cutoff
+    * scalar needed at serve time) are brute-forced; one merged top-k.
+    * Row-identical to the from-scratch [[qAnnDelta]] (AnnSealSpec). */
+  def probeIvfDelta(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 10): DataFrame = {
+    val e = Search.embNormed(spark, dir)
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val probe = q.crossJoin(broadcast(c))
+      .withColumn("csim",
+        round(cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
+      .orderBy(desc("csim"), col("cell")).limit(2)
+      .select(col("cell"))
+    val assign = graft.store.ChunkStore.read(spark, s"$indexPath/ivf")
+    val idx = assign.join(broadcast(probe), "cell")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), lit("indexed").as("segment"))
+    val del = e.select("vec_id")
+      .join(assign.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit("delta").as("segment"))
+    idx.unionByName(del)
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6))
+      .select(col("vec_id"), col("segment"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** RE-SEAL compaction — the nightly job the sealed+delta split
+    * implies (FAISS/Milvus growing→sealed segment handoff): vectors
+    * missing from the index are assigned to cells with the SAME
+    * deterministic rule the builder uses, and the union is written as
+    * a NEW partitioned index then atomically swapped in (write-new +
+    * rename — never overwrite a directory being read). Post-seal,
+    * [[probeIvfIndex]] equals the from-scratch [[qAnnIvf]] exactly.
+    *
+    * Scale shape: the delta anti-join is id-keyed and
+    * delta-sized; assignment is one broadcast-codebook map over the
+    * delta only (the sealed rows are copied through untouched, a
+    * cells-partitioned file copy); nothing rescans the sealed corpus. */
+  def resealIndex(spark: SparkSession, dir: String,
+      indexPath: String): Unit = {
+    val e = Search.embNormed(spark, dir)
+    val assign = graft.store.ChunkStore.read(spark, s"$indexPath/ivf")
+      .select("vec_id", "cell")
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val delta = e.join(assign.select("vec_id"), Seq("vec_id"), "left_anti")
+    val next = assign.unionByName(cellAssign(delta, cents))
+    graft.store.ChunkStore.write(next, s"$indexPath/ivf_next",
+      partitionCols = Seq("cell"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
+    val cur = new org.apache.hadoop.fs.Path(s"$indexPath/ivf")
+    fs.delete(cur, true)
+    require(
+      fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath/ivf_next"), cur),
+      s"reseal swap failed: $indexPath/ivf_next -> $cur")
   }
 
   /** Probe the PREBUILT IVF index: no signature recomputation — read
@@ -563,53 +709,128 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Baseline salt factor for the bucket self-joins: splits each
+    * bucket's pair space into S disjoint salt slices so a hot bucket's
+    * quadratic work runs on S tasks instead of one. [[saltFor]] raises
+    * it when a sampled probe measures worse skew. */
+  private val KnnJoinSalt = 8L
+
+  private val saltMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, AnnGeometry), Long]
+
+  /** Measured-skew salt factor (r7 verdict item 7): a seeded sampled
+    * pass over the bucket table measures the max bucket's share of all
+    * rows; a bucket holding share s gets ~nextPow2(s · parallelism)
+    * salt slices — enough that even a single mega-bucket's pair space
+    * spreads across the cluster's cores — clamped to [KnnJoinSalt, 64].
+    * (Share-vs-total, not vs-mean: a corpus where EVERY row lands in
+    * one bucket has max = mean yet is maximally task-pinned.) Memoized
+    * per (session, dir, geo) so serving paths pay the probe once. The
+    * salt changes task granularity ONLY — every pair appears exactly
+    * once for any salt value — so registry oracle rows are
+    * unaffected. */
+  private[graft] def saltFor(spark: SparkSession, dir: String,
+      geo: AnnGeometry): Long =
+    saltMemo.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, geo), {
+        val r = lshTables(spark, dir, geo)
+          .sample(withReplacement = false, 0.25, seed = 42L)
+          .groupBy("table", "bucket").agg(count(lit(1)).as("c"))
+          .agg(max(col("c")).as("mx"), sum(col("c")).as("n"))
+          .collect()(0)
+        if (r.isNullAt(0)) KnnJoinSalt
+        else {
+          val share = r.getLong(0).toDouble / math.max(1L, r.getLong(1))
+          val k = math.ceil(
+            share * spark.sparkContext.defaultParallelism).toLong
+          val pow2 = if (k <= 1) 1L else java.lang.Long.highestOneBit(k - 1) * 2
+          math.min(64L, math.max(KnnJoinSalt, pow2))
+        }
+      })
+
   /** All-pairs approximate kNN JOIN — the corpus-wide "top-k similar
     * neighbors for EVERY vector" primitive (semantic-dedup blocking,
     * diversity pruning, graph construction all start here): candidates
-    * are LSH-bucket-mates only (≈N²/16, never N²), scored exactly, top-3
-    * per vector via [[graft.functions.TopKAggregator]].
+    * are LSH-bucket-mates only — Σ n_b² ≈ N²/2^planes, never N² — and
+    * under a [[AnnGeometry.forCorpus]] geometry the plane count grows
+    * with log2(N), holding per-bucket occupancy (and with it per-vector
+    * candidate count) CONSTANT, so candidate volume is linear in N.
+    * Collisions from ANY of the geometry's tables count (OR-of-ANDs;
+    * duplicates dropped before ranking), which is what keeps recall up
+    * at the higher plane counts. Scored exactly, top-k per vector via
+    * [[graft.functions.TopKAggregator]].
     *
     * Scale shape: vectors ride WITH their bucket assignment into ONE
-    * bucket-keyed shuffle (payload joined before the self-join, so no
-    * second pass over the corpus); the self-join co-locates per bucket;
-    * the bounded aggregator ships ≤3 rows per query vector per
-    * partition. Bucket skew is the knob: q_ivf_balance / q_key_skew
-    * are the diagnostics, more planes the mitigation. */
-  /** Salt factor for the kNN-join bucket self-join: splits each
-    * bucket's pair space into S disjoint salt slices so a hot bucket's
-    * quadratic work runs on S tasks instead of one. */
-  private val KnnJoinSalt = 8L
-
-  def qKnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    * (table, bucket, salt)-keyed shuffle (payload joined before the
+    * self-join, so no second pass over the corpus); the self-join
+    * co-locates per bucket; the bounded aggregator ships ≤k rows per
+    * query vector per partition. Clustered embeddings make buckets
+    * SKEWED (q_ivf_balance is the diagnostic; the 50× probe measured
+    * one bucket pinning a single task for ~19 min): the right side
+    * carries salt = vec_id mod S, the left side replicates once per
+    * salt value, and the shuffle key becomes (table, bucket, salt) —
+    * the identical disjoint pair set at S× the parallelism, with S
+    * following the MEASURED skew ([[saltFor]]), not a constant. */
+  def qKnnJoinG(spark: SparkSession, dir: String,
+      geo: AnnGeometry = AnnGeometry.Pinned, k: Int = 3): DataFrame = {
     import spark.implicits._
-    val be = lshBuckets(spark, dir).join(Search.embNormed(spark, dir), "vec_id")
-    // Clustered embeddings make the LSH buckets SKEWED (q_ivf_balance
-    // is the diagnostic; the 50× probe measured one bucket pinning a
-    // single task for ~19 min). Salting fixes the shape: the right
-    // side carries salt = vec_id mod S, the left side replicates once
-    // per salt value, and the shuffle key becomes (bucket, salt) —
-    // the identical disjoint pair set at S× the parallelism, with the
-    // (vectors × S)-row left replication as the tiny price.
-    val a = be.crossJoin(broadcast(
-      spark.range(KnnJoinSalt).withColumnRenamed("id", "tb")))
-    val b = be.withColumn("sb", pmod(col("vec_id"), lit(KnnJoinSalt)))
-    a.alias("a")
-      .join(b.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.tb") === col("b.sb") &&
-          col("a.vec_id") =!= col("b.vec_id"))
+    val salt = saltFor(spark, dir, geo)
+    val be = lshTables(spark, dir, geo)
+      .join(Search.embNormed(spark, dir), "vec_id")
+    // distinct column names per side (not aliases of one plan): both
+    // legs descend from the same cached `be`, and same-name attributes
+    // would resolve to one expression and collapse the join condition
+    // to `true` — the alias trap documented at [[qMineBitext]].
+    val a = be.select(col("vec_id").as("qid"), col("table").as("q_table"),
+        col("bucket").as("q_bucket"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+      .crossJoin(broadcast(spark.range(salt).withColumnRenamed("id", "tb")))
+    val b = be.select(col("vec_id").as("nid"), col("table").as("n_table"),
+        col("bucket").as("n_bucket"), col("embedding").as("nv"),
+        col("nrm").as("nn"))
+      .withColumn("sb", pmod(col("nid"), lit(salt)))
+    val scored = a.join(b,
+        col("q_table") === col("n_table") &&
+          col("q_bucket") === col("n_bucket") &&
+          col("tb") === col("sb") && col("qid") =!= col("nid"))
       .withColumn("score",
-        round(cosinePrenormed(dot(col("a.embedding"), col("b.embedding")),
-          col("a.nrm"), col("b.nrm")), 6))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
-        col("score"))
+        round(cosinePrenormed(dot(col("qv"), col("nv")),
+          col("qn"), col("nn")), 6))
+      .select("qid", "nid", "score")
+    // multi-table: a pair colliding in several tables must rank once
+    val uniq = if (geo.tables == 1) scored else scored.distinct()
+    uniq
       .as[(Long, Long, Double)]
       .groupByKey(_._1).mapValues(t => (t._2, t._3))
-      .agg(graft.functions.TopKAggregator.topK(3))
+      .agg(graft.functions.TopKAggregator.topK(k))
       .toDF("vec_id", "top")
       .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("p._1").as("neighbor_id"), col("p._2").as("score"))
       .orderBy("vec_id", "rank")
+  }
+
+  /** Registry entry — the pinned test geometry ([[AnnGeometry.Pinned]]),
+    * oracle rows hash-exact. */
+  def qKnnJoin(spark: SparkSession, dir: String): DataFrame =
+    qKnnJoinG(spark, dir)
+
+  /** Distinct bucket-mate candidate PAIRS under a geometry — the
+    * volume [[ScaleProbe]] measures to show linear growth under
+    * [[AnnGeometry.forCorpus]] where the pinned geometry is quadratic.
+    * No payload, no scoring: exactly the pair set [[qKnnJoinG]] ranks. */
+  def knnCandidatePairs(spark: SparkSession, dir: String,
+      geo: AnnGeometry): DataFrame = {
+    val bt = lshTables(spark, dir, geo)
+    val a = bt.select(col("vec_id").as("qid"), col("table").as("q_table"),
+      col("bucket").as("q_bucket"))
+    val b = bt.select(col("vec_id").as("nid"), col("table").as("n_table"),
+      col("bucket").as("n_bucket"))
+    val pairs = a.join(b,
+        col("q_table") === col("n_table") &&
+          col("q_bucket") === col("n_bucket") && col("qid") =!= col("nid"))
+      .select("qid", "nid")
+    if (geo.tables == 1) pairs else pairs.distinct()
   }
 
   /** IVF-PQ — the canonical FAISS serving composition, built from the
@@ -736,11 +957,19 @@ object Ann {
     * neighborhood sums and the margin (one integer division, positive
     * operands pinned by the s_micro > 0 guard) are bit-identical on
     * any engine. */
-  def qMineBitext(spark: SparkSession, dir: String): DataFrame = {
+  def qMineBitext(spark: SparkSession, dir: String): DataFrame =
+    qMineBitextG(spark, dir)
+
+  /** [[qMineBitext]] under an explicit [[AnnGeometry]]: scale jobs pass
+    * [[AnnGeometry.forCorpus]] so cross-language candidate volume stays
+    * linear; the salt follows the measured bucket skew ([[saltFor]]). */
+  def qMineBitextG(spark: SparkSession, dir: String,
+      geo: AnnGeometry = AnnGeometry.Pinned): DataFrame = {
     import spark.implicits._
+    val salt = saltFor(spark, dir, geo)
     val langs = Tables.documents(spark, dir)
       .select(col("doc_id").as("vec_id"), col("lang"))
-    val be = lshBuckets(spark, dir)
+    val be = lshTables(spark, dir, geo)
       .join(Search.embNormed(spark, dir), "vec_id")
       .join(langs, "vec_id")
     // distinct bucket aliases per side: both legs descend from the same
@@ -748,21 +977,27 @@ object Ann {
     // attribute and collapse to `true`, silently widening candidates to
     // salt-mates across ALL buckets (Spark logs "trivially true equals")
     val en = be.filter(col("lang") === "en")
-      .select(col("vec_id").as("en_id"), col("bucket").as("e_bucket"),
+      .select(col("vec_id").as("en_id"), col("table").as("e_table"),
+        col("bucket").as("e_bucket"),
         col("embedding").as("ev"), col("nrm").as("e_nrm"))
       .crossJoin(broadcast(
-        spark.range(KnnJoinSalt).withColumnRenamed("id", "tb")))
+        spark.range(salt).withColumnRenamed("id", "tb")))
     val xx = be.filter(col("lang") =!= "en")
-      .select(col("vec_id").as("other_id"), col("bucket").as("x_bucket"),
+      .select(col("vec_id").as("other_id"), col("table").as("x_table"),
+        col("bucket").as("x_bucket"),
         col("embedding").as("xv"), col("nrm").as("x_nrm"))
-      .withColumn("sb", pmod(col("other_id"), lit(KnnJoinSalt)))
-    val cand = en.join(xx,
-        col("e_bucket") === col("x_bucket") && col("tb") === col("sb"))
+      .withColumn("sb", pmod(col("other_id"), lit(salt)))
+    val raw = en.join(xx,
+        col("e_table") === col("x_table") &&
+          col("e_bucket") === col("x_bucket") && col("tb") === col("sb"))
       .withColumn("s_micro",
         round(round(cosinePrenormed(dot(col("ev"), col("xv")),
           col("e_nrm"), col("x_nrm")), 6) * 1000000, 0).cast("long"))
       .filter(col("s_micro") > 0)
       .select("en_id", "other_id", "s_micro")
+    // multi-table: a pair colliding in several tables must count once
+    // in both margin neighborhoods
+    val cand = if (geo.tables == 1) raw else raw.distinct()
     val fwd = cand.as[(Long, Long, Long)]
       .groupByKey(_._1).mapValues(t => (t._2, t._3.toDouble))
       .agg(graft.functions.TopKAggregator.topK(MineK))

@@ -271,6 +271,47 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-doc-capped SERVING twin of [[qSimhashNear]] (r7 verdict
+    * item 2): each doc's ≤5 nearest Hamming-≤3 neighbors (hamming asc,
+    * neighbor id asc). The all-pairs report is intrinsically
+    * output-bound — a templated corpus HAS quadratically many near
+    * pairs (222M measured at 10× sf0.1) — so the serving path bounds
+    * output per doc instead: same banded equi-join candidates, but the
+    * per-doc top-k comes from [[graft.functions.TopKAggregator]]
+    * (bounded map-side buffer, ≤k rows per doc per partition into the
+    * shuffle; no window, no corpus-sized sort), making output — and
+    * the ranking shuffle — LINEAR in corpus size at any duplication
+    * level. The audit twin stays for exhaustive reports. */
+  def qSimhashTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val bands = simhashSigs(spark, dir)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(simhash, cast(band * 4 as int)) & 15"))
+    val a = bands.select(col("doc_id").as("doc_id"),
+      col("simhash").as("sig_a"), col("band"), col("bv"))
+    val b = bands.select(col("doc_id").as("neighbor_id"),
+      col("simhash").as("sig_b"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_id") =!= col("neighbor_id"))
+      .select("doc_id", "sig_a", "neighbor_id", "sig_b")
+      .distinct() // a pair may collide in several bands — rank it once
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      // TopK ranks by score desc with id-asc tie-break; score :=
+      // -hamming gives exactly (hamming asc, neighbor_id asc)
+      .select(col("doc_id"), col("neighbor_id"), col("hamming"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, -t._3.toDouble))
+      .agg(graft.functions.TopKAggregator.topK(k))
+      .toDF("doc_id", "top")
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("p._1").as("neighbor_id"), (-col("p._2")).cast("long").as("hamming"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Embedding-cosine near-dup: top-20 most-similar vector pairs on a
     * bounded sample (vec_id < 1000) — brute force as the oracle for the
     * LSH-bucketed path in [[Ann]]. */
@@ -647,6 +688,7 @@ object Dedup {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_near"  -> (qSimhashNear _),
+    "q_simhash_topk"  -> (qSimhashTopk _),
     "q_dedup_embed"   -> (qDedupEmbed _),
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh _),
   )
@@ -973,6 +1015,24 @@ object Dedup {
          |FROM cand
          |WHERE bit_count(xor(sig_a, sig_b)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_simhash_topk" ->
+      s"""WITH $simhashSql,
+         |bands AS (
+         |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 4)) & 15 AS bv
+         |  FROM simsig, (SELECT unnest(range(4)) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS neighbor_id,
+         |    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.bv = b.bv
+         |             AND a.doc_id <> b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |r AS (
+         |  SELECT doc_id, neighbor_id, hamming, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY hamming, neighbor_id) AS rank
+         |  FROM cand)
+         |SELECT doc_id, rank::BIGINT AS rank, neighbor_id, hamming
+         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

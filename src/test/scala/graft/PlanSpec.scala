@@ -76,6 +76,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_simhash_topk: capped serving twin — equi-join candidates, " +
+      "bounded aggregator, no rank window") {
+    val p = planOf("q_simhash_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-doc cap must come from the map-side bounded TopK buffer,
+    // never a row_number window sorting a templated corpus's full
+    // neighbor set in one task
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("q_pii_scrub: single scan, partial aggregation, no join") {
     val p = planOf("q_pii_scrub")
     assert(!p.contains("Join"), p)
