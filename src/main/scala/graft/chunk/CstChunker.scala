@@ -58,8 +58,31 @@ object CstChunker {
 
   /** CST-mode chunking: one piece per outermost boundary (no size
     * splitting — the reference ignores size options in CST mode,
-    * `cst-operations.ts:134-146`). */
-  def chunk(text: String, language: String): Seq[ChunkPiece] = {
+    * `cst-operations.ts:134-146`). A configured real-parser binding
+    * ([[CstParserBinding]]) takes precedence; any failure or
+    * abstention falls back to the scanner. */
+  def chunk(text: String, language: String): Seq[ChunkPiece] =
+    chunkVia(CstParserBinding.active, text, language)
+
+  private[chunk] def chunkVia(binding: Option[CstParserBinding],
+      text: String, language: String): Seq[ChunkPiece] =
+    binding
+      .flatMap { b =>
+        try b.parse(text, language)
+        catch {
+          // LinkageError is the binding's canonical failure (its
+          // native tree-sitter lib absent at call time) and is NOT
+          // NonFatal — catch it explicitly: the scanner is always a
+          // valid engine, so abstain rather than kill the executor
+          case _: LinkageError => None
+          case scala.util.control.NonFatal(_) => None
+        }
+      }
+      .getOrElse(scannerChunk(text, language))
+
+  /** The scanner path — the engine's own boundary inventory port. */
+  private[chunk] def scannerChunk(
+      text: String, language: String): Seq[ChunkPiece] = {
     val bs = language match {
       case "python" => pythonBoundaries(text)
       case "go"     => braceBoundaries(text, GoRules)
