@@ -44,21 +44,27 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
 
-    // steady-state latency: median over N iterations in one warm
-    // session (the engine's session cache is part of the design — a
-    // long-lived cluster context serves many queries, not one).
+    // steady-state latency: one recorded COLD pass at the target sf
+    // (pays the session-cache builds — deterministic lineage cost, not
+    // host noise; Sf1Probe's protocol), then the median over N warm
+    // iterations (the engine's session cache is part of the design — a
+    // long-lived cluster context serves many queries, not one). With
+    // the cold pass outside the timed set, stall_iters counts ONLY
+    // genuine mid-run divergence (r7 verdict item 5).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val raw = names.map { case (name, fn) =>
-      val ts = (1 to iters).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, ts)
+      val cold = once()
+      val ts = (1 to iters).map(_ => once())
+      (name, cold, ts)
     }
-    val results = raw.map { case (name, ts) => name -> median(ts) }
-    val minTotal = raw.map(_._2.min).sum
-    val stallIters = raw.map { case (_, ts) =>
+    val results = raw.map { case (name, _, ts) => name -> median(ts) }
+    val minTotal = raw.map(_._3.min).sum
+    val stallIters = raw.map { case (_, _, ts) =>
       val m = median(ts)
       ts.count(t => t > 5 * m && t - m > 1.0)
     }.sum
@@ -91,9 +97,9 @@ object Bench {
         mkLine(top)
       }
     }
-    val full = raw.map { case (k, ts) =>
+    val full = raw.map { case (k, cold, ts) =>
       s"\"" + k + "\":{\"median\":" + median(ts) + ",\"min\":" + ts.min +
-        ",\"iters\":" + ts.mkString("[", ",", "]") + "}"
+        ",\"cold\":" + cold + ",\"iters\":" + ts.mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),

@@ -316,9 +316,9 @@ object Ann {
     * scalar needed at serve time) are brute-forced; one merged top-k.
     * Row-identical to the from-scratch [[qAnnDelta]] (AnnSealSpec). */
   def probeIvfDelta(spark: SparkSession, dir: String, indexPath: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, cells: Int = AnnGeometry.Pinned.ivfCells): DataFrame = {
     val e = Search.embNormed(spark, dir)
-    val c = e.filter(col("vec_id") < 8)
+    val c = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"),
         col("nrm").as("cn"))
     val q = e.filter(col("vec_id") === 0)
@@ -358,12 +358,12 @@ object Ann {
     * delta-sized; assignment is one broadcast-codebook map over the
     * delta only (the sealed rows are copied through untouched, a
     * cells-partitioned file copy); nothing rescans the sealed corpus. */
-  def resealIndex(spark: SparkSession, dir: String,
-      indexPath: String): Unit = {
+  def resealIndex(spark: SparkSession, dir: String, indexPath: String,
+      cells: Int = AnnGeometry.Pinned.ivfCells): Unit = {
     val e = Search.embNormed(spark, dir)
     val assign = graft.store.ChunkStore.read(spark, s"$indexPath/ivf")
       .select("vec_id", "cell")
-    val cents = e.filter(col("vec_id") < 8)
+    val cents = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"),
         col("nrm").as("cn"))
     val delta = e.join(assign.select("vec_id"), Seq("vec_id"), "left_anti")
@@ -383,9 +383,9 @@ object Ann {
     * the query's 2 nearest cells' directories, exact-rescore, top-k.
     * Must return exactly what the from-scratch `qAnnIvf` returns. */
   def probeIvfIndex(spark: SparkSession, dir: String, indexPath: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, cells: Int = AnnGeometry.Pinned.ivfCells): DataFrame = {
     val e = Search.embNormed(spark, dir)
-    val c = e.filter(col("vec_id") < 8)
+    val c = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"), col("nrm").as("cn"))
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("nrm").as("qn"))

@@ -330,20 +330,31 @@ object Dedup {
   }
 
   /** Embedding near-dup at scale: candidate pairs come from shared LSH
-    * buckets (Ann.lshBuckets — 16 buckets, so candidates ≈ N²/16
-    * instead of the full N² brute force of [[qDedupEmbed]]), then exact
-    * cosine on candidates only, top-20. The bucket is a plain hash
-    * shuffle key, so at 100 TB the self-join co-locates by bucket and
-    * never materializes cross-bucket pairs. Same output shape as the
-    * brute-force twin, so the two are directly comparable. */
-  def qDedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
-    val b = Ann.lshBuckets(spark, dir)
+    * buckets (candidates ≈ Σ n_b² instead of the full N² brute force
+    * of [[qDedupEmbed]]), then exact cosine on candidates only,
+    * top-20. The bucket is a plain hash shuffle key, so at 100 TB the
+    * self-join co-locates by bucket and never materializes
+    * cross-bucket pairs. Same output shape as the brute-force twin, so
+    * the two are directly comparable. Registry runs the pinned
+    * geometry; scale jobs pass [[AnnGeometry.forCorpus]] like the rest
+    * of the knn-join family. */
+  def qDedupEmbedLsh(spark: SparkSession, dir: String): DataFrame =
+    qDedupEmbedLshG(spark, dir)
+
+  def qDedupEmbedLshG(spark: SparkSession, dir: String,
+      geo: AnnGeometry = AnnGeometry.Pinned): DataFrame = {
+    val bt = Ann.lshTables(spark, dir, geo)
+    val a = bt.select(col("vec_id").as("vec_a"), col("table").as("a_table"),
+      col("bucket").as("a_bucket"))
+    val b = bt.select(col("vec_id").as("vec_b"), col("table").as("b_table"),
+      col("bucket").as("b_bucket"))
+    val pairs = a.join(b,
+        col("a_table") === col("b_table") &&
+          col("a_bucket") === col("b_bucket") && col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+    val uniq = if (geo.tables == 1) pairs else pairs.distinct()
     val e = Search.embNormed(spark, dir)
-    b.alias("ba")
-      .join(b.alias("bb"),
-        col("ba.bucket") === col("bb.bucket") &&
-          col("ba.vec_id") < col("bb.vec_id"))
-      .select(col("ba.vec_id").as("vec_a"), col("bb.vec_id").as("vec_b"))
+    uniq
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
         col("nrm").as("na")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),

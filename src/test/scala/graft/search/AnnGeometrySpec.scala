@@ -73,6 +73,18 @@ class AnnGeometrySpec extends SparkSpec {
       s"8 planes should cut candidates vs 4 (got $wide vs $pinned, n=$n)")
   }
 
+  test("qDedupEmbedLshG: registry twin unchanged; a wider geometry's " +
+      "top-20 can only get closer pairs") {
+    val pinned = operators.Dedup.qDedupEmbedLsh(spark, sfDir)
+    val viaG = operators.Dedup.qDedupEmbedLshG(spark, sfDir)
+    assert(viaG.exceptAll(pinned).isEmpty && pinned.exceptAll(viaG).isEmpty)
+    val floorPinned = pinned.agg(min("score")).head.getDouble(0)
+    val floorWide = operators.Dedup
+      .qDedupEmbedLshG(spark, sfDir, AnnGeometry(4, 2, 8))
+      .agg(min("score")).head.getDouble(0)
+    assert(floorWide >= floorPinned)
+  }
+
   test("saltFor: >= baseline 8, power of two, capped at 64, memoized") {
     val s = Ann.saltFor(spark, sfDir, AnnGeometry.Pinned)
     assert(s >= 8L && s <= 64L && java.lang.Long.bitCount(s) === 1)
