@@ -308,10 +308,21 @@ object ScaleProbe {
           .filter(col("vec_id") >= 1000000000L &&
             col("neighbor_id") === col("vec_id") - 1000000000L)
           .select("vec_id").distinct().count()
+        // IVF at scaled cells: a probe reads ~2·(max cell)/N of the
+        // corpus — the share must shrink as cells grow with sqrt(N)
+        def maxCellShare(cells: Int): Double = {
+          val mx = Ann.ivfRankedG(spark, gdir, cells)
+            .filter(col("rn") === 1)
+            .groupBy("cell").agg(count(lit(1)).as("c"))
+            .agg(max("c")).head.getLong(0)
+          mx.toDouble / n
+        }
         s"n=$n geo=${geo.planes}p${geo.tables}t cand_geo=$candGeo " +
           s"cand_pinned=$candPinned cand_per_vec=${candGeo / n} " +
           s"pinned_per_vec=${candPinned / n} " +
-          s"twin_recall=${f"${hits.toDouble / nTwins}%.3f"}"
+          s"twin_recall=${f"${hits.toDouble / nTwins}%.3f"} " +
+          s"ivf_max_share_${geo.ivfCells}c=${f"${maxCellShare(geo.ivfCells)}%.3f"} " +
+          s"ivf_max_share_8c=${f"${maxCellShare(8)}%.3f"}"
       },
       time("salt_mega_bucket") {
         // r7 verdict item 7's "done" probe: a corpus whose every vector

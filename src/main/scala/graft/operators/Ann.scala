@@ -95,7 +95,7 @@ object Ann {
   /** [[ivfRanked]] at an arbitrary coarse-cell count: codebook = the
     * first `cells` vectors (deterministic, no-iteration; production
     * swaps in [[qKmeansStep]] output without changing shape). */
-  private[operators] def ivfRankedG(spark: SparkSession, dir: String,
+  private[graft] def ivfRankedG(spark: SparkSession, dir: String,
       cells: Int): DataFrame =
     Cache.getOrBuild(spark,
       if (cells == 8) "ivfRanked" else s"ivfRanked_$cells", dir) {
@@ -227,6 +227,37 @@ object Ann {
       .select(col("vec_id"), col("segment"), col("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(10)
+  }
+
+  /** LSH serve under an [[AnnGeometry]]: probe the query's bucket in
+    * EVERY table (OR-of-ANDs), union the candidates, exact-rescore,
+    * top-k. At higher plane counts the extra tables are the recall
+    * mechanism (a neighbor split off by one table's hyperplanes is
+    * caught by another's), replacing the pinned geometry's Hamming-1
+    * multiprobe while scanning ~tables·N/2^planes candidates — the
+    * serve-side counterpart of [[qKnnJoinG]]'s candidate generation.
+    * Output is (vec_id, score): a candidate may arrive via several
+    * tables, so no single bucket column is meaningful. */
+  def qAnnLshG(spark: SparkSession, dir: String,
+      geo: AnnGeometry = AnnGeometry.Pinned, k: Int = 10): DataFrame = {
+    val bt = lshTables(spark, dir, geo)
+    val qb = bt.filter(col("vec_id") === 0)
+      .select(col("table").as("q_table"), col("bucket").as("q_bucket"))
+    val e = Search.embNormed(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    bt.join(broadcast(qb),
+        col("table") === col("q_table") && col("bucket") === col("q_bucket"))
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id").distinct()
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6))
+      .select(col("vec_id"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
   }
 
   /** Multi-probe LSH: probe the query bucket AND its 4 Hamming-1

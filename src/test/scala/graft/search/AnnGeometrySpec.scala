@@ -91,6 +91,26 @@ class AnnGeometrySpec extends SparkSpec {
     assert(Ann.saltFor(spark, sfDir, AnnGeometry.Pinned) === s)
   }
 
+  test("qAnnLshG: pinned geometry reproduces qAnnLsh's rows; " +
+      "multi-table serve recall never drops below single-table at the " +
+      "same plane count") {
+    val viaG = operators.Ann.qAnnLshG(spark, sfDir)
+    val pinned = operators.Ann.qAnnLsh(spark, sfDir).select("vec_id", "score")
+    assert(viaG.exceptAll(pinned).isEmpty && pinned.exceptAll(viaG).isEmpty)
+    val exact = operators.Search.qKnn(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recall(geo: AnnGeometry): Double =
+      operators.Ann.qAnnLshG(spark, sfDir, geo)
+        .select("vec_id").collect().map(_.getLong(0))
+        .count(exact) / 10.0
+    // 6+ planes is where a single table starves (the tuned-operating-
+    // point rationale in Ann's scaladoc); extra tables must monotonically
+    // recover candidates, hence recall
+    val single = recall(AnnGeometry(6, 1, 8))
+    val multi = recall(AnnGeometry(6, 3, 8))
+    assert(multi >= single, s"multi $multi < single $single")
+  }
+
   test("qKnnJoinG at a wider geometry: every reported neighbor still " +
       "shares a bucket in some table, scored exactly") {
     val geo = AnnGeometry(planes = 6, tables = 3, ivfCells = 8)
