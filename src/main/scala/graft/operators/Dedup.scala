@@ -263,11 +263,15 @@ object Dedup {
       col("simhash").as("sig_b"), col("band"), col("bv"))
     a.join(b, Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "sig_a", "doc_b", "sig_b")
-      .distinct() // a pair may collide in several bands — count it once
+      // Hamming BEFORE the pair dedup: hamming is a function of the
+      // pair, so filtering first is result-identical while the
+      // distinct shuffles only surviving (doc_a, doc_b, hamming)
+      // triples — far fewer, far narrower rows than the raw band
+      // collisions with both signatures aboard
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
+      .distinct() // a pair may collide in several bands — count it once
       .orderBy("doc_a", "doc_b")
   }
 
@@ -295,13 +299,14 @@ object Dedup {
       col("simhash").as("sig_b"), col("band"), col("bv"))
     a.join(b, Seq("band", "bv"))
       .filter(col("doc_id") =!= col("neighbor_id"))
-      .select("doc_id", "sig_a", "neighbor_id", "sig_b")
-      .distinct() // a pair may collide in several bands — rank it once
+      // filter-then-dedup, as in [[qSimhashNear]]: the distinct sees
+      // only surviving narrow triples
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
       .filter(col("hamming") <= 3)
+      .select("doc_id", "neighbor_id", "hamming")
+      .distinct() // a pair may collide in several bands — rank it once
       // TopK ranks by score desc with id-asc tie-break; score :=
       // -hamming gives exactly (hamming asc, neighbor_id asc)
-      .select(col("doc_id"), col("neighbor_id"), col("hamming"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1).mapValues(t => (t._2, -t._3.toDouble))
       .agg(graft.functions.TopKAggregator.topK(k))
