@@ -311,7 +311,7 @@ object Ann {
     * ([[ivfRankedG]]'s rn=1 rows computed as a map-side aggregate):
     * max on (csim, -cell) reproduces the window's
     * (desc csim, asc cell) ordering exactly. */
-  private def cellAssign(e: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def cellAssign(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("csim",
         round(cosinePrenormed(dot(col("embedding"), col("cv")),
