@@ -320,6 +320,72 @@ object Ann {
       .agg(max(struct(col("csim"), (-col("cell")).as("negc"))).as("best"))
       .select(col("vec_id"), (-col("best.negc")).as("cell"))
 
+  /** [[cellAssign]] with the winning similarity attached (integer
+    * micro) — the assignment-quality reading codebook refinement is
+    * judged by (CodebookSpec monotonicity). */
+  private[graft] def cellAssignScored(spark: SparkSession, dir: String,
+      cents: DataFrame): DataFrame =
+    Search.embNormed(spark, dir).crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(cosinePrenormed(dot(col("embedding"), col("cv")),
+          col("nrm"), col("cn")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cell")).as("negc"))).as("best"))
+      .select(col("vec_id"), (-col("best.negc")).as("cell"),
+        round(col("best.csim") * 1000000, 0).cast("long").as("csim_micro"))
+
+  /** Spherical-k-means codebook refinement — [[qKmeansStep]] iterated
+    * to a fixed budget, producing the TRAINED coarse quantizer the
+    * IVF family can serve against (production's answer to the
+    * deterministic first-`cells` bootstrap codebook): each round
+    * re-assigns every vector ([[cellAssign]] against the broadcast
+    * codebook) and recomputes every centroid as an exact fixed-point
+    * component mean. Cosine ignores centroid magnitude, so the
+    * un-normalized mean yields the same assignments (and the same
+    * rounded similarities) as the normalized spherical-k-means mean —
+    * and the total assignment similarity is non-decreasing across
+    * iterations (CodebookSpec pins the monotonicity).
+    *
+    * Scale shape per iteration: assignment = broadcast codebook × one
+    * narrow corpus map; recompute = ONE (cell, pos) shuffle with
+    * map-side partial sums into cells·dim rows. Only the tiny
+    * centroid table (persisted, K·d rows) crosses iterations — the
+    * corpus is scanned once per round, never collected.
+    *
+    * Returns (cell, cv: array<double>, cn) — a drop-in codebook. */
+  def refineCodebook(spark: SparkSession, dir: String, iters: Int,
+      cells: Int = AnnGeometry.Pinned.ivfCells): DataFrame = {
+    val e = Search.embNormed(spark, dir)
+    val comps = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+      .withColumn("micro",
+        round(col("comp").cast("double") * 1000000, 0).cast("long"))
+    var cents = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"),
+        col("nrm").cast("double").as("cn"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 0 until iters) {
+      val assign = cellAssign(e, cents.select(col("cell"), col("cv"),
+        col("cn")))
+      val next = assign.join(comps, "vec_id")
+        .groupBy("cell", "pos")
+        .agg(sum("micro").as("s"), count(lit(1)).as("n"))
+        .withColumn("m", col("s").cast("double") / col("n") / 1000000.0)
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("cv"))
+        .withColumn("cn", l2norm(col("cv")))
+        .persist()
+      next.count() // materialize: iterations must not re-derive lineage
+      prev.foreach(_.unpersist(false))
+      prev = Some(next)
+      cents = next
+    }
+    cents
+  }
+
   /** The sealed-segment cutoff [[qAnnDelta]] serves against: ids below
     * it existed at index-build time. One broadcast aggregate row. */
   private def deltaCutoff(e: DataFrame): DataFrame =

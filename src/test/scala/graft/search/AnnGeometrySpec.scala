@@ -85,6 +85,19 @@ class AnnGeometrySpec extends SparkSpec {
     assert(floorWide >= floorPinned)
   }
 
+  test("qKnnJoinG at a forCorpus geometry keeps the pinned plan shape: " +
+      "equi-join candidates, bounded aggregator, no window, no cartesian") {
+    val p = Ann.qKnnJoinG(spark, sfDir, AnnGeometry(8, 2, 8))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // (the salt-range crossJoin IS a tiny BroadcastNestedLoopJoin by
+    // design — an 8-row broadcast; the hazard pins are the corpus-pair
+    // cartesian, a rank window, and an unbounded aggregate)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("saltFor: >= baseline 8, power of two, capped at 64, memoized") {
     val s = Ann.saltFor(spark, sfDir, AnnGeometry.Pinned)
     assert(s >= 8L && s <= 64L && java.lang.Long.bitCount(s) === 1)
