@@ -345,6 +345,47 @@ object ScaleProbe {
         s"vectors=${100L * mult} salt=$salt salt_gt_8=${salt > 8} " +
           s"rank1_rows=${out.filter(col("rank") === 1).count()}"
       },
+      time("codebook_refine") {
+        // spherical-k-means training at scale: the same sign-flip
+        // derived corpus as ann_geometry (distinct vectors), cells
+        // from forCorpus; report the quality/balance movement from
+        // the bootstrap codebook to the trained one.
+        import operators.{Ann, AnnGeometry}
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        emb.crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CASE WHEN rep = 0 THEN x " +
+              "WHEN pmod(hash(rep, i), 2) = 0 THEN x ELSE -x END)"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$work/cb/embeddings.parquet")
+        val cdir = s"$work/cb"
+        val n = spark.read.parquet(s"$cdir/embeddings.parquet").count()
+        val cells = AnnGeometry.forCorpus(n).ivfCells
+        val boot = operators.Search.embNormed(spark, cdir)
+          .filter(col("vec_id") < cells)
+          .select(col("vec_id").as("cell"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"),
+            col("nrm").cast("double").as("cn"))
+        def quality(cents: org.apache.spark.sql.DataFrame): (Long, Double) = {
+          val a = Ann.cellAssignScored(spark, cdir, cents)
+            .groupBy("cell")
+            .agg(count(lit(1)).as("c"), sum("csim_micro").as("s"))
+            .agg(sum("s").as("tot"), max("c").as("mx"))
+            .collect()(0)
+          (a.getLong(0), a.getLong(1).toDouble / n)
+        }
+        val (q0, share0) = quality(boot)
+        val t0 = System.nanoTime()
+        val refined = Ann.refineCodebook(spark, cdir, iters = 2, cells = cells)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        val (q1, share1) = quality(refined)
+        s"n=$n cells=$cells train2_s=${f"$trainSec%.2f"} " +
+          s"csim_total_boot=$q0 csim_total_refined=$q1 " +
+          s"improved=${q1 >= q0} max_share_boot=${f"$share0%.3f"} " +
+          s"max_share_refined=${f"$share1%.3f"}"
+      },
       time("ivf_reseal") {
         // r7 verdict item 4's "done" probe: seal the base corpus, grow
         // a mult× delta on top, time the sealed+delta serve and the

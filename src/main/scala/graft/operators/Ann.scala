@@ -386,6 +386,43 @@ object Ann {
     cents
   }
 
+  /** Build the IVF index against an EXPLICIT codebook table (the
+    * [[refineCodebook]] output): assignment via the same deterministic
+    * argmax, written cell-partitioned. The trained-quantizer variant
+    * of [[buildIndexes]]. */
+  def buildIndexWith(spark: SparkSession, dir: String, cents: DataFrame,
+      indexPath: String): Unit =
+    graft.store.ChunkStore.write(
+      cellAssign(Search.embNormed(spark, dir), cents),
+      s"$indexPath/ivf", partitionCols = Seq("cell"))
+
+  /** Probe an index built by [[buildIndexWith]]: the query ranks the
+    * EXPLICIT codebook's cells (2 probes), reads those partitions,
+    * exact-rescores. Mirrors [[probeIvfIndex]] with the trained
+    * quantizer in place of the bootstrap codebook. */
+  def probeIvfIndexWith(spark: SparkSession, dir: String, cents: DataFrame,
+      indexPath: String, k: Int = 10): DataFrame = {
+    val e = Search.embNormed(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val probe = q.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
+      .orderBy(desc("csim"), col("cell")).limit(2)
+      .select(col("cell"))
+    graft.store.ChunkStore.read(spark, s"$indexPath/ivf")
+      .join(broadcast(probe), "cell")
+      .filter(col("vec_id") =!= 0)
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6))
+      .select(col("vec_id"), col("cell"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
   /** The sealed-segment cutoff [[qAnnDelta]] serves against: ids below
     * it existed at index-build time. One broadcast aggregate row. */
   private def deltaCutoff(e: DataFrame): DataFrame =
