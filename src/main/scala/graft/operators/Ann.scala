@@ -260,6 +260,15 @@ object Ann {
       .limit(k)
   }
 
+  /** Registry face of the banded multi-table construction: the
+    * 2-table × 4-plane serve, oracle-checked against DuckDB (the
+    * oracle recomputes both tables' buckets from the same global
+    * hyperplane family and unions the bucket-mates) — the OR-of-ANDs
+    * recall mechanism [[AnnGeometry]] scales, pinned at a
+    * hash-exact-verifiable geometry. */
+  def qAnnLshMt(spark: SparkSession, dir: String): DataFrame =
+    qAnnLshG(spark, dir, AnnGeometry(planes = 4, tables = 2, ivfCells = 8))
+
   /** Multi-probe LSH: probe the query bucket AND its 4 Hamming-1
     * neighbors (flip each hyperplane bit) — the standard recall fix
     * when a near neighbor falls just across one hyperplane. Still
@@ -659,6 +668,8 @@ object Ann {
       .withColumn("hit", lit(1L))
     val all =
       top10("lsh")(qAnnLsh(spark, dir)).withColumn("method", lit("lsh"))
+        .unionByName(top10("lsh_mt")(qAnnLshMt(spark, dir))
+          .withColumn("method", lit("lsh_mt")))
         .unionByName(top10("lsh_probe")(qAnnLshProbe(spark, dir))
           .withColumn("method", lit("lsh_probe")))
         .unionByName(top10("ivf")(qAnnIvf(spark, dir))
@@ -1180,6 +1191,7 @@ object Ann {
     "q_topic_purity"  -> (qTopicPurity _),
     "q_kmeans_step"   -> (qKmeansStep _),
     "q_ann_lsh"       -> (qAnnLsh _),
+    "q_ann_lsh_mt"    -> (qAnnLshMt _),
     "q_ann_lsh_probe" -> (qAnnLshProbe _),
     "q_ann_ivf"       -> (qAnnIvf _),
     "q_ann_ivf_batch" -> (qAnnIvfBatch _),
@@ -1479,6 +1491,27 @@ object Ann {
          |  JOIN e ON e.vec_id = b.vec_id, q WHERE b.vec_id <> 0
          |  ORDER BY round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) DESC,
          |    b.vec_id LIMIT 10),
+         |pw8 AS (
+         |  SELECT p, d,
+         |    CASE WHEN ('0x'||substr(md5(p::VARCHAR||':'||d::VARCHAR),1,15))::BIGINT % 2 = 0
+         |         THEN 1 ELSE -1 END AS w
+         |  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)),
+         |bits8 AS (
+         |  SELECT vec_id, p,
+         |    CASE WHEN sum(se * w) >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM sv JOIN pw8 USING (d) GROUP BY vec_id, p),
+         |tb AS (
+         |  SELECT vec_id, p // 4 AS tbl,
+         |    sum(bit * CAST(pow(2, p % 4) AS BIGINT))::BIGINT AS bucket
+         |  FROM bits8 GROUP BY vec_id, p // 4),
+         |qtb AS (SELECT tbl, bucket FROM tb WHERE vec_id = 0),
+         |lshmt10 AS (
+         |  SELECT c.vec_id FROM (
+         |    SELECT DISTINCT t.vec_id FROM tb t JOIN qtb USING (tbl, bucket)
+         |    WHERE t.vec_id <> 0) c
+         |  JOIN e ON e.vec_id = c.vec_id, q
+         |  ORDER BY round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) DESC,
+         |    c.vec_id LIMIT 10),
          |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
          |scored AS (
          |  SELECT e.vec_id, c.cell,
@@ -1518,6 +1551,7 @@ object Ann {
          |    sh.vec_id LIMIT 10),
          |allm AS (
          |  SELECT vec_id, 'lsh' AS method FROM lsh10
+         |  UNION ALL SELECT vec_id, 'lsh_mt' FROM lshmt10
          |  UNION ALL SELECT vec_id, 'lsh_probe' FROM lshp10
          |  UNION ALL SELECT vec_id, 'ivf' FROM ivf10
          |  UNION ALL SELECT vec_id, 'pq' FROM pq10
@@ -1540,6 +1574,37 @@ object Ann {
          |JOIN e ON e.vec_id = b.vec_id, q
          |WHERE b.vec_id <> 0
          |ORDER BY score DESC, b.vec_id LIMIT 10""".stripMargin,
+    "q_ann_lsh_mt" ->
+      """WITH pw8 AS (
+        |  SELECT p, d,
+        |    CASE WHEN ('0x'||substr(md5(p::VARCHAR||':'||d::VARCHAR),1,15))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS w
+        |  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)),
+        |sv8 AS (
+        |  SELECT vec_id, d,
+        |    CAST(round(embedding[d+1]::DOUBLE * 1000000, 0) AS BIGINT) AS se
+        |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) g),
+        |bits8 AS (
+        |  SELECT vec_id, p,
+        |    CASE WHEN sum(se * w) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM sv8 JOIN pw8 USING (d) GROUP BY vec_id, p),
+        |tb AS (
+        |  SELECT vec_id, p // 4 AS tbl,
+        |    sum(bit * CAST(pow(2, p % 4) AS BIGINT))::BIGINT AS bucket
+        |  FROM bits8 GROUP BY vec_id, p // 4),
+        |qtb AS (SELECT tbl, bucket FROM tb WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT DISTINCT t.vec_id FROM tb t JOIN qtb USING (tbl, bucket)
+        |  WHERE t.vec_id <> 0),
+        |e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |  round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+        |FROM cand c JOIN e USING (vec_id), q
+        |ORDER BY score DESC, c.vec_id LIMIT 10""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH $bucketsSql
          |SELECT b.vec_id, b.bucket,
