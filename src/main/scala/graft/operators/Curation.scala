@@ -446,6 +446,90 @@ object Curation {
       .limit(20)
   }
 
+  /** Left-to-right non-overlapping merge of one adjacent symbol pair —
+    * the BPE apply step (Sennrich et al. 2016, Algorithm 1). */
+  private[graft] def mergePair(syms: Seq[String], a: String,
+      b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Full BPE TRAINING loop — [[qBpePairs]] (one pair-count step)
+    * iterated to a merge budget, producing the ranked merge table
+    * that IS a BPE tokenizer's vocabulary artifact. Each round counts
+    * adjacent SYMBOL pairs over the (word, freq) vocabulary table
+    * (every adjacent position, weighted by word frequency — the
+    * published counting), takes the argmax (pair_count desc, then
+    * lexicographic — deterministic on any engine), and applies the
+    * merge left-to-right non-overlapping to every word's symbol
+    * sequence.
+    *
+    * Scale shape: the ONLY corpus-sized pass is the initial word
+    * count; all `merges` rounds run on the vocabulary table (Heaps'
+    * law sublinear), each one explode+groupBy with map-side partials.
+    * The per-round 1-row argmax collect is the LEARNED MODEL
+    * PARAMETER itself (a merge rule), not data — the same bounded
+    * driver-side result as [[Ann.refineCodebook]]'s K·d centroid
+    * table. BpeTrainSpec pins the loop against an independent
+    * reference implementation and the round-0 agreement with
+    * [[qBpePairs]]. */
+  def bpeTrain(spark: SparkSession, dir: String, merges: Int): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    bpeTrainFromWords(spark, words, merges)
+  }
+
+  /** [[bpeTrain]] from an explicit (word, freq) vocabulary. */
+  def bpeTrainFromWords(spark: SparkSession, words: DataFrame,
+      merges: Int): DataFrame = {
+    import spark.implicits._
+    var vocab = words
+      .select(expr("transform(sequence(1, length(word))," +
+        " i -> substring(word, i, 1))").as("syms"),
+        col("freq").cast("long").as("freq"))
+      .as[(Seq[String], Long)]
+      .persist()
+    vocab.count()
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < merges && !exhausted) {
+      val top = vocab.toDF("syms", "freq")
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("c"))
+        .orderBy(desc("c"), col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((round.toLong + 1, a, b, c))
+        val next = vocab.map { case (syms, freq) =>
+          (mergePair(syms, a, b), freq)
+        }.persist()
+        next.count()
+        vocab.unpersist(false)
+        vocab = next
+        round += 1
+      }
+    }
+    vocab.unpersist(false)
+    learned.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
   /** Candidate training context lengths for the truncation forecast. */
   private[graft] val CtxLens = Seq(128L, 256L, 512L, 1024L)
 
