@@ -2,7 +2,8 @@ package graft
 
 /** Materializes the golden tables that back the non-SQL-expressible
   * oracles: `q_chunk_markdown` / `q_chunk_code` (pure-Scala boundary
-  * chunkers) and `q_compress_ratio` (JVM deflate).
+  * chunkers), `q_compress_ratio` (JVM deflate), and
+  * `q_bpe_train`/`q_bpe_encode` (iterated driver-side argmax loop).
   *
   * These operators are pure Scala and not SQL-expressible, so their
   * oracle is a COMMITTED ARTIFACT instead of a formula: this main runs
@@ -19,7 +20,8 @@ package graft
   */
 object GoldenChunks {
   val Queries =
-    Seq("q_chunk_markdown", "q_chunk_code", "q_compress_ratio")
+    Seq("q_chunk_markdown", "q_chunk_code", "q_compress_ratio",
+      "q_bpe_train", "q_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -530,6 +530,75 @@ object Curation {
     learned.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Merge budget for the registered BPE train/encode queries — small
+    * enough that the iterated trainer stays cheap per bench run, large
+    * enough to exercise multi-round merge chains (merges of merges). */
+  private[graft] val BpeMerges = 8
+
+  /** BPE ENCODE one word: apply the learned merges IN RANK ORDER, each
+    * left-to-right non-overlapping ([[mergePair]]) — by construction
+    * the trainer's own final symbol state for in-corpus words. The
+    * production "merge the lowest-rank adjacent pair first" apply is
+    * equivalent, because a rank-k merge's operands are built only by
+    * merges of rank < k; BpeEncodeSpec pins that equivalence against
+    * an independent priority-order reference. */
+  private[graft] def encodeWord(word: String,
+      merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) {
+      case (syms, (a, b)) =>
+        if (syms.length < 2) syms else mergePair(syms, a, b)
+    }
+
+  /** Corpus-wide BPE ENCODE under a trained merge table — the serving
+    * half of the tokenizer lifecycle ([[bpeTrain]] is the training
+    * half). Emits exact per-document token accounting under the REAL
+    * tokenizer: the numbers [[qSeqLenHist]] / [[qUnimaxAlloc]] /
+    * [[qPackBatches]] consume as whitespace estimates today become
+    * exact once a tokenizer artifact is committed.
+    *
+    * Scale shape: the merge table is the MODEL ARTIFACT (bounded by
+    * the merge budget), collected and broadcast like
+    * [[Ann.probeIvfIndexWith]]'s codebook. Encoding runs once per
+    * DISTINCT word (the vocabulary table — Heaps-law sublinear in
+    * corpus size), never per occurrence; the corpus-sized pass is
+    * explode → broadcast hash join on word → map-side-partial sum, no
+    * window, no shuffle of text. Past ~10M word types drop the
+    * broadcast hint and let AQE's skew join absorb the Zipf head —
+    * the registry scale keeps it. */
+  def bpeEncode(spark: SparkSession, dir: String,
+      merges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ranked = merges.orderBy("rank").select("left", "right")
+      .as[(String, String)].collect().toSeq
+    val bc = spark.sparkContext.broadcast(ranked)
+    val docs = Tables.documents(spark, dir)
+    val encoded = docs
+      .select(explode(TextAnalysis.toks(col("text"))).as("word"))
+      .distinct()
+      .as[String]
+      .map(w => (w, encodeWord(w, bc.value).length.toLong))
+      .toDF("word", "word_tokens")
+    docs
+      .select(col("doc_id"),
+        explode(TextAnalysis.toks(col("text"))).as("word"))
+      .join(broadcast(encoded), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("word_tokens").cast("long").as("n_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered trainer: [[bpeTrain]] at the [[BpeMerges]] budget.
+    * Golden oracle ([[graft.GoldenChunks]]) — the iterated argmax has
+    * no SQL analogue; the loop itself is pinned by BpeTrainSpec. */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark, dir, BpeMerges).orderBy("rank")
+
+  /** Registered train-then-encode round trip on the same corpus. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir, bpeTrain(spark, dir, BpeMerges))
+
   /** Candidate training context lengths for the truncation forecast. */
   private[graft] val CtxLens = Seq(128L, 256L, 512L, 1024L)
 
@@ -621,6 +690,8 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_pairs"     -> (qBpePairs _),
+    "q_bpe_train"     -> (qBpeTrain _),
+    "q_bpe_encode"    -> (qBpeEncode _),
     "q_unimax_alloc"  -> (qUnimaxAlloc _),
     "q_seq_len_hist"  -> (qSeqLenHist _),
     "q_epoch_plan"    -> (qEpochPlan _),
@@ -639,6 +710,19 @@ object Curation {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // The iterated trainer and its encode round-trip have no SQL
+    // analogue (driver-side argmax loop), so like the boundary
+    // chunkers their oracle is the committed golden table
+    // ([[graft.GoldenChunks]]); the algorithms are pinned by
+    // BpeTrainSpec/BpeEncodeSpec against independent references.
+    "q_bpe_train" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/bpe_train_sf0.01.parquet/*.parquet')
+         |ORDER BY rank""".stripMargin,
+    "q_bpe_encode" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/bpe_encode_sf0.01.parquet/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
     "q_bpe_pairs" ->
       s"""WITH w AS (
          |  SELECT x.w AS word, count(*) AS freq

@@ -299,4 +299,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_bpe_encode: vocab joins back by broadcast, no shuffle of " +
+      "corpus text, no window") {
+    val p = planOf("q_bpe_encode")
+    // the distinct-word token table is the broadcast side; the corpus
+    // pass must never sort-merge on the Zipf-skewed word key
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
