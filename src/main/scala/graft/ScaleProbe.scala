@@ -417,6 +417,37 @@ object ScaleProbe {
           s"delta_serve_s=${f"$serveSec%.2f"} seal_s=${f"$sealSec%.2f"} " +
           s"post_eq_scratch=$same"
       },
+      time("bpe_train") {
+        // Replication multiplies word FREQUENCIES by mult but leaves
+        // the vocabulary identical — so the trainer must learn the
+        // SAME merge table with pair_counts exactly ×mult, and since
+        // every round after the initial word count runs on the
+        // vocabulary table, round cost must stay flat vs mult (the
+        // Heaps-law claim in bpeTrain's scaladoc, tested not assumed).
+        import operators.Curation
+        val base = Curation.bpeTrain(spark, sfDir, Curation.BpeMerges)
+          .orderBy("rank").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3)))
+        val t1 = System.nanoTime()
+        val scaled = Curation.bpeTrain(spark, work, Curation.BpeMerges)
+          .orderBy("rank").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3)))
+        val trainSec = (System.nanoTime() - t1) / 1e9
+        val exact = scaled.length == base.length &&
+          scaled.zip(base).forall { case ((rk, l, r, c), (brk, bl, br, bc)) =>
+            rk == brk && l == bl && r == br && c == bc * mult
+          }
+        // encode on the replicated corpus: every replica must get its
+        // base doc's exact token count
+        val enc = Curation.qBpeEncode(spark, work)
+        val perDoc = enc
+          .withColumn("base_id", col("doc_id") % 10000000L)
+          .select("base_id", "n_tokens").distinct().count()
+        s"merges_x${mult}_exact=$exact train_s=${f"$trainSec%.2f"} " +
+          s"enc_rows=${enc.count()} distinct_base_profiles=$perDoc"
+      },
       time("retention") {
         val r = operators.Events.qRetention(spark, work).collect()
         val exact = r.length == baseRet.size && r.forall { row =>
