@@ -401,7 +401,81 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** Multinomial Naive Bayes text classifier — the SQL-expressible
+    * stand-in for the linear quality classifier of GPT-3 / CCNet-style
+    * curation (Brown et al. 2020 appendix A; Wenzek et al. 2020 train
+    * a fastText model against a high-quality reference corpus): train
+    * on a deterministic 80% document split with `source` as the weak
+    * class label, score the held-out 20%, and emit the confusion
+    * matrix — the number that says whether a cheap lexical model can
+    * reproduce the curation signal before anyone pays for a neural
+    * scorer.
+    *
+    * Determinism: every per-(word, class) smoothed log-likelihood and
+    * every prior is rounded to INTEGER MICROS at the one place it is
+    * computed (a single `ln` of a ratio of exact integers); all
+    * downstream math is integer sums, so results are bit-identical
+    * across engines and partial-aggregation orders — the same
+    * fixed-point discipline as the rest of this file.
+    *
+    * Scale shape: the (word, class) table IS the trained model (V×C
+    * rows, Heaps-law sublinear) and is broadcast like [[Curation]]'s
+    * BPE merge table; the corpus-sized passes are explode → groupBy
+    * with map-side partials and the held-out score join is
+    * broadcast-hash on word. Argmax is an aggregate (`min(struct)`),
+    * never a rank window. Past ~10M model rows drop the broadcast
+    * hints and let AQE's skew join absorb the Zipf head. */
+  def nbConfusion(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(toks(col("text"))).as("word"))
+    val tr = tok.filter(col("doc_id") % 5 =!= 0)
+    val ho = tok.filter(col("doc_id") % 5 === 0)
+      .groupBy("doc_id", "source", "word")
+      .agg(count(lit(1)).as("n"))
+    val cls = tr.groupBy(col("source").as("cls"))
+      .agg(countDistinct("doc_id").as("class_docs"))
+    val tot = tr.groupBy(col("source").as("cls"))
+      .agg(count(lit(1)).as("tot"))
+    val v = tr.agg(countDistinct("word").as("vocab"))
+    val stats = tr.groupBy(col("source").as("cls"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(tot), "cls")
+      .crossJoin(broadcast(v))
+      .select(col("cls"), col("word"),
+        round(log((col("cnt") + 1).cast("double") /
+          (col("tot") + col("vocab"))) * 1e6).cast("long")
+          .as("wc_micro"))
+    val unseen = tot.crossJoin(broadcast(v))
+      .select(col("cls"),
+        round(log(lit(1.0) / (col("tot") + col("vocab"))) * 1e6)
+          .cast("long").as("unseen_micro"))
+    val priors = cls
+      .crossJoin(broadcast(cls.agg(sum("class_docs").as("all_docs"))))
+      .select(col("cls"),
+        round(log(col("class_docs").cast("double") / col("all_docs")) *
+          1e6).cast("long").as("prior_micro"))
+    ho
+      .crossJoin(broadcast(cls.select("cls")))
+      .join(broadcast(stats), Seq("cls", "word"), "left")
+      .join(broadcast(unseen), Seq("cls"))
+      .withColumn("w_micro", coalesce(col("wc_micro"), col("unseen_micro")))
+      .groupBy(col("doc_id"), col("source"), col("cls"))
+      .agg(sum(col("n") * col("w_micro")).as("like_micro"))
+      .join(broadcast(priors), Seq("cls"))
+      .withColumn("score", col("like_micro") + col("prior_micro"))
+      .groupBy(col("doc_id"), col("source").as("actual"))
+      .agg(min(struct((-col("score")).as("neg"), col("cls").as("c")))
+        .as("best"))
+      .groupBy(col("actual"), col("best.c").as("predicted"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy("actual", "predicted")
+  }
+
+  def qNbClassifier(spark: SparkSession, dir: String): DataFrame =
+    nbConfusion(Tables.documents(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nb_classifier" -> (qNbClassifier _),
     "q_compress_ratio" -> (qCompressRatio _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_substr_dedup" -> (qSubstrDedup _),
@@ -419,6 +493,57 @@ object Quality {
   import TextAnalysis.{toksSql, bigramScoreSql}
 
   private lazy val baseOracles: Map[String, String] = Map(
+    "q_nb_classifier" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, x.w AS word
+         |  FROM documents, LATERAL (SELECT unnest($toksSql) AS w) x),
+         |tr AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+         |ho AS (
+         |  SELECT doc_id, source, word, count(*)::BIGINT AS n
+         |  FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+         |cls AS (
+         |  SELECT source AS cls, count(DISTINCT doc_id)::BIGINT AS class_docs
+         |  FROM tr GROUP BY 1),
+         |tot AS (SELECT source AS cls, count(*)::BIGINT AS tot
+         |  FROM tr GROUP BY 1),
+         |v AS (SELECT count(DISTINCT word)::BIGINT AS vocab FROM tr),
+         |stats AS (
+         |  SELECT w.cls, w.word,
+         |    CAST(round(ln((w.cnt + 1)::DOUBLE / (t.tot + v.vocab))
+         |      * 1000000) AS BIGINT) AS wc_micro
+         |  FROM (SELECT source AS cls, word, count(*)::BIGINT AS cnt
+         |        FROM tr GROUP BY 1, 2) w
+         |  JOIN tot t ON t.cls = w.cls CROSS JOIN v),
+         |unseen AS (
+         |  SELECT t.cls,
+         |    CAST(round(ln(1.0 / (t.tot + v.vocab)) * 1000000) AS BIGINT)
+         |      AS unseen_micro
+         |  FROM tot t CROSS JOIN v),
+         |priors AS (
+         |  SELECT cls, CAST(round(ln(class_docs::DOUBLE /
+         |    (SELECT sum(class_docs) FROM cls)) * 1000000) AS BIGINT)
+         |    AS prior_micro
+         |  FROM cls),
+         |sc AS (
+         |  SELECT h.doc_id, h.source, c.cls,
+         |    sum(h.n * coalesce(s.wc_micro, u.unseen_micro))::BIGINT
+         |      AS like_micro
+         |  FROM ho h
+         |  CROSS JOIN (SELECT cls FROM cls) c
+         |  LEFT JOIN stats s ON s.cls = c.cls AND s.word = h.word
+         |  JOIN unseen u ON u.cls = c.cls
+         |  GROUP BY 1, 2, 3),
+         |fin AS (
+         |  SELECT sc.doc_id, sc.source, sc.cls,
+         |    sc.like_micro + p.prior_micro AS score
+         |  FROM sc JOIN priors p ON p.cls = sc.cls),
+         |pred AS (
+         |  SELECT doc_id, source AS actual, cls AS predicted,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cls) AS rk
+         |  FROM fin)
+         |SELECT actual, predicted, count(*)::BIGINT AS n_docs
+         |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_gopher_rules" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, $toksSql AS toks FROM documents),

@@ -300,6 +300,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_nb_classifier: model joins broadcast, argmax is an " +
+      "aggregate, no rank window") {
+    val p = planOf("q_nb_classifier")
+    // the V×C model table and the C-row class/prior/unseen tables are
+    // all broadcast; scoring never sort-merges on the Zipf word key
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_bpe_encode: vocab joins back by broadcast, no shuffle of " +
       "corpus text, no window") {
     val p = planOf("q_bpe_encode")
