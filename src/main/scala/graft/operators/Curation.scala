@@ -479,12 +479,19 @@ object Curation {
     * table. BpeTrainSpec pins the loop against an independent
     * reference implementation and the round-0 agreement with
     * [[qBpePairs]]. */
-  def bpeTrain(spark: SparkSession, dir: String, merges: Int): DataFrame = {
-    val words = Tables.documents(spark, dir)
-      .select(explode(TextAnalysis.toks(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-    bpeTrainFromWords(spark, words, merges)
-  }
+  /** The corpus (word, freq) vocabulary table, shared via the session
+    * [[Cache]] so the trainer, encoder and fertility audit pay the
+    * corpus scan once per session, not once per query. */
+  private[operators] def wordCounts(spark: SparkSession,
+      dir: String): DataFrame =
+    Cache.getOrBuild(spark, "bpe_words", dir) {
+      Tables.documents(spark, dir)
+        .select(explode(TextAnalysis.toks(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+    }
+
+  def bpeTrain(spark: SparkSession, dir: String, merges: Int): DataFrame =
+    bpeTrainFromWords(spark, wordCounts(spark, dir), merges)
 
   /** [[bpeTrain]] from an explicit (word, freq) vocabulary. */
   def bpeTrainFromWords(spark: SparkSession, words: DataFrame,
@@ -572,9 +579,8 @@ object Curation {
       .as[(String, String)].collect().toSeq
     val bc = spark.sparkContext.broadcast(ranked)
     val docs = Tables.documents(spark, dir)
-    val encoded = docs
-      .select(explode(TextAnalysis.toks(col("text"))).as("word"))
-      .distinct()
+    val encoded = wordCounts(spark, dir)
+      .select("word")
       .as[String]
       .map(w => (w, encodeWord(w, bc.value).length.toLong))
       .toDF("word", "word_tokens")
@@ -587,6 +593,30 @@ object Curation {
         sum("word_tokens").cast("long").as("n_tokens"),
         sum(length(col("word"))).cast("long").as("n_chars"))
       .orderBy("doc_id")
+  }
+
+  /** Per-language tokenizer FERTILITY audit under the trained BPE —
+    * tokens-per-word and chars-per-token by language, the standard
+    * multilingual tokenizer-equity number (a language with high
+    * fertility pays more context budget per word; NLLB Team 2022 §6.2,
+    * Rust et al. 2021). Integer-milli arithmetic over [[bpeEncode]]'s
+    * exact per-doc accounting; the oracle replays the committed encode
+    * golden table joined against `documents.lang` — a real relational
+    * oracle over the golden artifact, not a second copy of it. */
+  def qTokFertility(spark: SparkSession, dir: String): DataFrame = {
+    val enc = bpeEncode(spark, dir, bpeTrain(spark, dir, BpeMerges))
+    enc.join(Tables.documents(spark, dir).select("doc_id", "lang"),
+        "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_words").cast("long").as("n_words"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        sum("n_chars").cast("long").as("n_chars"))
+      .withColumn("fertility_milli",
+        expr("n_tokens * 1000 div n_words"))
+      .withColumn("chars_per_token_milli",
+        expr("n_chars * 1000 div n_tokens"))
+      .orderBy("lang")
   }
 
   /** Registered trainer: [[bpeTrain]] at the [[BpeMerges]] budget.
@@ -692,6 +722,7 @@ object Curation {
     "q_bpe_pairs"     -> (qBpePairs _),
     "q_bpe_train"     -> (qBpeTrain _),
     "q_bpe_encode"    -> (qBpeEncode _),
+    "q_tok_fertility" -> (qTokFertility _),
     "q_unimax_alloc"  -> (qUnimaxAlloc _),
     "q_seq_len_hist"  -> (qSeqLenHist _),
     "q_epoch_plan"    -> (qEpochPlan _),
@@ -723,6 +754,21 @@ object Curation {
       s"""SELECT * FROM
          |read_parquet('$fixturesDir/bpe_encode_sf0.01.parquet/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    // a REAL relational oracle over the committed encode artifact —
+    // DuckDB independently joins and aggregates it against documents
+    "q_tok_fertility" ->
+      s"""SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(e.n_words)::BIGINT AS n_words,
+         |  sum(e.n_tokens)::BIGINT AS n_tokens,
+         |  sum(e.n_chars)::BIGINT AS n_chars,
+         |  sum(e.n_tokens)::BIGINT * 1000 // sum(e.n_words)::BIGINT
+         |    AS fertility_milli,
+         |  sum(e.n_chars)::BIGINT * 1000 // sum(e.n_tokens)::BIGINT
+         |    AS chars_per_token_milli
+         |FROM
+         |read_parquet('$fixturesDir/bpe_encode_sf0.01.parquet/*.parquet') e
+         |JOIN documents d ON d.doc_id = e.doc_id
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_bpe_pairs" ->
       s"""WITH w AS (
          |  SELECT x.w AS word, count(*) AS freq

@@ -86,4 +86,19 @@ class BpeEncodeSpec extends SparkSpec {
     // and are at least the word count
     assert(got.forall { case (_, nw, nt, nc) => nt >= nw && nt < nc })
   }
+
+  test("fertility audit covers every doc and stays within the " +
+      "token-count bounds") {
+    val rows = Curation.qTokFertility(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nt, nc) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nt >= nw && nt <= nc, r.toString)
+      // ≥1 token per word by definition of the word-level encode
+      assert(r.getLong(5) >= 1000L, r.toString)
+      assert(r.getLong(6) >= 1000L, r.toString)
+    }
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.documents(spark, sfDir).count())
+  }
 }
