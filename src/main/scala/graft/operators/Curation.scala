@@ -490,8 +490,14 @@ object Curation {
         .groupBy("word").agg(count(lit(1)).as("freq"))
     }
 
+  /** The training loop is deterministic in (corpus, budget), so the
+    * learned table is cached per session like the word counts — the
+    * trainer, encoder and fertility audit each ride ONE training run
+    * per session instead of re-learning the same merges. */
   def bpeTrain(spark: SparkSession, dir: String, merges: Int): DataFrame =
-    bpeTrainFromWords(spark, wordCounts(spark, dir), merges)
+    Cache.getOrBuild(spark, s"bpe_merges@$merges", dir) {
+      bpeTrainFromWords(spark, wordCounts(spark, dir), merges)
+    }
 
   /** [[bpeTrain]] from an explicit (word, freq) vocabulary. */
   def bpeTrainFromWords(spark: SparkSession, words: DataFrame,
@@ -629,6 +635,59 @@ object Curation {
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncode(spark, dir, bpeTrain(spark, dir, BpeMerges))
 
+  /** Dataset RELEASE DIFF — the "what changed between corpus v1 and
+    * v2" report a training-data pipeline publishes with every snapshot
+    * (the dataset-card / release-notes table): per (lang, change) doc
+    * counts and exact token deltas, change ∈ added | removed | changed
+    * | unchanged, detected by doc_id full-outer join + md5 content
+    * fingerprint compare.
+    *
+    * Scale shape: fingerprints and token counts are computed AT the
+    * two scans (narrow projections — the join carries 4 small columns,
+    * never text); one shuffle join on the unique high-cardinality
+    * doc_id (no skew, no broadcast possible for full-outer on two
+    * corpus-sized sides — the sort-merge IS the right plan); the
+    * report aggregate is map-side partial over a languages×4-row
+    * output. */
+  def corpusDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    def prep(df: DataFrame, side: String) =
+      df.select(col("doc_id"), col("lang").as(s"lang_$side"),
+        md5(col("text")).as(s"fp_$side"),
+        size(TextAnalysis.toks(col("text"))).cast("long")
+          .as(s"tok_$side"))
+    prep(a, "a").join(prep(b, "b"), Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") =!= col("fp_b"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .withColumn("lang", coalesce(col("lang_b"), col("lang_a")))
+      .groupBy("lang", "change")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(coalesce(col("tok_b"), lit(0L)) -
+          coalesce(col("tok_a"), lit(0L))).cast("long")
+          .as("token_delta"),
+        sum(coalesce(col("tok_b"), lit(0L))).cast("long")
+          .as("tokens_v2"))
+      .orderBy("lang", "change")
+  }
+
+  /** Registered diff against a deterministic simulated next release of
+    * the same corpus (drop every 7th doc, revise every 11th, re-ingest
+    * every 13th under a fresh id) — the mutation is replayed verbatim
+    * by the DuckDB oracle, so the diff logic itself is what the
+    * hash-compare checks. */
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+    val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" revised")))
+          .otherwise(col("text")))
+      .unionByName(v1.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000000L))
+    corpusDiff(v1, v2)
+  }
+
   /** Candidate training context lengths for the truncation forecast. */
   private[graft] val CtxLens = Seq(128L, 256L, 512L, 1024L)
 
@@ -723,6 +782,7 @@ object Curation {
     "q_bpe_train"     -> (qBpeTrain _),
     "q_bpe_encode"    -> (qBpeEncode _),
     "q_tok_fertility" -> (qTokFertility _),
+    "q_corpus_diff"   -> (qCorpusDiff _),
     "q_unimax_alloc"  -> (qUnimaxAlloc _),
     "q_seq_len_hist"  -> (qSeqLenHist _),
     "q_epoch_plan"    -> (qEpochPlan _),
@@ -769,6 +829,34 @@ object Curation {
          |read_parquet('$fixturesDir/bpe_encode_sf0.01.parquet/*.parquet') e
          |JOIN documents d ON d.doc_id = e.doc_id
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_corpus_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, lang, text FROM documents),
+         |v2 AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' revised'
+         |         ELSE text END AS text
+         |  FROM v1 WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, lang, text
+         |  FROM v1 WHERE doc_id % 13 = 0),
+         |pa AS (SELECT doc_id, lang AS lang_a, md5(text) AS fp_a,
+         |  len($toksSql)::BIGINT AS tok_a FROM v1),
+         |pb AS (SELECT doc_id, lang AS lang_b, md5(text) AS fp_b,
+         |  len($toksSql)::BIGINT AS tok_b FROM v2),
+         |j AS (
+         |  SELECT coalesce(pb.lang_b, pa.lang_a) AS lang,
+         |    CASE WHEN pa.fp_a IS NULL THEN 'added'
+         |         WHEN pb.fp_b IS NULL THEN 'removed'
+         |         WHEN pa.fp_a <> pb.fp_b THEN 'changed'
+         |         ELSE 'unchanged' END AS change,
+         |    coalesce(pb.tok_b, 0) - coalesce(pa.tok_a, 0) AS delta,
+         |    coalesce(pb.tok_b, 0) AS tok2
+         |  FROM pa FULL OUTER JOIN pb ON pa.doc_id = pb.doc_id)
+         |SELECT lang, change, count(*)::BIGINT AS n_docs,
+         |  sum(delta)::BIGINT AS token_delta,
+         |  sum(tok2)::BIGINT AS tokens_v2
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_bpe_pairs" ->
       s"""WITH w AS (
          |  SELECT x.w AS word, count(*) AS freq

@@ -425,19 +425,25 @@ object Quality {
     * broadcast-hash on word. Argmax is an aggregate (`min(struct)`),
     * never a rank window. Past ~10M model rows drop the broadcast
     * hints and let AQE's skew join absorb the Zipf head. */
-  def nbConfusion(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), col("source"),
+  /** A trained NB model: three bounded tables, all in integer micros —
+    * the V×C word log-likelihoods, the C class priors, the C
+    * unseen-word fallbacks. Persisted/loaded as one atomic artifact by
+    * [[graft.model.Artifacts]]; served online by
+    * [[graft.streaming.StreamingClassify]]. */
+  case class NbModel(wordLik: DataFrame, priors: DataFrame,
+      unseen: DataFrame)
+
+  /** Train the NB model on every document of `docs` (callers apply
+    * their own train/held-out split). */
+  def nbTrain(docs: DataFrame): NbModel = {
+    val tr = docs.select(col("doc_id"), col("source"),
       explode(toks(col("text"))).as("word"))
-    val tr = tok.filter(col("doc_id") % 5 =!= 0)
-    val ho = tok.filter(col("doc_id") % 5 === 0)
-      .groupBy("doc_id", "source", "word")
-      .agg(count(lit(1)).as("n"))
     val cls = tr.groupBy(col("source").as("cls"))
       .agg(countDistinct("doc_id").as("class_docs"))
     val tot = tr.groupBy(col("source").as("cls"))
       .agg(count(lit(1)).as("tot"))
     val v = tr.agg(countDistinct("word").as("vocab"))
-    val stats = tr.groupBy(col("source").as("cls"), col("word"))
+    val wordLik = tr.groupBy(col("source").as("cls"), col("word"))
       .agg(count(lit(1)).as("cnt"))
       .join(broadcast(tot), "cls")
       .crossJoin(broadcast(v))
@@ -454,19 +460,41 @@ object Quality {
       .select(col("cls"),
         round(log(col("class_docs").cast("double") / col("all_docs")) *
           1e6).cast("long").as("prior_micro"))
-    ho
-      .crossJoin(broadcast(cls.select("cls")))
-      .join(broadcast(stats), Seq("cls", "word"), "left")
-      .join(broadcast(unseen), Seq("cls"))
+    NbModel(wordLik, priors, unseen)
+  }
+
+  /** Score (doc_id, text, …) rows against a trained model: per-doc
+    * argmax class + its score. `carry` columns pass through the
+    * per-doc aggregation unchanged (they must be doc-functional).
+    * Pure broadcast joins + map-side-partial aggregates — stateless,
+    * so the same code path serves batch and per-micro-batch streaming
+    * ([[graft.streaming.StreamingClassify]]). */
+  def nbScore(docs: DataFrame, m: NbModel,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keys = (Seq("doc_id") ++ carry).map(col)
+    docs
+      .select(keys :+ explode(toks(col("text"))).as("word"): _*)
+      .groupBy(keys :+ col("word"): _*)
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(m.priors.select("cls")))
+      .join(broadcast(m.wordLik), Seq("cls", "word"), "left")
+      .join(broadcast(m.unseen), Seq("cls"))
       .withColumn("w_micro", coalesce(col("wc_micro"), col("unseen_micro")))
-      .groupBy(col("doc_id"), col("source"), col("cls"))
+      .groupBy(keys :+ col("cls"): _*)
       .agg(sum(col("n") * col("w_micro")).as("like_micro"))
-      .join(broadcast(priors), Seq("cls"))
+      .join(broadcast(m.priors), Seq("cls"))
       .withColumn("score", col("like_micro") + col("prior_micro"))
-      .groupBy(col("doc_id"), col("source").as("actual"))
+      .groupBy(keys: _*)
       .agg(min(struct((-col("score")).as("neg"), col("cls").as("c")))
         .as("best"))
-      .groupBy(col("actual"), col("best.c").as("predicted"))
+      .select(keys :+ col("best.c").as("predicted") :+
+        (-col("best.neg")).as("score_micro"): _*)
+  }
+
+  def nbConfusion(docs: DataFrame): DataFrame = {
+    val m = nbTrain(docs.filter(col("doc_id") % 5 =!= 0))
+    nbScore(docs.filter(col("doc_id") % 5 === 0), m, carry = Seq("source"))
+      .groupBy(col("source").as("actual"), col("predicted"))
       .agg(count(lit(1)).cast("long").as("n_docs"))
       .orderBy("actual", "predicted")
   }

@@ -300,6 +300,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_corpus_diff: narrow fingerprint projections feed the one " +
+      "full-outer join") {
+    val p = planOf("q_corpus_diff")
+    // full-outer on two corpus-sized sides: sort-merge IS the right
+    // plan; what must NOT happen is carrying text through the join
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // text is consumed at the two scan-side projections (md5 + token
+    // size), so the join payload stays narrow
+    assert(p.split("md5").length >= 3, p)
+  }
+
   test("q_nb_classifier: model joins broadcast, argmax is an " +
       "aggregate, no rank window") {
     val p = planOf("q_nb_classifier")
