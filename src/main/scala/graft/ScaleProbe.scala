@@ -448,6 +448,42 @@ object ScaleProbe {
         s"merges_x${mult}_exact=$exact train_s=${f"$trainSec%.2f"} " +
           s"enc_rows=${enc.count()} distinct_base_profiles=$perDoc"
       },
+      time("nb_classifier") {
+        // Replication multiplies every class's doc and token counts by
+        // mult, so the PRIORS must be bit-identical to the base model
+        // and the model's shape (V×C likelihoods, C priors/fallbacks)
+        // must not grow — the model is vocabulary-bound, not
+        // corpus-bound. Scoring volume grows linearly with held-out
+        // docs; the confusion matrix must account for every one.
+        import operators.Quality
+        def priorRows(d: String) = Quality.nbTrain(
+            Tables.documents(spark, d)
+              .filter(col("doc_id") % 5 =!= 0))
+        val base = priorRows(sfDir)
+        val scaled = priorRows(work)
+        val samePriors = scaled.priors.exceptAll(base.priors).isEmpty &&
+          base.priors.exceptAll(scaled.priors).isEmpty
+        val sameShape =
+          scaled.wordLik.count() == base.wordLik.count() &&
+            scaled.unseen.count() == base.unseen.count()
+        val conf = operators.Quality.qNbClassifier(spark, work)
+        val held = Tables.documents(spark, work)
+          .filter(col("doc_id") % 5 === 0).count()
+        val confTotal = conf.agg(sum("n_docs")).collect()(0).getLong(0)
+        s"priors_identical=$samePriors model_shape_flat=$sameShape " +
+          s"held=$held conf_total=$confTotal all_scored=${held == confTotal}"
+      },
+      time("corpus_diff") {
+        // linear two-scan + one full-outer join; token conservation
+        // must hold at any scale
+        val r = operators.Curation.qCorpusDiff(spark, work).collect()
+        val v1 = Tables.documents(spark, work)
+          .agg(sum(size(operators.TextAnalysis.toks(col("text"))))
+            .cast("long")).collect()(0).getLong(0)
+        val conserved =
+          v1 + r.map(_.getLong(3)).sum == r.map(_.getLong(4)).sum
+        s"rows=${r.length} conserved=$conserved"
+      },
       time("retention") {
         val r = operators.Events.qRetention(spark, work).collect()
         val exact = r.length == baseRet.size && r.forall { row =>
