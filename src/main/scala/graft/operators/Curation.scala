@@ -114,12 +114,15 @@ object Curation {
     * the oracle's SQL shape). Unshippable at scale: one task per
     * source shard. */
   private[graft] def packBatchesWindowTwin(
-      spark: SparkSession, dir: String): DataFrame = {
+      spark: SparkSession, dir: String): DataFrame =
+    packWindowTwinFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("tok")))
+
+  private[graft] def packWindowTwinFrom(tokens: DataFrame): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(toks(col("text"))).cast("long").as("tok"))
+    tokens
       .withColumn("cum", sum(col("tok")).over(w))
       .withColumn("bin", floor((col("cum") - col("tok")) / PackCapacity))
       .groupBy("source", "bin")
@@ -130,10 +133,12 @@ object Curation {
       .orderBy("source", "bin")
   }
 
-  def qPackBatches(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(toks(col("text"))).cast("long").as("tok"))
+  /** Two-pass segment packing over any (doc_id, source, tok) table —
+    * the token source is a parameter so the whitespace estimate
+    * ([[qPackBatches]]) and the trained-tokenizer exact counts
+    * ([[qPackBpe]]) ride the identical packing plan. */
+  private[graft] def packFrom(tokens: DataFrame): DataFrame = {
+    val docs = tokens
       .withColumn("seg", floor(col("doc_id") / PackSegmentDocs))
     val wCarry = Window.partitionBy("source").orderBy("seg")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -154,6 +159,21 @@ object Curation {
         max(col("doc_id")).as("last_doc"))
       .orderBy("source", "bin")
   }
+
+  def qPackBatches(spark: SparkSession, dir: String): DataFrame =
+    packFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("tok")))
+
+  /** Packing under the REAL tokenizer: [[bpeEncode]]'s exact per-doc
+    * token counts feed the same two-pass packer — the step a pipeline
+    * takes once a tokenizer artifact is committed, when the whitespace
+    * estimate's bin plan stops being good enough. Oracle replays the
+    * packing SQL over the committed encode artifact. */
+  def qPackBpe(spark: SparkSession, dir: String): DataFrame =
+    packFrom(Tables.documents(spark, dir).select("doc_id", "source")
+      .join(bpeEncode(spark, dir, bpeTrain(spark, dir, BpeMerges))
+        .select(col("doc_id"), col("n_tokens").as("tok")), "doc_id"))
 
   /** Corpus-shared phrase mass (CCNet-style boilerplate removal,
     * adapted from line granularity to trigram granularity — this corpus
@@ -783,6 +803,7 @@ object Curation {
     "q_bpe_encode"    -> (qBpeEncode _),
     "q_tok_fertility" -> (qTokFertility _),
     "q_corpus_diff"   -> (qCorpusDiff _),
+    "q_pack_bpe"      -> (qPackBpe _),
     "q_unimax_alloc"  -> (qUnimaxAlloc _),
     "q_seq_len_hist"  -> (qSeqLenHist _),
     "q_epoch_plan"    -> (qEpochPlan _),
@@ -1028,6 +1049,24 @@ object Curation {
       s"""WITH d AS (
          |  SELECT doc_id, source, len($toksSql)::BIGINT AS tok
          |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, tok,
+         |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |b AS (
+         |  SELECT source, CAST(floor((cum - tok) / $PackCapacity) AS BIGINT) AS bin,
+         |    doc_id, tok
+         |  FROM c)
+         |SELECT source, bin, count(*) AS n_docs, sum(tok)::BIGINT AS bin_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "q_pack_bpe" ->
+      s"""WITH d AS (
+         |  SELECT e.doc_id, doc.source, e.n_tokens AS tok
+         |  FROM
+         |  read_parquet('$fixturesDir/bpe_encode_sf0.01.parquet/*.parquet') e
+         |  JOIN documents doc ON doc.doc_id = e.doc_id),
          |c AS (
          |  SELECT doc_id, source, tok,
          |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id

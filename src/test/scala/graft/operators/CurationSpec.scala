@@ -67,6 +67,20 @@ class CurationSpec extends SparkSpec {
     assert(fast.exceptAll(twin).isEmpty && twin.exceptAll(fast).isEmpty)
   }
 
+  test("pack under the trained tokenizer == single-window twin over " +
+      "the same exact counts") {
+    val tokens = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .join(Curation.bpeEncode(spark, sfDir,
+          Curation.bpeTrain(spark, sfDir, Curation.BpeMerges))
+        .select(col("doc_id"), col("n_tokens").as("tok")), "doc_id")
+    val fast = Curation.qPackBpe(spark, sfDir)
+    val twin = Curation.packWindowTwinFrom(tokens)
+    assert(fast.exceptAll(twin).isEmpty && twin.exceptAll(fast).isEmpty)
+    // the bin plan genuinely differs from the whitespace estimate's
+    assert(fast.exceptAll(Curation.qPackBatches(spark, sfDir))
+      .count() > 0)
+  }
+
   test("bm25: positive scores, deterministic top-10, ranks docs containing query terms") {
     val top = Search.qSearchBm25(spark, sfDir)
     val rows = top.collect()
