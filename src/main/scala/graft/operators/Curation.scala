@@ -313,6 +313,47 @@ object Curation {
       .orderBy("lang", "rk")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirtakis
+    * 2006): per language, keep the [[SampleK]] docs winning the
+    * exponential race — smallest key `-ln(u)/w`, with `u`
+    * deterministic from the doc id (the md5-derived hash60, exactly
+    * [[qSampleStrat]]'s coin) and weight `w = n_chars`, so longer
+    * documents are proportionally likelier without ever being
+    * guaranteed. The distributed-sampling workhorse for
+    * quality-weighted corpus draws.
+    *
+    * Determinism: the race key is rounded to integer micros at its
+    * one computation site (the NB discipline — both engines compute
+    * one double expression in the same association order, then every
+    * comparison is integer + doc_id tie-break). Scale shape: identical
+    * to [[qSampleStrat]] — bounded MinK map-side buffers per stratum,
+    * never a rank window over the corpus. */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        round(-log(
+          (hash60Col(concat(lit("wsamp:"), col("doc_id").cast("string")))
+            + 1).cast("double") /
+            lit(1152921504606846976L).cast("double")) * 1e6 /
+          col("n_chars")).cast("long").as("key_micro"))
+    val winners = keyed
+      .select(col("lang"), col("key_micro"), col("doc_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.functions.MinKPairAggregator.minK(SampleK))
+      .toDF("lang", "top")
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("p._1").as("key_micro"), col("p._2").as("doc_id"))
+    Tables.documents(spark, dir)
+      .select("doc_id", "n_chars")
+      .join(broadcast(winners), "doc_id")
+      .select("lang", "rk", "doc_id", "n_chars", "key_micro")
+      .orderBy("lang", "rk")
+  }
+
   /** Max docs kept per source domain. */
   private[graft] val DomainCap = 30
 
@@ -809,6 +850,7 @@ object Curation {
     "q_epoch_plan"    -> (qEpochPlan _),
     "q_temp_sampling" -> (qTempSampling _),
     "q_sample_strat" -> (qSampleStrat _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_domain_cap"   -> (qDomainCap _),
     "q_data_split"   -> (qDataSplit _),
     "q_quality_rep"  -> (qQualityRepetition _),
@@ -991,6 +1033,23 @@ object Curation {
          |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)::BIGINT AS rk
          |  FROM h)
          |SELECT lang, rk, doc_id, n_chars FROM r
+         |WHERE rk <= $SampleK ORDER BY lang, rk""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    ('0x'||substr(md5('wsamp:'||doc_id::VARCHAR),1,15))::BIGINT AS h
+         |  FROM documents),
+         |k AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    CAST(round(-ln((h + 1)::DOUBLE / 1152921504606846976.0)
+         |      * 1000000 / n_chars) AS BIGINT) AS key_micro
+         |  FROM h),
+         |r AS (
+         |  SELECT lang, doc_id, n_chars, key_micro,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY key_micro, doc_id)::BIGINT AS rk
+         |  FROM k)
+         |SELECT lang, rk, doc_id, n_chars, key_micro FROM r
          |WHERE rk <= $SampleK ORDER BY lang, rk""".stripMargin,
     "q_domain_cap" ->
       s"""WITH r AS (

@@ -300,6 +300,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_weighted_sample: bounded MinK race, no stratum window") {
+    val p = planOf("q_weighted_sample")
+    // the E-S race rides the bounded map-side aggregator like
+    // q_sample_strat; winners broadcast back
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_corpus_diff: narrow fingerprint projections feed the one " +
       "full-outer join") {
     val p = planOf("q_corpus_diff")
