@@ -838,7 +838,62 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Documents per training shard. */
+  private[graft] val ShardDocs = 64L
+
+  /** Rank segments for the shard plan: the 12 top bits of the 60-bit
+    * shuffle hash — 4096 hash-uniform segments, so segment order IS
+    * hash order and no segment is ever a hot task. */
+  private[graft] val ShardSegDiv = 281474976710656L // 2^48
+
+  /** Training-shard plan — the write manifest a pipeline materializes
+    * right before the trainer reads the corpus: a deterministic seeded
+    * global shuffle (order by `hash60("shard:"||doc_id)` — the same
+    * md5-derived coin every sampling operator uses, so the order is
+    * reproducible forever and uncorrelated with doc_id, source, or
+    * time-of-crawl), cut into fixed-[[ShardDocs]] shards, each
+    * reported with its doc count, byte total, and an order-invariant
+    * content checksum (sum of per-doc text hash60s mod 2⁶⁰ — verifiable
+    * shard-by-shard after any re-partitioning or transport).
+    *
+    * Scale shape — a global rank with NO global window: docs land in
+    * 4096 hash-range segments ([[ShardSegDiv]] — monotone in the
+    * shuffle hash, so segment order is global order); pass 1 counts
+    * per segment and prefix-sums THAT 4096-row table for each
+    * segment's carry-in rank; pass 2 ranks inside (segment)
+    * partitions — hash-uniform, ~N/4096 rows each — and adds the
+    * carry. Same two-pass construction as [[packFrom]], on the hash
+    * domain instead of doc_id. At 100 TB this is a range-partitioned
+    * sort (exactly how Spark's own sortBy writes sorted output) plus
+    * two linear passes; the alternative single `row_number() OVER
+    * (ORDER BY h)` window is one task holding the corpus. */
+  def qShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        hash60Col(concat(lit("shard:"), col("doc_id").cast("string")))
+          .as("h"),
+        hash60Col(col("text")).as("ch"))
+      .withColumn("seg", expr(s"h div $ShardSegDiv"))
+    val wCarry = Window.orderBy("seg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = docs.groupBy("seg").agg(count(lit(1)).as("seg_n"))
+      .withColumn("carry", coalesce(sum(col("seg_n")).over(wCarry), lit(0L)))
+      .select("seg", "carry")
+    val wLocal = Window.partitionBy("seg").orderBy("h", "doc_id")
+    docs.join(carry, "seg")
+      .withColumn("rk", col("carry") + row_number().over(wLocal))
+      .withColumn("shard_id", expr(s"(rk - 1) div $ShardDocs"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_bytes"),
+        expr("CAST(sum(CAST(ch AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
+          .as("checksum"))
+      .select("shard_id", "n_docs", "n_bytes", "checksum")
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_plan"    -> (qShardPlan _),
     "q_bpe_pairs"     -> (qBpePairs _),
     "q_bpe_train"     -> (qBpeTrain _),
     "q_bpe_encode"    -> (qBpeEncode _),
@@ -864,6 +919,21 @@ object Curation {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_shard_plan" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    ('0x'||substr(md5('shard:'||doc_id::VARCHAR),1,15))::BIGINT AS h,
+         |    ('0x'||substr(md5(text),1,15))::BIGINT AS ch
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_chars, ch,
+         |    row_number() OVER (ORDER BY h, doc_id)::BIGINT AS rk
+         |  FROM h)
+         |SELECT CAST(floor((rk - 1) / $ShardDocs) AS BIGINT) AS shard_id,
+         |  count(*) AS n_docs, sum(n_chars)::BIGINT AS n_bytes,
+         |  CAST(sum(ch::DECIMAL(38,0)) % 1152921504606846976 AS BIGINT)
+         |    AS checksum
+         |FROM r GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     // The iterated trainer and its encode round-trip have no SQL
     // analogue (driver-side argmax loop), so like the boundary
     // chunkers their oracle is the committed golden table

@@ -420,7 +420,54 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Misra–Gries counter budget (heavy-hitter sketch width). */
+  private[graft] val MgCounters = 200
+
+  /** Heavy-hitter threshold denominator: report tokens with corpus
+    * frequency ≥ N / [[HhK]]. */
+  private[graft] val HhK = 400
+
+  /** Corpus-wide heavy hitters — every token whose frequency is at
+    * least N/[[HhK]] of the N-token corpus, with EXACT counts, found
+    * without ever grouping the corpus by token: pass 1 runs the
+    * mergeable [[graft.functions.MisraGriesAggregator]] (bounded
+    * [[MgCounters]]-entry buffer, map-side partial aggregation — each
+    * partition ships one summary, not its token distribution) whose
+    * survivors are a GUARANTEED superset of every token above
+    * N/([[MgCounters]]+1) ≥ threshold; pass 2 exact-counts only those
+    * ≤[[MgCounters]] candidates via a broadcast semi-join and keeps
+    * the ones meeting the threshold. Sketch candidates + exact verify
+    * = the `q_bloom_decon` pattern, so the report is hash-exact
+    * against the plain GROUP BY oracle while the engine-side shuffle
+    * stays O(candidates), not O(distinct tokens).
+    *
+    * This is the frequency twin of [[qKmvDistinct]]'s cardinality
+    * sketch: the pair is the sketch toolkit a pipeline runs on the
+    * 100 TB corpus where exact token distributions are unaffordable
+    * (vocabulary pruning, stop-list induction, tokenizer seeding).
+    * Threshold arithmetic is integer (`n·HhK ≥ N`) — no float
+    * boundary cases. */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("word"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    val cands = tok.as[String]
+      .select(graft.functions.MisraGriesAggregator.mg(MgCounters))
+      .toDF("summary")
+      .select(explode(col("summary")).as("e"))
+      .select(col("e._1").as("word"))
+    tok.join(broadcast(cands), "word")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * HhK >= col("total"))
+      .withColumn("frac", round(col("n").cast("double") / col("total"), 6))
+      .select("word", "n", "frac")
+      .orderBy(desc("n"), col("word"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters"  -> (qHeavyHitters _),
     "q_kmv_distinct"   -> (qKmvDistinct _),
     "q_bigram_lm"      -> (qBigramLm _),
     "q_doc_keywords"   -> (qDocKeywords _),
@@ -438,6 +485,16 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      s"""WITH t AS (
+         |  SELECT unnest($toksSql) AS word FROM documents),
+         |n AS (SELECT count(*) AS total FROM t)
+         |SELECT word, count(*) AS n,
+         |  round(count(*)::DOUBLE / total, 6) AS frac
+         |FROM t, n
+         |GROUP BY word, total
+         |HAVING count(*) * $HhK >= total
+         |ORDER BY n DESC, word""".stripMargin,
     "q_kmv_distinct" ->
       s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
          |tg AS (

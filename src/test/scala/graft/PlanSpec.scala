@@ -272,6 +272,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_heavy_hitters: bounded MG sketch, candidates broadcast, " +
+      "no token window") {
+    val p = planOf("q_heavy_hitters")
+    // pass 1 is the typed Misra–Gries aggregator (ObjectHashAggregate
+    // with map-side partial), pass 2 exact-counts only the broadcast
+    // candidate set — never a groupBy/window over the full token
+    // distribution feeding a sort
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_shard_plan: rank windows are segment-bounded, never a " +
+      "corpus-wide sort task") {
+    val p = planOf("q_shard_plan")
+    // the global rank must come from carry-in + a seg-partitioned
+    // window; a bare `row_number() OVER (ORDER BY h)` would funnel the
+    // corpus through one task
+    assert("windowspecdefinition\\(seg#\\d+L?, h#".r
+      .findFirstIn(p).isDefined, p)
+    assert(!"windowspecdefinition\\(h#".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q_hard_negatives / q_knn_join: bounded aggregator, no rank window") {
     Seq("q_hard_negatives", "q_knn_join").foreach { q =>
       val p = planOf(q)
