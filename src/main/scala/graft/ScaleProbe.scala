@@ -490,6 +490,30 @@ object ScaleProbe {
           baseRet((row.getLong(0), row.getLong(1))) * mult == row.getLong(2)
         }
         s"cells=${r.length} counts_x${mult}_exact=$exact"
+      },
+      time("heavy_hitters") {
+        // replication multiplies every token count AND the corpus total
+        // by mult, so the heavy-hitter SET and fractions must be
+        // bit-identical to the base run and counts exactly mult× —
+        // while the MG buffer stays at its fixed budget however large
+        // N grows (the whole point of the sketch pass)
+        val base = operators.TextAnalysis.qHeavyHitters(spark, sfDir)
+          .collect().map(r => r.getString(0) -> (r.getLong(1),
+            r.getDouble(2))).toMap
+        val r = operators.TextAnalysis.qHeavyHitters(spark, work).collect()
+        val exact = r.length == base.size && r.forall { row =>
+          val (n, frac) = base(row.getString(0))
+          n * mult == row.getLong(1) && frac == row.getDouble(2)
+        }
+        s"hitters=${r.length} set_and_counts_x${mult}_exact=$exact"
+      },
+      time("shard_plan") {
+        val r = operators.Curation.qShardPlan(spark, work).collect()
+        val fullExceptTail = r.dropRight(1)
+          .forall(_.getLong(1) == operators.Curation.ShardDocs)
+        val lossless = r.map(_.getLong(1)).sum == n0 * mult
+        s"shards=${r.length} full_except_tail=$fullExceptTail " +
+          s"lossless=$lossless"
       })
 
     val expectPairs = n0 * mult.toLong * (mult - 1) / 2
