@@ -867,7 +867,11 @@ object Curation {
     * sort (exactly how Spark's own sortBy writes sorted output) plus
     * two linear passes; the alternative single `row_number() OVER
     * (ORDER BY h)` window is one task holding the corpus. */
-  def qShardPlan(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc shard assignment — (doc_id, n_chars, ch, shard_id) — the
+    * shared core of the plan report, the writer, and the read-back
+    * audit. */
+  private[graft] def shardAssignments(spark: SparkSession,
+      dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         hash60Col(concat(lit("shard:"), col("doc_id").cast("string")))
@@ -883,12 +887,58 @@ object Curation {
     docs.join(carry, "seg")
       .withColumn("rk", col("carry") + row_number().over(wLocal))
       .withColumn("shard_id", expr(s"(rk - 1) div $ShardDocs"))
-      .groupBy("shard_id")
+      .select("doc_id", "n_chars", "ch", "shard_id")
+  }
+
+  private def shardManifestOf(assign: DataFrame): DataFrame =
+    assign.groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_bytes"),
         expr("CAST(sum(CAST(ch AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
           .as("checksum"))
       .select("shard_id", "n_docs", "n_bytes", "checksum")
+      .orderBy("shard_id")
+
+  def qShardPlan(spark: SparkSession, dir: String): DataFrame =
+    shardManifestOf(shardAssignments(spark, dir))
+
+  /** Materialize the shards: full document rows written
+    * shard-partitioned (each `shard_id=` directory is one trainer
+    * input file set), plus the manifest alongside. At 100 TB this is
+    * ONE hash-range shuffle and a partitioned write — the layout
+    * trainers stream without further shuffles. */
+  def writeShards(spark: SparkSession, dir: String, outPath: String): Unit = {
+    val assign = shardAssignments(spark, dir)
+    graft.store.ChunkStore.write(
+      Tables.documents(spark, dir).join(assign.select("doc_id", "shard_id"),
+        "doc_id"),
+      s"$outPath/shards", partitionCols = Seq("shard_id"))
+    graft.store.ChunkStore.write(shardManifestOf(assign),
+      s"$outPath/manifest")
+  }
+
+  /** Read-back audit of a [[writeShards]] artifact: recompute each
+    * shard's doc count, byte total, and content checksum FROM THE
+    * WRITTEN FILES and compare against the stored manifest — the
+    * post-transport integrity check (bitrot, partial copy, truncated
+    * shard) that order-invariant checksums make possible on any
+    * partitioning. Emits one row per shard with an `ok` verdict. */
+  def verifyShards(spark: SparkSession, outPath: String): DataFrame = {
+    val got = graft.store.ChunkStore.read(spark, s"$outPath/shards")
+      .select(col("shard_id"), col("n_chars"), hash60Col(col("text")).as("ch"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("got_docs"),
+        sum(col("n_chars")).as("got_bytes"),
+        expr("CAST(sum(CAST(ch AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
+          .as("got_checksum"))
+    graft.store.ChunkStore.read(spark, s"$outPath/manifest")
+      .join(got, Seq("shard_id"), "full_outer")
+      .withColumn("ok",
+        col("n_docs") === col("got_docs") &&
+        col("n_bytes") === col("got_bytes") &&
+        col("checksum") === col("got_checksum"))
+      .select("shard_id", "n_docs", "got_docs", "checksum", "got_checksum",
+        "ok")
       .orderBy("shard_id")
   }
 

@@ -451,12 +451,33 @@ object TextAnalysis {
     import spark.implicits._
     val tok = Tables.documents(spark, dir)
       .select(explode(toks(col("text"))).as("word"))
-    val total = tok.agg(count(lit(1)).as("total"))
-    val cands = tok.as[String]
+    // ONE reference to the sketch subplan: the corpus total rides the
+    // broadcast candidate rows (the sketch carries N), so the whole
+    // query is exactly two token scans — sketch+count, then verify.
+    val candT = tok.as[String]
       .select(graft.functions.MisraGriesAggregator.mg(MgCounters))
-      .toDF("summary")
-      .select(explode(col("summary")).as("e"))
-      .select(col("e._1").as("word"))
+      .toDF("items", "total")
+      .select(col("total"), explode(col("items")).as("e"))
+      .select(col("e._1").as("word"), col("total"))
+    tok.join(broadcast(candT), "word")
+      .groupBy("word", "total").agg(count(lit(1)).as("n"))
+      .filter(col("n") * HhK >= col("total"))
+      .withColumn("frac", round(col("n").cast("double") / col("total"), 6))
+      .select("word", "n", "frac")
+      .orderBy(desc("n"), col("word"))
+  }
+
+  /** Pass 2 of the heavy-hitter pipeline — exact-count verification of
+    * a (guaranteed-superset) candidate set against the full token
+    * stream; total recomputed from the stream (the replay-side shape,
+    * used by [[graft.streaming.StreamingHitters]]'s sink verify —
+    * [[qHeavyHitters]] itself piggybacks the total on the sketch to
+    * save a scan). Any summary whose survivors contain every token
+    * above N/[[HhK]] yields the identical exact answer through this
+    * pass. */
+  private[graft] def hittersFromCandidates(tok: DataFrame,
+      cands: DataFrame): DataFrame = {
+    val total = tok.agg(count(lit(1)).as("total"))
     tok.join(broadcast(cands), "word")
       .groupBy("word").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))

@@ -33,6 +33,20 @@ class ShardPlanSpec extends SparkSpec {
         r.getLong(3))).toSeq)
   }
 
+  test("writeShards round-trip: read-back audit matches the manifest " +
+      "shard-for-shard") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    Curation.writeShards(spark, sfDir, out)
+    val audit = Curation.verifyShards(spark, out).collect()
+    assert(audit.length ===
+      Curation.qShardPlan(spark, sfDir).count())
+    assert(audit.forall(_.getBoolean(5)), audit.mkString("\n"))
+    // the written layout really is shard-partitioned directories
+    assert(new java.io.File(s"$out/shards").listFiles()
+      .exists(_.getName.startsWith("shard_id=")))
+  }
+
   test("q_shard_plan invariants: contiguous ids, full shards except " +
       "the tail, lossless doc and byte accounting") {
     val rows = Curation.qShardPlan(spark, sfDir).collect()

@@ -28,9 +28,11 @@ class HeavyHittersSpec extends SparkSpec {
     val stream = (heavy ++ mid ++ fillers)
     val n = stream.length
     // 7 partitions → 7 partial summaries merged in driver-opaque order
-    val summary = stream.toDS().repartition(7)
+    val sk = stream.toDS().repartition(7)
       .select(MisraGriesAggregator.mg(c))
       .collect().head
+    assert(sk.n === n.toLong)
+    val summary = sk.items
     assert(summary.length <= c)
     val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
     summary.foreach { case (tok, est) =>
