@@ -491,6 +491,32 @@ object ScaleProbe {
         }
         s"cells=${r.length} counts_x${mult}_exact=$exact"
       },
+      time("cluster_cap") {
+        // every cell ×mult members (replicas are identical vectors
+        // with shifted ids, so each replica lands in its base's cell);
+        // the codebook stays vec_id<8 = the 8 original vectors. With
+        // mult > capK every cell's top value family alone over-fills
+        // the budget, so ALL survivors must sit at the cell's max
+        // csim — the planted-mega-cluster worst case: the cap keeps
+        // only the most prototypical family, in bounded-buffer time
+        val embx = s"$work/embx"
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$embx/embeddings.parquet")
+        val r = operators.Ann.qClusterCap(spark, embx).collect()
+        val cells = r.map(_.getLong(0)).distinct.length
+        val budget = r.groupBy(_.getLong(0))
+          .forall(_._2.length <= operators.Ann.ClusterCapK)
+        val maxOnly = mult <= operators.Ann.ClusterCapK ||
+          r.groupBy(_.getLong(0)).forall { case (_, rows) =>
+            val mx = rows.map(_.getLong(3)).max
+            rows.forall(_.getLong(3) == mx)
+          }
+        s"cells=$cells rows=${r.length} budget_ok=$budget " +
+          s"survivors_at_max_csim=$maxOnly"
+      },
       time("heavy_hitters") {
         // replication multiplies every token count AND the corpus total
         // by mult, so the heavy-hitter SET and fractions must be

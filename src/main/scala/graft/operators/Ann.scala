@@ -794,6 +794,41 @@ object Ann {
       .orderBy("cell")
   }
 
+  /** Per-cluster survivor budget for [[qClusterCap]]. */
+  private[graft] val ClusterCapK = 16
+
+  /** Cluster-capped diversity subsampling — the semantic twin of
+    * `q_domain_cap`: cap every IVF cell's contribution to the
+    * training mix at [[ClusterCapK]] vectors, keeping each cell's
+    * most PROTOTYPICAL members (highest centroid cosine, vec_id
+    * tie-break). The curation step after SemDeDup-style dedup: a
+    * giant semantic cluster (boilerplate, templated crawl) gets a
+    * fixed budget instead of proportional mass, while every small
+    * cluster keeps all its members — embedding-space balance the
+    * source-keyed cap can't see (Abbas et al. 2023 §5 discuss exactly
+    * this cluster-budgeting).
+    *
+    * Scale shape: rides the CACHED [[ivfRanked]] assignment (no new
+    * corpus pass in a warm session), and the per-cell top-K comes
+    * from the bounded [[graft.functions.TopKAggregator]] — each
+    * partition ships ≤K rows per cell, so a mega-cluster never
+    * funnels through one sort task (the row_number-per-cell
+    * formulation stays the oracle). */
+  def qClusterCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assign = ivfRanked(spark, dir).filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id"),
+        round(col("csim") * 1000000, 0).cast("long").as("csim_micro"))
+    assign.as[(Long, Long, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3.toDouble))
+      .agg(graft.functions.TopKAggregator.topK(ClusterCapK))
+      .toDF("cell", "top")
+      .select(col("cell"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("cell"), (col("pos") + 1).cast("long").as("rk"),
+        col("p._1").as("vec_id"), col("p._2").cast("long").as("csim_micro"))
+      .orderBy("cell", "rk")
+  }
+
   /** Cluster-vs-label purity: for every IVF cell, the dominant
     * ground-truth label and its share of the cell — the external
     * cluster-quality check run after [[qKmeansStep]] refinements
@@ -1189,6 +1224,7 @@ object Ann {
     "q_knn_join"       -> (qKnnJoin _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_topic_purity"  -> (qTopicPurity _),
+    "q_cluster_cap"   -> (qClusterCap _),
     "q_kmeans_step"   -> (qKmeansStep _),
     "q_ann_lsh"       -> (qAnnLsh _),
     "q_ann_lsh_mt"    -> (qAnnLshMt _),
@@ -1699,6 +1735,31 @@ object Ann {
         |  round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
         |FROM e JOIN short USING (vec_id), q
         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_cluster_cap" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, c.cell,
+         |    round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS csim
+         |  FROM e, c),
+         |ranked AS (
+         |  SELECT vec_id, cell, csim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |  FROM scored),
+         |assign AS (
+         |  SELECT vec_id, cell,
+         |    CAST(round(csim * 1000000, 0) AS BIGINT) AS csim_micro
+         |  FROM ranked WHERE rn = 1),
+         |r AS (
+         |  SELECT cell, vec_id, csim_micro,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY csim_micro DESC, vec_id)::BIGINT AS rk
+         |  FROM assign)
+         |SELECT cell, rk, vec_id, csim_micro FROM r
+         |WHERE rk <= ${ClusterCapK} ORDER BY cell, rk""".stripMargin,
     "q_topic_purity" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,

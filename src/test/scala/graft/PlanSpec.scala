@@ -296,6 +296,16 @@ class PlanSpec extends SparkSpec {
     assert(!"windowspecdefinition\\(h#".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q_cluster_cap: per-cell top-K from the bounded aggregator — " +
+      "no cell-keyed rank window") {
+    val p = planOf("q_cluster_cap")
+    // the cached assignment's per-VECTOR window is fine
+    // (high-cardinality key, 8-row groups); a per-CELL window would
+    // make a mega-cluster one sort task
+    assert(!"windowspecdefinition\\(cell#".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("q_hard_negatives / q_knn_join: bounded aggregator, no rank window") {
     Seq("q_hard_negatives", "q_knn_join").foreach { q =>
       val p = planOf(q)
