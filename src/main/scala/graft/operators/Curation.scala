@@ -738,15 +738,56 @@ object Curation {
     * every 13th under a fresh id) — the mutation is replayed verbatim
     * by the DuckDB oracle, so the diff logic itself is what the
     * hash-compare checks. */
-  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
-    val v1 = Tables.documents(spark, dir)
-    val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+  /** The deterministic simulated next release both diff operators run
+    * against (and the DuckDB oracles replay verbatim): every 7th doc
+    * dropped, every 11th revised, every 13th re-added under a new id. */
+  private[graft] def simulatedRelease(v1: DataFrame): DataFrame =
+    v1.filter(col("doc_id") % 7 =!= 0)
       .withColumn("text",
         when(col("doc_id") % 11 === 0, concat(col("text"), lit(" revised")))
           .otherwise(col("text")))
       .unionByName(v1.filter(col("doc_id") % 13 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000000L))
-    corpusDiff(v1, v2)
+
+  def qCorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+    corpusDiff(v1, simulatedRelease(v1))
+  }
+
+  /** Language-mix drift between releases — the monitoring number a
+    * pipeline alarms on before a release ships: per language, token
+    * mass and corpus share (exact integer micros) in v1 and v2, and
+    * the share drift. Total-variation distance is Σ|drift|/2 over the
+    * rows; everything is exact integer arithmetic (the micro-share
+    * `tokens·10⁶ div total` in DECIMAL so a 10¹³-token corpus cannot
+    * overflow), so the report is engine-portable bit-for-bit — no
+    * log-based divergence whose float parity is fragile.
+    *
+    * Scale shape: two narrow (lang, token-count) aggregate scans and
+    * a languages-sized full-outer join — linear, no window, the 1-row
+    * totals broadcast. */
+  def qDistDrift(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+    def langTokens(df: DataFrame, as: String) = df
+      .select(col("lang"),
+        size(toks(col("text"))).cast("long").as("t"))
+      .groupBy("lang").agg(sum("t").as(as))
+    val j = langTokens(v1, "v1_tokens")
+      .join(langTokens(simulatedRelease(v1), "v2_tokens"),
+        Seq("lang"), "full_outer")
+      .withColumn("v1_tokens", coalesce(col("v1_tokens"), lit(0L)))
+      .withColumn("v2_tokens", coalesce(col("v2_tokens"), lit(0L)))
+    val tot = j.agg(sum("v1_tokens").as("t1"), sum("v2_tokens").as("t2"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("v1_share_micro",
+        expr("CAST(CAST(v1_tokens AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0)) div t1"))
+      .withColumn("v2_share_micro",
+        expr("CAST(CAST(v2_tokens AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0)) div t2"))
+      .withColumn("drift_micro",
+        col("v2_share_micro") - col("v1_share_micro"))
+      .select("lang", "v1_tokens", "v2_tokens", "v1_share_micro",
+        "v2_share_micro", "drift_micro")
+      .orderBy("lang")
   }
 
   /** Candidate training context lengths for the truncation forecast. */
@@ -944,6 +985,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shard_plan"    -> (qShardPlan _),
+    "q_dist_drift"    -> (qDistDrift _),
     "q_bpe_pairs"     -> (qBpePairs _),
     "q_bpe_train"     -> (qBpeTrain _),
     "q_bpe_encode"    -> (qBpeEncode _),
@@ -969,6 +1011,34 @@ object Curation {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_dist_drift" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, lang, text FROM documents),
+         |v2 AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' revised'
+         |         ELSE text END AS text
+         |  FROM v1 WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, lang, text
+         |  FROM v1 WHERE doc_id % 13 = 0),
+         |a AS (SELECT lang, sum(len($toksSql))::BIGINT AS v1_tokens
+         |      FROM v1 GROUP BY 1),
+         |b AS (SELECT lang, sum(len($toksSql))::BIGINT AS v2_tokens
+         |      FROM v2 GROUP BY 1),
+         |j AS (
+         |  SELECT coalesce(a.lang, b.lang) AS lang,
+         |    coalesce(v1_tokens, 0) AS v1_tokens,
+         |    coalesce(v2_tokens, 0) AS v2_tokens
+         |  FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+         |t AS (SELECT sum(v1_tokens)::HUGEINT AS t1,
+         |             sum(v2_tokens)::HUGEINT AS t2 FROM j)
+         |SELECT lang, v1_tokens, v2_tokens,
+         |  (v1_tokens::HUGEINT * 1000000 // t1)::BIGINT AS v1_share_micro,
+         |  (v2_tokens::HUGEINT * 1000000 // t2)::BIGINT AS v2_share_micro,
+         |  (v2_tokens::HUGEINT * 1000000 // t2
+         |    - v1_tokens::HUGEINT * 1000000 // t1)::BIGINT AS drift_micro
+         |FROM j, t ORDER BY lang""".stripMargin,
     "q_shard_plan" ->
       s"""WITH h AS (
          |  SELECT doc_id, n_chars,

@@ -261,6 +261,32 @@ class CurationSpec extends SparkSpec {
     p.unpersist()
   }
 
+  test("dist drift: shares sum to one within floor rounding, drift " +
+      "reconciles, token masses match the release scans") {
+    val rows = Curation.qDistDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val langs = rows.length
+    // floor-division shares: total in (1e6 - langs, 1e6]
+    Seq(3, 4).foreach { i =>
+      val s = rows.map(_.getLong(i)).sum
+      assert(s > 1000000L - langs && s <= 1000000L, s"share col $i: $s")
+    }
+    // drift column is exactly the share difference, TVD within [0,1e6]
+    rows.foreach(r =>
+      assert(r.getLong(5) === r.getLong(4) - r.getLong(3)))
+    val tvd = rows.map(r => math.abs(r.getLong(5))).sum / 2
+    assert(tvd >= 0 && tvd <= 1000000L)
+    // v1 token masses agree with an independent scan
+    val v1 = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(graft.operators.TextAnalysis.toks(col("text")))
+          .cast("long").as("t"))
+      .groupBy("lang").agg(sum("t").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(r.getLong(1) === v1.getOrElse(r.getString(0), 0L)))
+  }
+
   test("epoch plan: caps respected, budget never exceeded, surplus lands") {
     val p = Curation.qEpochPlan(spark, sfDir).persist()
     // nobody exceeds the 4-epoch repetition cap
