@@ -754,6 +754,46 @@ object Curation {
     corpusDiff(v1, simulatedRelease(v1))
   }
 
+  /** Stable-shard count for [[qShardChurn]] (hash-bucket sharding —
+    * shard = top bits of the doc's hash60, NOT a rank cut). */
+  private[graft] val StableShards = 64L
+
+  /** Release-to-release shard churn under STABLE hash sharding —
+    * why a 100 TB layout shards by content hash bucket rather than
+    * rank: `q_shard_plan`'s rank-cut shards shift on ANY insertion
+    * (every later rank moves), forcing a full rewrite; hash-bucket
+    * shards (`shard = h div 2⁶⁰/64` — no rank, no coordination)
+    * localize an update to exactly the shards holding changed docs.
+    * This report quantifies it for the simulated release: per shard,
+    * docs added / removed / revised and the untouched verdict — the
+    * incremental-publish planner (only `dirty` shards re-ship).
+    *
+    * Scale shape: two narrow fingerprint scans, one full-outer join on
+    * doc_id, one shard groupBy — linear, no windows anywhere (the
+    * stable assignment needs no rank at all). */
+  def qShardChurn(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+    def fp(df: DataFrame, side: String) = df.select(col("doc_id"),
+      hash60Col(col("text")).as(s"fp_$side"))
+    val shardOf = expr(
+      s"CAST(h div ${(1L << 60) / StableShards} AS BIGINT)")
+    fp(v1, "a").join(fp(simulatedRelease(v1), "b"), Seq("doc_id"),
+        "full_outer")
+      .withColumn("h",
+        hash60Col(concat(lit("shard:"), col("doc_id").cast("string"))))
+      .withColumn("shard_id", shardOf)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("fp_a").isNull, 1L).otherwise(0L)).as("added"),
+        sum(when(col("fp_b").isNull, 1L).otherwise(0L)).as("removed"),
+        sum(when(col("fp_a").isNotNull && col("fp_b").isNotNull &&
+          col("fp_a") =!= col("fp_b"), 1L).otherwise(0L)).as("revised"))
+      .withColumn("dirty",
+        col("added") + col("removed") + col("revised") > 0)
+      .select("shard_id", "n_docs", "added", "removed", "revised", "dirty")
+      .orderBy("shard_id")
+  }
+
   /** Language-mix drift between releases — the monitoring number a
     * pipeline alarms on before a release ships: per language, token
     * mass and corpus share (exact integer micros) in v1 and v2, and
@@ -986,6 +1026,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shard_plan"    -> (qShardPlan _),
     "q_dist_drift"    -> (qDistDrift _),
+    "q_shard_churn"   -> (qShardChurn _),
     "q_bpe_pairs"     -> (qBpePairs _),
     "q_bpe_train"     -> (qBpeTrain _),
     "q_bpe_encode"    -> (qBpeEncode _),
@@ -1011,6 +1052,39 @@ object Curation {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_shard_churn" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, lang, text FROM documents),
+         |v2 AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' revised'
+         |         ELSE text END AS text
+         |  FROM v1 WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, lang, text
+         |  FROM v1 WHERE doc_id % 13 = 0),
+         |pa AS (SELECT doc_id,
+         |  ('0x'||substr(md5(text),1,15))::BIGINT AS fp_a FROM v1),
+         |pb AS (SELECT doc_id,
+         |  ('0x'||substr(md5(text),1,15))::BIGINT AS fp_b FROM v2),
+         |j AS (
+         |  SELECT coalesce(pa.doc_id, pb.doc_id) AS doc_id, fp_a, fp_b
+         |  FROM pa FULL OUTER JOIN pb ON pa.doc_id = pb.doc_id),
+         |s AS (
+         |  SELECT ('0x'||substr(md5('shard:'||doc_id::VARCHAR),1,15))::BIGINT
+         |      // ${(1L << 60) / StableShards} AS shard_id,
+         |    fp_a, fp_b
+         |  FROM j)
+         |SELECT shard_id, count(*) AS n_docs,
+         |  sum(CASE WHEN fp_a IS NULL THEN 1 ELSE 0 END)::BIGINT AS added,
+         |  sum(CASE WHEN fp_b IS NULL THEN 1 ELSE 0 END)::BIGINT AS removed,
+         |  sum(CASE WHEN fp_a IS NOT NULL AND fp_b IS NOT NULL
+         |      AND fp_a <> fp_b THEN 1 ELSE 0 END)::BIGINT AS revised,
+         |  (sum(CASE WHEN fp_a IS NULL THEN 1 ELSE 0 END)
+         |   + sum(CASE WHEN fp_b IS NULL THEN 1 ELSE 0 END)
+         |   + sum(CASE WHEN fp_a IS NOT NULL AND fp_b IS NOT NULL
+         |       AND fp_a <> fp_b THEN 1 ELSE 0 END)) > 0 AS dirty
+         |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "q_dist_drift" ->
       s"""WITH v1 AS (
          |  SELECT doc_id, lang, text FROM documents),

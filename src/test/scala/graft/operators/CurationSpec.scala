@@ -287,6 +287,27 @@ class CurationSpec extends SparkSpec {
       assert(r.getLong(1) === v1.getOrElse(r.getString(0), 0L)))
   }
 
+  test("shard churn: change accounting reconciles with the corpus " +
+      "diff, shard ids cover the stable range") {
+    val churn = Curation.qShardChurn(spark, sfDir).collect()
+    assert(churn.nonEmpty)
+    churn.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < Curation.StableShards)
+      val dirty = r.getLong(2) + r.getLong(3) + r.getLong(4) > 0
+      assert(r.getBoolean(5) === dirty)
+    }
+    // totals must equal the release diff's per-class doc counts
+    val diff = Curation.qCorpusDiff(spark, sfDir).collect()
+      .groupBy(_.getString(1))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(churn.map(_.getLong(2)).sum === diff.getOrElse("added", 0L))
+    assert(churn.map(_.getLong(3)).sum === diff.getOrElse("removed", 0L))
+    assert(churn.map(_.getLong(4)).sum === diff.getOrElse("changed", 0L))
+    // every doc of the union lands in exactly one shard
+    val nUnion = diff.values.sum
+    assert(churn.map(_.getLong(1)).sum === nUnion)
+  }
+
   test("epoch plan: caps respected, budget never exceeded, surplus lands") {
     val p = Curation.qEpochPlan(spark, sfDir).persist()
     // nobody exceeds the 4-epoch repetition cap
