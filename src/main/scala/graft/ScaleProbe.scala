@@ -491,6 +491,32 @@ object ScaleProbe {
         }
         s"cells=${r.length} counts_x${mult}_exact=$exact"
       },
+      time("dist_drift") {
+        // replication multiplies every language's mass in BOTH
+        // releases equally, so shares and drift must be bit-identical
+        // to the base run — exactness surviving 20× is the check
+        val base = operators.Curation.qDistDrift(spark, sfDir).collect()
+          .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4),
+            r.getLong(5))).toMap
+        val r = operators.Curation.qDistDrift(spark, work).collect()
+        val exact = r.length == base.size && r.forall { row =>
+          base(row.getString(0)) == ((row.getLong(3), row.getLong(4),
+            row.getLong(5)))
+        }
+        s"langs=${r.length} shares_bit_identical=$exact"
+      },
+      time("shard_churn") {
+        // every replica repeats the base churn pattern, so per-class
+        // totals scale exactly ×mult while the shard count stays at
+        // its stable 64 — localization does not degrade with volume
+        val base = operators.Curation.qShardChurn(spark, sfDir).collect()
+        val r = operators.Curation.qShardChurn(spark, work).collect()
+        def tot(rows: Array[org.apache.spark.sql.Row], i: Int) =
+          rows.map(_.getLong(i)).sum
+        val exact = Seq(2, 3, 4).forall(i =>
+          tot(base, i) * mult == tot(r, i))
+        s"shards=${r.length} class_totals_x${mult}_exact=$exact"
+      },
       time("cluster_cap") {
         // every cell ×mult members (replicas are identical vectors
         // with shifted ids, so each replica lands in its base's cell);
