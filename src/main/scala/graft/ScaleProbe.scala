@@ -492,30 +492,40 @@ object ScaleProbe {
         s"cells=${r.length} counts_x${mult}_exact=$exact"
       },
       time("dist_drift") {
-        // replication multiplies every language's mass in BOTH
-        // releases equally, so shares and drift must be bit-identical
-        // to the base run — exactness surviving 20× is the check
+        // v1 replicates every language equally, so v1 shares must be
+        // BIT-IDENTICAL to the base run at any mult (v2's %-pattern
+        // shifts with replica ids — its invariant is the share-sum
+        // range, not replay equality)
         val base = operators.Curation.qDistDrift(spark, sfDir).collect()
-          .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4),
-            r.getLong(5))).toMap
+          .map(r => r.getString(0) -> r.getLong(3)).toMap
         val r = operators.Curation.qDistDrift(spark, work).collect()
-        val exact = r.length == base.size && r.forall { row =>
-          base(row.getString(0)) == ((row.getLong(3), row.getLong(4),
-            row.getLong(5)))
-        }
-        s"langs=${r.length} shares_bit_identical=$exact"
+        val v1exact = r.length == base.size &&
+          r.forall(row => base(row.getString(0)) == row.getLong(3))
+        val sums = Seq(3, 4).map(i => r.map(_.getLong(i)).sum)
+        val sumOk = sums.forall(s =>
+          s > 1000000L - r.length && s <= 1000000L)
+        s"langs=${r.length} v1_shares_bit_identical=$v1exact " +
+          s"share_sums_ok=$sumOk"
       },
       time("shard_churn") {
-        // every replica repeats the base churn pattern, so per-class
-        // totals scale exactly ×mult while the shard count stays at
-        // its stable 64 — localization does not degrade with volume
-        val base = operators.Curation.qShardChurn(spark, sfDir).collect()
+        // expected per-class totals derive from the derived corpus's
+        // own %-patterns (replica id shifts change which docs the
+        // simulated release drops/revises/adds — recompute, don't
+        // scale the base); localization structure: 64 stable shards,
+        // dirty verdict consistent
+        val ids = Tables.documents(spark, work).select("doc_id")
+        val expAdd = ids.filter(col("doc_id") % 13 === 0).count()
+        val expRem = ids.filter(col("doc_id") % 7 === 0).count()
+        val expRev = ids.filter(col("doc_id") % 7 =!= 0 &&
+          col("doc_id") % 11 === 0).count()
         val r = operators.Curation.qShardChurn(spark, work).collect()
-        def tot(rows: Array[org.apache.spark.sql.Row], i: Int) =
-          rows.map(_.getLong(i)).sum
-        val exact = Seq(2, 3, 4).forall(i =>
-          tot(base, i) * mult == tot(r, i))
-        s"shards=${r.length} class_totals_x${mult}_exact=$exact"
+        def tot(i: Int) = r.map(_.getLong(i)).sum
+        val classesOk = tot(2) == expAdd && tot(3) == expRem &&
+          tot(4) == expRev
+        val dirtyOk = r.forall(row => row.getBoolean(5) ==
+          (row.getLong(2) + row.getLong(3) + row.getLong(4) > 0))
+        s"shards=${r.length} class_totals_exact=$classesOk " +
+          s"dirty_consistent=$dirtyOk"
       },
       time("cluster_cap") {
         // every cell ×mult members (replicas are identical vectors
