@@ -491,6 +491,33 @@ object ScaleProbe {
         }
         s"cells=${r.length} counts_x${mult}_exact=$exact"
       },
+      time("pq_refine") {
+        // per-subspace Lloyd over the replicated embeddings (identical
+        // vectors, shifted ids): objective must fall monotonically and
+        // the round cost is one broadcast-distance pass + one tiny
+        // (sub,cid,d) shuffle — flat-in-mult up to the scan
+        val embx = s"$work/embx"
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$embx/embeddings.parquet")
+        val sv = Tables.embeddings(spark, embx)
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("d", "x")))
+          .withColumn("se",
+            round(col("x").cast("double") * 1000000, 0).cast("long"))
+          .withColumn("sub",
+            floor(col("d") / operators.Ann.SubDim).cast("long"))
+        val e0 = operators.Ann.pqQuantError(sv,
+          operators.Ann.refinePqCodebooks(spark, embx, 0))
+        val e2 = operators.Ann.pqQuantError(sv,
+          operators.Ann.refinePqCodebooks(spark, embx, 2))
+        val served = operators.Ann.pqServeWith(spark, embx,
+          operators.Ann.refinePqCodebooks(spark, embx, 2)).count()
+        s"err_drop_pct=${(e0 - e2) * 100 / math.max(1L, e0)} " +
+          s"monotone=${e2 <= e0} served=$served"
+      },
       time("dist_drift") {
         // v1 replicates every language equally, so v1 shares must be
         // BIT-IDENTICAL to the base run at any mult (v2's %-pattern

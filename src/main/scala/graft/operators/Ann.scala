@@ -570,19 +570,83 @@ object Ann {
     * encode is one broadcast join + one (vec, sub, cid)-keyed groupBy,
     * linear in corpus size. Fixed-point distances make codes bit-stable
     * across engines and partitionings. */
+  /** The bootstrap PQ codebook in explicit `(sub, cid, d, ce)` form:
+    * centroid `cid` of subspace `sub` is vector `cid`'s subvector —
+    * the same no-iteration trick as IVF. [[refinePqCodebooks]] emits
+    * a drop-in replacement. */
+  private[graft] def pqBootstrapCents(sv: DataFrame): DataFrame =
+    sv.filter(col("vec_id") < PqCentroids)
+      .select(col("sub"), col("vec_id").as("cid"), col("d"),
+        col("se").as("ce"))
+
+  /** Per-(vector, subspace) distances to every centroid of an EXPLICIT
+    * codebook — `(vec_id, sub, cid, dist)`, exact integer squared
+    * distance. Shared by encode, refinement, and the quantization-
+    * error audit. */
+  private def pqDists(sv: DataFrame, cents: DataFrame): DataFrame =
+    sv.join(broadcast(cents), Seq("sub", "d"))
+      .groupBy("vec_id", "sub", "cid")
+      .agg(sum((col("se") - col("ce")) * (col("se") - col("ce")))
+        .as("dist"))
+
+  /** Nearest-centroid assignment (dist asc, cid tie-break) against an
+    * explicit codebook — window-free argmax, the same construction as
+    * [[cellAssign]]. */
+  private[graft] def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
+    pqDists(sv, cents)
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
+
   def pqCodes(spark: SparkSession, dir: String): DataFrame =
     Cache.getOrBuild(spark, "pqCodes", dir) {
       val sv = pqComponents(spark, dir)
-      val cents = sv.filter(col("vec_id") < PqCentroids)
-        .select(col("vec_id").as("cid"), col("d"), col("se").as("ce"))
-      val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist"), col("cid"))
-      sv.join(broadcast(cents), "d")
-        .groupBy("vec_id", "sub", "cid")
-        .agg(sum((col("se") - col("ce")) * (col("se") - col("ce"))).as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("sub"), col("cid").as("code"))
+      pqAssign(sv, pqBootstrapCents(sv))
     }
+
+  /** Per-subspace Lloyd refinement of the PQ codebooks — the k-means
+    * swap the bootstrap comment promises, closing the PQ family the
+    * way [[refineCodebook]] closed the IVF coarse quantizer: each
+    * round re-encodes every subvector against the broadcast codebook
+    * and recomputes each (sub, cid) centroid component as the exact
+    * rounded-integer mean of its members. Integer centroids keep
+    * every distance exact, so assignments (and the error audit) are
+    * bit-stable on any partitioning; the k-means objective
+    * ([[pqQuantError]]) is non-increasing across rounds
+    * (PqRefineSpec pins it).
+    *
+    * Scale shape per round: one broadcast-codebook distance pass
+    * (same plan as encode) + ONE (sub, cid, d) shuffle with map-side
+    * partial sums into `SubSpaces · PqCentroids · SubDim` rows — only
+    * that tiny codebook table crosses iterations. */
+  def refinePqCodebooks(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    val sv = pqComponents(spark, dir)
+    var cents = pqBootstrapCents(sv)
+    var prev: Option[DataFrame] = None
+    for (_ <- 0 until iters) {
+      val assign = pqAssign(sv, cents)
+        .withColumnRenamed("code", "cid")
+      val next = assign.join(sv, Seq("vec_id", "sub"))
+        .groupBy("sub", "cid", "d")
+        .agg(expr("CAST(round(avg(se)) AS BIGINT)").as("ce"))
+        .persist()
+      next.count() // materialize: iterations must not re-derive lineage
+      prev.foreach(_.unpersist(false))
+      prev = Some(next)
+      cents = next
+    }
+    cents
+  }
+
+  /** Total quantization error (Σ per-subvector min squared distance)
+    * under an explicit codebook — the k-means objective, exact
+    * integer. */
+  private[graft] def pqQuantError(sv: DataFrame, cents: DataFrame): Long =
+    pqDists(sv, cents)
+      .groupBy("vec_id", "sub")
+      .agg(min(col("dist")).as("best"))
+      .agg(coalesce(sum(col("best")), lit(0L))).head.getLong(0)
 
   /** ADC lookup table for the query vector: exact fixed-point dot of
     * each query subvector with each centroid — `SubSpaces × 8` rows,
@@ -607,12 +671,17 @@ object Ann {
     * stage 1 is the full-corpus pass over ~1/16th the bytes and stage 2
     * touches 50 vectors. Scores are the same rounded cosine as the
     * exact/LSH/IVF paths, so q_ann_recall measures PQ recall directly. */
-  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame =
+    pqServeFrom(spark, dir, pqCodes(spark, dir), pqQueryTable(spark, dir))
+
+  /** The ADC-shortlist + exact-rescore serve body, parameterized on
+    * the code table and query lookup table so the bootstrap and
+    * trained-codebook paths ride the IDENTICAL plan. */
+  private def pqServeFrom(spark: SparkSession, dir: String,
+      codes: DataFrame, qd: DataFrame, k: Int = 10): DataFrame = {
     val e = Search.embNormed(spark, dir)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("nrm").as("qn"))
-    val qd = pqQueryTable(spark, dir)
-    val codes = pqCodes(spark, dir)
     val shortlist = codes
       .join(broadcast(qd),
         codes("sub") === qd("sub") && codes("code") === qd("cid"))
@@ -629,7 +698,22 @@ object Ann {
         round(cosinePrenormed(dot(col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
       .select(col("vec_id"), col("score"))
       .orderBy(desc("score"), col("vec_id"))
-      .limit(10)
+      .limit(k)
+  }
+
+  /** PQ serve against an EXPLICIT (trained) codebook — encode + query
+    * lookup table derived from `cents`, then the shared serve body.
+    * The trained-quantizer variant of [[qAnnPq]], mirroring
+    * [[probeIvfIndexWith]]. */
+  def pqServeWith(spark: SparkSession, dir: String,
+      cents: DataFrame, k: Int = 10): DataFrame = {
+    val sv = pqComponents(spark, dir)
+    val codes = pqAssign(sv, cents)
+    val qd = sv.filter(col("vec_id") === 0)
+      .join(broadcast(cents), Seq("sub", "d"))
+      .groupBy("sub", "cid")
+      .agg(sum(col("se") * col("ce")).as("dot_fp"))
+    pqServeFrom(spark, dir, codes, qd, k)
   }
 
   /** Embedding-space label report: per label, member count and
