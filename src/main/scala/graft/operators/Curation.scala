@@ -1,7 +1,7 @@
 package graft
 package operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -758,6 +758,16 @@ object Curation {
     * shard = top bits of the doc's hash60, NOT a rank cut). */
   private[graft] val StableShards = 64L
 
+  /** Stable shard of a doc id — pure hash bucket (top 6 bits of the
+    * 60-bit hash, an exact shift: never double division, which loses
+    * bits past 2⁵³), no rank, no coordination; identical in batch
+    * ([[qShardChurn]]) and streaming
+    * ([[graft.streaming.StreamingShards]]) so a router needs no state
+    * to place a document. */
+  private[graft] def stableShardCol(docId: Column): Column =
+    shiftright(hash60Col(concat(lit("shard:"), docId.cast("string"))),
+      60 - java.lang.Long.numberOfTrailingZeros(StableShards)).cast("long")
+
   /** Release-to-release shard churn under STABLE hash sharding —
     * why a 100 TB layout shards by content hash bucket rather than
     * rank: `q_shard_plan`'s rank-cut shards shift on ANY insertion
@@ -775,13 +785,9 @@ object Curation {
     val v1 = Tables.documents(spark, dir)
     def fp(df: DataFrame, side: String) = df.select(col("doc_id"),
       hash60Col(col("text")).as(s"fp_$side"))
-    val shardOf = expr(
-      s"CAST(h div ${(1L << 60) / StableShards} AS BIGINT)")
     fp(v1, "a").join(fp(simulatedRelease(v1), "b"), Seq("doc_id"),
         "full_outer")
-      .withColumn("h",
-        hash60Col(concat(lit("shard:"), col("doc_id").cast("string"))))
-      .withColumn("shard_id", shardOf)
+      .withColumn("shard_id", stableShardCol(col("doc_id")))
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("fp_a").isNull, 1L).otherwise(0L)).as("added"),
