@@ -800,6 +800,20 @@ object Curation {
       .orderBy("shard_id")
   }
 
+  /** Sequence packing WITHIN the stable shard layout — the
+    * composition that makes the shard story end-to-end: docs routed by
+    * [[stableShardCol]] (the layout [[qShardChurn]] argues for and
+    * [[graft.streaming.StreamingShards]] ingests into) are packed
+    * per-shard by the SAME two-pass segment packer as
+    * [[qPackBatches]] — bins never cross shards, so 1000 executors
+    * pack 1000 shards with zero coordination and a trainer reads each
+    * shard's bins independently. */
+  def qPackShards(spark: SparkSession, dir: String): DataFrame =
+    packFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), stableShardCol(col("doc_id")).as("source"),
+        size(toks(col("text"))).cast("long").as("tok")))
+      .withColumnRenamed("source", "shard_id")
+
   /** Language-mix drift between releases — the monitoring number a
     * pipeline alarms on before a release ships: per language, token
     * mass and corpus share (exact integer micros) in v1 and v2, and
@@ -1033,6 +1047,7 @@ object Curation {
     "q_shard_plan"    -> (qShardPlan _),
     "q_dist_drift"    -> (qDistDrift _),
     "q_shard_churn"   -> (qShardChurn _),
+    "q_pack_shards"   -> (qPackShards _),
     "q_bpe_pairs"     -> (qBpePairs _),
     "q_bpe_train"     -> (qBpeTrain _),
     "q_bpe_encode"    -> (qBpeEncode _),
@@ -1058,6 +1073,25 @@ object Curation {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_pack_shards" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ('0x'||substr(md5('shard:'||doc_id::VARCHAR),1,15))::BIGINT
+         |      // ${1L << 54} AS shard_id,
+         |    len($toksSql)::BIGINT AS tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard_id, tok,
+         |    sum(tok) OVER (PARTITION BY shard_id ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d),
+         |b AS (
+         |  SELECT shard_id, CAST(floor((cum - tok) / $PackCapacity) AS BIGINT) AS bin,
+         |    doc_id, tok
+         |  FROM c)
+         |SELECT shard_id, bin, count(*) AS n_docs, sum(tok)::BIGINT AS bin_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM b GROUP BY shard_id, bin ORDER BY shard_id, bin""".stripMargin,
     "q_shard_churn" ->
       s"""WITH v1 AS (
          |  SELECT doc_id, lang, text FROM documents),

@@ -287,6 +287,30 @@ class CurationSpec extends SparkSpec {
       assert(r.getLong(1) === v1.getOrElse(r.getString(0), 0L)))
   }
 
+  test("pack shards: bins never cross shards, token accounting " +
+      "lossless, equal to the window twin over the routed table") {
+    import org.apache.spark.sql.functions._
+    val got = Curation.qPackShards(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // doc/token accounting is lossless vs the raw corpus
+    val docs = Tables.documents(spark, sfDir)
+    assert(got.map(_.getLong(2)).sum === docs.count())
+    val totTok = docs.agg(sum(size(
+      graft.operators.TextAnalysis.toks(col("text")))).cast("long"))
+      .head.getLong(0)
+    assert(got.map(_.getLong(3)).sum === totTok)
+    // the single-window twin over the identically routed table
+    val routed = docs.select(col("doc_id"),
+      Curation.stableShardCol(col("doc_id")).as("source"),
+      size(graft.operators.TextAnalysis.toks(col("text")))
+        .cast("long").as("tok"))
+    val twin = Curation.packWindowTwinFrom(routed).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq ===
+      twin.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq)
+  }
+
   test("shard churn: change accounting reconciles with the corpus " +
       "diff, shard ids cover the stable range") {
     val churn = Curation.qShardChurn(spark, sfDir).collect()
