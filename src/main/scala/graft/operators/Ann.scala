@@ -716,6 +716,49 @@ object Ann {
     pqServeFrom(spark, dir, codes, qd, k)
   }
 
+  /** Embedding-distribution drift between releases — the vector-side
+    * twin of `q_dist_drift`'s token-share report: per ground-truth
+    * label, member counts in v1 and the simulated v2 (every 7th
+    * vector dropped, every 13th re-added under a new id — the same
+    * release pattern the text diffs replay) and the COSINE between
+    * the two releases' label centroids. A drop below ~0.99 on any
+    * label is the "embedding space moved" alarm a pipeline raises
+    * before re-training a quantizer or re-mining negatives.
+    *
+    * Determinism: centroid components are exact fixed-point integer
+    * sums (order-independent on any partitioning); the cosine is one
+    * double expression over DECIMAL dot/norm sums (a 10⁹-vector
+    * corpus would overflow a long at Σ s_a·s_b), rounded once at the
+    * end — the NB fixed-point discipline, so DuckDB reproduces it
+    * bit-for-bit via HUGEINT. Scale shape: two narrow component
+    * scans, one (label, pos) shuffle each, a labels-sized join. */
+  def qEmbDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e1 = Tables.embeddings(spark, dir)
+    val e2 = e1.filter(col("vec_id") % 7 =!= 0)
+      .unionByName(e1.filter(col("vec_id") % 13 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000000L))
+    def sums(df: DataFrame, p: String) = df
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("se", round(col("x").cast("double") * 1000000, 0).cast("long"))
+      .groupBy("label", "d")
+      .agg(expr("CAST(sum(se) AS DECIMAL(38,0))").as(s"s_$p"))
+    def counts(df: DataFrame, as: String) = df.groupBy("label")
+      .agg(count(lit(1)).as(as))
+    sums(e1, "a").join(sums(e2, "b"), Seq("label", "d"))
+      .groupBy("label")
+      .agg(sum(col("s_a") * col("s_b")).as("dot"),
+        sum(col("s_a") * col("s_a")).as("na2"),
+        sum(col("s_b") * col("s_b")).as("nb2"))
+      .withColumn("centroid_cos",
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb2").cast("double"))), 6))
+      .join(counts(e1, "n_v1"), "label")
+      .join(counts(e2, "n_v2"), "label")
+      .select("label", "n_v1", "n_v2", "centroid_cos")
+      .orderBy("label")
+  }
+
   /** Embedding-space label report: per label, member count and
     * centroid tightness = ‖mean vector‖ (≈1 ⇔ members point the same
     * way; ≈0 ⇔ isotropic). Centroids are exact: fixed-point component
@@ -1320,6 +1363,7 @@ object Ann {
     "q_ann_recall"    -> (qAnnRecall _),
     "q_ivf_balance"   -> (qIvfBalance _),
     "q_label_stats"   -> (qLabelStats _),
+    "q_emb_drift"     -> (qEmbDrift _),
   )
 
   /** Shared by Dedup's LSH-candidate oracle. */
@@ -1580,6 +1624,29 @@ object Ann {
          |$pqSql
          |SELECT vec_id, score FROM pqtop
          |ORDER BY score DESC, vec_id""".stripMargin,
+    "q_emb_drift" ->
+      """WITH sv AS (
+        |  SELECT vec_id, label, d,
+        |    CAST(round(embedding[d+1]::DOUBLE * 1000000, 0) AS BIGINT) AS se
+        |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) g),
+        |s2 AS (
+        |  SELECT vec_id, label, d, se FROM sv WHERE vec_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000000, label, d, se FROM sv WHERE vec_id % 13 = 0),
+        |ca AS (SELECT label, d, sum(se)::HUGEINT AS s_a FROM sv GROUP BY 1, 2),
+        |cb AS (SELECT label, d, sum(se)::HUGEINT AS s_b FROM s2 GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT ca.label,
+        |    sum(s_a * s_b) AS dot, sum(s_a * s_a) AS na2, sum(s_b * s_b) AS nb2
+        |  FROM ca JOIN cb ON ca.label = cb.label AND ca.d = cb.d
+        |  GROUP BY 1),
+        |n1 AS (SELECT label, count(DISTINCT vec_id)::BIGINT AS n_v1 FROM sv GROUP BY 1),
+        |n2 AS (SELECT label, count(DISTINCT vec_id)::BIGINT AS n_v2 FROM s2 GROUP BY 1)
+        |SELECT label, n_v1, n_v2,
+        |  round(dot::DOUBLE / (sqrt(na2::DOUBLE) * sqrt(nb2::DOUBLE)), 6)
+        |    AS centroid_cos
+        |FROM dots JOIN n1 USING (label) JOIN n2 USING (label)
+        |ORDER BY label""".stripMargin,
     "q_label_stats" ->
       """WITH sv AS (
         |  SELECT vec_id, label, d,
