@@ -491,6 +491,42 @@ object ScaleProbe {
         }
         s"cells=${r.length} counts_x${mult}_exact=$exact"
       },
+      time("pack_shards") {
+        // hash-routed packing: lossless token accounting at any mult,
+        // and the stable layout spreads the replicated corpus evenly —
+        // no shard owns more than ~3× its fair share (hash uniformity)
+        val r = operators.Curation.qPackShards(spark, work).collect()
+        val docsTotal = r.map(_.getLong(2)).sum
+        val fair = (n0 * mult).toDouble / operators.Curation.StableShards
+        val maxShard = r.groupBy(_.getLong(0)).values
+          .map(_.map(_.getLong(2)).sum).max
+        s"bins=${r.length} lossless=${docsTotal == n0 * mult} " +
+          s"max_shard_over_fair=${f"${maxShard / fair}%.2f"}"
+      },
+      time("emb_drift") {
+        // expected v2 membership recomputed from the derived corpus's
+        // own release pattern (replica ids shift the % classes);
+        // cosines must stay in (0,1] with the big-corpus centroids
+        // now stable under the 1/7 drop
+        val embx = s"$work/embx"
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$embx/embeddings.parquet")
+        val e = spark.read.parquet(s"$embx/embeddings.parquet")
+          .select("vec_id", "label").collect()
+          .map(r => (r.getLong(0), r.getInt(1)))
+        val r = operators.Ann.qEmbDrift(spark, embx).collect()
+        val ok = r.forall { row =>
+          val l = row.getInt(0)
+          row.getLong(1) == e.count(_._2 == l).toLong &&
+          row.getLong(2) == (e.count(x => x._2 == l && x._1 % 7 != 0) +
+            e.count(x => x._2 == l && x._1 % 13 == 0)).toLong &&
+          row.getDouble(3) > 0.95 && row.getDouble(3) <= 1.0
+        }
+        s"labels=${r.length} counts_and_cos_ok=$ok"
+      },
       time("pq_refine") {
         // per-subspace Lloyd over the replicated embeddings (identical
         // vectors, shifted ids): objective must fall monotonically and
