@@ -70,6 +70,21 @@ object ScaleProbe {
       }
     }
 
+    /** Replicated embeddings (identical vectors, shifted ids), built
+      * AT MOST ONCE per run however many probes consume it — three
+      * probes (emb_drift, pq_refine, cluster_cap) share the derived
+      * table; rebuilding it per probe would be two redundant
+      * corpus-scale write passes. Lazy so a targeted `only` run that
+      * skips all three never pays the build. */
+    lazy val embxDir: String = {
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+        .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$work/embx/embeddings.parquet")
+      s"$work/embx"
+    }
+
     val results = Seq(
       time("exact_dedup") {
         val g = operators.Dedup.qDedupExact(spark, work)
@@ -508,12 +523,7 @@ object ScaleProbe {
         // own release pattern (replica ids shift the % classes);
         // cosines must stay in (0,1] with the big-corpus centroids
         // now stable under the 1/7 drop
-        val embx = s"$work/embx"
-        spark.read.parquet(s"$sfDir/embeddings.parquet")
-          .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
-          .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
-          .drop("rep")
-          .write.mode("overwrite").parquet(s"$embx/embeddings.parquet")
+        val embx = embxDir
         val e = spark.read.parquet(s"$embx/embeddings.parquet")
           .select("vec_id", "label").collect()
           .map(r => (r.getLong(0), r.getInt(1)))
@@ -532,12 +542,7 @@ object ScaleProbe {
         // vectors, shifted ids): objective must fall monotonically and
         // the round cost is one broadcast-distance pass + one tiny
         // (sub,cid,d) shuffle — flat-in-mult up to the scan
-        val embx = s"$work/embx"
-        spark.read.parquet(s"$sfDir/embeddings.parquet")
-          .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
-          .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
-          .drop("rep")
-          .write.mode("overwrite").parquet(s"$embx/embeddings.parquet")
+        val embx = embxDir
         val sv = Tables.embeddings(spark, embx)
           .select(col("vec_id"),
             posexplode(col("embedding")).as(Seq("d", "x")))
@@ -547,10 +552,9 @@ object ScaleProbe {
             floor(col("d") / operators.Ann.SubDim).cast("long"))
         val e0 = operators.Ann.pqQuantError(sv,
           operators.Ann.refinePqCodebooks(spark, embx, 0))
-        val e2 = operators.Ann.pqQuantError(sv,
-          operators.Ann.refinePqCodebooks(spark, embx, 2))
-        val served = operators.Ann.pqServeWith(spark, embx,
-          operators.Ann.refinePqCodebooks(spark, embx, 2)).count()
+        val c2 = operators.Ann.refinePqCodebooks(spark, embx, 2)
+        val e2 = operators.Ann.pqQuantError(sv, c2)
+        val served = operators.Ann.pqServeWith(spark, embx, c2).count()
         s"err_drop_pct=${(e0 - e2) * 100 / math.max(1L, e0)} " +
           s"monotone=${e2 <= e0} served=$served"
       },
@@ -598,12 +602,7 @@ object ScaleProbe {
         // the budget, so ALL survivors must sit at the cell's max
         // csim — the planted-mega-cluster worst case: the cap keeps
         // only the most prototypical family, in bounded-buffer time
-        val embx = s"$work/embx"
-        spark.read.parquet(s"$sfDir/embeddings.parquet")
-          .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
-          .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
-          .drop("rep")
-          .write.mode("overwrite").parquet(s"$embx/embeddings.parquet")
+        val embx = embxDir
         val r = operators.Ann.qClusterCap(spark, embx).collect()
         val cells = r.map(_.getLong(0)).distinct.length
         val budget = r.groupBy(_.getLong(0))

@@ -627,9 +627,16 @@ object Ann {
     for (_ <- 0 until iters) {
       val assign = pqAssign(sv, cents)
         .withColumnRenamed("code", "cid")
-      val next = assign.join(sv, Seq("vec_id", "sub"))
+      val updated = assign.join(sv, Seq("vec_id", "sub"))
         .groupBy("sub", "cid", "d")
         .agg(expr("CAST(round(avg(se)) AS BIGINT)").as("ce"))
+      // empty-cluster handling: a (sub, cid) that captured no
+      // subvectors this round keeps its previous centroid — without
+      // this the codebook silently shrinks below PqCentroids and every
+      // later round (and pqServeWith) runs against fewer centroids
+      val next = updated
+        .unionByName(cents.join(updated.select("sub", "cid").distinct(),
+          Seq("sub", "cid"), "left_anti"))
         .persist()
       next.count() // materialize: iterations must not re-derive lineage
       prev.foreach(_.unpersist(false))

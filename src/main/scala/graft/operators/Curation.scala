@@ -991,12 +991,20 @@ object Curation {
       .select("doc_id", "n_chars", "ch", "shard_id")
   }
 
-  private def shardManifestOf(assign: DataFrame): DataFrame =
-    assign.groupBy("shard_id")
+  /** THE per-shard manifest aggregation — count, byte total,
+    * order-invariant checksum over `(shard_id, n_chars, ch)` rows.
+    * One body shared by the rank-cut plan, the writer, the read-back
+    * audit, and the streaming router, so the batch/streamed/audit
+    * equality contracts cannot drift. */
+  private[graft] def shardManifestAgg(rows: DataFrame): DataFrame =
+    rows.groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_bytes"),
         expr("CAST(sum(CAST(ch AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
           .as("checksum"))
+
+  private def shardManifestOf(assign: DataFrame): DataFrame =
+    shardManifestAgg(assign)
       .select("shard_id", "n_docs", "n_bytes", "checksum")
       .orderBy("shard_id")
 
@@ -1025,19 +1033,21 @@ object Curation {
     * shard) that order-invariant checksums make possible on any
     * partitioning. Emits one row per shard with an `ok` verdict. */
   def verifyShards(spark: SparkSession, outPath: String): DataFrame = {
-    val got = graft.store.ChunkStore.read(spark, s"$outPath/shards")
-      .select(col("shard_id"), col("n_chars"), hash60Col(col("text")).as("ch"))
-      .groupBy("shard_id")
-      .agg(count(lit(1)).as("got_docs"),
-        sum(col("n_chars")).as("got_bytes"),
-        expr("CAST(sum(CAST(ch AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
-          .as("got_checksum"))
+    val got = shardManifestAgg(
+      graft.store.ChunkStore.read(spark, s"$outPath/shards")
+        .select(col("shard_id"), col("n_chars"),
+          hash60Col(col("text")).as("ch")))
+      .select(col("shard_id"), col("n_docs").as("got_docs"),
+        col("n_bytes").as("got_bytes"), col("checksum").as("got_checksum"))
+    // null-SAFE compares: a shard present in only one side (truncated
+    // copy, lost directory — exactly the audit's target failure) must
+    // read ok=false, never NULL
     graft.store.ChunkStore.read(spark, s"$outPath/manifest")
       .join(got, Seq("shard_id"), "full_outer")
       .withColumn("ok",
-        col("n_docs") === col("got_docs") &&
-        col("n_bytes") === col("got_bytes") &&
-        col("checksum") === col("got_checksum"))
+        col("n_docs") <=> col("got_docs") &&
+        col("n_bytes") <=> col("got_bytes") &&
+        col("checksum") <=> col("got_checksum"))
       .select("shard_id", "n_docs", "got_docs", "checksum", "got_checksum",
         "ok")
       .orderBy("shard_id")

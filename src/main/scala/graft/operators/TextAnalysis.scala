@@ -420,12 +420,17 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
-  /** Misra–Gries counter budget (heavy-hitter sketch width). */
-  private[graft] val MgCounters = 200
-
   /** Heavy-hitter threshold denominator: report tokens with corpus
     * frequency ≥ N / [[HhK]]. */
   private[graft] val HhK = 400
+
+  /** Misra–Gries counter budget (heavy-hitter sketch width). MUST be
+    * ≥ [[HhK]]: the merged summary only guarantees survival of items
+    * with frequency > N/(c+1), so with c = HhK every reported token
+    * (freq ≥ N/HhK > N/(HhK+1)) provably survives the sketch — a
+    * budget below HhK silently loses tokens in [N/HhK, N/(c+1)) and
+    * breaks the superset contract the exact-verify pass rests on. */
+  private[graft] val MgCounters = HhK
 
   /** Corpus-wide heavy hitters — every token whose frequency is at
     * least N/[[HhK]] of the N-token corpus, with EXACT counts, found
@@ -459,13 +464,19 @@ object TextAnalysis {
       .toDF("items", "total")
       .select(col("total"), explode(col("items")).as("e"))
       .select(col("e._1").as("word"), col("total"))
+    hittersVerify(tok, candT)
+  }
+
+  /** The shared exact-verify pass: candidates (with the corpus total
+    * attached to every row) exact-counted and thresholded. ONE body so
+    * the batch query and the streaming sink verify cannot drift. */
+  private def hittersVerify(tok: DataFrame, candT: DataFrame): DataFrame =
     tok.join(broadcast(candT), "word")
       .groupBy("word", "total").agg(count(lit(1)).as("n"))
       .filter(col("n") * HhK >= col("total"))
       .withColumn("frac", round(col("n").cast("double") / col("total"), 6))
       .select("word", "n", "frac")
       .orderBy(desc("n"), col("word"))
-  }
 
   /** Pass 2 of the heavy-hitter pipeline — exact-count verification of
     * a (guaranteed-superset) candidate set against the full token
@@ -476,16 +487,9 @@ object TextAnalysis {
     * above N/[[HhK]] yields the identical exact answer through this
     * pass. */
   private[graft] def hittersFromCandidates(tok: DataFrame,
-      cands: DataFrame): DataFrame = {
-    val total = tok.agg(count(lit(1)).as("total"))
-    tok.join(broadcast(cands), "word")
-      .groupBy("word").agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(total))
-      .filter(col("n") * HhK >= col("total"))
-      .withColumn("frac", round(col("n").cast("double") / col("total"), 6))
-      .select("word", "n", "frac")
-      .orderBy(desc("n"), col("word"))
-  }
+      cands: DataFrame): DataFrame =
+    hittersVerify(tok,
+      cands.crossJoin(broadcast(tok.agg(count(lit(1)).as("total")))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters"  -> (qHeavyHitters _),

@@ -21,14 +21,10 @@ import graft.operators.Curation
   */
 object StreamingShards {
 
-  /** Shared manifest aggregation — batch and per-micro-batch streaming
-    * run the identical expressions over `(shard_id, n_chars, ch)`. */
+  /** Shared manifest aggregation — batch, streaming, and the read-back
+    * audit all run [[Curation.shardManifestAgg]]'s expressions. */
   private def manifestAgg(routed: DataFrame): DataFrame =
-    routed.groupBy("shard_id")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("n_bytes"),
-        expr("CAST(sum(CAST(ch AS DECIMAL(38,0))) % 1152921504606846976 AS BIGINT)")
-          .as("checksum"))
+    Curation.shardManifestAgg(routed)
 
   /** Route a doc stream (or batch — the transform is mode-agnostic):
     * attach the stable shard and the content hash. */

@@ -45,6 +45,24 @@ class ShardPlanSpec extends SparkSpec {
     // the written layout really is shard-partitioned directories
     assert(new java.io.File(s"$out/shards").listFiles()
       .exists(_.getName.startsWith("shard_id=")))
+
+    // corruption drill: delete one shard directory (the partial-copy
+    // failure the audit exists for) — its row must read ok=FALSE, not
+    // NULL, and every other shard must still verify
+    val victim = new java.io.File(s"$out/shards").listFiles()
+      .filter(_.getName.startsWith("shard_id=")).head
+    val victimId = victim.getName.stripPrefix("shard_id=").toLong
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(victim)
+    val after = Curation.verifyShards(spark, out).collect()
+    assert(after.length === audit.length)
+    after.foreach { r =>
+      assert(!r.isNullAt(5), s"ok must never be NULL: $r")
+      assert(r.getBoolean(5) === (r.getLong(0) != victimId), r.toString)
+    }
   }
 
   test("q_shard_plan invariants: contiguous ids, full shards except " +
