@@ -178,6 +178,64 @@ object Search {
       .orderBy("qid", "rank")
   }
 
+  /** Retrieval-quality evaluation over the fan-out query set — the
+    * search-eval job a RAG pipeline runs on every index build: per
+    * query, recall@10, precision@10, and MRR of the semantic ranking
+    * against a DETERMINISTIC lexical ground truth (a doc is relevant
+    * iff it contains EVERY query token — reproducible forever, no
+    * human labels). Complements [[qAnnRecall]] (which scores the ANN
+    * approximations against exact brute force): this scores the
+    * retrieval MODEL itself against term ground truth.
+    *
+    * Metrics are exact integer micros (`hits·10⁶ div n_relevant`,
+    * `10⁶ div first_relevant_rank`) — no float drift between engines.
+    * Scale shape: ONE corpus scan for the batch scoring (the
+    * q_search_fanout plan), one distinct-token semi-join against the
+    * broadcast query terms for ground truth, tiny per-query joins. */
+  def qSearchEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qdf = FanoutQueries.toDF("qid", "text")
+    val qv = graft.embed.Embedder.sparseVectors(qdf, "qid", "text")
+      .select(col("qid"), col("bucket"), col("weight").as("qweight"))
+    val scores = docVectors(spark, dir)
+      .join(broadcast(qv), "bucket")
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(col("weight") * col("qweight")), 6).as("score"))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("doc_id"))
+    val top10 = scores.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+
+    val qtok = FanoutQueries
+      .flatMap { case (id, t) => t.split(" ").distinct.map(id -> _) }
+      .toDF("qid", "tok")
+    val nTerms = qtok.groupBy("qid").agg(count(lit(1)).as("n_terms"))
+    val rel = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.toks(col("text")))).as("tok"))
+      .join(broadcast(qtok), "tok")
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(nTerms), "qid")
+      .filter(col("n_hit") === col("n_terms"))
+      .select("qid", "doc_id")
+    val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_relevant"))
+    val perQ = top10.join(rel, Seq("qid", "doc_id"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("hits10"), min("rank").as("first_rel_rank"))
+    qdf.select("qid")
+      .join(nRel, Seq("qid"), "left")
+      .join(perQ, Seq("qid"), "left")
+      .withColumn("n_relevant", coalesce(col("n_relevant"), lit(0L)))
+      .withColumn("hits10", coalesce(col("hits10"), lit(0L)))
+      .withColumn("recall10_micro", when(col("n_relevant") === 0, 0L)
+        .otherwise(expr("hits10 * 1000000 div n_relevant")))
+      .withColumn("precision10_micro", expr("hits10 * 1000000 div 10"))
+      .withColumn("mrr_micro", when(col("first_rel_rank").isNull, 0L)
+        .otherwise(expr("1000000 div first_rel_rank")))
+      .select("qid", "n_relevant", "hits10", "recall10_micro",
+        "precision10_micro", "mrr_micro")
+      .orderBy("qid")
+  }
+
   /** BM25 ranking (k1 = 1.2, b = 0.75) — the lexical-scoring upgrade
     * over the reference's contains-count rerank (X7): one corpus scan
     * builds term frequencies for the query words; document frequencies
@@ -261,6 +319,7 @@ object Search {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_fanout"   -> (qSearchFanout _),
+    "q_search_eval"     -> (qSearchEval _),
     "q_score_metrics"   -> (qScoreMetrics _),
     "q_score_bands"     -> (qScoreBands _),
     "q_embed_hash"      -> (qEmbedHash _),
@@ -340,6 +399,57 @@ object Search {
     .map { case (i, t) => s"($i, '$t')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_search_eval" ->
+      s"""WITH $docVecCte,
+         |fqtext(qid, text) AS (VALUES $fanoutValues),
+         |fqtok AS (
+         |  SELECT DISTINCT qid, t AS tok
+         |  FROM fqtext, LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS t) u
+         |  WHERE t <> ''),
+         |fqcnts AS (
+         |  SELECT qid, ('0x'||substr(md5(tok),1,15))::BIGINT % 64 AS bucket,
+         |         count(*) AS cnt
+         |  FROM (SELECT qid, t AS tok
+         |        FROM fqtext, LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS t) u
+         |        WHERE t <> '') q GROUP BY 1, 2),
+         |fqnorm AS (
+         |  SELECT qid, sqrt(sum(cnt*cnt)) AS nrm FROM fqcnts GROUP BY qid),
+         |fqv AS (
+         |  SELECT qid, bucket, cnt / nrm AS qweight
+         |  FROM fqcnts JOIN fqnorm USING (qid)),
+         |fsc AS (
+         |  SELECT qid, dv.doc_id, round(sum(dv.weight * fqv.qweight), 6) AS score
+         |  FROM dv JOIN fqv USING (bucket) GROUP BY 1, 2),
+         |franked AS (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)::BIGINT AS rank
+         |  FROM fsc),
+         |top10 AS (SELECT qid, doc_id, rank FROM franked WHERE rank <= 10),
+         |qn AS (SELECT qid, count(*)::BIGINT AS n_terms FROM fqtok GROUP BY 1),
+         |dtok AS (
+         |  SELECT DISTINCT doc_id, t AS tok
+         |  FROM documents, LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS t) u
+         |  WHERE t <> ''),
+         |relc AS (
+         |  SELECT f.qid, d.doc_id, count(*)::BIGINT AS n_hit
+         |  FROM fqtok f JOIN dtok d USING (tok) GROUP BY 1, 2),
+         |rel AS (
+         |  SELECT relc.qid, doc_id FROM relc JOIN qn USING (qid)
+         |  WHERE n_hit = n_terms),
+         |nrel AS (SELECT qid, count(*)::BIGINT AS n_relevant FROM rel GROUP BY 1),
+         |perq AS (
+         |  SELECT t.qid, count(*)::BIGINT AS hits10,
+         |    min(t.rank)::BIGINT AS first_rel_rank
+         |  FROM top10 t JOIN rel USING (qid, doc_id) GROUP BY 1)
+         |SELECT q.qid, coalesce(n_relevant, 0) AS n_relevant,
+         |  coalesce(hits10, 0) AS hits10,
+         |  CASE WHEN coalesce(n_relevant, 0) = 0 THEN 0
+         |    ELSE coalesce(hits10, 0) * 1000000 // n_relevant END AS recall10_micro,
+         |  coalesce(hits10, 0) * 1000000 // 10 AS precision10_micro,
+         |  CASE WHEN first_rel_rank IS NULL THEN 0
+         |    ELSE 1000000 // first_rel_rank END AS mrr_micro
+         |FROM fqtext q LEFT JOIN nrel USING (qid) LEFT JOIN perq USING (qid)
+         |ORDER BY q.qid""".stripMargin,
     "q_search_fanout" ->
       s"""WITH $docVecCte,
          |fqtext(qid, text) AS (VALUES $fanoutValues),
