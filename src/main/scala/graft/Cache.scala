@@ -31,11 +31,22 @@ object Cache {
     })
   }
 
+  private val sideCaches = mutable.Buffer.empty[Int => Unit]
+
+  /** Register a side-cache's per-session eviction (e.g. the ANN salt
+    * memo) so [[clear]] drops it together with the DataFrame cache —
+    * without this a process-global memo outlives every session and
+    * probes that clear the cache silently reuse stale entries. */
+  def registerSideCache(evict: Int => Unit): Unit = synchronized {
+    sideCaches += evict
+  }
+
   /** Drop everything owned by one session (tests). */
   def clear(spark: SparkSession): Unit = synchronized {
     val id = System.identityHashCode(spark)
     store.filterInPlace { case ((s, _, _), df) =>
       if (s == id) { df.unpersist(false); false } else true
     }
+    sideCaches.foreach(_(id))
   }
 }

@@ -18,13 +18,28 @@ import graft.operators.Quality
   */
 object Artifacts {
 
-  private def swap(spark: SparkSession, tmp: String, dst: String): Unit = {
+  /** Crash-safe publish swap, shared by every artifact/index publisher
+    * (NB/BPE tables, [[graft.operators.Ann.resealIndex]], the
+    * streaming delta re-seal): rename the live directory ASIDE, rename
+    * the staged one in, then delete the old. A plain delete-then-
+    * rename leaves a window the length of a recursive delete (O(files)
+    * metadata ops) where a crash destroys the ONLY copy; here the
+    * no-artifact window is a single rename, and a crash at any point
+    * leaves a recoverable copy (live at `dst`, or aside at
+    * `dst.old` — cleaned up on the next publish). */
+  private[graft] def swap(spark: SparkSession, tmp: String,
+      dst: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dstPath = new org.apache.hadoop.fs.Path(dst)
     val fs = dstPath.getFileSystem(conf)
-    fs.delete(dstPath, true)
+    val old = new org.apache.hadoop.fs.Path(dst + ".old")
+    fs.delete(old, true) // leftover from a prior crash
+    if (fs.exists(dstPath))
+      require(fs.rename(dstPath, old),
+        s"artifact swap: could not move live aside: $dst")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dstPath),
       s"artifact publish swap failed: $tmp -> $dst")
+    fs.delete(old, true)
   }
 
   /** Atomically publish one bounded model table at `path`. */

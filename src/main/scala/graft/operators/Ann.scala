@@ -377,7 +377,7 @@ object Ann {
     for (_ <- 0 until iters) {
       val assign = cellAssign(e, cents.select(col("cell"), col("cv"),
         col("cn")))
-      val next = assign.join(comps, "vec_id")
+      val updated = assign.join(comps, "vec_id")
         .groupBy("cell", "pos")
         .agg(sum("micro").as("s"), count(lit(1)).as("n"))
         .withColumn("m", col("s").cast("double") / col("n") / 1000000.0)
@@ -386,6 +386,13 @@ object Ann {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           p => p.getField("m")).as("cv"))
         .withColumn("cn", l2norm(col("cv")))
+      // empty-cluster handling: a cell that wins zero vectors this
+      // round keeps its previous centroid — otherwise the codebook
+      // silently shrinks below `cells` and every probe-share estimate
+      // (2/cells) computed from the geometry is wrong
+      val next = updated
+        .unionByName(cents.select("cell", "cv", "cn")
+          .join(updated.select("cell"), Seq("cell"), "left_anti"))
         .persist()
       next.count() // materialize: iterations must not re-derive lineage
       prev.foreach(_.unpersist(false))
@@ -513,13 +520,8 @@ object Ann {
     val next = assign.unionByName(cellAssign(delta, cents))
     graft.store.ChunkStore.write(next, s"$indexPath/ivf_next",
       partitionCols = Seq("cell"))
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
-    val cur = new org.apache.hadoop.fs.Path(s"$indexPath/ivf")
-    fs.delete(cur, true)
-    require(
-      fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath/ivf_next"), cur),
-      s"reseal swap failed: $indexPath/ivf_next -> $cur")
+    graft.model.Artifacts.swap(spark, s"$indexPath/ivf_next",
+      s"$indexPath/ivf")
   }
 
   /** Probe the PREBUILT IVF index: no signature recomputation — read
@@ -1031,6 +1033,8 @@ object Ann {
 
   private val saltMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String, AnnGeometry), Long]
+  Cache.registerSideCache(id =>
+    saltMemo.filterInPlace { case ((s, _, _), _) => s != id })
 
   /** Measured-skew salt factor (r7 verdict item 7): a seeded sampled
     * pass over the bucket table measures the max bucket's share of all

@@ -436,15 +436,27 @@ object Quality {
   /** Train the NB model on every document of `docs` (callers apply
     * their own train/held-out split). */
   def nbTrain(docs: DataFrame): NbModel = {
-    val tr = docs.select(col("doc_id"), col("source"),
+    // ONE corpus-sized pass: the (cls, word, cnt) base table is
+    // persisted and every model table (totals, vocab, likelihoods,
+    // priors) derives from it — without this the exploded token
+    // lineage was re-derived four times (one full tokenize+scan per
+    // model table). `base` is vocab×classes-sized, far below corpus.
+    val base = docs.select(col("source"),
       explode(toks(col("text"))).as("word"))
-    val cls = tr.groupBy(col("source").as("cls"))
-      .agg(countDistinct("doc_id").as("class_docs"))
-    val tot = tr.groupBy(col("source").as("cls"))
-      .agg(count(lit(1)).as("tot"))
-    val v = tr.agg(countDistinct("word").as("vocab"))
-    val wordLik = tr.groupBy(col("source").as("cls"), col("word"))
+      .groupBy(col("source").as("cls"), col("word"))
       .agg(count(lit(1)).as("cnt"))
+      .persist()
+    base.count()
+    // class priors count docs with ≥1 token (the docs the token table
+    // sees) — a narrow no-explode scan, not a fourth token pass
+    val cls = docs
+      .filter(size(toks(col("text"))) > 0)
+      .groupBy(col("source").as("cls"))
+      .agg(count(lit(1)).as("class_docs"))
+    val tot = base.groupBy("cls").agg(sum(col("cnt")).as("tot"))
+    val v = base.select("word").distinct()
+      .agg(count(lit(1)).as("vocab"))
+    val wordLik = base
       .join(broadcast(tot), "cls")
       .crossJoin(broadcast(v))
       .select(col("cls"), col("word"),
@@ -460,7 +472,13 @@ object Quality {
       .select(col("cls"),
         round(log(col("class_docs").cast("double") / col("all_docs")) *
           1e6).cast("long").as("prior_micro"))
-    NbModel(wordLik, priors, unseen)
+    // materialize the (bounded) model tables, then release the base —
+    // the model lives persisted for its serving lifetime, the
+    // intermediate does not
+    val m = NbModel(wordLik.persist(), priors.persist(), unseen.persist())
+    m.wordLik.count(); m.priors.count(); m.unseen.count()
+    base.unpersist(false)
+    m
   }
 
   /** Score (doc_id, text, …) rows against a trained model: per-doc

@@ -41,10 +41,15 @@ object StreamingDeltaIngest {
   }
 
   /** Start the delta-ingest stream: per micro-batch, assign cells and
-    * append (vec_id, cell) to `indexPath/delta`, partitioned by cell
-    * like the sealed index. Serving unions `indexPath/ivf` probe cells
-    * with the delta directory; [[graft.operators.Ann.resealIndex]]
-    * (or a plain file merge of the two directories) re-seals. */
+    * write (vec_id, cell) to `indexPath/delta/batch=<id>`. The write
+    * is keyed by Spark's batchId and uses OVERWRITE, so foreachBatch's
+    * at-least-once contract stays idempotent: a retried micro-batch
+    * rewrites its own directory instead of appending duplicate rows
+    * (a plain `mode("append")` to a shared directory would double
+    * every vector of a batch whose checkpoint commit raced a driver
+    * failure). Serving unions `indexPath/ivf` probe cells with the
+    * delta directory; [[graft.operators.Ann.resealIndex]] (or
+    * [[resealFromDelta]]) re-seals. */
   def start(spark: SparkSession, dir: String, vectors: DataFrame,
       indexPath: String, checkpoint: String,
       cells: Int = AnnGeometry.Pinned.ivfCells): StreamingQuery = {
@@ -52,12 +57,31 @@ object StreamingDeltaIngest {
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         assignBatch(spark, dir, batch, cells)
-          .write.mode("append").partitionBy("cell")
-          .parquet(s"$indexPath/delta")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexPath/delta/batch=$batchId")
       }
       .start()
+  }
+
+  /** The streamed delta rows, tolerant of the fresh-index state: a
+    * sealed index with NO committed micro-batch yet has no delta
+    * directory at all — that is sealed-only serving, not an error. */
+  private def deltaRows(spark: SparkSession, indexPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/delta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      graft.store.ChunkStore.read(spark, s"$indexPath/delta")
+        .select("vec_id", "cell")
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.LongType))))
   }
 
   /** Serve sealed + streamed delta: the sealed side reads only the
@@ -80,12 +104,19 @@ object StreamingDeltaIngest {
           col("qn"), col("cn")), 6))
       .orderBy(desc("csim"), col("cell")).limit(2)
       .select(col("cell"))
-    val idxSide = graft.store.ChunkStore.read(spark, s"$indexPath/ivf")
+    val assign = graft.store.ChunkStore.read(spark, s"$indexPath/ivf")
+    val idxSide = assign
       .join(broadcast(probe), "cell")
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), lit("indexed").as("segment"))
-    val deltaSide = graft.store.ChunkStore.read(spark, s"$indexPath/delta")
+    // anti-join: a vector present in BOTH segments (crash between a
+    // reseal's swap and its delta cleanup) must not score twice; and
+    // the query vector is excluded on this side too
+    val deltaSide = deltaRows(spark, indexPath)
+      .join(assign.select("vec_id"), Seq("vec_id"), "left_anti")
+      .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), lit("delta").as("segment"))
+      .distinct()
     idxSide.unionByName(deltaSide)
       .join(e, "vec_id")
       .crossJoin(broadcast(q))
@@ -103,19 +134,22 @@ object StreamingDeltaIngest {
     * merge — write-new + atomic swap, then drop the delta directory.
     * No vector is re-scored; determinism is inherited from ingest. */
   def resealFromDelta(spark: SparkSession, indexPath: String): Unit = {
-    val merged = graft.store.ChunkStore.read(spark, s"$indexPath/ivf")
+    val sealedIdx = graft.store.ChunkStore.read(spark, s"$indexPath/ivf")
       .select("vec_id", "cell")
-      .unionByName(graft.store.ChunkStore.read(spark, s"$indexPath/delta")
-        .select("vec_id", "cell"))
+    // anti-join + distinct mirror the serve path: rows already sealed
+    // (crash after a previous reseal's swap but before its delta
+    // cleanup) and same-vector rows across batch directories collapse
+    // instead of duplicating inside the new index
+    val merged = sealedIdx.unionByName(
+      deltaRows(spark, indexPath)
+        .join(sealedIdx.select("vec_id"), Seq("vec_id"), "left_anti")
+        .distinct())
     graft.store.ChunkStore.write(merged, s"$indexPath/ivf_next",
       partitionCols = Seq("cell"))
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(conf)
-    val cur = new org.apache.hadoop.fs.Path(s"$indexPath/ivf")
-    fs.delete(cur, true)
-    require(
-      fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath/ivf_next"), cur),
-      s"delta reseal swap failed at $indexPath")
+    graft.model.Artifacts.swap(spark, s"$indexPath/ivf_next",
+      s"$indexPath/ivf")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/delta"), true)
   }
 }

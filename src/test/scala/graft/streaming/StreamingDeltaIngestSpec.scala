@@ -26,6 +26,49 @@ class StreamingDeltaIngestSpec extends SparkSpec {
       scratch.exceptAll(streamed).isEmpty)
   }
 
+  test("fresh index: serving with NO delta directory is sealed-only, " +
+      "not an error") {
+    val idx = tmp()
+    Ann.buildSealedIndex(spark, sfDir, idx)
+    // no micro-batch has ever committed — $idx/delta does not exist
+    val served = StreamingDeltaIngest.probeWithDelta(spark, sfDir, idx)
+      .collect()
+    assert(served.nonEmpty)
+    assert(served.forall(_.getString(1) == "indexed"))
+  }
+
+  test("crash overlap: a vector present in BOTH sealed index and " +
+      "delta serves once and reseals once") {
+    val spark2 = spark
+    import spark2.implicits._
+    val idx = tmp()
+    Ann.buildSealedIndex(spark, sfDir, idx)
+    // simulate the crash window after a reseal's swap but before its
+    // delta cleanup: the delta still holds rows the index now has
+    val sealedRows = store.ChunkStore.read(spark, s"$idx/ivf")
+      .select(col("vec_id"), col("cell").cast("long")).limit(5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sealedRows.nonEmpty)
+    sealedRows.toDF("vec_id", "cell")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idx/delta/batch=0")
+    val served = StreamingDeltaIngest.probeWithDelta(spark, sfDir, idx,
+      k = 1000).collect()
+    val perVec = served.groupBy(_.getLong(0))
+    assert(perVec.forall(_._2.length == 1),
+      "a vector scored twice across segments")
+    assert(served.filter(r =>
+      sealedRows.exists(_._1 == r.getLong(0)))
+      .forall(_.getString(1) == "indexed"))
+    // reseal collapses the overlap instead of duplicating rows
+    val before = store.ChunkStore.read(spark, s"$idx/ivf").count()
+    StreamingDeltaIngest.resealFromDelta(spark, idx)
+    val after = store.ChunkStore.read(spark, s"$idx/ivf")
+    assert(after.count() === before)
+    assert(after.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
   test("streamed delta: micro-batched ingest -> serve == anti-join " +
       "delta serve; file-merge reseal == recomputing reseal") {
     val spark2 = spark
