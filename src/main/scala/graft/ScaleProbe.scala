@@ -99,6 +99,26 @@ object ScaleProbe {
       time("simhash") {
         s"docs=${operators.Dedup.qDedupSimhash(spark, work).count()}"
       },
+      time("simhash_rep") {
+        // exact-first composition: under ×mult replication the pairwise
+        // stage must see only the BASE corpus's distinct texts — the
+        // rep-level rows are bit-identical to the base run (same rep
+        // pairs, same hamming) with doc_pairs exactly ×mult², so output
+        // stays FLAT where the all-pairs audit twin grows ×mult²
+        // (222M rows at 10× sf0.1). The timed span includes the cheap
+        // base-scale reference run.
+        val base = operators.Dedup.qSimhashRep(spark, sfDir).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getLong(2), r.getLong(3))).toMap
+        val scaled = operators.Dedup.qSimhashRep(spark, work).collect()
+        val m2 = mult.toLong * mult
+        val exact = scaled.length == base.size && scaled.forall { r =>
+          base.get((r.getLong(0), r.getLong(1)))
+            .exists { case (h, p) =>
+              h == r.getLong(2) && p * m2 == r.getLong(3) }
+        }
+        s"pairs=${scaled.length} base_pairs=${base.size} exact_mult2=$exact"
+      },
       time("keyword_freq") {
         s"rows=${operators.TextAnalysis.qKeywordFreq(spark, work).count()}"
       },

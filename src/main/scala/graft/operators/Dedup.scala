@@ -216,25 +216,32 @@ object Dedup {
     * shared upstream of [[qDedupSimhash]] and [[qSimhashNear]]. */
   private[graft] def simhashSigs(spark: SparkSession, dir: String): DataFrame =
     Cache.getOrBuild(spark, "simhashSigs", dir) {
-      // 16 bit-sums as constant column expressions in one groupBy (no
-      // 16× row blowup): s_b = Σ cnt·(2·bit_b−1); then fold the sign
-      // bits row-wise.
-      val cnts = Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("hv", hash60Col(col("tok")))
-      val bitSums = (0 until 16).map { b =>
-        sum(col("cnt") *
-          (expr(s"pmod(shiftright(hv, $b), 2)") * 2 - 1)).as(s"s$b")
-      }
-      cnts.groupBy("doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 16).map(b =>
-            when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
-            .reduce(_ + _).as("simhash"))
+      simhashOf(Tables.documents(spark, dir).select("doc_id", "text"))
     }
+
+  /** 16-bit SimHash of an arbitrary `(doc_id, text)` frame — the body
+    * of [[simhashSigs]], factored so [[qSimhashRep]] can sign only the
+    * DISTINCT texts instead of the full corpus. */
+  private def simhashOf(docs: DataFrame): DataFrame = {
+    // 16 bit-sums as constant column expressions in one groupBy (no
+    // 16× row blowup): s_b = Σ cnt·(2·bit_b−1); then fold the sign
+    // bits row-wise.
+    val cnts = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("hv", hash60Col(col("tok")))
+    val bitSums = (0 until 16).map { b =>
+      sum(col("cnt") *
+        (expr(s"pmod(shiftright(hv, $b), 2)") * 2 - 1)).as(s"s$b")
+    }
+    cnts.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashSigs(spark, dir).orderBy("doc_id")
@@ -315,6 +322,55 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
         col("p._1").as("neighbor_id"), (-col("p._2")).cast("long").as("hamming"))
       .orderBy("doc_id", "rank")
+  }
+
+  /** Exact-dedup-FIRST near-dup — SCALE.md finding #2 lifted into an
+    * operator: collapse byte-identical texts to one representative
+    * BEFORE the pairwise stage, run the banded SimHash join of
+    * [[qSimhashNear]] at representative level, and report each
+    * near-dup cluster pair with its underlying doc-pair multiplicity
+    * (`doc_pairs = n_a·n_b`). The all-pairs audit twin is
+    * intrinsically output-bound on templated corpora (222M pairs at
+    * 10× sf0.1 — every replica pair is a row); here the pairwise
+    * stage sees only DISTINCT texts, so candidate volume, output AND
+    * shuffle are bounded by the deduplicated corpus at any
+    * replication level, while the multiplicity column keeps the
+    * report lossless: Σ doc_pairs plus the within-group C(n,2)
+    * exact-dup pairs recovers the audit twin's total row count.
+    *
+    * 100 TB shape: ONE fingerprint groupBy carries each distinct text
+    * once — map-side partial aggregation (`first(text)` over a group
+    * whose members are byte-identical) collapses replicas within each
+    * input partition before the shuffle, so a 100×-templated corpus
+    * shuffles ~1% of its text bytes; everything downstream (signature
+    * scan, band join) runs at distinct-text scale. */
+  def qSimhashRep(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_docs"),
+        first("text").as("text"))
+    val sigs = simhashOf(groups.select(col("rep_id").as("doc_id"), col("text")))
+      .select(col("doc_id").as("rep_id"), col("simhash"))
+      .join(groups.select("rep_id", "n_docs"), "rep_id")
+    val bands = sigs
+      .select(col("rep_id"), col("simhash"), col("n_docs"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(simhash, cast(band * 4 as int)) & 15"))
+    val a = bands.select(col("rep_id").as("rep_a"), col("simhash").as("sig_a"),
+      col("n_docs").as("na"), col("band"), col("bv"))
+    val b = bands.select(col("rep_id").as("rep_b"), col("simhash").as("sig_b"),
+      col("n_docs").as("nb"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("rep_a") < col("rep_b"))
+      // filter-then-dedup as in the audit twin: the distinct shuffles
+      // only surviving narrow rows
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("rep_a"), col("rep_b"), col("hamming"),
+        (col("na") * col("nb")).as("doc_pairs"))
+      .distinct()
+      .orderBy("rep_a", "rep_b")
   }
 
   /** Embedding-cosine near-dup: top-20 most-similar vector pairs on a
@@ -705,6 +761,7 @@ object Dedup {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_simhash_near"  -> (qSimhashNear _),
     "q_simhash_topk"  -> (qSimhashTopk _),
+    "q_simhash_rep"   -> (qSimhashRep _),
     "q_dedup_embed"   -> (qDedupEmbed _),
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh _),
   )
@@ -725,22 +782,27 @@ object Dedup {
        |  GROUP BY doc_id, h)""".stripMargin
 
   /** SimHash signature CTE shared by the simhash oracle pair. */
-  private lazy val simhashSql =
-    """cnts AS (
-      |  SELECT doc_id, tok, count(*) AS cnt,
-      |    ('0x'||substr(md5(tok),1,15))::BIGINT AS hv
-      |  FROM documents,
-      |    LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok) u
-      |  WHERE tok <> ''
-      |  GROUP BY doc_id, tok),
-      |bitsums AS (
-      |  SELECT doc_id, b, sum(cnt * (((hv >> b) & 1) * 2 - 1)) AS s
-      |  FROM cnts, (SELECT unnest(range(16)) AS b) bs
-      |  GROUP BY doc_id, b),
-      |simsig AS (
-      |  SELECT doc_id,
-      |    sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, b) AS BIGINT))::BIGINT AS simhash
-      |  FROM bitsums GROUP BY doc_id)""".stripMargin
+  /** The simhash-signature CTE chain over an arbitrary (doc_id, text)
+    * relation — `simhashSql` is the full-corpus instance; the rep
+    * variant signs only the distinct-text representatives. */
+  private def simhashSqlFrom(src: String) =
+    s"""cnts AS (
+       |  SELECT doc_id, tok, count(*) AS cnt,
+       |    ('0x'||substr(md5(tok),1,15))::BIGINT AS hv
+       |  FROM $src,
+       |    LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok) u
+       |  WHERE tok <> ''
+       |  GROUP BY doc_id, tok),
+       |bitsums AS (
+       |  SELECT doc_id, b, sum(cnt * (((hv >> b) & 1) * 2 - 1)) AS s
+       |  FROM cnts, (SELECT unnest(range(16)) AS b) bs
+       |  GROUP BY doc_id, b),
+       |simsig AS (
+       |  SELECT doc_id,
+       |    sum((CASE WHEN s >= 0 THEN 1 ELSE 0 END) * CAST(pow(2, b) AS BIGINT))::BIGINT AS simhash
+       |  FROM bitsums GROUP BY doc_id)""".stripMargin
+
+  private lazy val simhashSql = simhashSqlFrom("documents")
 
   /** CTE chain ending in `labels(doc_id, grp)` — the near-dup
     * connected-components oracle (band candidates → exact-Jaccard
@@ -1049,6 +1111,26 @@ object Dedup {
          |  FROM cand)
          |SELECT doc_id, rank::BIGINT AS rank, neighbor_id, hamming
          |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "q_simhash_rep" ->
+      s"""WITH groups AS (
+         |  SELECT min(doc_id) AS doc_id, count(*) AS n_docs, min(text) AS text
+         |  FROM documents GROUP BY md5(text)),
+         |${simhashSqlFrom("groups")},
+         |sig AS (
+         |  SELECT s.doc_id AS rep_id, s.simhash, g.n_docs
+         |  FROM simsig s JOIN groups g ON s.doc_id = g.doc_id),
+         |bands AS (
+         |  SELECT rep_id, simhash, n_docs, b AS band,
+         |    (simhash >> (b * 4)) & 15 AS bv
+         |  FROM sig, (SELECT unnest(range(4)) AS b) bb)
+         |SELECT DISTINCT a.rep_id AS rep_a, b.rep_id AS rep_b,
+         |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming,
+         |  (a.n_docs * b.n_docs)::BIGINT AS doc_pairs
+         |FROM bands a
+         |JOIN bands b ON a.band = b.band AND a.bv = b.bv
+         |           AND a.rep_id < b.rep_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY rep_a, rep_b""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -43,6 +43,24 @@ object ChunkStore {
   def get(spark: SparkSession, path: String, idCol: String, id: Any): DataFrame =
     read(spark, path).filter(col(idCol) === lit(id))
 
+  /** Bucketed table write — the co-located-join layout for keys the
+    * store is joined/aggregated on repeatedly (doc_id, source_id).
+    * `bucketBy(n, key) + sortBy(key)` records the hash partitioning in
+    * catalog metadata, so ANY later equi-join or aggregation on the
+    * key between same-bucketed tables plans with ZERO Exchange — at
+    * 100 TB that converts every recurring join from a two-sided
+    * shuffle of the full store into a per-bucket local merge. Parquet
+    * path reads can't carry bucket info (it lives in table metadata,
+    * not files), hence `saveAsTable`; production would keep this in a
+    * shared metastore / table format. Bucket count is a layout
+    * constant: pick it once per store (≈ store size / target task
+    * size) — co-location needs both sides bucketed the SAME way. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      key: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
   /** S9 delete-batch as an anti-join rewrite, staged to `dst`. */
   def deleteInto(spark: SparkSession, src: String, dst: String,
       ids: DataFrame, idCol: String): Unit = {

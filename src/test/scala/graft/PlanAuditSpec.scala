@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
+/** Whole-registry physical-plan audit — the global tripwire behind
+  * PlanSpec's per-operator pins: EVERY registered query is planned and
+  * its physical tree checked, so a quadratic join sneaking into ANY
+  * registry entry (a dropped equi-key, a broadcast hint lost in a
+  * refactor) fails CI the moment it appears, not when a bench melts.
+  *
+  *  - `CartesianProduct` is banned outright: nothing in the registry
+  *    may plan an unbroadcast cross product at any size.
+  *  - `BroadcastNestedLoopJoin` must broadcast a PROVABLY BOUNDED
+  *    side: the build subtree has to contain a global (keyless)
+  *    aggregate, a literal local table, a bounded range, a limit/
+  *    top-k, or a scan pinned to a k-bounded id predicate — the
+  *    shapes every intentional `crossJoin(broadcast(...))` in the
+  *    engine uses (1-row totals, k-row query/mask/cutoff sets,
+  *    codebooks). An accidental non-equi join over two full
+  *    relations has none of these on its build side and is flagged.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose BNLJ build side is bounded for reasons the textual
+    * markers can't prove (e.g. a cached bounded artifact surfacing as
+    * a bare InMemoryTableScan). Keep small; justify each. */
+  private val acceptedByName: Set[String] = Set.empty
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val expanded = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    expanded +: expanded.children.flatMap(flatten)
+  }
+
+  private val boundedMarkers = Seq(
+    "HashAggregate(keys=[]",        // global 1-row aggregate
+    "SortAggregate(key=[]",
+    "ObjectHashAggregate(keys=[]",
+    "LocalTableScan",               // literal k-row frame
+    "Scan OneRowRelation",
+    "Range (",                      // spark.range mask/plane tables
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit"
+  )
+
+  /** A Filter pinning an id column to a literal (= k / < k) bounds the
+    * broadcast to a fixed query/sample set — the query-vector and
+    * bounded-brute-force shapes. */
+  private val boundedFilterRe =
+    """\(\w*(vec_id|doc_id|query_id|qid)#\d+L? (=|<|<=) \d+\)""".r
+
+  test("registry-wide: no CartesianProduct; every nested-loop join " +
+      "broadcasts a provably bounded side") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val nodes = flatten(fn(spark, sfDir).queryExecution.executedPlan)
+        val carts = nodes.filter(_.nodeName.contains("CartesianProduct"))
+          .map(_ => s"$name: CartesianProduct")
+        val badBnlj =
+          if (acceptedByName.contains(name)) Nil
+          else nodes.collect {
+            case j: BroadcastNestedLoopJoinExec =>
+              val side = j.buildSide match {
+                case BuildLeft  => j.left
+                case BuildRight => j.right
+              }
+              val s = side.treeString
+              if (boundedMarkers.exists(s.contains) ||
+                  boundedFilterRe.findFirstIn(s).isDefined) None
+              else Some(s"$name: BroadcastNestedLoopJoin over an " +
+                s"unproven build side:\n$s")
+          }.flatten
+        carts ++ badBnlj
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}

@@ -89,6 +89,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("q_simhash_rep: exact-first composition — rep-level equi-join, " +
+      "no cartesian, no window") {
+    val p = planOf("q_simhash_rep")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // multiplicity comes from the fingerprint groupBy, never a window
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_pii_scrub: single scan, partial aggregation, no join") {
     val p = planOf("q_pii_scrub")
     assert(!p.contains("Join"), p)

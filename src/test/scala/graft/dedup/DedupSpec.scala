@@ -171,6 +171,36 @@ class DedupSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("simhash rep: rep-level report reconciles exactly with the all-pairs audit twin") {
+    val docs = Tables.documents(spark, sfDir)
+    val fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val repOf = fps.groupBy("fp").agg(min("doc_id").as("rep_id"))
+    val m = fps.join(repOf, "fp").select(col("doc_id"), col("rep_id")).cache()
+    val audit = Dedup.qSimhashNear(spark, sfDir).cache()
+    // cross-group audit pairs, re-keyed to their reps, must aggregate to
+    // EXACTLY the rep-level rows (same hamming, doc_pairs = n_a·n_b)
+    val mapped = audit
+      .join(m.select(col("doc_id").as("doc_a"), col("rep_id").as("ra")), "doc_a")
+      .join(m.select(col("doc_id").as("doc_b"), col("rep_id").as("rb")), "doc_b")
+      .filter(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("rep_a"),
+        greatest(col("ra"), col("rb")).as("rep_b"), col("hamming"))
+      .groupBy("rep_a", "rep_b", "hamming")
+      .agg(count(lit(1)).as("doc_pairs"))
+      .select("rep_a", "rep_b", "hamming", "doc_pairs")
+    val rep = Dedup.qSimhashRep(spark, sfDir)
+      .select("rep_a", "rep_b", "hamming", "doc_pairs")
+    assert(rep.exceptAll(mapped).isEmpty && mapped.exceptAll(rep).isEmpty)
+    // and the remaining audit rows are exactly the within-group C(n,2)
+    // exact-dup pairs — the report is lossless
+    val withinExpected = repOf.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("n")), "fp")
+      .agg(sum(expr("n * (n - 1) / 2"))).head.getDouble(0).toLong
+    val crossTotal = rep.agg(sum("doc_pairs")).head.getLong(0)
+    assert(audit.count() === crossTotal + withinExpected)
+    m.unpersist(); audit.unpersist()
+  }
+
   test("lsh tune: nested bands make candidate counts monotone in rows-per-band") {
     val rows = Dedup.qLshTune(spark, sfDir).collect()
       .sortBy(_.getAs[Long]("rows_per_band"))

@@ -82,6 +82,28 @@ class StoreSpec extends SparkSpec {
     assert(back.columns.toSet === docs.columns.toSet)
   }
 
+  test("bucketed layout: join and aggregation on the bucket key plan " +
+      "with ZERO Exchange") {
+    ChunkStore.writeBucketed(docs, "buck_a", buckets = 4, key = "doc_id")
+    ChunkStore.writeBucketed(docs.withColumnRenamed("text", "text_b"),
+      "buck_b", buckets = 4, key = "doc_id")
+    // force the join path (broadcast would hide the co-location proof)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val j = spark.table("buck_a").join(spark.table("buck_b"), "doc_id")
+      val jPlan = j.queryExecution.executedPlan.toString
+      assert(!jPlan.contains("Exchange"), jPlan)
+      assert(j.count() === 4)
+      val agg = spark.table("buck_a").groupBy("doc_id")
+        .agg(count(lit(1)).as("n"))
+      val aPlan = agg.queryExecution.executedPlan.toString
+      assert(!aPlan.contains("Exchange"), aPlan)
+      assert(agg.count() === 4)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("point get pushes the predicate down") {
     val p = s"$tmp/t4"
     ChunkStore.write(docs, p)
