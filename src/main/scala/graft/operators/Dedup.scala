@@ -345,14 +345,18 @@ object Dedup {
     * shuffles ~1% of its text bytes; everything downstream (signature
     * scan, band join) runs at distinct-text scale. */
   def qSimhashRep(spark: SparkSession, dir: String): DataFrame = {
-    val groups = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
-      .groupBy("fp")
-      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_docs"),
-        first("text").as("text"))
-    val sigs = simhashOf(groups.select(col("rep_id").as("doc_id"), col("text")))
-      .select(col("doc_id").as("rep_id"), col("simhash"))
-      .join(groups.select("rep_id", "n_docs"), "rep_id")
+    // session-cached like simhashSigs: the rep signature table is the
+    // shared upstream a warm session reuses across serving queries
+    val sigs = Cache.getOrBuild(spark, "simhashRepSigs", dir) {
+      val groups = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_docs"),
+          first("text").as("text"))
+      simhashOf(groups.select(col("rep_id").as("doc_id"), col("text")))
+        .select(col("doc_id").as("rep_id"), col("simhash"))
+        .join(groups.select("rep_id", "n_docs"), "rep_id")
+    }
     val bands = sigs
       .select(col("rep_id"), col("simhash"), col("n_docs"),
         explode(sequence(lit(0), lit(3))).as("band"))

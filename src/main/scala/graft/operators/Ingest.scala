@@ -112,28 +112,36 @@ object Ingest {
     "q_chunk_code"     -> (qChunkCode _),
   )
 
-  /** DuckDB mirror of the chunker: windows on the step grid, trim, skip
-    * empty windows without consuming an index, stop once a window
-    * reaches the end (validated row-for-row against the Scala chunker). */
+  /** DuckDB mirror of the fixed chunker as a reusable CTE chain
+    * (windows on the step grid, trim, skip empty windows without
+    * consuming an index, stop once a window reaches the end —
+    * validated row-for-row against the Scala chunker). Emits
+    * `chunks(doc_id, chunk_index, content, chunk_start, chunk_end)`;
+    * shared with [[Search]]'s best-passage oracle. */
+  val chunkFixedCtes: String =
+    """doc AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |single AS (
+      |  SELECT doc_id, 0::BIGINT AS chunk_index, text AS content,
+      |         0::BIGINT AS chunk_start, len AS chunk_end
+      |  FROM doc WHERE len <= 100),
+      |w AS (
+      |  SELECT doc_id, k, k*80 AS s, least(k*80+100, len) AS e,
+      |         trim(substring(text, k*80+1, 100)) AS content
+      |  FROM doc, LATERAL (SELECT unnest(generate_series(0, len//80)) AS k) g
+      |  WHERE len > 100 AND k*80 < len AND (k = 0 OR (k-1)*80+100 < len)),
+      |multi AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS chunk_index,
+      |         content, s AS chunk_start, e AS chunk_end
+      |  FROM w WHERE content <> ''),
+      |chunks AS (
+      |  SELECT * FROM single UNION ALL SELECT * FROM multi)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_chunk_fixed" ->
-      """WITH doc AS (SELECT doc_id, text, length(text) AS len FROM documents),
-        |single AS (
-        |  SELECT doc_id, 0::BIGINT AS chunk_index, text AS content,
-        |         0::BIGINT AS chunk_start, len AS chunk_end
-        |  FROM doc WHERE len <= 100),
-        |w AS (
-        |  SELECT doc_id, k, k*80 AS s, least(k*80+100, len) AS e,
-        |         trim(substring(text, k*80+1, 100)) AS content
-        |  FROM doc, LATERAL (SELECT unnest(generate_series(0, len//80)) AS k) g
-        |  WHERE len > 100 AND k*80 < len AND (k = 0 OR (k-1)*80+100 < len)),
-        |multi AS (
-        |  SELECT doc_id,
-        |         row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS chunk_index,
-        |         content, s AS chunk_start, e AS chunk_end
-        |  FROM w WHERE content <> '')
-        |SELECT * FROM single UNION ALL SELECT * FROM multi
-        |ORDER BY doc_id, chunk_index""".stripMargin,
+      s"""WITH $chunkFixedCtes
+         |SELECT * FROM chunks
+         |ORDER BY doc_id, chunk_index""".stripMargin,
     // The boundary chunkers are pure Scala and not SQL-expressible;
     // their oracle is the committed golden parquet (generated once by
     // `runMain graft.GoldenChunks`, chunker semantics independently

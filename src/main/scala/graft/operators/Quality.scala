@@ -88,6 +88,43 @@ object Quality {
           col("n_stop") >= 2)
       .drop("t", "sum_len", "n_alpha", "n_hash", "n_ellipsis")
 
+  /** C4-style heuristic cleanup battery (Raffel et al. 2020 §2.2) —
+    * the classic web-text rules the Gopher battery does NOT cover:
+    * per-line retention (a line survives iff it has ≥5 words and ends
+    * in terminal punctuation), a ≥3-sentence document floor, and the
+    * lorem-ipsum / curly-brace / javascript content tripwires. */
+  def qC4Rules(spark: SparkSession, dir: String): DataFrame =
+    c4Flags(Tables.documents(spark, dir))
+      .select("doc_id", "n_lines", "kept_lines", "n_sentences",
+        "has_lorem", "has_brace", "has_js", "keep")
+      .orderBy("doc_id")
+
+  /** The C4 battery as a pure row-local transform over any
+    * (doc_id, text) frame — zero shuffle, so like [[gopherFlags]] it
+    * applies verbatim to a document stream with bit-identical flags.
+    * Sentence count is terminal-mark count (.!?) — the deterministic
+    * miniature of a sentence splitter, identical in both engines. */
+  def c4Flags(docs: DataFrame): DataFrame = {
+    def occurrences(c: String) =
+      length(col("text")) - length(replace(col("text"), lit(c), lit("")))
+    docs
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("kept_lines",
+        size(filter(col("lines"), l =>
+          size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
+            l.rlike("[.!?\"]\\s*$"))).cast("long"))
+      .withColumn("n_sentences",
+        (occurrences(".") + occurrences("!") + occurrences("?")).cast("long"))
+      .withColumn("has_lorem", lower(col("text")).contains("lorem ipsum"))
+      .withColumn("has_brace", col("text").contains("{"))
+      .withColumn("has_js", lower(col("text")).contains("javascript"))
+      .withColumn("keep",
+        col("kept_lines") >= 1 && col("n_sentences") >= 3 &&
+          !col("has_lorem") && !col("has_brace") && !col("has_js"))
+      .drop("lines")
+  }
+
   private val SubstrGram = 8
 
   /** Duplicated-span accounting at word-8-gram granularity: a doc's
@@ -524,6 +561,7 @@ object Quality {
     "q_nb_classifier" -> (qNbClassifier _),
     "q_compress_ratio" -> (qCompressRatio _),
     "q_gopher_rules" -> (qGopherRules _),
+    "q_c4_rules"     -> (qC4Rules _),
     "q_substr_dedup" -> (qSubstrDedup _),
     "q_ppl_bucket"   -> (qPplBucket _),
     "q_winnow"       -> (qWinnow _),
@@ -590,6 +628,29 @@ object Quality {
          |  FROM fin)
          |SELECT actual, predicted, count(*)::BIGINT AS n_docs
          |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_c4_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, regexp_split_to_array(text, '\\n') AS lines
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(lines)::BIGINT AS n_lines,
+         |    len(list_filter(lines, l ->
+         |      len(list_filter(regexp_split_to_array(l, '\\s+'), w -> w <> '')) >= 5
+         |      AND regexp_matches(l, '[.!?"]\\s*$$')))::BIGINT AS kept_lines,
+         |    ((length(text) - length(replace(text, '.', ''))) +
+         |     (length(text) - length(replace(text, '!', ''))) +
+         |     (length(text) - length(replace(text, '?', ''))))::BIGINT
+         |      AS n_sentences,
+         |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |    contains(text, '{') AS has_brace,
+         |    contains(lower(text), 'javascript') AS has_js
+         |  FROM t)
+         |SELECT doc_id, n_lines, kept_lines, n_sentences, has_lorem,
+         |  has_brace, has_js,
+         |  kept_lines >= 1 AND n_sentences >= 3 AND NOT has_lorem
+         |    AND NOT has_brace AND NOT has_js AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     "q_gopher_rules" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, $toksSql AS toks FROM documents),

@@ -274,6 +274,73 @@ object Search {
       .limit(10)
   }
 
+  /** Reciprocal-Rank-Fusion hybrid (Cormack, Clarke & Buettcher,
+    * SIGIR 2009) — the rank-based alternative to the reference's
+    * score-blend hybrid (Q2, search.ts:98-136): fuse the semantic
+    * top-20 and the BM25 top-10 by Σ 1/(60+rank), in exact integer
+    * micros (`1000000 div (60+rank)`) so the fusion is
+    * engine-portable with no float drift and indifferent to the two
+    * scorers' incomparable score scales — the property that makes RRF
+    * the default fusion in production hybrid search. The rank windows
+    * run over already-LIMITed candidate lists (≤20 rows), never the
+    * corpus; both candidate builds remain the single-scan plans of
+    * their source queries. */
+  def qSearchRrf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("g").orderBy(desc("score"), col("doc_id"))
+    val sem = scoredDocs(spark, dir)
+      .orderBy(desc("score"), col("doc_id")).limit(20)
+      .withColumn("g", lit(1))
+      .withColumn("sem_rank", row_number().over(w).cast("long"))
+      .select("doc_id", "sem_rank")
+    val bm = qSearchBm25(spark, dir)
+      .withColumn("g", lit(1))
+      .withColumn("bm25_rank", row_number().over(w).cast("long"))
+      .select("doc_id", "bm25_rank")
+    sem.join(bm, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + bm25_rank)"), lit(0L)))
+      .withColumn("sem_rank", coalesce(col("sem_rank"), lit(0L)))
+      .withColumn("bm25_rank", coalesce(col("bm25_rank"), lit(0L)))
+      .select("doc_id", "sem_rank", "bm25_rank", "rrf_micro")
+      .orderBy(desc("rrf_micro"), col("doc_id"))
+      .limit(10)
+  }
+
+  /** Best-passage (MaxSim) document retrieval — late-interaction
+    * ranking collapsed to one vector per passage (the retrieval-side
+    * analogue of ColBERT's per-token maxsim, Khattab & Zaharia 2020):
+    * chunk every document with the C1 fixed chunker, embed each chunk
+    * through the SAME hashing-TF pipeline as the corpus, score ALL
+    * chunks against the query in one bucket-join pass, and rank
+    * documents by their BEST chunk — "which doc contains the best
+    * passage", the granularity the reference serves after the fact
+    * via section expansion (Q3/Q4, doc-service.ts). One corpus scan;
+    * the per-doc winner is an argmax AGGREGATE (max over a
+    * (score, -chunk_index) struct — no corpus-keyed window), and the
+    * winning chunk index rides along for snippet serving. n_chunks
+    * counts the doc's SCORED chunks (≥1 shared bucket with the
+    * query). */
+  def qDocMaxsim(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Ingest.qChunkFixed(spark, dir)
+      .select((col("doc_id") * 10000 + col("chunk_index")).as("ck"),
+        col("content"))
+    val scored = graft.embed.Embedder.sparseVectors(chunks, "ck", "content")
+      .join(broadcast(querySparse(spark, QueryText)), "bucket")
+      .groupBy("ck")
+      .agg(round(sum(col("weight") * col("qweight")), 6).as("score"))
+      .select(expr("ck div 10000").as("doc_id"),
+        expr("ck % 10000").as("chunk_index"), col("score"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max(struct(col("score"), (-col("chunk_index")).as("nci"))).as("m"))
+      .select(col("doc_id"), col("n_chunks"),
+        col("m.score").as("best_score"),
+        (-col("m.nci")).cast("long").as("best_chunk"))
+      .orderBy(desc("best_score"), col("doc_id"))
+      .limit(10)
+  }
+
   /** A7 detailed score metrics per query over the batch-kNN result:
     * mean/variance from exact 1e-6 fixed-point sums (scores are
     * already rounded to 6 dp, so the scaled values are integers and
@@ -328,6 +395,8 @@ object Search {
     "q_search_semantic" -> (qSearchSemantic _),
     "q_search_hybrid"   -> (qSearchHybrid _),
     "q_search_bm25"     -> (qSearchBm25 _),
+    "q_search_rrf"      -> (qSearchRrf _),
+    "q_doc_maxsim"      -> (qDocMaxsim _),
     "q_search_stats"    -> (qSearchStats _),
   )
 
@@ -354,7 +423,9 @@ object Search {
   /** Query-vector + scored-corpus CTEs for one query string; all CTE
     * names carry `prefix` so several queries can coexist in one WITH.
     * Emits `<p>sc(doc_id, score)`. */
-  def queryScoreCte(prefix: String, text: String): String =
+  /** Query-vector CTEs alone (`<p>qv(bucket, qweight)`) — for oracles
+    * that score something other than `dv` (e.g. chunk vectors). */
+  def queryVecCtes(prefix: String, text: String): String =
     s"""${prefix}qtok AS (
        |  SELECT t AS tok
        |  FROM (SELECT unnest(regexp_split_to_array(lower('$text'), '\\s+')) AS t)
@@ -364,12 +435,46 @@ object Search {
        |  FROM ${prefix}qtok GROUP BY 1),
        |${prefix}qv AS (
        |  SELECT bucket, cnt / sqrt((SELECT sum(cnt*cnt) FROM ${prefix}qcnts)) AS qweight
-       |  FROM ${prefix}qcnts),
+       |  FROM ${prefix}qcnts)""".stripMargin
+
+  def queryScoreCte(prefix: String, text: String): String =
+    s"""${queryVecCtes(prefix, text)},
        |${prefix}sc AS (
        |  SELECT dv.doc_id, round(sum(dv.weight * qv.qweight), 6) AS score
        |  FROM dv JOIN ${prefix}qv qv USING (bucket) GROUP BY 1)""".stripMargin
 
   private val queryVecCte = queryScoreCte("", QueryText)
+
+  /** BM25 scoring CTE chain ending in `bmscore(doc_id, n_terms,
+    * score)` — shared by the BM25 ranking and the RRF fusion. */
+  private lazy val bm25Ctes = {
+    val words = queryWords.map(w => s"('$w')").mkString(", ")
+    s"""qw(tok) AS (VALUES $words),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |dls AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM t),
+       |stats AS (
+       |  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dls),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*)::BIGINT AS cnt
+       |  FROM t, LATERAL (SELECT unnest(tk) AS tok) u
+       |  WHERE tok IN (SELECT tok FROM qw)
+       |  GROUP BY doc_id, tok),
+       |dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+       |term AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round((ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) *
+       |      (tf.cnt * 2.2) /
+       |      (tf.cnt + 1.2 * (0.25 + 0.75 * ((dls.dl * s.n_docs)::DOUBLE / s.sum_dl))))
+       |      * 1000000, 0) AS BIGINT) AS term_fp
+       |  FROM tf JOIN dfs USING (tok) JOIN dls ON dls.doc_id = tf.doc_id, stats s),
+       |bmscore AS (
+       |  SELECT doc_id, count(*) AS n_terms,
+       |    round(sum(term_fp)::DOUBLE / 1000000.0, 6) AS score
+       |  FROM term GROUP BY doc_id)""".stripMargin
+  }
 
   def matchesSql(words: Seq[String], alias: String = "d"): String =
     words.map(w => s"CASE WHEN contains($alias.text, '$w') THEN 1 ELSE 0 END")
@@ -535,34 +640,60 @@ object Search {
          |  round(t.score * 0.7 + ($matches3 / 3.0) * 0.3, 6) AS hybrid
          |FROM topk t JOIN documents d USING (doc_id)
          |ORDER BY hybrid DESC, doc_id LIMIT 10""".stripMargin,
-    "q_search_bm25" -> {
-      val words = queryWords.map(w => s"('$w')").mkString(", ")
-      s"""WITH qw(tok) AS (VALUES $words),
-         |t AS (
-         |  SELECT doc_id,
-         |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
-         |  FROM documents),
-         |dls AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM t),
-         |stats AS (
-         |  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dls),
-         |tf AS (
-         |  SELECT doc_id, tok, count(*)::BIGINT AS cnt
-         |  FROM t, LATERAL (SELECT unnest(tk) AS tok) u
-         |  WHERE tok IN (SELECT tok FROM qw)
-         |  GROUP BY doc_id, tok),
-         |dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
-         |term AS (
-         |  SELECT tf.doc_id,
-         |    CAST(round((ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) *
-         |      (tf.cnt * 2.2) /
-         |      (tf.cnt + 1.2 * (0.25 + 0.75 * ((dls.dl * s.n_docs)::DOUBLE / s.sum_dl))))
-         |      * 1000000, 0) AS BIGINT) AS term_fp
-         |  FROM tf JOIN dfs USING (tok) JOIN dls ON dls.doc_id = tf.doc_id, stats s)
-         |SELECT doc_id, count(*) AS n_terms,
-         |  round(sum(term_fp)::DOUBLE / 1000000.0, 6) AS score
-         |FROM term GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-    },
+    "q_search_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_terms, score FROM bmscore
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q_search_rrf" ->
+      s"""WITH $docVecCte,
+         |$queryVecCte,
+         |semr AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY score DESC, doc_id)::BIGINT AS sr
+         |  FROM sc),
+         |sem AS (SELECT doc_id, sr FROM semr WHERE sr <= 20),
+         |$bm25Ctes,
+         |bmr AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY score DESC, doc_id)::BIGINT AS br
+         |  FROM bmscore),
+         |bm AS (SELECT doc_id, br FROM bmr WHERE br <= 10),
+         |fused AS (SELECT doc_id, sr, br FROM sem FULL OUTER JOIN bm USING (doc_id))
+         |SELECT doc_id, coalesce(sr, 0) AS sem_rank, coalesce(br, 0) AS bm25_rank,
+         |  coalesce(1000000 // (60 + sr), 0) +
+         |    coalesce(1000000 // (60 + br), 0) AS rrf_micro
+         |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+    "q_doc_maxsim" ->
+      s"""WITH ${Ingest.chunkFixedCtes},
+         |ch AS (SELECT doc_id * 10000 + chunk_index AS ck, content FROM chunks),
+         |ctok AS (
+         |  SELECT ck, t AS tok
+         |  FROM ch, LATERAL (SELECT unnest(regexp_split_to_array(lower(content), '\\s+')) AS t) u
+         |  WHERE t <> ''),
+         |ccnt AS (
+         |  SELECT ck, ('0x'||substr(md5(tok),1,15))::BIGINT % 64 AS bucket,
+         |         count(*) AS cnt
+         |  FROM ctok GROUP BY 1, 2),
+         |cv AS (
+         |  SELECT ck, bucket,
+         |         cnt / sqrt(sum(cnt*cnt) OVER (PARTITION BY ck)) AS weight
+         |  FROM ccnt),
+         |${queryVecCtes("mx", QueryText)},
+         |csc AS (
+         |  SELECT ck, round(sum(cv.weight * q.qweight), 6) AS score
+         |  FROM cv JOIN mxqv q USING (bucket) GROUP BY 1),
+         |dsc AS (SELECT ck // 10000 AS doc_id, ck % 10000 AS chunk_index, score
+         |        FROM csc),
+         |best AS (
+         |  SELECT doc_id, chunk_index, score,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_chunks,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, chunk_index) AS rn
+         |  FROM dsc)
+         |SELECT doc_id, n_chunks::BIGINT AS n_chunks, score AS best_score,
+         |  chunk_index::BIGINT AS best_chunk
+         |FROM best WHERE rn = 1
+         |ORDER BY best_score DESC, doc_id LIMIT 10""".stripMargin,
     "q_search_stats" ->
       s"""WITH $knnBatchCtes
          |SELECT query_id, count(*) AS n, round(avg(score), 6) AS avg_score,

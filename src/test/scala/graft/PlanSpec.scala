@@ -98,6 +98,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_doc_maxsim: per-doc winner is an aggregate (no corpus " +
+      "window), top-10 lowered") {
+    val p = planOf("q_doc_maxsim")
+    assert(!p.contains("CartesianProduct"), p)
+    // best chunk per doc = max over (score, -chunk_index) struct — an
+    // aggregate with map-side partials, never a rank window. (The
+    // Window nodes that DO appear are sparseVectors' per-chunk norm
+    // sums — keyed by chunk id, 1-64 rows per group, the same shape
+    // every hashing-TF search query carries.)
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_search_rrf: rank windows run over LIMITed candidate lists, " +
+      "not the corpus") {
+    val p = planOf("q_search_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // both fusion inputs are k-bounded before any window: the limits
+    // must appear upstream in the plan
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p)
+  }
+
+  test("q_c4_rules: single scan, row-local flags, no join, no window") {
+    val p = planOf("q_c4_rules")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_pii_scrub: single scan, partial aggregation, no join") {
     val p = planOf("q_pii_scrub")
     assert(!p.contains("Join"), p)
