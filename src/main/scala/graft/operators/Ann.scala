@@ -200,11 +200,31 @@ object Ann {
     * rate between index builds, not corpus size. The segment boundary
     * is a broadcast aggregate row, never a driver scalar, and the
     * merged top-10 lowers to TakeOrderedAndProject. */
-  def qAnnDelta(spark: SparkSession, dir: String): DataFrame = {
+  def qAnnDelta(spark: SparkSession, dir: String): DataFrame =
+    annDeltaServe(spark, dir, tombstones = None)
+
+  /** Tombstoned sealed+delta serve — the DELETE half of the
+    * growing-segment lifecycle ([[qAnnDelta]] is the insert half;
+    * Lucene live-docs / the Milvus delete buffer): deletes never
+    * rewrite the sealed index — they accumulate as an id table, and
+    * the serve anti-joins the CANDIDATE set against it BEFORE the
+    * top-k, so the k results are exact over survivors rather than a
+    * post-filtered underfull list. Tombstone volume is
+    * delete-rate-bounded between compactions, never corpus-bounded.
+    * The registry variant plants a deterministic tombstone set
+    * (vec_id ≡ 1 mod 5) so the serve is oracle-checkable; the
+    * artifact path ([[writeTombstones]] → [[probeIvfDeltaLive]] →
+    * [[resealWithTombstones]]) is pinned in AnnSealSpec. */
+  def qAnnTombstone(spark: SparkSession, dir: String): DataFrame = {
+    val tomb = Search.embNormed(spark, dir)
+      .select("vec_id").filter(col("vec_id") % 5 === 1)
+    annDeltaServe(spark, dir, tombstones = Some(tomb))
+  }
+
+  private def annDeltaServe(spark: SparkSession, dir: String,
+      tombstones: Option[DataFrame]): DataFrame = {
     val e = Search.embNormed(spark, dir)
-    val cut = e.agg(expr(
-      "min(vec_id) + ((max(vec_id) - min(vec_id) + 1) * 9) div 10")
-      .as("cutoff"))
+    val cut = deltaCutoff(e)
     val ranked = ivfRanked(spark, dir)
     val probe = ranked.filter(col("vec_id") === 0 && col("rn") <= 2)
       .select(col("cell"))
@@ -218,7 +238,10 @@ object Ann {
       .select(col("vec_id"), lit("delta").as("segment"))
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("nrm").as("qn"))
-    idx.unionByName(del)
+    val cand = idx.unionByName(del)
+    val live = tombstones.fold(cand)(t =>
+      cand.join(t, Seq("vec_id"), "left_anti"))
+    live
       .join(e, "vec_id")
       .crossJoin(broadcast(q))
       .withColumn("score",
@@ -466,7 +489,22 @@ object Ann {
     * scalar needed at serve time) are brute-forced; one merged top-k.
     * Row-identical to the from-scratch [[qAnnDelta]] (AnnSealSpec). */
   def probeIvfDelta(spark: SparkSession, dir: String, indexPath: String,
-      k: Int = 10, cells: Int = AnnGeometry.Pinned.ivfCells): DataFrame = {
+      k: Int = 10, cells: Int = AnnGeometry.Pinned.ivfCells): DataFrame =
+    probeIvfDeltaCore(spark, dir, indexPath, k, cells, tombstones = None)
+
+  /** [[probeIvfDelta]] minus the tombstone table: the candidate set
+    * (probed cells ∪ delta) anti-joins the accumulated delete ids
+    * BEFORE the top-k — exact results over survivors with zero index
+    * rewrite. The tombstone read is absent-safe (no deletes yet ⇒
+    * identical to [[probeIvfDelta]]). */
+  def probeIvfDeltaLive(spark: SparkSession, dir: String, indexPath: String,
+      k: Int = 10, cells: Int = AnnGeometry.Pinned.ivfCells): DataFrame =
+    probeIvfDeltaCore(spark, dir, indexPath, k, cells,
+      tombstones = Some(readTombstones(spark, indexPath)))
+
+  private def probeIvfDeltaCore(spark: SparkSession, dir: String,
+      indexPath: String, k: Int, cells: Int,
+      tombstones: Option[DataFrame]): DataFrame = {
     val e = Search.embNormed(spark, dir)
     val c = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"),
@@ -485,7 +523,10 @@ object Ann {
     val del = e.select("vec_id")
       .join(assign.select("vec_id"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), lit("delta").as("segment"))
-    idx.unionByName(del)
+    val cand = idx.unionByName(del)
+    val live = tombstones.fold(cand)(t =>
+      cand.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    live
       .join(e, "vec_id")
       .crossJoin(broadcast(q))
       .withColumn("score",
@@ -494,6 +535,26 @@ object Ann {
       .select(col("vec_id"), col("segment"), col("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Append delete ids to the index's tombstone table. Deletes are an
+    * APPEND between compactions (delete-rate-bounded); the physical
+    * rewrite happens only at [[resealWithTombstones]]. */
+  def writeTombstones(spark: SparkSession, ids: DataFrame,
+      indexPath: String): Unit =
+    graft.store.ChunkStore.write(ids.select("vec_id"),
+      s"$indexPath/tombstones",
+      mode = org.apache.spark.sql.SaveMode.Append)
+
+  /** The accumulated tombstone ids; empty frame when no delete has
+    * ever been written (serve code is absent-safe). */
+  private def readTombstones(spark: SparkSession,
+      indexPath: String): DataFrame = {
+    val p = new java.io.File(s"$indexPath/tombstones")
+    if (p.exists())
+      graft.store.ChunkStore.read(spark, p.toString)
+        .select("vec_id").distinct()
+    else spark.range(0).select(col("id").as("vec_id"))
   }
 
   /** RE-SEAL compaction — the nightly job the sealed+delta split
@@ -522,6 +583,54 @@ object Ann {
       partitionCols = Seq("cell"))
     graft.model.Artifacts.swap(spark, s"$indexPath/ivf_next",
       s"$indexPath/ivf")
+  }
+
+  /** [[resealIndex]] that also applies the tombstone table to the
+    * INDEX: tombstoned rows drop out of the sealed assignment
+    * (id-keyed anti-join), the surviving delta is assigned by the
+    * builder's deterministic rule, and the new index swaps in
+    * atomically. The tombstone table is deliberately KEPT — not
+    * truncated: the delta classifier treats index-absence as "new
+    * arrival", so as long as the deleted vectors still exist in
+    * STORAGE, dropping the tombstones would resurrect them through
+    * the delta scan (AnnSealSpec demonstrates exactly this). That is
+    * the Lucene/Milvus rule: live-docs outlive segment rewrites until
+    * the storage delete lands. Truncate explicitly via
+    * [[truncateTombstones]] AFTER [[graft.store.ChunkStore.deleteInto]]
+    * has removed the rows from the vector store itself. Codebook
+    * centroids come from the UNFILTERED corpus so probe routing
+    * matches [[probeIvfIndex]] before and after. */
+  def resealWithTombstones(spark: SparkSession, dir: String,
+      indexPath: String,
+      cells: Int = AnnGeometry.Pinned.ivfCells): Unit = {
+    val t = readTombstones(spark, indexPath)
+    val e = Search.embNormed(spark, dir)
+    val live = e.join(broadcast(t), Seq("vec_id"), "left_anti")
+    val assign = graft.store.ChunkStore.read(spark, s"$indexPath/ivf")
+      .select("vec_id", "cell")
+      .join(broadcast(t), Seq("vec_id"), "left_anti")
+    val cents = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+        col("nrm").as("cn"))
+    val delta = live.join(assign.select("vec_id"), Seq("vec_id"), "left_anti")
+    val next = assign.unionByName(cellAssign(delta, cents))
+    graft.store.ChunkStore.write(next, s"$indexPath/ivf_next",
+      partitionCols = Seq("cell"))
+    graft.model.Artifacts.swap(spark, s"$indexPath/ivf_next",
+      s"$indexPath/ivf")
+  }
+
+  /** Drop the tombstone table — valid ONLY once the tombstoned rows
+    * are gone from the vector store itself (deleteInto + reseal), at
+    * which point index-absence and storage-absence agree again.
+    * Write-new + atomic swap: a racing serve reads either the old
+    * table or the empty one, both correct post-storage-delete. */
+  def truncateTombstones(spark: SparkSession, indexPath: String): Unit = {
+    graft.store.ChunkStore.write(
+      spark.range(0).select(col("id").as("vec_id")),
+      s"$indexPath/tombstones_next")
+    graft.model.Artifacts.swap(spark, s"$indexPath/tombstones_next",
+      s"$indexPath/tombstones")
   }
 
   /** Probe the PREBUILT IVF index: no signature recomputation — read
@@ -1356,6 +1465,7 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mine_bitext"    -> (qMineBitext _),
     "q_ann_delta"      -> (qAnnDelta _),
+    "q_ann_tombstone"  -> (qAnnTombstone _),
     "q_label_noise"    -> (qLabelNoise _),
     "q_emb_outliers"   -> (qEmbOutliers _),
     "q_ann_ivfpq"      -> (qAnnIvfPq _),
@@ -1844,6 +1954,39 @@ object Ann {
         |  round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
         |FROM cand JOIN e USING (vec_id), q
         |ORDER BY score DESC, cand.vec_id LIMIT 10""".stripMargin,
+    "q_ann_tombstone" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS csim
+        |  FROM e, c),
+        |ranked AS (
+        |  SELECT vec_id, cell, csim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        |  FROM scored),
+        |probe AS (SELECT cell FROM ranked WHERE vec_id = 0 AND rn <= 2),
+        |cut AS (
+        |  SELECT min(vec_id) + ((max(vec_id) - min(vec_id) + 1) * 9) // 10
+        |    AS cutoff
+        |  FROM e),
+        |idx AS (
+        |  SELECT r.vec_id, 'indexed' AS segment
+        |  FROM ranked r JOIN probe USING (cell), cut
+        |  WHERE r.rn = 1 AND r.vec_id < cutoff AND r.vec_id <> 0),
+        |del AS (
+        |  SELECT e.vec_id, 'delta' AS segment FROM e, cut
+        |  WHERE e.vec_id >= cutoff),
+        |cand AS (SELECT * FROM idx UNION ALL SELECT * FROM del),
+        |live AS (SELECT * FROM cand WHERE cand.vec_id % 5 <> 1),
+        |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+        |SELECT live.vec_id, live.segment,
+        |  round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+        |FROM live JOIN e USING (vec_id), q
+        |ORDER BY score DESC, live.vec_id LIMIT 10""".stripMargin,
     "q_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

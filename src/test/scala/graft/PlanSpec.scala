@@ -98,6 +98,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_ann_tombstone: delete filtering is an id-keyed anti-join " +
+      "before the top-k, not a post-filter") {
+    val p = planOf("q_ann_tombstone")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the merged top-k still lowers after the anti-join
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_doc_maxsim: per-doc winner is an aggregate (no corpus " +
       "window), top-10 lowered") {
     val p = planOf("q_doc_maxsim")

@@ -62,6 +62,58 @@ class AnnSealSpec extends SparkSpec {
     assert(common.nonEmpty)
   }
 
+  test("tombstone lifecycle: live serve excludes deletes exactly " +
+      "(anti-join before top-k), reseal applies them physically and " +
+      "truncates the table") {
+    val idx = tmp()
+    Ann.buildSealedIndex(spark, sfDir, idx)
+    // absent-safe: no tombstone table ⇒ live serve == plain serve
+    val plain = Ann.probeIvfDelta(spark, sfDir, idx)
+    val liveEmpty = Ann.probeIvfDeltaLive(spark, sfDir, idx)
+    assert(liveEmpty.exceptAll(plain).isEmpty &&
+      plain.exceptAll(liveEmpty).isEmpty)
+    // delete 3 ids that are IN the current top-10 — the sharp case
+    val dead = plain.select("vec_id").collect().map(_.getLong(0)).take(3).toSeq
+    val spark2 = spark
+    import spark2.implicits._
+    Ann.writeTombstones(spark, dead.toDF("vec_id"), idx)
+    val live = Ann.probeIvfDeltaLive(spark, sfDir, idx)
+    assert(live.filter(col("vec_id").isin(dead: _*)).count() === 0)
+    assert(live.count() === 10, "deletes must not underfill the top-k")
+    // exactness: equals the untombstoned serve over-fetched, filtered,
+    // re-ranked — tombstoning commutes with ranking
+    val expect = Ann.probeIvfDelta(spark, sfDir, idx, k = 10 + dead.size)
+      .filter(!col("vec_id").isin(dead: _*))
+      .orderBy(desc("score"), col("vec_id")).limit(10)
+    assert(live.exceptAll(expect).isEmpty && expect.exceptAll(live).isEmpty)
+    // compaction drops exactly the tombstoned rows from the INDEX
+    Ann.resealWithTombstones(spark, sfDir, idx)
+    val after = store.ChunkStore.read(spark, s"$idx/ivf")
+    assert(after.filter(col("vec_id").isin(dead: _*)).count() === 0)
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(after.count() === n - dead.size)
+    // the tombstone table MUST survive the reseal: the deleted rows
+    // still exist in storage, so without it the delta classifier
+    // (index-absence = "new arrival") resurrects them — the plain
+    // probe demonstrates the hazard, the live probe stays clean
+    val p2 = Ann.probeIvfDelta(spark, sfDir, idx)
+    assert(p2.filter(col("vec_id").isin(dead: _*)).count() === dead.size,
+      "expected the tombstone-blind probe to resurrect storage-resident deletes")
+    val l2 = Ann.probeIvfDeltaLive(spark, sfDir, idx)
+    assert(l2.filter(col("vec_id").isin(dead: _*)).count() === 0)
+    // tombstoning still commutes with ranking on the NEW index (the
+    // candidate universe itself may shift at the seal — the documented
+    // freshness trade — so compare against the post-seal plain serve,
+    // over-fetched, filtered, re-ranked)
+    val expect2 = Ann.probeIvfDelta(spark, sfDir, idx, k = 10 + dead.size)
+      .filter(!col("vec_id").isin(dead: _*))
+      .orderBy(desc("score"), col("vec_id")).limit(10)
+    assert(l2.exceptAll(expect2).isEmpty && expect2.exceptAll(l2).isEmpty)
+    // explicit truncation (the post-storage-delete step) empties the table
+    Ann.truncateTombstones(spark, idx)
+    assert(store.ChunkStore.read(spark, s"$idx/tombstones").count() === 0)
+  }
+
   test("reseal is idempotent: a second reseal rewrites nothing new") {
     val idx = tmp()
     Ann.buildSealedIndex(spark, sfDir, idx)
