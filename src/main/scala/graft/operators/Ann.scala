@@ -152,6 +152,41 @@ object Ann {
       .limit(10)
   }
 
+  /** FILTERED ANN serving — the pre-filter/post-filter problem every
+    * production vector store has to solve (Milvus/Qdrant filtered
+    * search): a metadata predicate (`label = 3`, ~10% selective)
+    * combined with kNN. Post-filtering the unfiltered top-k returns
+    * an UNDERFULL list (k·selectivity survivors in expectation);
+    * correct serving applies the predicate to the probed CANDIDATES
+    * before the top-k — exact k results among matching vectors — and
+    * widens the probe (nprobe 4 vs the unfiltered 2) because the
+    * predicate thins every cell, the standard selectivity-aware
+    * adjustment. At 100 TB the label predicate pushes into the
+    * cell-partitioned index scan (label as a secondary partition /
+    * row-group stats column), so filtering happens AT THE SCAN, not
+    * after candidate materialization. AnnSpec pins the underfull
+    * post-filter against this exact-k pre-filter. */
+  def qAnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = Search.embNormed(spark, dir)
+    val ranked = ivfRanked(spark, dir)
+    val assign = ranked.filter(col("rn") === 1).select("vec_id", "cell")
+    val probe = ranked.filter(col("vec_id") === 0 && col("rn") <= 4)
+      .select(col("cell"))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    assign.join(broadcast(probe), "cell")
+      .filter(col("vec_id") =!= 0)
+      .join(e.filter(col("label") === 3), "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("cell"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
   /** Batch ANN serving through the IVF index: 8 query vectors probe
     * their 2 nearest cells in ONE job. The reference's serving loop
     * (one kNN call per query) collapses the same way its CI search
@@ -1466,6 +1501,7 @@ object Ann {
     "q_mine_bitext"    -> (qMineBitext _),
     "q_ann_delta"      -> (qAnnDelta _),
     "q_ann_tombstone"  -> (qAnnTombstone _),
+    "q_ann_filtered"   -> (qAnnFiltered _),
     "q_label_noise"    -> (qLabelNoise _),
     "q_emb_outliers"   -> (qEmbOutliers _),
     "q_ann_ivfpq"      -> (qAnnIvfPq _),
@@ -2010,6 +2046,30 @@ object Ann {
         |JOIN probe USING (cell)
         |JOIN e ON e.vec_id = a.vec_id, q
         |WHERE a.vec_id <> 0
+        |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
+    "q_ann_filtered" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_dot_product(e.v, c.cv) / (e.nrm * c.cn), 6) AS csim
+        |  FROM e, c),
+        |ranked AS (
+        |  SELECT vec_id, cell, csim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+        |  FROM scored),
+        |assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        |probe AS (SELECT cell FROM ranked WHERE vec_id = 0 AND rn <= 4),
+        |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+        |SELECT a.vec_id, e.label::BIGINT AS label, a.cell,
+        |  round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+        |FROM assign a
+        |JOIN probe USING (cell)
+        |JOIN e ON e.vec_id = a.vec_id, q
+        |WHERE a.vec_id <> 0 AND e.label = 3
         |ORDER BY score DESC, a.vec_id LIMIT 10""".stripMargin,
     "q_ann_sq8" ->
       """WITH sv AS (

@@ -79,4 +79,23 @@ class SearchSpec extends SparkSpec {
       assert(blend <= 0.7 * 1.0001 + 0.3 * 1.0001)
     }
   }
+
+  test("filtered ANN: pre-filter returns exactly k matching vectors " +
+      "where post-filtering the unfiltered top-k underfills") {
+    import org.apache.spark.sql.functions._
+    val pre = graft.operators.Ann.qAnnFiltered(spark, sfDir).collect()
+    assert(pre.length === 10, "pre-filter serve must fill k")
+    assert(pre.forall(_.getLong(1) == 3L))
+    // the hazard the operator exists to avoid: filter AFTER an
+    // unfiltered top-10 keeps only ~selectivity·k rows (~1 of 10)
+    val post = graft.operators.Ann.qAnnIvf(spark, sfDir)
+      .join(graft.Tables.embeddings(spark, sfDir).select("vec_id", "label"),
+        "vec_id")
+      .filter(col("label") === 3)
+      .collect()
+    assert(post.length < 10, s"post-filter unexpectedly full: ${post.length}")
+    // ordering sanity: scores descend
+    val scores = pre.map(_.getDouble(3))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
 }
