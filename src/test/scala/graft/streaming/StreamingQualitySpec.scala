@@ -78,6 +78,36 @@ class StreamingQualitySpec extends SparkSpec {
     assert(decision.count(!_.getAs[Boolean]("keep")) > 0)
   }
 
+  test("stream c4 flags == batch qC4Rules, row-identical under uneven " +
+      "batch slicing") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").orderBy("doc_id").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val q = Quality.c4Flags(stream.toDS().toDF("doc_id", "text"))
+      .select("doc_id", "n_lines", "kept_lines", "n_sentences",
+        "has_lorem", "has_brace", "has_js", "keep")
+      .writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(1).toSeq); q.processAllAvailable()
+      stream.addData(docs.slice(1, 8).toSeq); q.processAllAvailable()
+      stream.addData(docs.drop(8).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("c4_stream").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val ids = streamed.keySet
+    val batch = graft.operators.Quality.qC4Rules(spark, sfDir).collect()
+      .filter(r => ids(r.getLong(0)))
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(streamed.size === docs.length)
+    assert(streamed === batch,
+      "streamed C4 flags diverged from the batch operator")
+  }
+
   test("stream gopher flags == batch qGopherRules flags (same docs)") {
     val batch = graft.operators.Quality.qGopherRules(spark, sfDir)
       .select("doc_id", "keep").collect()
