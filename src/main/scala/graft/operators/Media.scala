@@ -333,6 +333,58 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** 8-bit perceptual average-hash from REAL decoded BMP bytes: the
+    * image divides into a 4×2 cell grid (cell of pixel = (x·4 div w,
+    * y·2 div h) — exact on any geometry), each cell's bit is set iff
+    * its mean gray exceeds the image mean. The comparison is
+    * cross-multiplied (`cell_sum·total_px > total_sum·cell_px`) so
+    * the hash is pure integer arithmetic — bit-identical across
+    * engines and partitionings, no float mean anywhere. */
+  private[graft] def bmpPhash(b: Array[Byte]): Long = {
+    require(b(0) == 'B' && b(1) == 'M', "bad BMP magic")
+    val off = rd32(b, 10)
+    val w = rd32(b, 18); val h = rd32(b, 22)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val cs = new Array[Long](8); val cn = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = off + (h - 1 - y) * stride + x * 3
+        val gray = (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+        val ci = (y * 2 / h) * 4 + (x * 4 / w)
+        cs(ci) += gray; cn(ci) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val ts = cs.sum; val tn = cn.sum
+    (0 until 8).map(i => if (cs(i) * tn > ts * cn(i)) 1L << i else 0L).sum
+  }
+
+  /** Perceptual image dedup — the multimodal twin of
+    * [[graft.operators.Dedup.qDedupExact]]: decode every image with
+    * the real codec, compute the integer average-hash
+    * ([[bmpPhash]]), and group by hash into perceptual duplicate
+    * classes (count + canonical id). Same-looking images land in one
+    * class even when their bytes differ; at 100 TB this is the
+    * near-free first pass before any pairwise perceptual comparison
+    * — one decode scan, one 8-bit-key shuffle, no pair blowup. */
+  def qMediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 4 + (id % 13).toInt; val h = 3 + (id % 7).toInt
+        (id, bmpPhash(bmpBytes(id, w, h)))
+      })
+      .toDF("doc_id", "phash")
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_id"))
+      .orderBy("phash")
+  }
+
   case class DecodeStatus(doc_id: Long, status: String, n_samples: Option[Long])
 
   /** Error-channel decode — the production posture for a 100 TB media
@@ -369,6 +421,7 @@ object Media {
     "q_media_resize"   -> (qMediaResize _),
     "q_wav_decode"     -> (qWavDecode _),
     "q_bmp_decode"     -> (qBmpDecode _),
+    "q_media_phash"    -> (qMediaPhash _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -418,6 +471,30 @@ object Media {
         |    (3 * any_value(w) * any_value(h) * 255))::BIGINT
         |    AS brightness_milli
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_media_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, 4 + (doc_id % 13) AS w, 3 + (doc_id % 7) AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, w, h, x, y,
+        |    ((doc_id + x + y) % 256) + ((doc_id*2 + x) % 256) +
+        |      ((doc_id + x*y) % 256) AS gray
+        |  FROM d, LATERAL (SELECT unnest(range(w)) AS x) gx,
+        |       LATERAL (SELECT unnest(range(h)) AS y) gy),
+        |cells AS (
+        |  SELECT doc_id, (x*4)//w AS cx, (y*2)//h AS cy,
+        |    sum(gray) AS cs, count(*) AS cn
+        |  FROM p GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cn) AS tn
+        |        FROM cells GROUP BY 1),
+        |bits AS (
+        |  SELECT c.doc_id,
+        |    sum(CASE WHEN c.cs * t.tn > t.ts * c.cn
+        |      THEN CAST(pow(2, c.cy*4 + c.cx) AS BIGINT) ELSE 0 END)::BIGINT
+        |      AS phash
+        |  FROM cells c JOIN tot t USING (doc_id) GROUP BY 1)
+        |SELECT phash, count(*)::BIGINT AS n_docs, min(doc_id) AS canonical_id
+        |FROM bits GROUP BY 1 ORDER BY phash""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id, strlen(text)::BIGINT AS byte_len,
         |  md5(text) AS content_hash,

@@ -3,7 +3,7 @@ package media
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 
 import graft.operators.Media.MediaStub
 
@@ -126,5 +126,17 @@ class MediaSpec extends SparkSpec {
     assert(bm.count() === docs)
     assert(bm.filter(col("brightness_milli") < 0 ||
       col("brightness_milli") > 1000).count() === 0)
+  }
+
+  test("phash dedup: lossless partition into 8-bit perceptual classes " +
+      "that genuinely group") {
+    val g = operators.Media.qMediaPhash(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(g.agg(sum("n_docs")).head.getLong(0) === docs)
+    assert(g.filter(col("phash") < 0 || col("phash") > 255).count() === 0)
+    // classes group (fewer classes than images) without collapsing
+    // to one bucket
+    val n = g.count()
+    assert(n > 1 && n < docs)
   }
 }
