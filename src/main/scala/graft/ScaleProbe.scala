@@ -452,6 +452,37 @@ object ScaleProbe {
           s"delta_serve_s=${f"$serveSec%.2f"} seal_s=${f"$sealSec%.2f"} " +
           s"post_eq_scratch=$same"
       },
+      time("ann_tombstone") {
+        // delete lifecycle at mult× corpus: tombstone 10% of the
+        // replicated ids (every replica of vec_id ≡ 7 mod 10, EXCLUDING
+        // the codebook/query ids < 8), then (a) the live serve excludes
+        // every tombstoned id while still filling k, (b) the
+        // anti-join's cost rides the bounded tombstone broadcast — the
+        // serve stays delta-probe-shaped, (c) compaction drops exactly
+        // the tombstoned rows from the index.
+        import operators.Ann
+        val idx = s"$work/tomb_idx"
+        Ann.buildSealedIndex(spark, embxDir, idx)
+        val dead = spark.read.parquet(s"$embxDir/embeddings.parquet")
+          .select("vec_id")
+          .filter(col("vec_id") % 10 === 7 && col("vec_id") >= 8)
+        Ann.writeTombstones(spark, dead, idx)
+        val nDead = dead.count()
+        val t1 = System.nanoTime()
+        val live = Ann.probeIvfDeltaLive(spark, embxDir, idx)
+        val rows = live.collect()
+        val serveSec = (System.nanoTime() - t1) / 1e9
+        val cleanK = rows.length == 10 &&
+          rows.forall(r => !(r.getLong(0) % 10 == 7 && r.getLong(0) >= 8))
+        val t2 = System.nanoTime()
+        Ann.resealWithTombstones(spark, embxDir, idx)
+        val sealSec = (System.nanoTime() - t2) / 1e9
+        val after = store.ChunkStore.read(spark, s"$idx/ivf")
+        val total = spark.read.parquet(s"$embxDir/embeddings.parquet").count()
+        val dropped = total - after.count()
+        s"tombstoned=$nDead full_k_clean=$cleanK dropped=$dropped " +
+          s"live_serve_s=${f"$serveSec%.2f"} seal_s=${f"$sealSec%.2f"}"
+      },
       time("bpe_train") {
         // Replication multiplies word FREQUENCIES by mult but leaves
         // the vocabulary identical — so the trainer must learn the
