@@ -16,6 +16,12 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
+      // per-JVM warehouse: bucketed tables (ChunkStore.writeBucketed)
+      // live in catalog metadata that dies with the in-memory catalog,
+      // so a persistent ./spark-warehouse leaves orphaned directories
+      // that break the NEXT JVM's saveAsTable (LOCATION_ALREADY_EXISTS)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
