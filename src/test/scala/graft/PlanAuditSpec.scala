@@ -49,11 +49,13 @@ class PlanAuditSpec extends SparkSpec {
     "GlobalLimit"
   )
 
-  /** A Filter pinning an id column to a literal (= k / < k) bounds the
-    * broadcast to a fixed query/sample set — the query-vector and
-    * bounded-brute-force shapes. */
+  /** A Filter pinning an id column to a SMALL literal (= k / < k,
+    * k < 10000) bounds the broadcast to a fixed query/sample set —
+    * the query-vector and bounded-brute-force shapes. The digit cap
+    * matters: without it a `vec_id < 10000000` "bound" (no bound at
+    * all on a real corpus) would silently pass the audit. */
   private val boundedFilterRe =
-    """\(\w*(vec_id|doc_id|query_id|qid)#\d+L? (=|<|<=) \d+\)""".r
+    """\(\w*(vec_id|doc_id|query_id|qid)#\d+L? (=|<|<=) \d{1,4}\)""".r
 
   test("registry-wide: no CartesianProduct; every nested-loop join " +
       "broadcasts a provably bounded side") {
