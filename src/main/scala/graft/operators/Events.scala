@@ -231,6 +231,85 @@ object Events {
       .orderBy("cohort_day", "offset")
   }
 
+  /** Bottom-k sample size for [[qQuantileSketch]]. */
+  private[graft] val QsK = 128
+
+  /** Audited percentile cuts for [[qQuantileSketch]]. */
+  private[graft] val QsPcts = Seq(25, 50, 75, 90, 99)
+
+  /** Mergeable QUANTILE sketch + its exact audit twin — the third
+    * sketch in the engine's toolkit (cardinality =
+    * [[TextAnalysis.qKmvDistinct]], frequency =
+    * [[TextAnalysis.qHeavyHitters]], quantiles = here). The sketch is
+    * a bottom-k uniform sample: per event_type, the [[QsK]] rows with
+    * the smallest `hash60(event_id)` — a deterministic, ORDER- and
+    * PARTITIONING-INVARIANT choice (the k-smallest of a fixed hash
+    * multiset is the same whatever order rows arrive in), accumulated
+    * by [[graft.functions.MinKPairAggregator]] with map-side partial
+    * aggregation, so each upstream partition ships at most k pairs
+    * per group however large the corpus. Quantile estimate at p =
+    * ceil-rank over the sorted sample (the reference's ceil-rank
+    * convention, score-analysis.ts:42-93, applied to the sample).
+    *
+    * The exact side reuses [[Relational.qPercentile]]'s bounded-histogram
+    * technique (2-decimal domain ⇒ bounded distinct values per type)
+    * and the query reports est vs exact with the absolute error — the
+    * sketch-accuracy audit a pipeline runs at sample scale before
+    * trusting the sketch alone on the 100 TB corpus, where the
+    * bounded-domain assumption may not hold (free-form doubles) and
+    * the bottom-k sample is the only shape whose state stays k·groups
+    * regardless of the value domain. Every ordering the query relies
+    * on is over bounded tables (≤[[QsK]] sample rows or the value
+    * histogram per type); the percentile cut table is a 5-row literal
+    * broadcast. */
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.embed.Embedder.hash60Col
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        hash60Col(col("event_id").cast("string")).as("h"),
+        Relational.cents(col("value")).as("vc"))
+    val pcts = broadcast(QsPcts.toDF("pct"))
+    // sketch side: bounded bottom-k-by-hash sample, then ceil-rank
+    // over the ≤QsK sampled values per group
+    val samp = ev.as[(String, Long, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(graft.functions.MinKPairAggregator.minK(QsK))
+      .toDF("event_type", "mins")
+      .select(col("event_type"), explode(col("mins")).as("e"))
+      .select(col("event_type"), col("e._2").as("vc"))
+    val ranked = samp
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("vc")))
+      .withColumn("ks",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+    val est = ranked.crossJoin(pcts)
+      .filter(col("rn") ===
+        greatest(ceil(col("ks") * col("pct") / 100.0), lit(1L)))
+      .select(col("event_type"), col("pct"), col("ks").as("k_sample"),
+        (col("vc") / 100.0).as("est_value"))
+    // exact twin: ceil-rank percentiles from the bounded value
+    // histogram (qPercentile's shape), long-form over the same cuts
+    val wCum = Window.partitionBy("event_type").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = ev.groupBy("event_type", "vc").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("event_type")))
+      .withColumn("lo", col("cum") - col("c"))
+    val exact = hist.crossJoin(pcts)
+      .withColumn("r",
+        greatest(ceil(col("n") * col("pct") / 100.0), lit(1L)))
+      .filter(col("lo") < col("r") && col("r") <= col("cum"))
+      .select(col("event_type"), col("pct"), col("n"),
+        (col("vc") / 100.0).as("exact_value"))
+    est.join(exact, Seq("event_type", "pct"))
+      .withColumn("abs_err",
+        round(abs(col("est_value") - col("exact_value")), 2))
+      .select("event_type", "pct", "n", "k_sample", "est_value",
+        "exact_value", "abs_err")
+      .orderBy("event_type", "pct")
+  }
+
   /** Heavy-hitter shuffle-key diagnostic: the top-10 user keys by
     * event volume with their corpus share and skew (share ÷ ideal
     * uniform share). This is the table that decides whether a user-
@@ -254,7 +333,8 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_key_skew"       -> (qKeySkew _),
+    "q_key_skew"        -> (qKeySkew _),
+    "q_quantile_sketch" -> (qQuantileSketch _),
     "q_corr"           -> (qCorr _),
     "q_json_extract"   -> (qJsonExtract _),
     "q_sessionize"     -> (qSessionize _),
@@ -267,6 +347,40 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quantile_sketch" ->
+      s"""WITH ev AS (
+        |  SELECT event_type,
+        |    ('0x'||substr(md5(event_id::VARCHAR),1,15))::BIGINT AS h,
+        |    CAST(ROUND(value*100,0) AS BIGINT) AS vc
+        |  FROM events),
+        |sr AS (
+        |  SELECT event_type, vc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h, vc) AS hr
+        |  FROM ev),
+        |sv AS (
+        |  SELECT event_type, vc,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS ks
+        |  FROM sr WHERE hr <= $QsK),
+        |p(pct) AS (VALUES ${QsPcts.map(p => s"($p)").mkString(",")}),
+        |est AS (
+        |  SELECT event_type, pct, ks AS k_sample, vc/100.0 AS est_value
+        |  FROM sv CROSS JOIN p
+        |  WHERE rn = greatest(CAST(ceil(ks*pct/100.0) AS BIGINT), 1)),
+        |hc AS (
+        |  SELECT event_type, vc, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM (SELECT event_type, vc, count(*) AS c FROM ev GROUP BY 1,2)),
+        |ex AS (
+        |  SELECT event_type, pct, n, vc/100.0 AS exact_value
+        |  FROM hc CROSS JOIN p
+        |  WHERE cum - c < greatest(CAST(ceil(n*pct/100.0) AS BIGINT), 1)
+        |    AND greatest(CAST(ceil(n*pct/100.0) AS BIGINT), 1) <= cum)
+        |SELECT e.event_type, e.pct, x.n, e.k_sample, e.est_value,
+        |  x.exact_value, round(abs(e.est_value - x.exact_value), 2) AS abs_err
+        |FROM est e JOIN ex x USING (event_type, pct)
+        |ORDER BY event_type, pct""".stripMargin,
     "q_corr" ->
       """WITH t AS (
         |  SELECT event_type,
