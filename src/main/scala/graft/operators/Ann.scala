@@ -1497,7 +1497,45 @@ object Ann {
       .limit(20)
   }
 
+  /** One-pass embedding covariance (Gram) statistics — the
+    * second-moment table that drives PCA/whitening decisions before a
+    * product quantizer (OPQ's rotation estimate starts here; Jégou
+    * et al. 2011 §IV motivates balancing per-subspace variance) and
+    * the anisotropy diagnostics of Ethayarajh 2019 (contextual
+    * embeddings concentrate in a narrow cone — high top-eigenvalue
+    * share — which degrades LSH/IVF geometry tuned for isotropy).
+    *
+    * Emits the full upper triangle (i ≤ j) with exact integer sums:
+    * components are fixed-point at 1e3 (headroom analysis on
+    * [[graft.functions.GramAggregator]] — per-row pair terms ≤ 1e6,
+    * so 64-bit sums survive ~9e12 rows), and the covariance NUMERATOR
+    * `n·Σxy − Σx·Σy` (= n²·cov in fixed-point units) stays integer so
+    * oracle rows hash-match without any float accumulation-order
+    * hazard. Downstream eigen-analysis (a 64×64 driver-side Jacobi on
+    * the one bounded matrix this emits) lives in EmbCovSpec — the
+    * distributed work here is ONE narrow corpus pass with a constant
+    * 2,144-long buffer per partition, no shuffle of vectors at all. */
+  def qEmbCov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sv = Tables.embeddings(spark, dir)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1000, 0).cast("long")).as("se"))
+      .as[Seq[Long]]
+    sv.select(graft.functions.GramAggregator.gram(Dim))
+      .toDF("n", "s", "pairs")
+      .select(col("n"), col("s"), explode(col("pairs")).as("p"))
+      .select(col("n"), col("p._1").as("i"), col("p._2").as("j"),
+        element_at(col("s"), col("p._1") + 1).as("s_i"),
+        element_at(col("s"), col("p._2") + 1).as("s_j"),
+        col("p._3").as("s_ij"))
+      .withColumn("cov_num",
+        col("n") * col("s_ij") - col("s_i") * col("s_j"))
+      .select("i", "j", "n", "s_i", "s_j", "s_ij", "cov_num")
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_emb_cov"        -> (qEmbCov _),
     "q_mine_bitext"    -> (qMineBitext _),
     "q_ann_delta"      -> (qAnnDelta _),
     "q_ann_tombstone"  -> (qAnnTombstone _),
@@ -1579,6 +1617,23 @@ object Ann {
       |  ORDER BY score DESC, sh.vec_id LIMIT 10)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_emb_cov" ->
+      """WITH x AS (
+        |  SELECT vec_id, d,
+        |    CAST(round(embedding[d+1]::DOUBLE * 1000, 0) AS BIGINT) AS se
+        |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) g),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |s AS (SELECT d, sum(se)::BIGINT AS sd FROM x GROUP BY d),
+        |p AS (
+        |  SELECT a.d AS i, b.d AS j, sum(a.se * b.se)::BIGINT AS s_ij
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
+        |  GROUP BY 1, 2)
+        |SELECT p.i, p.j, nn.n, si.sd AS s_i, sj.sd AS s_j, p.s_ij,
+        |  nn.n * p.s_ij - si.sd * sj.sd AS cov_num
+        |FROM p CROSS JOIN nn
+        |JOIN s si ON si.d = p.i
+        |JOIN s sj ON sj.d = p.j
+        |ORDER BY i, j""".stripMargin,
     "q_mine_bitext" ->
       s"""WITH $bucketsSql,
          |langs AS (SELECT doc_id AS vec_id, lang FROM documents),
