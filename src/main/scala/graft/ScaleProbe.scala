@@ -682,6 +682,41 @@ object ScaleProbe {
         }
         s"hitters=${r.length} set_and_counts_x${mult}_exact=$exact"
       },
+      time("quantile_sketch") {
+        // per-replica users carry the base user's exact history, so the
+        // value multiset per event_type scales every multiplicity by
+        // mult — ceil-rank EXACT quantiles are then bit-identical to
+        // the base run and n exactly mult×, while the sketch side keeps
+        // its fixed 128-row sample per group (drawn over the new id
+        // space) and only its measured error may move
+        val base = operators.Events.qQuantileSketch(spark, sfDir)
+          .collect().map(r => (r.getString(0), r.getInt(1)) ->
+            (r.getLong(2), r.getDouble(5))).toMap
+        val r = operators.Events.qQuantileSketch(spark, work).collect()
+        val exactInvariant = r.length == base.size && r.forall { row =>
+          val (n, exact) = base((row.getString(0), row.getInt(1)))
+          n * mult == row.getLong(2) && exact == row.getDouble(5)
+        }
+        val kBounded = r.forall(_.getLong(3) == operators.Events.QsK)
+        val maxErr = r.map(_.getDouble(6)).max
+        s"rows=${r.length} exact_side_x${mult}_invariant=$exactInvariant " +
+          s"k_bounded=$kBounded max_abs_err=$maxErr"
+      },
+      time("emb_cov") {
+        // replicated vectors: n, per-dim sums and pair sums all scale
+        // by exactly mult, so every covariance numerator must be
+        // exactly mult² × the base value — while the aggregation
+        // buffer stays a constant 2,144 longs per partition (the wall
+        // should track the linear scan, nothing else)
+        val base = operators.Ann.qEmbCov(spark, sfDir).collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(6)).toMap
+        val r = operators.Ann.qEmbCov(spark, embxDir).collect()
+        val m2 = mult.toLong * mult
+        val exact = r.length == base.size && r.forall { row =>
+          base((row.getInt(0), row.getInt(1))) * m2 == row.getLong(6)
+        }
+        s"rows=${r.length} cov_num_x${mult}sq_exact=$exact"
+      },
       time("shard_plan") {
         val r = operators.Curation.qShardPlan(spark, work).collect()
         val fullExceptTail = r.dropRight(1)
