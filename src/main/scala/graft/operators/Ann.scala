@@ -1534,7 +1534,58 @@ object Ann {
       .orderBy("i", "j")
   }
 
+  /** Fixed-point components under an EXPLICIT dim→subspace mapping
+    * (64-row broadcast) — the parameterized twin of [[pqComponents]]'
+    * contiguous `floor(d / SubDim)` split, letting the encode /
+    * refine / error plans run unchanged over a re-allocated dimension
+    * layout. */
+  private[graft] def pqComponentsMapped(spark: SparkSession, dir: String,
+      mapping: DataFrame): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("se", round(col("x").cast("double") * 1000000, 0).cast("long"))
+      .join(broadcast(mapping.select(col("d"), col("sub"))), "d")
+
+  /** Variance-balanced PQ dimension allocation — the "structured
+    * dimension allocation" half of OPQ (Ge et al. 2014; Jégou et al.
+    * 2011 §IV observe PQ degrades when subquantizers see unbalanced
+    * energy): rank dims by their EXACT per-dim variance numerator
+    * `n·Σx² − (Σx)²` (the diagonal of [[qEmbCov]]'s one-pass Gram
+    * table — no new corpus pass) and deal them to the [[SubSpaces]]
+    * subspaces in a boustrophedon (snake) over the rank order, so
+    * each subspace receives one dim from every high-variance stratum.
+    * Unlike full OPQ's learned rotation this is a PERMUTATION — it
+    * composes with the existing integer PQ encode unchanged (a
+    * rotation would break the fixed-point exactness contract).
+    *
+    * Everything after the covariance pass operates on the bounded
+    * 64-row dim table (one global window over 64 rows), so the
+    * allocation itself is free at any corpus size. What the snake
+    * GUARANTEES is the tighter per-subspace variance spread (pinned
+    * by PqBalanceSpec against the contiguous split); the quantization
+    * -error effect is data-dependent — on this near-isotropic
+    * synthetic corpus it measures within ±2% of contiguous (the spec
+    * reports the ratio), and the payoff case is the anisotropic
+    * spectrum real text encoders produce (Ethayarajh 2019), where a
+    * contiguous split can hand one subquantizer most of the energy. */
+  def qPqBalance(spark: SparkSession, dir: String): DataFrame = {
+    val diag = qEmbCov(spark, dir)
+      .filter(col("i") === col("j"))
+      .select(col("i").as("d"), col("cov_num").as("var_num"))
+    diag
+      .withColumn("rk",
+        row_number().over(Window.orderBy(desc("var_num"), col("d"))) - 1)
+      .withColumn("blk", floor(col("rk") / SubSpaces).cast("long"))
+      .withColumn("sub",
+        when(pmod(col("blk"), lit(2)) === 0, pmod(col("rk"), lit(SubSpaces)))
+          .otherwise(lit(SubSpaces - 1) - pmod(col("rk"), lit(SubSpaces)))
+          .cast("long"))
+      .select("d", "var_num", "rk", "sub")
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pq_balance"     -> (qPqBalance _),
     "q_emb_cov"        -> (qEmbCov _),
     "q_mine_bitext"    -> (qMineBitext _),
     "q_ann_delta"      -> (qAnnDelta _),
@@ -1617,6 +1668,21 @@ object Ann {
       |  ORDER BY score DESC, sh.vec_id LIMIT 10)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_pq_balance" ->
+      s"""WITH x AS (
+        |  SELECT vec_id, d,
+        |    CAST(round(embedding[d+1]::DOUBLE * 1000, 0) AS BIGINT) AS se
+        |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) g),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |s AS (SELECT d, sum(se)::BIGINT AS sd, sum(se*se)::BIGINT AS sdd
+        |      FROM x GROUP BY d),
+        |v AS (SELECT d, nn.n * sdd - sd * sd AS var_num FROM s CROSS JOIN nn),
+        |r AS (SELECT d, var_num,
+        |    row_number() OVER (ORDER BY var_num DESC, d) - 1 AS rk FROM v)
+        |SELECT d, var_num, rk,
+        |  CASE WHEN (rk // $SubSpaces) % 2 = 0 THEN rk % $SubSpaces
+        |       ELSE ${SubSpaces - 1} - rk % $SubSpaces END AS sub
+        |FROM r ORDER BY d""".stripMargin,
     "q_emb_cov" ->
       """WITH x AS (
         |  SELECT vec_id, d,
