@@ -262,13 +262,36 @@ object Events {
     * on is over bounded tables (≤[[QsK]] sample rows or the value
     * histogram per type); the percentile cut table is a 5-row literal
     * broadcast. */
+  /** The `(event_type, hash, value-cents)` projection both the batch
+    * sketch and its streaming twin sample from. */
+  private[graft] def qsProjected(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        graft.embed.Embedder.hash60Col(col("event_id").cast("string")).as("h"),
+        Relational.cents(col("value")).as("vc"))
+
+  /** Ceil-rank quantile estimates from an exploded `(event_type, vc)`
+    * sample — ONE body shared by the batch query and the streaming
+    * sink verify so the two cannot drift. Bounded: the window sorts
+    * ≤[[QsK]] rows per group; the cut table is a 5-row literal. */
+  private[graft] def qsEstFromSample(samp: DataFrame): DataFrame = {
+    val spark = samp.sparkSession
+    import spark.implicits._
+    val ranked = samp
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("vc")))
+      .withColumn("ks",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+    ranked.crossJoin(broadcast(QsPcts.toDF("pct")))
+      .filter(col("rn") ===
+        greatest(ceil(col("ks") * col("pct") / 100.0), lit(1L)))
+      .select(col("event_type"), col("pct"), col("ks").as("k_sample"),
+        (col("vc") / 100.0).as("est_value"))
+  }
+
   def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.embed.Embedder.hash60Col
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"),
-        hash60Col(col("event_id").cast("string")).as("h"),
-        Relational.cents(col("value")).as("vc"))
+    val ev = qsProjected(spark, dir)
     val pcts = broadcast(QsPcts.toDF("pct"))
     // sketch side: bounded bottom-k-by-hash sample, then ceil-rank
     // over the ≤QsK sampled values per group
@@ -278,16 +301,7 @@ object Events {
       .toDF("event_type", "mins")
       .select(col("event_type"), explode(col("mins")).as("e"))
       .select(col("event_type"), col("e._2").as("vc"))
-    val ranked = samp
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("event_type").orderBy("vc")))
-      .withColumn("ks",
-        count(lit(1)).over(Window.partitionBy("event_type")))
-    val est = ranked.crossJoin(pcts)
-      .filter(col("rn") ===
-        greatest(ceil(col("ks") * col("pct") / 100.0), lit(1L)))
-      .select(col("event_type"), col("pct"), col("ks").as("k_sample"),
-        (col("vc") / 100.0).as("est_value"))
+    val est = qsEstFromSample(samp)
     // exact twin: ceil-rank percentiles from the bounded value
     // histogram (qPercentile's shape), long-form over the same cuts
     val wCum = Window.partitionBy("event_type").orderBy("vc")
