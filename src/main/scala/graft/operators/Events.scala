@@ -324,6 +324,70 @@ object Events {
       .orderBy("event_type", "pct")
   }
 
+  /** Morton/Z-order bits per dimension for [[qZorderStats]]. */
+  private[graft] val ZBits = 16
+
+  /** `(ub, tb, zkey)`: both dims scaled to 16-bit integer buckets over
+    * their corpus min/max (exact integer arithmetic), then bit-
+    * interleaved into the 32-bit Morton key — one narrow projection,
+    * no shuffle. */
+  private[graft] def zkeyed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"))
+    ev.crossJoin(broadcast(ev.agg(
+        min("user_id").as("u0"), max("user_id").as("u1"),
+        min("ms").as("t0"), max("ms").as("t1"))))
+      .withColumn("ub",
+        expr("((user_id - u0) * 65535) div greatest(u1 - u0, 1)"))
+      .withColumn("tb",
+        expr("((ms - t0) * 65535) div greatest(t1 - t0, 1)"))
+      .withColumn("zkey", expr(
+        s"""aggregate(sequence(0, ${ZBits - 1}), 0L, (acc, b) ->
+           |  acc + shiftleft(shiftright(ub, b) & 1, 2*b + 1)
+           |      + shiftleft(shiftright(tb, b) & 1, 2*b))""".stripMargin))
+  }
+
+  /** Z-ORDER layout statistics — the multi-dimensional data-skipping
+    * table (the Delta/Iceberg `OPTIMIZE ZORDER BY` idea, rooted in
+    * Morton 1966 and the UB-tree literature): events bucketed to
+    * 16-bit grids on BOTH query dimensions (user_id, event time),
+    * bit-interleaved, and grouped by the Morton key's top 6 bits —
+    * i.e. the 64 quadtree cells a z-sorted file layout would produce.
+    * Each cell's min/max extent in BOTH dims is reported: by
+    * construction every cell spans ≤ 2¹³ of each 2¹⁶-bucket dim (top
+    * 3 bits pinned per dim), so a point predicate on EITHER dimension
+    * prunes ~7/8 of the files — where a single-dim sort gives perfect
+    * pruning on one dimension and ZERO on the other (ZorderSpec
+    * measures exactly that contrast, and drives the file-level twin
+    * through an actual partitioned parquet write via [[zorderWrite]]).
+    *
+    * Scale shape: the key build is a narrow per-row expression over a
+    * 3-column projection (one 6-value broadcast of the corpus bounds);
+    * the stats are a 64-group aggregate. The LAYOUT at 100 TB is just
+    * `repartitionByRange(zkey)` + sortWithinPartitions — no new
+    * machinery, the key IS the operator. */
+  def qZorderStats(spark: SparkSession, dir: String): DataFrame =
+    zkeyed(spark, dir)
+      .withColumn("zcell", expr(s"shiftright(zkey, ${2 * ZBits - 6})"))
+      .groupBy("zcell")
+      .agg(count(lit(1)).as("n"),
+        min("ub").as("min_ub"), max("ub").as("max_ub"),
+        min("tb").as("min_tb"), max("tb").as("max_tb"))
+      .orderBy("zcell")
+
+  /** Materialize the z-ordered layout: range-partition by Morton key,
+    * sort within partitions, write parquet — the file layout whose
+    * per-file min/max footers bound BOTH dimensions (ZorderSpec reads
+    * the written files back and checks the extents). */
+  def zorderWrite(spark: SparkSession, dir: String, out: String,
+      files: Int = 16): Unit =
+    zkeyed(spark, dir)
+      .select("event_id", "user_id", "ms", "ub", "tb", "zkey")
+      .repartitionByRange(files, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(out)
+
   /** Heavy-hitter shuffle-key diagnostic: the top-10 user keys by
     * event volume with their corpus share and skew (share ÷ ideal
     * uniform share). This is the table that decides whether a user-
@@ -348,6 +412,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_key_skew"        -> (qKeySkew _),
+    "q_zorder_stats"    -> (qZorderStats _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_corr"           -> (qCorr _),
     "q_json_extract"   -> (qJsonExtract _),
@@ -361,6 +426,26 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder_stats" ->
+      s"""WITH r AS (
+        |  SELECT min(user_id) AS u0, max(user_id) AS u1,
+        |    min(epoch_ms(ts)) AS t0, max(epoch_ms(ts)) AS t1
+        |  FROM events),
+        |bk AS (
+        |  SELECT event_id,
+        |    ((user_id - u0) * 65535) // greatest(u1 - u0, 1) AS ub,
+        |    ((epoch_ms(ts) - t0) * 65535) // greatest(t1 - t0, 1) AS tb
+        |  FROM events, r),
+        |z AS (
+        |  SELECT event_id, ub, tb,
+        |    sum((((ub >> b) & 1) << (2*b + 1))
+        |      + (((tb >> b) & 1) << (2*b)))::BIGINT AS zkey
+        |  FROM bk, LATERAL (SELECT unnest(range($ZBits)) AS b) g
+        |  GROUP BY 1, 2, 3)
+        |SELECT zkey >> ${2 * ZBits - 6} AS zcell, count(*) AS n,
+        |  min(ub) AS min_ub, max(ub) AS max_ub,
+        |  min(tb) AS min_tb, max(tb) AS max_tb
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_quantile_sketch" ->
       s"""WITH ev AS (
         |  SELECT event_type,
