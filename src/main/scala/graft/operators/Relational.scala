@@ -88,6 +88,57 @@ object Relational {
       .orderBy($"l_orderkey")
   }
 
+  /** Columns profiled by [[qTableStats]]. */
+  private val StatsCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** ANALYZE-TABLE-style one-pass column profile of the documents
+    * table — the statistics a cost-based optimizer (and this engine's
+    * own planning heuristics: broadcast thresholds, salt decisions,
+    * domain caps) feeds on: per column, row/null counts, total string
+    * length, EXACT distinct count, and the KMV sketch estimate beside
+    * it. Pairing exact ndv with the sketch is deliberate: at profile
+    * scale the pair calibrates the sketch; on the 100 TB table only
+    * the sketch column runs (same contract as
+    * [[TextAnalysis.qKmvDistinct]], whose estimator and K this
+    * reuses).
+    *
+    * Shape: the table is stacked to `(column, value)` rows — the same
+    * Expand work a multi-`count(distinct)` ANALYZE plans — then ONE
+    * distinct-keyed pass feeds ndv + the bounded MinK sketch, and the
+    * base counts ride the stacked scan. Every shuffle key is
+    * (column, value/hash): 5 well-spread groups, no wide rows, no
+    * window. */
+  def qTableStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.embed.Embedder.hash60Col
+    val k = TextAnalysis.KmvK
+    val stacked = Tables.documents(spark, dir)
+      .select(explode(array(StatsCols.map(c =>
+        struct(lit(c).as("cname"), col(c).cast("string").as("v"))): _*)).as("e"))
+      .select(col("e.cname").as("cname"), col("e.v").as("v"))
+    val base = stacked.groupBy("cname").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(length(coalesce(col("v"), lit("")))).as("sum_len"))
+    val dh = stacked.filter(col("v").isNotNull).distinct()
+      .select(col("cname"), hash60Col(col("v")).as("h"))
+    val ndv = dh.groupBy("cname").agg(count(lit(1)).as("ndv"))
+    val kth = dh.select(col("cname"), col("h"), lit(0L))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(graft.functions.MinKPairAggregator.minK(k))
+      .toDF("cname", "mins")
+      .select(col("cname"),
+        when(size(col("mins")) >= k,
+          element_at(col("mins"), k).getField("_1")).as("h_k"))
+    base.join(ndv, "cname").join(kth, "cname")
+      .withColumn("ndv_kmv",
+        when(col("h_k").isNull, col("ndv")).otherwise(expr(
+          s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976 AS DECIMAL(38,0)) div h_k")))
+      .select("cname", "n", "n_null", "sum_len", "ndv", "ndv_kmv")
+      .orderBy("cname")
+  }
+
   /** Anti-join shape (S9 source GC / D4 already-indexed check):
     * customers with no orders. */
   def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -284,6 +335,7 @@ object Relational {
 
   /** Registry consumed by [[graft.SparkEntry]]. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_stats"   -> (qTableStats _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_ship_priority" -> (qShipPriority _),
     "q_cube"         -> (qCube _),
@@ -308,6 +360,30 @@ object Relational {
   /** DuckDB-equivalent SQL, mirroring each query's arithmetic exactly
     * (same cents-integer trick, same tie-breaks) for hash-stable compare. */
   val oracles: Map[String, String] = Map(
+    "q_table_stats" ->
+      s"""WITH stacked AS (
+        |  SELECT 'doc_id' AS cname, CAST(doc_id AS VARCHAR) AS v FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+        |base AS (
+        |  SELECT cname, count(*) AS n,
+        |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |    sum(length(coalesce(v, '')))::BIGINT AS sum_len
+        |  FROM stacked GROUP BY 1),
+        |dh AS (SELECT DISTINCT cname, v FROM stacked WHERE v IS NOT NULL),
+        |dhh AS (SELECT cname, ('0x'||substr(md5(v),1,15))::BIGINT AS h FROM dh),
+        |nd AS (SELECT cname, count(*) AS ndv FROM dhh GROUP BY 1),
+        |rk AS (SELECT cname, h,
+        |    row_number() OVER (PARTITION BY cname ORDER BY h) AS rn FROM dhh),
+        |kth AS (SELECT cname, h AS h_k FROM rk WHERE rn = ${TextAnalysis.KmvK})
+        |SELECT b.cname, b.n, b.n_null, b.sum_len, nd.ndv,
+        |  CASE WHEN k.h_k IS NULL THEN nd.ndv
+        |    ELSE ((${TextAnalysis.KmvK - 1}::HUGEINT * 1152921504606846976::HUGEINT)
+        |          // k.h_k)::BIGINT END AS ndv_kmv
+        |FROM base b JOIN nd USING (cname) LEFT JOIN kth k USING (cname)
+        |ORDER BY cname""".stripMargin,
     "q_ship_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  sum(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
