@@ -109,8 +109,16 @@ object Embedder extends EmbeddingProvider {
 
   // ---- DataFrame path: identical math as Catalyst expressions ----
 
-  /** Portable hash as a column: conv(first 15 md5 hex, 16, 10). */
+  /** Portable hash as a column — the native codegen'd
+    * [[graft.functions.Hash60]] (registered by GraftExtensions;
+    * bit-identical to the `conv(first 15 md5 hex, 16, 10)` composite
+    * the oracles validate, without the hex/conv string detour). */
   def hash60Col(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_hash60", c)
+
+  /** The builtin-composite formulation — the reference implementation
+    * Hash60Spec pins the native function against. */
+  private[graft] def hash60ColComposite(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   def bucketCol(token: Column, dim: Int): Column =
