@@ -317,6 +317,78 @@ object Media {
       (rs + gs + bs) * 1000 / (3L * w * h * 255))
   }
 
+  /** PCM16 samples re-signed straight from a decoded RIFF data chunk
+    * — the waveform accessor [[wavDecode]]'s feature loop walks,
+    * factored for the band-correlation pass. */
+  private[graft] def wavSamples(b: Array[Byte]): Array[Int] = {
+    require(new String(b, 36, 4, "US-ASCII") == "data", "missing data chunk")
+    val n = rd32(b, 40) / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val raw = rd16(b, 44 + 2 * i)
+      out(i) = if (raw >= 0x8000) raw - 0x10000 else raw
+      i += 1
+    }
+    out
+  }
+
+  /** Spectral bands for [[qAudioFp]]: frequencies whose period divides
+    * the 8 kHz sample rate EXACTLY (P = 16, 8, 4 samples), so the
+    * correlation index is `i mod P` and the quadrature tables are
+    * finite. Tables are `round(1024·cos/sin(2πj/P))` — computed once
+    * here and INTERPOLATED INTO THE ORACLE SQL as literals, so engine
+    * and oracle share one source of truth with zero trig at query
+    * time. */
+  private[graft] val FpBands: Seq[(Int, Array[Long], Array[Long])] =
+    Seq(500, 1000, 2000).map { f =>
+      val p = 8000 / f
+      (f,
+        Array.tabulate(p)(j => math.round(1024.0 * math.cos(2 * math.Pi * j / p))),
+        Array.tabulate(p)(j => math.round(1024.0 * math.sin(2 * math.Pi * j / p))))
+    }
+
+  case class AudioFp(doc_id: Long, f_hz: Long, c: Long, s: Long, energy: Long)
+
+  /** Quadrature band correlation of a decoded waveform — exact
+    * integer: c = Σ vᵢ·ct[i mod P], s = Σ vᵢ·st[i mod P],
+    * energy = c² + s² (≤ 3.5e17 at the synthesis amplitude/length,
+    * well inside a long). */
+  private[graft] def bandFp(docId: Long, v: Array[Int]): Seq[AudioFp] =
+    FpBands.map { case (f, ct, st) =>
+      val p = ct.length
+      var c = 0L; var s = 0L; var i = 0
+      while (i < v.length) {
+        c += v(i) * ct(i % p); s += v(i) * st(i % p)
+        i += 1
+      }
+      AudioFp(docId, f, c, s, c * c + s * s)
+    }
+
+  /** Audio spectral fingerprint over REAL decoded WAV bytes — the
+    * Shazam-family primitive (Wang 2003: constellation of spectral
+    * peaks; this is the per-band energy table those peaks come from):
+    * each clip's PCM16 waveform is correlated against integer
+    * quadrature tables at 500/1000/2000 Hz, giving exact per-band
+    * energies whose equality is the audio near-dup key (AudioFpSpec
+    * plants a same-waveform pair and a pure tone that must
+    * concentrate in its own band). Row-local flatMap — decode and
+    * all three bands in one pass over each clip's samples, 3 output
+    * rows per doc, no shuffle before the final order. At 100 TB the
+    * binary column streams through executors without ever being
+    * row-exploded. */
+  def qAudioFp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (lit(100) + col("n_chars") % 100).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions(_.flatMap { case (id, n) =>
+        bandFp(id, wavSamples(wavBytes(id, n)))
+      })
+      .toDF()
+      .orderBy("doc_id", "f_hz")
+  }
+
   /** Image decode with a REAL codec end to end: well-formed 24bpp BMP
     * per doc (geometry keyed by doc_id), parsed back byte-for-byte
     * (padding included), channel sums + fixed-point brightness. */
@@ -422,9 +494,30 @@ object Media {
     "q_wav_decode"     -> (qWavDecode _),
     "q_bmp_decode"     -> (qBmpDecode _),
     "q_media_phash"    -> (qMediaPhash _),
+    "q_audio_fp"       -> (qAudioFp _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_audio_fp" -> {
+      val tab = FpBands.flatMap { case (f, ct, st) =>
+        ct.indices.map(j => s"($f,$j,${ct(j)},${st(j)})")
+      }.mkString(",")
+      s"""WITH d AS (
+        |  SELECT doc_id, 100 + n_chars % 100 AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, i,
+        |    ((doc_id*31 + i*7) % 4096 - 2048)::BIGINT AS v
+        |  FROM d, LATERAL (SELECT unnest(range(n)) AS i) g),
+        |t(f_hz, j, ct, st) AS (VALUES $tab),
+        |c AS (
+        |  SELECT doc_id, f_hz,
+        |    sum(v * ct)::BIGINT AS c, sum(v * st)::BIGINT AS s
+        |  FROM s JOIN t ON s.i % (8000 // t.f_hz) = t.j
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, f_hz::BIGINT AS f_hz, c, s,
+        |  (c*c + s*s)::BIGINT AS energy
+        |FROM c ORDER BY doc_id, f_hz""".stripMargin
+    },
     "q_media_errors" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 97 = 0 THEN 'error' ELSE 'ok' END AS status,
