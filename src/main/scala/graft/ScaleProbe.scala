@@ -717,6 +717,42 @@ object ScaleProbe {
         }
         s"rows=${r.length} cov_num_x${mult}sq_exact=$exact"
       },
+      time("table_stats") {
+        // replication multiplies every row count by mult but adds no
+        // new VALUES except in the shifted id column — so for the
+        // value columns ndv (and the KMV estimate, a pure function of
+        // the distinct-hash set) must be bit-identical to the base
+        // run, while doc_id must profile as unique at the new size
+        val base = operators.Relational.qTableStats(spark, sfDir)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+        val r = operators.Relational.qTableStats(spark, work).collect()
+        val ok = r.length == base.size && r.forall { row =>
+          val (n, sumLen, ndv, kmv) = base(row.getString(0))
+          row.getLong(1) == n * mult && (row.getString(0) match {
+            case "doc_id" => row.getLong(4) == n * mult
+            case _ => row.getLong(3) == sumLen * mult &&
+              row.getLong(4) == ndv && row.getLong(5) == kmv
+          })
+        }
+        s"cols=${r.length} counts_x${mult}_value_ndv_invariant=$ok"
+      },
+      time("zorder") {
+        // the quadtree extent law is per-cell and scale-free: at any
+        // corpus size every cell must span ≤ 2^13 of each 2^16 dim,
+        // and the cell population must be exactly mult x the base
+        // cell's (replicated users keep their event times)
+        val base = operators.Events.qZorderStats(spark, sfDir).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val r = operators.Events.qZorderStats(spark, work).collect()
+        val law = r.forall(c => c.getLong(3) - c.getLong(2) <= 8191 &&
+          c.getLong(5) - c.getLong(4) <= 8191)
+        // replicated user ids rescale the user-bucket grid, so cell
+        // POPULATIONS shift across cells; the lossless check is the
+        // total and the law, not per-cell equality
+        val lossless = r.map(_.getLong(1)).sum == base.values.sum * mult
+        s"cells=${r.length} extent_law=$law lossless=$lossless"
+      },
       time("shard_plan") {
         val r = operators.Curation.qShardPlan(spark, work).collect()
         val fullExceptTail = r.dropRight(1)
