@@ -1053,7 +1053,88 @@ object Curation {
       .orderBy("shard_id")
   }
 
+  /** Bloom geometry for [[qBloomIndex]]: m bits per shard, k probes.
+    * 16 shards × 4096 bits = an 8 KB index for the whole corpus —
+    * broadcastable at any scale because the SIZE is per-shard
+    * constant. */
+  private[graft] val BloomBits = 4096L
+  private[graft] val BloomK = 4
+  private[graft] val BloomShards = 16L
+
+  /** Bit positions of one key: `hash60(h:i) mod m` for i < k — the
+    * k-hash construction with the engine's portable hash, so the
+    * bitmap is deterministic and the oracle recomputes it
+    * bit-for-bit. */
+  private def bloomPositions(df: DataFrame): DataFrame =
+    df.select(col("shard"), col("h"),
+      explode(sequence(lit(0), lit(BloomK - 1))).as("i"))
+      .select(col("shard"), col("h"),
+        pmod(hash60Col(concat(col("h").cast("string"), lit(":"),
+          col("i").cast("string"))), lit(BloomBits)).as("p"))
+
+  /** Per-shard key sets for the Bloom index: the document fingerprint
+    * hash, sharded by doc_id (the demo layout; production points this
+    * at [[qShardPlan]]'s stable-hash shards). */
+  private def bloomKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(pmod(col("doc_id"), lit(BloomShards)).as("shard"),
+        hash60Col(col("text")).as("h"))
+      .distinct()
+
+  /** Per-shard BLOOM MEMBERSHIP INDEX with its exact-integer accuracy
+    * audit (Bloom 1970; the per-file/SST-level skip index every LSM
+    * store and parquet itself carry): each shard's document
+    * fingerprints hash into a [[BloomBits]]-bit, [[BloomK]]-probe
+    * filter, and the report carries the set-bit count plus the
+    * resulting false-positive rate as an EXACT integer
+    * `micro(fpp) = (bits_set⁴·10⁶) div m⁴` — no float pow, so the
+    * oracle row is hash-stable. A point lookup consults the 8 KB
+    * index and touches only bloom-positive shards
+    * ([[bloomShardCandidates]]; BloomIndexSpec proves zero false
+    * negatives and measures the skip fraction on planted probes).
+    *
+    * Scale shape: one narrow fingerprint scan → (shard, position)
+    * distinct — at most m rows per shard however many keys stream in
+    * (the bitmap IS the bound); the audit is a shards-sized
+    * aggregate. */
+  def qBloomIndex(spark: SparkSession, dir: String): DataFrame = {
+    val keys = bloomKeys(spark, dir)
+    val nk = keys.groupBy("shard").agg(count(lit(1)).as("n_keys"))
+    val bits = bloomPositions(keys)
+      .select("shard", "p").distinct()
+      .groupBy("shard").agg(count(lit(1)).as("n_bits_set"))
+    nk.join(bits, "shard")
+      .withColumn("fpp_micro", expr(
+        s"""CAST(CAST(n_bits_set AS DECIMAL(38,0)) * n_bits_set * n_bits_set
+           |  * n_bits_set * 1000000 div
+           |  (CAST($BloomBits AS DECIMAL(38,0)) * $BloomBits * $BloomBits
+           |   * $BloomBits) AS BIGINT)""".stripMargin))
+      .select("shard", "n_keys", "n_bits_set", "fpp_micro")
+      .orderBy("shard")
+  }
+
+  /** The serve path: for each probe fingerprint, the shards whose
+    * filter contains ALL k of its bit positions — the candidate set a
+    * point lookup actually reads. Probes join the (shard, position)
+    * bitmap (≤ shards·m rows, broadcastable) and a shard survives
+    * only with all [[BloomK]] distinct positions present. */
+  def bloomShardCandidates(spark: SparkSession, dir: String,
+      probes: DataFrame): DataFrame = {
+    val bitmap = bloomPositions(bloomKeys(spark, dir))
+      .select("shard", "p").distinct()
+    val pp = bloomPositions(
+        probes.select(lit(-1L).as("shard"), col("h")))
+      .select(col("h"), col("p")).distinct()
+    pp.join(broadcast(bitmap), "p")
+      .groupBy("h", "shard")
+      .agg(count(lit(1)).as("hits"))
+      .join(pp.groupBy("h").agg(count(lit(1)).as("need")), "h")
+      .filter(col("hits") === col("need"))
+      .select(col("h"), col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_index"   -> (qBloomIndex _),
     "q_shard_plan"    -> (qShardPlan _),
     "q_dist_drift"    -> (qDistDrift _),
     "q_shard_churn"   -> (qShardChurn _),
@@ -1083,6 +1164,25 @@ object Curation {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_index" ->
+      s"""WITH keys AS (
+        |  SELECT DISTINCT doc_id % $BloomShards AS shard,
+        |    ('0x'||substr(md5(text),1,15))::BIGINT AS h
+        |  FROM documents),
+        |nk AS (SELECT shard, count(*) AS n_keys FROM keys GROUP BY 1),
+        |pos AS (
+        |  SELECT DISTINCT shard,
+        |    ('0x'||substr(md5(h::VARCHAR||':'||i::VARCHAR),1,15))::BIGINT
+        |      % $BloomBits AS p
+        |  FROM keys, LATERAL (SELECT unnest(range($BloomK)) AS i) g),
+        |b AS (SELECT shard, count(*) AS n_bits_set FROM pos GROUP BY 1)
+        |SELECT nk.shard, nk.n_keys, b.n_bits_set,
+        |  ((b.n_bits_set::HUGEINT * b.n_bits_set * b.n_bits_set
+        |    * b.n_bits_set * 1000000) //
+        |   ($BloomBits::HUGEINT * $BloomBits * $BloomBits * $BloomBits)
+        |  )::BIGINT AS fpp_micro
+        |FROM nk JOIN b USING (shard)
+        |ORDER BY shard""".stripMargin,
     "q_pack_shards" ->
       s"""WITH d AS (
          |  SELECT doc_id,
