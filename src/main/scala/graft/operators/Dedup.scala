@@ -466,6 +466,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC decontamination — the embedding-level member of the
+    * decontamination family (exact n-gram = [[qDecontaminate]], Bloom
+    * -prefiltered = [[qBloomDecon]], semantic = here): paraphrased or
+    * lightly-reworded eval leakage shares no 5-gram but sits next to
+    * the eval vector in embedding space (the Phi/llm-decontaminator
+    * observation — Yang et al. 2023). For each train vector that
+    * shares an LSH bucket with an eval vector (vec_id < 20, the same
+    * planted eval set as the n-gram twin), exact-cosine the candidate
+    * pair and report the top-20 most contaminated train vectors with
+    * the responsible eval vector — argmax per train vec, no
+    * threshold to tune.
+    *
+    * Scale shape: candidates are bucket-mates of the ~eval-sized
+    * bucket list (a broadcastable table), never all train × eval; the
+    * per-train argmax is a map-side max-of-struct aggregate; top-20
+    * lowers to TakeOrderedAndProject. Rides the session-cached
+    * lshBuckets/embNormed, so the marginal cost after any ANN query
+    * is one bucket equi-join. */
+  def qSemDecon(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Ann.lshBuckets(spark, dir)
+    val e = Search.embNormed(spark, dir)
+    val evalB = buckets.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("eval_vec"), col("bucket"))
+    val ee = e.select(col("vec_id").as("eval_vec"),
+      col("embedding").as("ev"), col("nrm").as("en"))
+    buckets.filter(col("vec_id") >= 20)
+      .join(broadcast(evalB), "bucket")
+      .join(e, "vec_id")
+      .join(broadcast(ee), "eval_vec")
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("ev")),
+          col("nrm"), col("en")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("score"), (-col("eval_vec")).as("neg"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg")).as("eval_vec"),
+        col("best.score").as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(20)
+  }
+
   /** Past this many near-dup edges the component computation stays
     * distributed; below it, one collect + driver union-find resolves
     * the graph in a single action. LSH candidate edges are a tiny
@@ -755,6 +795,7 @@ object Dedup {
     "q_semdedup"       -> (qSemdedup _),
     "q_dedup_groups"   -> (qDedupGroups _),
     "q_decontaminate"  -> (qDecontaminate _),
+    "q_sem_decon"      -> (qSemDecon _),
     "q_dedup_pipeline" -> (qDedupPipeline _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_norm"    -> (qDedupNorm _),
@@ -1144,6 +1185,22 @@ object Dedup {
         |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |ORDER BY score DESC, vec_a, vec_b LIMIT 20""".stripMargin,
+    "q_sem_decon" ->
+      s"""WITH ${Ann.bucketsSql},
+         |evb AS (SELECT vec_id AS eval_vec, bucket FROM buckets WHERE vec_id < 20),
+         |cand AS (
+         |  SELECT t.vec_id, v.eval_vec,
+         |    round(list_dot_product(et.v, ee.v) / (et.nrm * ee.nrm), 6) AS score
+         |  FROM buckets t JOIN evb v USING (bucket)
+         |  JOIN e et ON et.vec_id = t.vec_id
+         |  JOIN e ee ON ee.vec_id = v.eval_vec
+         |  WHERE t.vec_id >= 20),
+         |best AS (
+         |  SELECT vec_id, eval_vec, score, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY score DESC, eval_vec) AS rk
+         |  FROM cand)
+         |SELECT vec_id, eval_vec, score FROM best WHERE rk = 1
+         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
     "q_dedup_embed_lsh" ->
       s"""WITH ${Ann.bucketsSql}
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
