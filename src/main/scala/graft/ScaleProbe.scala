@@ -753,6 +753,36 @@ object ScaleProbe {
         val lossless = r.map(_.getLong(1)).sum == base.values.sum * mult
         s"cells=${r.length} extent_law=$law lossless=$lossless"
       },
+      time("bloom_saturation") {
+        // fixed-geometry failure + its fix, measured. Plain
+        // replication duplicates TEXTS, so the fingerprint key set
+        // (and the filter) is replication-invariant — itself worth
+        // knowing, but not the saturation case. The saturating corpus
+        // salts each replica's text (mult x genuinely-new keys): the
+        // pinned 4096-bit filter fills toward ~50% (fpp -> percents)
+        // while the corpus-sized geometry (bloomBitsFor) holds fpp an
+        // order of magnitude lower. Same failure-mode-then-fix
+        // contract as ann_geometry.
+        docs.crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("doc_id", col("doc_id") + col("rep") * 10000000L)
+          .withColumn("text",
+            concat(col("text"), lit(" #v"), col("rep")))
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$work/salted/documents.parquet")
+        val saltedDir = s"$work/salted"
+        val inv = operators.Curation.qBloomIndex(spark, work).collect()
+          .map(_.getLong(1)).max
+        val pinned = operators.Curation.qBloomIndex(spark, saltedDir).collect()
+        val maxKeys = pinned.map(_.getLong(1)).max
+        val scaledBits = operators.Curation.bloomBitsFor(maxKeys)
+        val scaled = operators.Curation
+          .bloomIndexG(spark, saltedDir, scaledBits).collect()
+        val fppP = pinned.map(_.getLong(3)).max
+        val fppS = scaled.map(_.getLong(3)).max
+        s"replicated_keys_per_shard=$inv salted_keys_per_shard=$maxKeys " +
+          s"pinned_fpp_micro=$fppP scaled_bits=$scaledBits " +
+          s"scaled_fpp_micro=$fppS improved=${fppS * 5 <= fppP}"
+      },
       time("shard_plan") {
         val r = operators.Curation.qShardPlan(spark, work).collect()
         val fullExceptTail = r.dropRight(1)

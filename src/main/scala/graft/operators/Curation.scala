@@ -1061,16 +1061,29 @@ object Curation {
   private[graft] val BloomK = 4
   private[graft] val BloomShards = 16L
 
+  /** Corpus-size-derived filter width — the same lesson as
+    * [[AnnGeometry.forCorpus]]: a FIXED m saturates as keys grow
+    * (fill → 1, fpp → 1), so production sizes the filter to ~10 bits
+    * per expected key (next power of two, floor [[BloomBits]]); the
+    * registry pins the 4096-bit test geometry so oracle rows stay
+    * hash-exact. The `bloom_saturation` probe measures exactly this
+    * failure and its fix. */
+  private[graft] def bloomBitsFor(keysPerShard: Long): Long = {
+    val target = math.max(BloomBits, 10L * keysPerShard)
+    java.lang.Long.highestOneBit(target - 1) << 1
+  }
+
   /** Bit positions of one key: `hash60(h:i) mod m` for i < k — the
     * k-hash construction with the engine's portable hash, so the
     * bitmap is deterministic and the oracle recomputes it
     * bit-for-bit. */
-  private def bloomPositions(df: DataFrame): DataFrame =
+  private def bloomPositions(df: DataFrame,
+      bits: Long = BloomBits): DataFrame =
     df.select(col("shard"), col("h"),
       explode(sequence(lit(0), lit(BloomK - 1))).as("i"))
       .select(col("shard"), col("h"),
         pmod(hash60Col(concat(col("h").cast("string"), lit(":"),
-          col("i").cast("string"))), lit(BloomBits)).as("p"))
+          col("i").cast("string"))), lit(bits)).as("p"))
 
   /** Per-shard key sets for the Bloom index: the document fingerprint
     * hash, sharded by doc_id (the demo layout; production points this
@@ -1097,18 +1110,24 @@ object Curation {
     * distinct — at most m rows per shard however many keys stream in
     * (the bitmap IS the bound); the audit is a shards-sized
     * aggregate. */
-  def qBloomIndex(spark: SparkSession, dir: String): DataFrame = {
+  def qBloomIndex(spark: SparkSession, dir: String): DataFrame =
+    bloomIndexG(spark, dir, BloomBits)
+
+  /** [[qBloomIndex]] at an arbitrary filter width — the geometry the
+    * saturation probe scales. */
+  private[graft] def bloomIndexG(spark: SparkSession, dir: String,
+      bits: Long): DataFrame = {
     val keys = bloomKeys(spark, dir)
     val nk = keys.groupBy("shard").agg(count(lit(1)).as("n_keys"))
-    val bits = bloomPositions(keys)
+    val set = bloomPositions(keys, bits)
       .select("shard", "p").distinct()
       .groupBy("shard").agg(count(lit(1)).as("n_bits_set"))
-    nk.join(bits, "shard")
+    nk.join(set, "shard")
       .withColumn("fpp_micro", expr(
         s"""CAST(CAST(n_bits_set AS DECIMAL(38,0)) * n_bits_set * n_bits_set
            |  * n_bits_set * 1000000 div
-           |  (CAST($BloomBits AS DECIMAL(38,0)) * $BloomBits * $BloomBits
-           |   * $BloomBits) AS BIGINT)""".stripMargin))
+           |  (CAST($bits AS DECIMAL(38,0)) * $bits * $bits
+           |   * $bits) AS BIGINT)""".stripMargin))
       .select("shard", "n_keys", "n_bits_set", "fpp_micro")
       .orderBy("shard")
   }
