@@ -1584,7 +1584,160 @@ object Ann {
       .orderBy("d")
   }
 
+  /** 1-bit sign signatures of every vector, packed into two 32-bit
+    * halves (`sig_lo` = dims 0-31, `sig_hi` = dims 32-63) — the binary
+    * quantization code (sign of each component; Charikar 2002's SimHash
+    * applied to the identity basis, the "binary quantization" modern
+    * vector stores serve first-pass from). Two longs instead of one so
+    * no bit ever lands in a BIGINT sign position; Hamming distance is
+    * `bit_count(xor(lo)) + bit_count(xor(hi))` — pure integer, engine
+    * -portable. 8 bytes/vector vs 256 for float[64]: a 32× scan shrink
+    * before any float is touched. */
+  private[graft] def binarySigs(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "binarySigs", dir) {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .withColumn("bit", when(col("x") >= 0, 1L).otherwise(0L))
+        .groupBy("vec_id")
+        .agg(
+          sum(when(col("d") < 32,
+            col("bit") * expr("CAST(pow(2, d) AS BIGINT)")).otherwise(0L))
+            .as("sig_lo"),
+          sum(when(col("d") >= 32,
+            col("bit") * expr("CAST(pow(2, d - 32) AS BIGINT)")).otherwise(0L))
+            .as("sig_hi"))
+    }
+
+  /** BINARY-QUANTIZATION serving — Hamming shortlist over the 8-byte
+    * sign signatures ([[binarySigs]]), exact-cosine rescore of the 50
+    * survivors, top-10. The third compression point in the family
+    * (PQ 4 B ≈ 64×, SQ8 64 B ≈ 4×, binary 8 B = 32×): the coarsest
+    * code with the cheapest distance (two XOR+popcount per candidate —
+    * SIMD-free integer ops, no lookup table), which is why
+    * production stores (Qdrant/Weaviate binary quantization) run it as
+    * the first-pass filter when memory is the binding constraint. At
+    * 100 TB the signature column is its own 8-byte parquet scan — the
+    * full-corpus Hamming pass reads 1/32 of the float bytes, and the
+    * exact rescore touches exactly 50 vectors. Shortlist and final
+    * ranks are fully tie-broken (hamming asc / score desc, then
+    * vec_id) so the oracle replay is hash-exact. */
+  def qAnnBinary(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = binarySigs(spark, dir)
+    val qs = sigs.filter(col("vec_id") === 0)
+      .select(col("sig_lo").as("qlo"), col("sig_hi").as("qhi"))
+    val shortlist = sigs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qs))
+      .withColumn("hamming",
+        expr("bit_count(sig_lo ^ qlo) + bit_count(sig_hi ^ qhi)")
+          .cast("long"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(50)
+      .select("vec_id", "hamming")
+    val e = Search.embNormed(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    shortlist.join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6))
+      .select("vec_id", "hamming", "score")
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** kNN-GRAPH REFINEMENT — one NN-Descent round (Dong, Moses & Li,
+    * WWW 2011) over the LSH-seeded kNN graph, the build step of the
+    * graph-ANN family (HNSW/DiskANN start from exactly this K-NN
+    * graph; the reference's HNSW option,
+    * `/root/reference/src/core/vector-db/adapters/duckdb-adapter.ts:358-412`,
+    * is the single-node index built on it). The principle: a
+    * neighbor's neighbor is likely a neighbor — so each round scores
+    * only candidates that share an adjacent node with the target and
+    * re-ranks, converging to the true graph without any all-pairs
+    * stage.
+    *
+    * Scale shape: the base graph is [[qKnnJoinG]]'s salted bucket
+    * join; reverse adjacency is capped at k per node via the bounded
+    * [[graft.functions.TopKAggregator]] (NN-Descent's ρK reverse
+    * sample, made deterministic: score desc, id asc) so a hub vector
+    * appearing in thousands of lists still contributes a bounded
+    * degree. With degree ≤ 2k the local join emits ≤ 4k² candidates
+    * per node — linear in N per round at any corpus size, the paper's
+    * empirical-cost claim. No corpus-keyed window anywhere: both
+    * rankings ride the bounded aggregator; KnnGraphSpec measures the
+    * recall gain over the base graph against brute force. */
+  def qKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 3
+    val base = qKnnJoinG(spark, dir)
+      .select(col("vec_id").as("u"), col("neighbor_id").as("v"), col("score"))
+    val rev = base
+      .as[(Long, Long, Double)]
+      .groupByKey(_._2).mapValues(t => (t._1, t._3))
+      .agg(graft.functions.TopKAggregator.topK(k))
+      .toDF("u", "top")
+      .select(col("u"), explode(col("top")).as("p"))
+      .select(col("u"), col("p._1").as("v"))
+    // Seeding matters: the paper initializes with a RANDOM graph
+    // precisely because a locality-closed seed cannot escape its own
+    // neighborhood — an LSH-only base is bucket-CLOSED (every edge
+    // AND every neighbor-of-neighbor stays inside one bucket), so a
+    // round over it alone provably adds nothing. k deterministic
+    // hash-derived cross-bucket edges per node are the random init,
+    // made engine-portable (vec_ids are contiguous 0..N-1, the same
+    // corpus invariant the IVF codebook bootstrap rides).
+    val n = Tables.embeddings(spark, dir).count()
+    val seeds = Tables.embeddings(spark, dir).select(col("vec_id").as("u"))
+      .crossJoin(broadcast(spark.range(k).withColumnRenamed("id", "j")))
+      .withColumn("v", pmod(
+        hash60Col(concat(col("u").cast("string"), lit(":seed:"),
+          col("j").cast("string"))), lit(n)))
+      .filter(col("u") =!= col("v"))
+      .select("u", "v")
+    // reverse seed lists capped at k (no score exists on a seed edge
+    // yet, so the bound orders on the source id itself)
+    val revSeeds = seeds
+      .as[(Long, Long)]
+      .groupByKey(_._2).mapValues(t => (t._1, t._1))
+      .agg(graft.functions.MinKPairAggregator.minK(k))
+      .toDF("u", "top")
+      .select(col("u"), explode(col("top")).as("p"))
+      .select(col("u"), col("p._1").as("v"))
+    val adj = base.select("u", "v").union(rev)
+      .union(seeds).union(revSeeds).distinct()
+    // distinct column names per side — the self-join alias trap
+    // documented at [[qMineBitext]].
+    val a = adj.select(col("u").as("au"), col("v").as("av"))
+    val b = adj.select(col("u").as("bu"), col("v").as("bv"))
+    val cand = a.join(b, col("au") === col("bu") && col("av") =!= col("bv"))
+      .select(col("av").as("qid"), col("bv").as("nid"))
+      .union(base.select(col("u").as("qid"), col("v").as("nid")))
+      .union(seeds.select(col("u").as("qid"), col("v").as("nid")))
+      .distinct()
+    val e = Search.embNormed(spark, dir)
+    val qe = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("nrm").as("qn"))
+    val ne = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      col("nrm").as("nn"))
+    cand.join(qe, "qid").join(ne, "nid")
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("qv"), col("nv")),
+          col("qn"), col("nn")), 6))
+      .select("qid", "nid", "score")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(graft.functions.TopKAggregator.topK(k))
+      .toDF("vec_id", "top")
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("p._1").as("neighbor_id"), col("p._2").as("score"))
+      .orderBy("vec_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_binary"     -> (qAnnBinary _),
+    "q_knn_graph"      -> (qKnnGraph _),
     "q_pq_balance"     -> (qPqBalance _),
     "q_emb_cov"        -> (qEmbCov _),
     "q_mine_bitext"    -> (qMineBitext _),
@@ -1668,6 +1821,88 @@ object Ann {
       |  ORDER BY score DESC, sh.vec_id LIMIT 10)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ann_binary" ->
+      """WITH bits AS (
+        |  SELECT vec_id, d,
+        |    CASE WHEN embedding[d+1] >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) g),
+        |sigs AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN d < 32 THEN bit * CAST(pow(2, d) AS BIGINT)
+        |        ELSE 0 END)::BIGINT AS sig_lo,
+        |    sum(CASE WHEN d >= 32 THEN bit * CAST(pow(2, d - 32) AS BIGINT)
+        |        ELSE 0 END)::BIGINT AS sig_hi
+        |  FROM bits GROUP BY vec_id),
+        |qs AS (SELECT sig_lo AS qlo, sig_hi AS qhi FROM sigs WHERE vec_id = 0),
+        |short AS (
+        |  SELECT s.vec_id,
+        |    (bit_count(xor(s.sig_lo, qlo)) + bit_count(xor(s.sig_hi, qhi)))::BIGINT AS hamming
+        |  FROM sigs s, qs WHERE s.vec_id <> 0
+        |  ORDER BY hamming, s.vec_id LIMIT 50),
+        |e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, short.hamming,
+        |  round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+        |FROM e JOIN short USING (vec_id), q
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_knn_graph" ->
+      s"""WITH $bucketsSql,
+         |be AS (
+         |  SELECT b.vec_id, b.bucket, e.v, e.nrm
+         |  FROM buckets b JOIN e USING (vec_id)),
+         |cand0 AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+         |  FROM be a JOIN be b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r0 AS (
+         |  SELECT qid, nid, score, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, nid) AS rank
+         |  FROM cand0),
+         |base AS (SELECT qid, nid, score FROM r0 WHERE rank <= 3),
+         |rv AS (
+         |  SELECT u, v FROM (
+         |    SELECT nid AS u, qid AS v,
+         |      row_number() OVER (PARTITION BY nid ORDER BY score DESC, qid) AS rr
+         |    FROM base) t WHERE rr <= 3),
+         |nn AS (SELECT count(*) AS n FROM embeddings),
+         |seeds AS (
+         |  SELECT u, v FROM (
+         |    SELECT vec_id AS u,
+         |      ('0x'||substr(md5(vec_id::VARCHAR||':seed:'||j::VARCHAR),1,15))::BIGINT
+         |        % (SELECT n FROM nn) AS v
+         |    FROM embeddings, (SELECT unnest(range(3)) AS j) s) t
+         |  WHERE u <> v),
+         |rvs AS (
+         |  SELECT u, v FROM (
+         |    SELECT s.v AS u, s.u AS v,
+         |      row_number() OVER (PARTITION BY s.v ORDER BY s.u) AS rr
+         |    FROM seeds s) t WHERE rr <= 3),
+         |adj AS (
+         |  SELECT qid AS u, nid AS v FROM base
+         |  UNION SELECT u, v FROM rv
+         |  UNION SELECT u, v FROM seeds
+         |  UNION SELECT u, v FROM rvs),
+         |cand AS (
+         |  SELECT a.v AS qid, b.v AS nid
+         |  FROM adj a JOIN adj b ON a.u = b.u AND a.v <> b.v
+         |  UNION SELECT qid, nid FROM base
+         |  UNION SELECT u, v FROM seeds),
+         |sc AS (
+         |  SELECT c.qid, c.nid,
+         |    round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS score
+         |  FROM cand c
+         |  JOIN e ea ON ea.vec_id = c.qid
+         |  JOIN e eb ON eb.vec_id = c.nid),
+         |r2 AS (
+         |  SELECT qid, nid, score, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, nid) AS rank
+         |  FROM sc)
+         |SELECT qid AS vec_id, rank, nid AS neighbor_id, score
+         |FROM r2 WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
     "q_pq_balance" ->
       s"""WITH x AS (
         |  SELECT vec_id, d,
