@@ -790,6 +790,76 @@ object ScaleProbe {
         val lossless = r.map(_.getLong(1)).sum == n0 * mult
         s"shards=${r.length} full_except_tail=$fullExceptTail " +
           s"lossless=$lossless"
+      },
+      time("knn_graph") {
+        // One NN-Descent round at corpus-scaled geometry. Derived
+        // corpus: sign-flip replicas re-idded CONTIGUOUSLY (the seed
+        // edges' `hash mod N` init requires ids 0..N-1 — the operator's
+        // documented invariant) plus a contiguous tail block of
+        // planted near-twins (one nudged component) every 97th vector.
+        // Checks: the round's candidate volume stays near-linear in N
+        // (cand_per_vec ~flat across 20x/50x), and twin recall does
+        // not drop from base graph to refined graph while the refined
+        // graph recovers twins the bucket-closed base cannot see
+        // beyond.
+        import operators.{Ann, AnnGeometry}
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val nBase = emb.count()
+        val flipped = emb
+          .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CASE WHEN rep = 0 THEN x " +
+              "WHEN pmod(hash(rep, i), 2) = 0 THEN x ELSE -x END)"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * nBase)
+          .drop("rep")
+        val tw0 = mult * nBase
+        val twins = flipped.filter(col("vec_id") % 97 === 0)
+          .withColumn("vec_id", lit(tw0) + (col("vec_id") / 97L).cast("long"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = " +
+              s"CAST((vec_id - $tw0) * 97 % 64 AS INT) " +
+              "THEN CAST(x + 0.02 AS FLOAT) ELSE x END)"))
+        flipped.unionByName(twins)
+          .write.mode("overwrite").parquet(s"$work/kg/embeddings.parquet")
+        val gdir = s"$work/kg"
+        val n = spark.read.parquet(s"$gdir/embeddings.parquet").count()
+        val nTwins = twins.count()
+        val geo = AnnGeometry.forCorpus(n)
+        val cand = Ann.knnGraphCandidates(spark, gdir, geo, 3).count()
+        def twinHits(g: org.apache.spark.sql.DataFrame): Long = g
+          .filter(col("vec_id") >= tw0 &&
+            col("neighbor_id") === (col("vec_id") - tw0) * 97L)
+          .select("vec_id").distinct().count()
+        val baseHits = twinHits(Ann.qKnnJoinG(spark, gdir, geo))
+        val refHits = twinHits(Ann.qKnnGraphG(spark, gdir, geo))
+        s"n=$n geo=${geo.planes}p${geo.tables}t cand=$cand " +
+          s"cand_per_vec=${cand / n} " +
+          s"base_twin_recall=${f"${baseHits.toDouble / nTwins}%.3f"} " +
+          s"refined_twin_recall=${f"${refHits.toDouble / nTwins}%.3f"} " +
+          s"no_drop=${refHits >= baseHits}"
+      },
+      time("ann_binary") {
+        // Binary-quantization serve at mult x replicated vectors
+        // (embxDir): the Hamming scan is an 8-byte column pass, so the
+        // wall must stay flat-ish; recall@10 is measured against the
+        // exact brute-force top-10 for the same query (replica ties
+        // resolve by id in both rankings).
+        import operators.{Ann, Search}
+        val out = Ann.qAnnBinary(spark, embxDir).collect().map(_.getLong(0))
+        val e = Search.embNormed(spark, embxDir)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("nrm").as("qn"))
+        val brute = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("score", round(
+            graft.functions.VectorFunctions.cosinePrenormed(
+              graft.functions.VectorFunctions.dot(col("embedding"), col("qv")),
+              col("nrm"), col("qn")), 6))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(10).collect().map(_.getLong(0)).toSet
+        s"vectors=${e.count()} returned=${out.length} " +
+          s"recall10=${f"${out.count(brute.contains).toDouble / 10}%.2f"}"
       })
 
     val expectPairs = n0 * mult.toLong * (mult - 1) / 2

@@ -1667,10 +1667,45 @@ object Ann {
     * empirical-cost claim. No corpus-keyed window anywhere: both
     * rankings ride the bounded aggregator; KnnGraphSpec measures the
     * recall gain over the base graph against brute force. */
-  def qKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+  def qKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    qKnnGraphG(spark, dir)
+
+  /** [[qKnnGraph]] under an explicit [[AnnGeometry]] — the probe path:
+    * ScaleProbe runs the round at `forCorpus(N)` geometry where the
+    * candidate volume stays near-linear, exactly as the base kNN join
+    * is probed. */
+  def qKnnGraphG(spark: SparkSession, dir: String,
+      geo: AnnGeometry = AnnGeometry.Pinned, k: Int = 3): DataFrame = {
     import spark.implicits._
-    val k = 3
-    val base = qKnnJoinG(spark, dir)
+    val cand = knnGraphCandidates(spark, dir, geo, k)
+    val e = Search.embNormed(spark, dir)
+    val qe = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("nrm").as("qn"))
+    val ne = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      col("nrm").as("nn"))
+    cand.join(qe, "qid").join(ne, "nid")
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("qv"), col("nv")),
+          col("qn"), col("nn")), 6))
+      .select("qid", "nid", "score")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(graft.functions.TopKAggregator.topK(k))
+      .toDF("vec_id", "top")
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("p._1").as("neighbor_id"), col("p._2").as("score"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** The round's candidate edge set `(qid, nid)` — base edges ∪ seed
+    * edges ∪ the local join over the seeded adjacency. Exposed so the
+    * scale probe can count candidate volume directly (the quantity
+    * that must stay near-linear under [[AnnGeometry.forCorpus]]). */
+  private[graft] def knnGraphCandidates(spark: SparkSession, dir: String,
+      geo: AnnGeometry, k: Int): DataFrame = {
+    import spark.implicits._
+    val base = qKnnJoinG(spark, dir, geo, k)
       .select(col("vec_id").as("u"), col("neighbor_id").as("v"), col("score"))
     val rev = base
       .as[(Long, Long, Double)]
@@ -1710,29 +1745,11 @@ object Ann {
     // documented at [[qMineBitext]].
     val a = adj.select(col("u").as("au"), col("v").as("av"))
     val b = adj.select(col("u").as("bu"), col("v").as("bv"))
-    val cand = a.join(b, col("au") === col("bu") && col("av") =!= col("bv"))
+    a.join(b, col("au") === col("bu") && col("av") =!= col("bv"))
       .select(col("av").as("qid"), col("bv").as("nid"))
       .union(base.select(col("u").as("qid"), col("v").as("nid")))
       .union(seeds.select(col("u").as("qid"), col("v").as("nid")))
       .distinct()
-    val e = Search.embNormed(spark, dir)
-    val qe = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-      col("nrm").as("qn"))
-    val ne = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-      col("nrm").as("nn"))
-    cand.join(qe, "qid").join(ne, "nid")
-      .withColumn("score",
-        round(cosinePrenormed(dot(col("qv"), col("nv")),
-          col("qn"), col("nn")), 6))
-      .select("qid", "nid", "score")
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3))
-      .agg(graft.functions.TopKAggregator.topK(k))
-      .toDF("vec_id", "top")
-      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("p._1").as("neighbor_id"), col("p._2").as("score"))
-      .orderBy("vec_id", "rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
