@@ -514,6 +514,39 @@ object ScaleProbe {
         s"merges_x${mult}_exact=$exact train_s=${f"$trainSec%.2f"} " +
           s"enc_rows=${enc.count()} distinct_base_profiles=$perDoc"
       },
+      time("unigram_train") {
+        // Same Heaps-law contract as bpe_train: replication scales
+        // word frequencies by mult but not the vocabulary, so the
+        // trained piece table must keep the SAME pieces at the SAME
+        // ranks with Viterbi counts exactly ×mult and prob_micro
+        // bit-identical (zero-count coverage chars scale as 0×mult —
+        // the fallback-tier design exists precisely so no floored
+        // unit perturbs the total; see unigramSegment). Train cost
+        // must stay vocabulary-bound; every replica doc must encode
+        // to its base profile.
+        import operators.Curation
+        val base = Curation.unigramTrain(spark, sfDir)
+          .orderBy("rank").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3)))
+        val t1 = System.nanoTime()
+        val scaled = Curation.unigramTrain(spark, work)
+          .orderBy("rank").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3)))
+        val trainSec = (System.nanoTime() - t1) / 1e9
+        val exact = scaled.length == base.length &&
+          scaled.zip(base).forall {
+            case ((rk, p, c, pm), (brk, bp, bc, bpm)) =>
+              rk == brk && p == bp && c == bc * mult && pm == bpm
+          }
+        val enc = Curation.qUnigramEncode(spark, work)
+        val perDoc = enc
+          .withColumn("base_id", col("doc_id") % 10000000L)
+          .select("base_id", "n_tokens").distinct().count()
+        s"pieces_x${mult}_exact=$exact train_s=${f"$trainSec%.2f"} " +
+          s"enc_rows=${enc.count()} distinct_base_profiles=$perDoc"
+      },
       time("nb_classifier") {
         // Replication multiplies every class's doc and token counts by
         // mult, so the PRIORS must be bit-identical to the base model

@@ -696,6 +696,185 @@ object Curation {
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncode(spark, dir, bpeTrain(spark, dir, BpeMerges))
 
+  // ---- UNIGRAM-LM tokenizer (Kudo 2018) --------------------------------
+
+  /** Longest candidate piece the segmenter considers. */
+  private[graft] val UnigramMaxPiece = 6
+  /** Multi-char substrings admitted to the seed vocabulary. */
+  private[graft] val UnigramSeedMultis = 64
+  /** Final vocabulary budget (all corpus chars always retained). */
+  private[graft] val UnigramVocab = 48
+  /** Hard-EM re-estimation rounds. */
+  private[graft] val UnigramRounds = 2
+
+  /** VITERBI segmentation of one word under a unigram piece model —
+    * the best-path DP of Kudo 2018 §3 (maximize Σ log p(piece) over
+    * segmentations), with character coverage as a LEXICOGRAPHIC
+    * FALLBACK TIER: any single char is always a legal edge that costs
+    * one fallback use, and paths compare by (fallback uses asc, score
+    * desc). Keeping zero-probability chars OUT of the model total —
+    * instead of flooring their counts to 1 — is what makes hard-EM
+    * exactly scale-invariant: every model count then scales uniformly
+    * under corpus replication, so `c/total` is the same rational (and
+    * the same IEEE double) at any scale, and no Viterbi near-tie can
+    * flip between a base corpus and its replica. A floor of 1 is NOT
+    * invariant (the floored unit doesn't scale, perturbing log(total)
+    * and with it every comparison between segmentations of different
+    * length — observed flipping 'ta'/'at' picks at ×20 before this
+    * design). The DP is order-fixed (start asc: fallback edge first,
+    * then pieces by end asc; strict improvement), so ties resolve
+    * deterministically; coverage also extends to chars never seen in
+    * training. */
+  private[graft] def unigramSegment(word: String,
+      counts: scala.collection.Map[String, Long],
+      total: Long): Seq[String] = {
+    val n = word.length
+    val fb = Array.fill(n + 1)(Int.MaxValue)
+    val score = Array.fill(n + 1)(0.0)
+    val prev = Array.fill(n + 1)(0)
+    fb(0) = 0
+    var i = 0
+    while (i < n) {
+      if (fb(i) != Int.MaxValue) {
+        // coverage tier: one char, one fallback use, no score
+        if (fb(i) + 1 < fb(i + 1) ||
+            (fb(i) + 1 == fb(i + 1) && score(i) > score(i + 1))) {
+          fb(i + 1) = fb(i) + 1; score(i + 1) = score(i); prev(i + 1) = i
+        }
+        var j = i + 1
+        val jMax = math.min(n, i + UnigramMaxPiece)
+        while (j <= jMax) {
+          counts.get(word.substring(i, j)) match {
+            case Some(c) =>
+              val s = score(i) + math.log(c.toDouble / total)
+              if (fb(i) < fb(j) || (fb(i) == fb(j) && s > score(j))) {
+                fb(j) = fb(i); score(j) = s; prev(j) = i
+              }
+            case None =>
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var p = n
+    var acc: List[String] = Nil
+    while (p > 0) { val q = prev(p); acc = word.substring(q, p) :: acc; p = q }
+    acc
+  }
+
+  /** UNIGRAM-LM tokenizer TRAINING (Kudo 2018 — SentencePiece's second
+    * model family, completing the lifecycle beside [[bpeTrain]]):
+    * seed the vocabulary with the corpus's frequency-weighted
+    * substrings, then hard-EM rounds — each round Viterbi-segments
+    * every DISTINCT word under the current model (E-step, integer use
+    * counts weighted by word frequency), re-estimates piece counts and
+    * prunes to the budget keeping every single char in the vocabulary
+    * (M-step; unused chars carry count 0 and serve only as the
+    * segmenter's coverage fallback). Hard EM (Viterbi counts, not forward-backward
+    * expectations) keeps every cross-partition aggregate an exact
+    * integer sum — the engine's determinism discipline; the
+    * full-lattice posterior refinement is a model-quality nuance, not
+    * a pipeline-shape change, and UnigramSpec pins this loop against
+    * an independent in-memory reference instead.
+    *
+    * Scale shape identical to BPE: the only corpus-sized pass is the
+    * cached [[wordCounts]] build; seeding and every EM round run on
+    * the vocabulary table (Heaps-law sublinear), and the model that
+    * crosses rounds is a collected bounded artifact (≤ vocab + chars
+    * entries), broadcast back — never a corpus-wide shuffle. */
+  def unigramTrain(spark: SparkSession, dir: String,
+      vocabSize: Int = UnigramVocab,
+      rounds: Int = UnigramRounds): DataFrame =
+    Cache.getOrBuild(spark, s"unigram@$vocabSize:$rounds", dir) {
+      unigramTrainFromWords(spark, wordCounts(spark, dir), vocabSize, rounds)
+    }
+
+  /** [[unigramTrain]] from an explicit (word, freq) vocabulary. */
+  def unigramTrainFromWords(spark: SparkSession, words: DataFrame,
+      vocabSize: Int, rounds: Int): DataFrame = {
+    import spark.implicits._
+    val seed = words
+      .select(col("freq").cast("long").as("freq"), explode(expr(
+        s"flatten(transform(sequence(1, length(word)), i -> " +
+          s"transform(sequence(1, least($UnigramMaxPiece, " +
+          s"length(word) - i + 1)), L -> substring(word, i, L))))"))
+        .as("piece"))
+      .groupBy("piece").agg(sum("freq").as("c"))
+      .as[(String, Long)].collect()
+    val chars = seed.filter(_._1.length == 1).toMap
+    val multis0 = seed.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }
+      .take(UnigramSeedMultis)
+    var model: Map[String, Long] = chars ++ multis0
+    var r = 0
+    while (r < rounds) {
+      // zero-count chars stay in the VOCAB (coverage) but out of the
+      // scored model and its total — see [[unigramSegment]] on why
+      // this exclusion is what makes the loop scale-invariant.
+      val pos = model.filter(_._2 > 0)
+      val bc = spark.sparkContext.broadcast((pos, pos.values.sum))
+      val counted = words
+        .select(col("word"), col("freq").cast("long").as("freq"))
+        .as[(String, Long)]
+        .flatMap { case (w, f) =>
+          unigramSegment(w, bc.value._1, bc.value._2).map(p => (p, f)) }
+        .toDF("piece", "freq")
+        .groupBy("piece").agg(sum("freq").as("c"))
+        .as[(String, Long)].collect().toMap
+      val withChars = chars.keys
+        .map(ch => ch -> counted.getOrElse(ch, 0L)).toMap
+      val kept = counted.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - withChars.size))
+      model = withChars ++ kept
+      r += 1
+    }
+    val total = model.values.sum
+    model.toSeq.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+      .map { case ((p, c), i) =>
+        (i + 1L, p, c, c * 1000000L / total) }
+      .toDF("rank", "piece", "n_uses", "prob_micro")
+  }
+
+  /** Corpus-wide UNIGRAM ENCODE under a trained model — the serving
+    * twin of [[bpeEncode]] (same plan: bounded model artifact
+    * broadcast, Viterbi once per DISTINCT word, per-doc accounting via
+    * a broadcast word join + map-side-partial sums). */
+  def unigramEncode(spark: SparkSession, dir: String,
+      model: DataFrame): DataFrame = {
+    import spark.implicits._
+    val counts = model.select("piece", "n_uses")
+      .as[(String, Long)].collect().toMap
+      .filter(_._2 > 0) // zero-count chars ride the fallback tier
+    val bc = spark.sparkContext.broadcast((counts, counts.values.sum))
+    val encoded = wordCounts(spark, dir)
+      .select("word")
+      .as[String]
+      .map(w => (w, unigramSegment(w, bc.value._1, bc.value._2)
+        .length.toLong))
+      .toDF("word", "word_tokens")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.toks(col("text"))).as("word"))
+      .join(broadcast(encoded), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("word_tokens").cast("long").as("n_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Registered unigram trainer — golden oracle ([[graft.GoldenChunks]]),
+    * like [[qBpeTrain]]: the EM loop has no SQL analogue; UnigramSpec
+    * pins the algorithm against an independent reference. */
+  def qUnigramTrain(spark: SparkSession, dir: String): DataFrame =
+    unigramTrain(spark, dir).orderBy("rank")
+
+  /** Registered unigram train-then-encode round trip. */
+  def qUnigramEncode(spark: SparkSession, dir: String): DataFrame =
+    unigramEncode(spark, dir, unigramTrain(spark, dir))
+
   /** Dataset RELEASE DIFF — the "what changed between corpus v1 and
     * v2" report a training-data pipeline publishes with every snapshot
     * (the dataset-card / release-notes table): per (lang, change) doc
@@ -1161,6 +1340,8 @@ object Curation {
     "q_bpe_pairs"     -> (qBpePairs _),
     "q_bpe_train"     -> (qBpeTrain _),
     "q_bpe_encode"    -> (qBpeEncode _),
+    "q_unigram_train" -> (qUnigramTrain _),
+    "q_unigram_encode" -> (qUnigramEncode _),
     "q_tok_fertility" -> (qTokFertility _),
     "q_corpus_diff"   -> (qCorpusDiff _),
     "q_pack_bpe"      -> (qPackBpe _),
@@ -1309,6 +1490,14 @@ object Curation {
     "q_bpe_encode" ->
       s"""SELECT * FROM
          |read_parquet('$fixturesDir/bpe_encode_sf0.01.parquet/*.parquet')
+         |ORDER BY doc_id""".stripMargin,
+    "q_unigram_train" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/unigram_train_sf0.01.parquet/*.parquet')
+         |ORDER BY rank""".stripMargin,
+    "q_unigram_encode" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/unigram_encode_sf0.01.parquet/*.parquet')
          |ORDER BY doc_id""".stripMargin,
     // a REAL relational oracle over the committed encode artifact —
     // DuckDB independently joins and aggregates it against documents
