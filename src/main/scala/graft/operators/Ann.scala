@@ -1668,7 +1668,9 @@ object Ann {
     * rankings ride the bounded aggregator; KnnGraphSpec measures the
     * recall gain over the base graph against brute force. */
   def qKnnGraph(spark: SparkSession, dir: String): DataFrame =
-    qKnnGraphG(spark, dir)
+    Cache.getOrBuild(spark, "knnGraphPinned", dir) {
+      qKnnGraphG(spark, dir)
+    }
 
   /** [[qKnnGraph]] under an explicit [[AnnGeometry]] — the probe path:
     * ScaleProbe runs the round at `forCorpus(N)` geometry where the
@@ -1752,9 +1754,70 @@ object Ann {
       .distinct()
   }
 
+  /** Beam hops / entry node / beam width for [[qGraphSearch]]. */
+  private[graft] val GraphSearchHops = 3
+  private[graft] val GraphSearchEntry = 1L
+  private[graft] val GraphSearchBeam = 8
+
+  /** GRAPH-ANN SERVING — greedy beam search over the refined kNN
+    * graph, the search phase of the NSW/HNSW family (Malkov &
+    * Yashunin 2016; beam width = their efSearch): start at a fixed
+    * entry node, repeatedly expand the current beam's graph neighbors,
+    * exact-score the newcomers against the query, keep the best
+    * [[GraphSearchBeam]] visited, [[GraphSearchHops]] hops, then
+    * report the top-10 of everything visited. Completes the family:
+    * [[qKnnGraph]] BUILDS the navigable graph, this serves from it.
+    *
+    * Scale shape: beam state is BOUNDED BY CONSTRUCTION (≤ beam +
+    * beam·2k new ids per hop — tens of rows), so holding it on the
+    * coordinator is the legitimate k-bounded-collect pattern (same as
+    * the registry's broadcast query/mask sets), not a corpus
+    * collect. Each hop's work against the cluster is a point-lookup
+    * batch: an `isin(beam)` semi-join into the node-partitioned edge
+    * table and one scoring pass over ≤ beam·2k vectors — at 100 TB
+    * the graph lives id-partitioned on disk and a hop touches a
+    * handful of partitions, which is exactly why the graph family
+    * serves in sub-linear time where IVF probes scan whole cells. */
+  def qGraphSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kg = qKnnGraph(spark, dir)
+      .select(col("vec_id").as("u"), col("neighbor_id").as("v"))
+    val edges = kg.union(kg.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    val e = Search.embNormed(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    def scoreOf(ids: Seq[Long]): Map[Long, Double] =
+      e.filter(col("vec_id").isin(ids: _*))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosinePrenormed(dot(col("embedding"), col("qv")),
+            col("nrm"), col("qn")), 6).as("score"))
+        .as[(Long, Double)].collect().toMap
+    var visited: Map[Long, Double] = scoreOf(Seq(GraphSearchEntry))
+    var beam: Seq[Long] = Seq(GraphSearchEntry)
+    var hop = 0
+    while (hop < GraphSearchHops) {
+      val nbrs = edges.filter(col("u").isin(beam: _*))
+        .select("v").distinct().as[Long].collect()
+      val fresh = nbrs.filterNot(visited.contains)
+      if (fresh.nonEmpty) visited = visited ++ scoreOf(fresh.toSeq)
+      beam = visited.toSeq.filter(_._1 != 0L)
+        .sortBy { case (id, s) => (-s, id) }
+        .take(GraphSearchBeam).map(_._1)
+      hop += 1
+    }
+    edges.unpersist(false)
+    visited.toSeq.filter(_._1 != 0L)
+      .sortBy { case (id, s) => (-s, id) }
+      .take(10)
+      .toDF("vec_id", "score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_binary"     -> (qAnnBinary _),
     "q_knn_graph"      -> (qKnnGraph _),
+    "q_graph_search"   -> (qGraphSearch _),
     "q_pq_balance"     -> (qPqBalance _),
     "q_emb_cov"        -> (qEmbCov _),
     "q_mine_bitext"    -> (qMineBitext _),
@@ -1805,6 +1868,99 @@ object Ann {
       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |  FROM embeddings),
       |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)""".stripMargin
+
+  /** The NN-Descent round as oracle CTEs — expects [[bucketsSql]]'s
+    * `buckets`/`e` in scope; yields `kgr(qid, nid, score, rank)`, the
+    * refined graph before the rank cut. Shared by the q_knn_graph and
+    * q_graph_search oracles. */
+  private[operators] val knnGraphSql =
+    """be AS (
+      |  SELECT b.vec_id, b.bucket, e.v, e.nrm
+      |  FROM buckets b JOIN e USING (vec_id)),
+      |cand0 AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+      |  FROM be a JOIN be b
+      |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |r0 AS (
+      |  SELECT qid, nid, score, row_number() OVER (
+      |      PARTITION BY qid ORDER BY score DESC, nid) AS rank
+      |  FROM cand0),
+      |base AS (SELECT qid, nid, score FROM r0 WHERE rank <= 3),
+      |rv AS (
+      |  SELECT u, v FROM (
+      |    SELECT nid AS u, qid AS v,
+      |      row_number() OVER (PARTITION BY nid ORDER BY score DESC, qid) AS rr
+      |    FROM base) t WHERE rr <= 3),
+      |nn AS (SELECT count(*) AS n FROM embeddings),
+      |seeds AS (
+      |  SELECT u, v FROM (
+      |    SELECT vec_id AS u,
+      |      ('0x'||substr(md5(vec_id::VARCHAR||':seed:'||j::VARCHAR),1,15))::BIGINT
+      |        % (SELECT n FROM nn) AS v
+      |    FROM embeddings, (SELECT unnest(range(3)) AS j) s) t
+      |  WHERE u <> v),
+      |rvs AS (
+      |  SELECT u, v FROM (
+      |    SELECT s.v AS u, s.u AS v,
+      |      row_number() OVER (PARTITION BY s.v ORDER BY s.u) AS rr
+      |    FROM seeds s) t WHERE rr <= 3),
+      |adj AS (
+      |  SELECT qid AS u, nid AS v FROM base
+      |  UNION SELECT u, v FROM rv
+      |  UNION SELECT u, v FROM seeds
+      |  UNION SELECT u, v FROM rvs),
+      |cand AS (
+      |  SELECT a.v AS qid, b.v AS nid
+      |  FROM adj a JOIN adj b ON a.u = b.u AND a.v <> b.v
+      |  UNION SELECT qid, nid FROM base
+      |  UNION SELECT u, v FROM seeds),
+      |sc0 AS (
+      |  SELECT c.qid, c.nid,
+      |    round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS score
+      |  FROM cand c
+      |  JOIN e ea ON ea.vec_id = c.qid
+      |  JOIN e eb ON eb.vec_id = c.nid),
+      |kgr AS (
+      |  SELECT qid, nid, score, row_number() OVER (
+      |      PARTITION BY qid ORDER BY score DESC, nid) AS rank
+      |  FROM sc0)""".stripMargin
+
+  /** q_graph_search oracle: the refined graph's symmetric adjacency,
+    * then [[GraphSearchHops]] beam hops unrolled as CTEs (entry node
+    * [[GraphSearchEntry]], beam width [[GraphSearchBeam]]), final
+    * top-10 of everything visited. */
+  private def graphSearchSql: String = {
+    val hops = (1 to GraphSearchHops).map { h =>
+      s"""n$h AS (
+         |  SELECT DISTINCT g.v AS vec_id
+         |  FROM gedges g JOIN b${h - 1} b ON g.u = b.vec_id),
+         |v$h AS (
+         |  SELECT vec_id FROM v${h - 1} UNION SELECT vec_id FROM n$h),
+         |b$h AS (
+         |  SELECT s.vec_id FROM scq s JOIN v$h USING (vec_id)
+         |  WHERE s.vec_id <> 0
+         |  ORDER BY s.score DESC, s.vec_id LIMIT $GraphSearchBeam)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $bucketsSql,
+       |$knnGraphSql,
+       |kg AS (SELECT qid, nid FROM kgr WHERE rank <= 3),
+       |gedges AS (
+       |  SELECT qid AS u, nid AS v FROM kg
+       |  UNION SELECT nid AS u, qid AS v FROM kg),
+       |scq AS (
+       |  SELECT e.vec_id,
+       |    round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+       |  FROM e, q),
+       |b0 AS (SELECT ${GraphSearchEntry}::BIGINT AS vec_id),
+       |v0 AS (SELECT vec_id FROM b0),
+       |$hops
+       |SELECT s.vec_id, s.score
+       |FROM scq s JOIN v$GraphSearchHops USING (vec_id)
+       |WHERE s.vec_id <> 0
+       |ORDER BY s.score DESC, s.vec_id LIMIT 10""".stripMargin
+  }
 
   /** PQ oracle CTEs — expects `sv(vec_id, d, se)` (from [[bucketsSql]])
     * in scope; yields `pqadc(vec_id, s)` with the fixed-point ADC dot. */
@@ -1867,59 +2023,10 @@ object Ann {
         |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
     "q_knn_graph" ->
       s"""WITH $bucketsSql,
-         |be AS (
-         |  SELECT b.vec_id, b.bucket, e.v, e.nrm
-         |  FROM buckets b JOIN e USING (vec_id)),
-         |cand0 AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
-         |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
-         |  FROM be a JOIN be b
-         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-         |r0 AS (
-         |  SELECT qid, nid, score, row_number() OVER (
-         |      PARTITION BY qid ORDER BY score DESC, nid) AS rank
-         |  FROM cand0),
-         |base AS (SELECT qid, nid, score FROM r0 WHERE rank <= 3),
-         |rv AS (
-         |  SELECT u, v FROM (
-         |    SELECT nid AS u, qid AS v,
-         |      row_number() OVER (PARTITION BY nid ORDER BY score DESC, qid) AS rr
-         |    FROM base) t WHERE rr <= 3),
-         |nn AS (SELECT count(*) AS n FROM embeddings),
-         |seeds AS (
-         |  SELECT u, v FROM (
-         |    SELECT vec_id AS u,
-         |      ('0x'||substr(md5(vec_id::VARCHAR||':seed:'||j::VARCHAR),1,15))::BIGINT
-         |        % (SELECT n FROM nn) AS v
-         |    FROM embeddings, (SELECT unnest(range(3)) AS j) s) t
-         |  WHERE u <> v),
-         |rvs AS (
-         |  SELECT u, v FROM (
-         |    SELECT s.v AS u, s.u AS v,
-         |      row_number() OVER (PARTITION BY s.v ORDER BY s.u) AS rr
-         |    FROM seeds s) t WHERE rr <= 3),
-         |adj AS (
-         |  SELECT qid AS u, nid AS v FROM base
-         |  UNION SELECT u, v FROM rv
-         |  UNION SELECT u, v FROM seeds
-         |  UNION SELECT u, v FROM rvs),
-         |cand AS (
-         |  SELECT a.v AS qid, b.v AS nid
-         |  FROM adj a JOIN adj b ON a.u = b.u AND a.v <> b.v
-         |  UNION SELECT qid, nid FROM base
-         |  UNION SELECT u, v FROM seeds),
-         |sc AS (
-         |  SELECT c.qid, c.nid,
-         |    round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS score
-         |  FROM cand c
-         |  JOIN e ea ON ea.vec_id = c.qid
-         |  JOIN e eb ON eb.vec_id = c.nid),
-         |r2 AS (
-         |  SELECT qid, nid, score, row_number() OVER (
-         |      PARTITION BY qid ORDER BY score DESC, nid) AS rank
-         |  FROM sc)
+         |$knnGraphSql
          |SELECT qid AS vec_id, rank, nid AS neighbor_id, score
-         |FROM r2 WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+         |FROM kgr WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    "q_graph_search" -> graphSearchSql,
     "q_pq_balance" ->
       s"""WITH x AS (
         |  SELECT vec_id, d,

@@ -70,6 +70,43 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** RANGE (band) JOIN — every purchase joined to the clicks within
+    * ±30 minutes, with NO shared equi-key: the inequality-join shape
+    * Spark would otherwise plan as a quadratic
+    * BroadcastNestedLoopJoin over two corpus-sized sides (the exact
+    * anti-pattern PlanAuditSpec bans). The scale plan is the
+    * banded-bucket rewrite (the interval-join strategy stream engines
+    * implement natively): quantize time into band-width buckets,
+    * replicate the click side into its 3 adjacent buckets (explode
+    * ×3), and the band predicate becomes an EQUI-join on bucket plus
+    * a residual |Δt| filter in the join condition — shuffle volume
+    * 3·|clicks| + |purchases|, each matching pair colliding in
+    * exactly one replica bucket (purchase bucket ∈ {cb−1, cb, cb+1}
+    * uniquely), so no post-join dedup. Left-outer keeps zero-match
+    * purchases with exact-zero aggregates. At 100 TB bucket width =
+    * band width keeps replication at a constant 3× regardless of
+    * band/data ratio, and the bucket key is uniform in event time —
+    * no skew beyond real traffic bursts (which q_key_skew measures). */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bandMs = 30L * 60 * 1000
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_millis(col("ts")).as("pms"))
+      .withColumn("bucket", expr(s"pms div $bandMs"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(unix_millis(col("ts")).as("cms"),
+        Relational.cents(col("value")).as("cv"))
+      .withColumn("b0", expr(s"cms div $bandMs"))
+      .select(explode(array(col("b0") - 1, col("b0"), col("b0") + 1))
+        .as("cbucket"), col("cms"), col("cv"))
+    p.join(c, col("bucket") === col("cbucket") &&
+        abs(col("cms") - col("pms")) <= bandMs, "left")
+      .groupBy("event_id")
+      .agg(count(col("cms")).as("n_clicks"),
+        coalesce(sum(col("cv")), lit(0L)).as("click_cents"))
+      .orderBy("event_id")
+  }
+
   /** Pivot: per-user event-type counts as columns (reshape family the
     * reference lacks; conditional-aggregation form so the oracle is
     * plain SQL). */
@@ -418,6 +455,7 @@ object Events {
     "q_json_extract"   -> (qJsonExtract _),
     "q_sessionize"     -> (qSessionize _),
     "q_asof_join"      -> (qAsofJoin _),
+    "q_range_join"     -> (qRangeJoin _),
     "q_pivot"          -> (qPivot _),
     "q_running_window" -> (qRunningWindow _),
     "q_ntile"          -> (qNtile _),
@@ -610,6 +648,15 @@ object Events {
         |  sum(CAST(ROUND(value*100,0) AS BIGINT))/100.0 AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT p.event_id, count(c.ts)::BIGINT AS n_clicks,
+        |  coalesce(sum(CAST(ROUND(c.value*100,0) AS BIGINT)), 0)::BIGINT
+        |    AS click_cents
+        |FROM events p LEFT JOIN events c
+        |  ON c.event_type = 'click'
+        |  AND abs(epoch_ms(c.ts) - epoch_ms(p.ts)) <= 30*60*1000
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     "q_asof_join" ->
       """WITH ve AS (
         |  SELECT user_id, event_id, ts, event_type, value,

@@ -42,6 +42,43 @@ object StreamingOps {
       .withWatermark("ts", delay)
       .dropDuplicates("event_id", "ts")
 
+  /** STREAM-STREAM INTERVAL JOIN — the streaming twin of the batch
+    * banded range join (`Events.qRangeJoin`): every purchase matched
+    * to the clicks within ±`bandMs`. Spark REFUSES a stream-stream
+    * join without an equality predicate (state would be unkeyable),
+    * and the batch rewrite supplies exactly the missing key: quantize
+    * event time into band-width buckets, replicate the click side
+    * into its 3 adjacent buckets, and join on BUCKET EQUALITY plus
+    * the residual time-range condition — the same ×3 trick, now
+    * load-bearing rather than an optimization. Watermarks on both
+    * sides plus the range condition bound the state store (≤
+    * delay+band × arrival rate per side). Emits matched PAIRS in
+    * append mode (a post-join per-purchase aggregate would hold
+    * results open until watermark close; the pair stream is the
+    * composable shape — StreamingRangeJoinSpec reconciles it against
+    * the batch aggregate under uneven interleaved arrival). */
+  def rangeJoinStream(purchases: DataFrame, clicks: DataFrame,
+      bandMs: Long = 30L * 60 * 1000,
+      delay: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+      .withColumn("bucket", expr(s"unix_millis(p_ts) div $bandMs"))
+    val c = clicks
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        cents(col("value")).as("c_cents"))
+      .withWatermark("c_ts", delay)
+      .withColumn("b0", expr(s"unix_millis(c_ts) div $bandMs"))
+      .select(col("c_id"), col("c_ts"), col("c_cents"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1))
+          .as("bucket"))
+    p.join(c,
+      p("bucket") === c("bucket") &&
+        expr(s"c_ts BETWEEN p_ts - INTERVAL ${bandMs / 1000} SECONDS " +
+          s"AND p_ts + INTERVAL ${bandMs / 1000} SECONDS"))
+      .drop("bucket")
+  }
+
   /** Running per-user totals persisted in the state store. */
   case class UserTotals(user_id: Long, n: Long, sum_cents: Long)
 

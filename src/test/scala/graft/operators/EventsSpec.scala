@@ -11,6 +11,34 @@ class EventsSpec extends SparkSpec {
     assert(r.filter(col("view_ts") > col("ts")).count() === 0)
   }
 
+  test("range join: equi-join plan (no nested loop), counts equal the " +
+      "direct inequality-join recompute") {
+    val out = Events.qRangeJoin(spark, sfDir)
+    // the banded rewrite must plan as an equi-join on bucket — the
+    // whole point vs the quadratic BNLJ Spark gives inequality joins
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // brute-force recompute (spec scale only): same counts and cents
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_millis(col("ts")).as("pms"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(unix_millis(col("ts")).as("cms"),
+        Relational.cents(col("value")).as("cv"))
+    val brute = p.crossJoin(c)
+      .filter(abs(col("cms") - col("pms")) <= 30L * 60 * 1000)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("bn"), sum("cv").as("bc"))
+    val joined = out.join(brute, Seq("event_id"), "left")
+    assert(joined.filter(
+      coalesce(col("bn"), lit(0L)) =!= col("n_clicks") ||
+        coalesce(col("bc"), lit(0L)) =!= col("click_cents")).count() === 0)
+    // zero-match purchases are present, not dropped
+    assert(out.count() ===
+      ev.filter(col("event_type") === "purchase").count())
+  }
+
   test("sessionize: bounds ordered, all events accounted for") {
     val s = Events.qSessionize(spark, sfDir)
     assert(s.filter(col("session_start") > col("session_end")).count() === 0)

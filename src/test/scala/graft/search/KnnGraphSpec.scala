@@ -67,6 +67,43 @@ class KnnGraphSpec extends SparkSpec {
     brute.unpersist(); base.unpersist(); refined.unpersist()
   }
 
+  test("graph search: equals an independent in-memory beam-search " +
+      "replay over the same graph") {
+    val out = Ann.qGraphSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out.length === 10)
+    // collect the graph + exact scores, replay the beam loop in plain
+    // Scala with the same constants and tie-breaks
+    val kg = Ann.qKnnGraph(spark, sfDir)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (kg ++ kg.map(_.swap)).distinct
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    val e = Search.embNormed(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val scores = e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    var visited = Set(Ann.GraphSearchEntry)
+    var beam = Seq(Ann.GraphSearchEntry)
+    for (_ <- 1 to Ann.GraphSearchHops) {
+      val nbrs = beam.flatMap(u => adj.getOrElse(u, Set.empty)).toSet
+      visited = visited ++ nbrs
+      beam = visited.toSeq.filter(_ != 0L)
+        .sortBy(id => (-scores(id), id)).take(Ann.GraphSearchBeam)
+    }
+    val expect = visited.toSeq.filter(_ != 0L)
+      .sortBy(id => (-scores(id), id)).take(10)
+      .map(id => (id, scores(id)))
+    assert(out === expect)
+    // ordered by score desc, id tie-break; all reachable nodes
+    assert(out.map(_._2).sliding(2).forall(w => w.length < 2 ||
+      w(0) >= w(1)))
+  }
+
   test("ann binary: shortlist is the true Hamming top-50, rescore exact") {
     val out = Ann.qAnnBinary(spark, sfDir).collect()
     assert(out.length === 10)
