@@ -824,6 +824,26 @@ object ScaleProbe {
         s"shards=${r.length} full_except_tail=$fullExceptTail " +
           s"lossless=$lossless"
       },
+      time("range_join") {
+        // The banded interval join on the replicated events table
+        // (mult per-replica users, identical histories): every replica
+        // purchase must count exactly mult × its base event's
+        // in-band clicks (each base click reappears once per replica
+        // user), so per-purchase counts scale ×mult while the plan
+        // stays the 3-bucket equi-join — output is quadratic in mult
+        // only because the TRUE in-band pair count is (like
+        // q_simhash_near, intrinsic, not a plan hazard).
+        val base = operators.Events.qRangeJoin(spark, sfDir).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val scaled = operators.Events.qRangeJoin(spark, work).collect()
+        val exact = scaled.length == base.size * mult &&
+          scaled.forall { r =>
+            base.get(r.getLong(0) % 1000000000L).exists { case (n, c) =>
+              r.getLong(1) == n * mult && r.getLong(2) == c * mult
+            }
+          }
+        s"purchases=${scaled.length} per_purchase_x${mult}_exact=$exact"
+      },
       time("knn_graph") {
         // One NN-Descent round at corpus-scaled geometry. Derived
         // corpus: sign-flip replicas re-idded CONTIGUOUSLY (the seed
