@@ -1754,6 +1754,80 @@ object Ann {
       .distinct()
   }
 
+  /** ITERATED NN-Descent — [[qKnnGraphG]]'s round applied to its own
+    * output until the graph stops changing or the round budget runs
+    * out (the paper's actual training loop; one round is the
+    * registry-pinned step). Monotone by construction: each round's
+    * candidate set CONTAINS the current edges, so every node's top-k
+    * can only improve — Σ scores is non-decreasing and equality means
+    * the fixpoint was reached (the convergence check is one cheap
+    * aggregate per round, the [[graft.operators.Dedup]]
+    * min-label-propagation discipline). Per-round cost stays the
+    * bounded local join (degree ≤ 2k after round 1, since the
+    * adjacency is then the refined graph ∪ its capped reverse, and
+    * seeds are only needed to diversify round 1's bucket-closed
+    * base). */
+  def refineKnnGraph(spark: SparkSession, dir: String,
+      geo: AnnGeometry = AnnGeometry.Pinned, k: Int = 3,
+      maxRounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = Search.embNormed(spark, dir)
+    val qe = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("nrm").as("qn"))
+    val ne = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      col("nrm").as("nn"))
+    def microSum(g: DataFrame): Long = g
+      .agg(coalesce(sum((col("score") * 1000000).cast("long")), lit(0L)))
+      .head.getLong(0)
+    def round1(g: DataFrame): DataFrame = {
+      val edges = g.select(col("vec_id").as("u"), col("neighbor_id").as("v"))
+      val rev = g.select(col("neighbor_id").as("u"), col("vec_id").as("v"),
+          col("score"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1).mapValues(t => (t._2, t._3))
+        .agg(graft.functions.TopKAggregator.topK(k))
+        .toDF("u", "top")
+        .select(col("u"), explode(col("top")).as("p"))
+        .select(col("u"), col("p._1").as("v"))
+      val adj = edges.union(rev).distinct()
+      val a = adj.select(col("u").as("au"), col("v").as("av"))
+      val b = adj.select(col("u").as("bu"), col("v").as("bv"))
+      val cand = a.join(b, col("au") === col("bu") && col("av") =!= col("bv"))
+        .select(col("av").as("qid"), col("bv").as("nid"))
+        .union(edges.select(col("u").as("qid"), col("v").as("nid")))
+        .distinct()
+      cand.join(qe, "qid").join(ne, "nid")
+        .withColumn("score",
+          round(cosinePrenormed(dot(col("qv"), col("nv")),
+            col("qn"), col("nn")), 6))
+        .select("qid", "nid", "score")
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1).mapValues(t => (t._2, t._3))
+        .agg(graft.functions.TopKAggregator.topK(k))
+        .toDF("vec_id", "top")
+        .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("p._1").as("neighbor_id"), col("p._2").as("score"))
+    }
+    // localCheckpoint truncates lineage between rounds — iterating on
+    // the raw plan compounds the self-join tree exponentially (the
+    // classic iterative-Spark hazard; only the k·N-row graph TABLE
+    // should cross rounds, the refineCodebook discipline).
+    var g = qKnnGraphG(spark, dir, geo, k).localCheckpoint(true)
+    var sum0 = microSum(g)
+    var converged = false
+    var r = 1
+    while (r < maxRounds && !converged) {
+      val next = round1(g).localCheckpoint(true)
+      val s1 = microSum(next)
+      converged = s1 == sum0
+      sum0 = s1
+      g = next
+      r += 1
+    }
+    g.orderBy("vec_id", "rank")
+  }
+
   /** Beam hops / entry node / beam width for [[qGraphSearch]]. */
   private[graft] val GraphSearchHops = 3
   private[graft] val GraphSearchEntry = 1L

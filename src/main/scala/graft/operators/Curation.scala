@@ -865,6 +865,87 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Viterbi score of one word under the model: (n_tokens, n_fallback,
+    * logprob_micro). Real pieces contribute log(count/total); each
+    * coverage-fallback char contributes −log(total) (the
+    * count-1-equivalent penalty — on the training corpus itself
+    * n_fallback is always 0, because a char has count 0 exactly when
+    * no best segmentation needed it; the penalty path exists for
+    * serving on NEW text with unseen chars). One double sum per word,
+    * rounded to micro at the end — per-word local, deterministic. */
+  private[graft] def unigramWordScore(word: String,
+      counts: scala.collection.Map[String, Long],
+      total: Long): (Long, Long, Long) = {
+    val pieces = unigramSegment(word, counts, total)
+    var score = 0.0
+    var nFallback = 0L
+    pieces.foreach { p =>
+      counts.get(p) match {
+        case Some(c) => score += math.log(c.toDouble / total)
+        case None    => nFallback += 1; score -= math.log(total.toDouble)
+      }
+    }
+    (pieces.length.toLong, nFallback, math.round(score * 1000000))
+  }
+
+  /** Word-level LM score table under the trained unigram model —
+    * `(word, freq, n_tokens, n_fallback, logprob_micro)` per DISTINCT
+    * word. THE reusable scoring artifact: committed as a golden
+    * fixture, it lets the per-doc perplexity oracle ([[qUnigramPpl]])
+    * be a REAL relational replay (DuckDB explodes the corpus and joins
+    * this table — the [[qTokFertility]] pattern), and at 100 TB it is
+    * the broadcast side of every scoring pass (vocabulary-sized,
+    * Heaps-law sublinear). */
+  def qUnigramWords(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = unigramTrain(spark, dir)
+    val counts = model.select("piece", "n_uses")
+      .as[(String, Long)].collect().toMap.filter(_._2 > 0)
+    val bc = spark.sparkContext.broadcast((counts, counts.values.sum))
+    wordCounts(spark, dir)
+      .select(col("word"), col("freq").cast("long").as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) =>
+        val (nt, nf, lp) = unigramWordScore(w, bc.value._1, bc.value._2)
+        (w, f, nt, nf, lp)
+      }
+      .toDF("word", "freq", "n_tokens", "n_fallback", "logprob_micro")
+      .orderBy("word")
+  }
+
+  /** Per-document LM quality under the TRAINED unigram model — the
+    * trained-model upgrade of the [[Quality]] heuristics
+    * (q_bigram_lm / q_ppl_bucket score with corpus n-gram statistics;
+    * this scores with an actual fitted tokenizer LM, the CCNet
+    * wikipedia-LM idea with the engine's own model): per doc, token
+    * count and total log-prob (exact integer micro sum of per-word
+    * scores × occurrences), bucketed by mean token log-prob. Bucket
+    * compare multiplies the threshold through by n_tokens — integer
+    * compare, no negative-division floor-vs-truncate hazard (the
+    * engine-divergence q_emb_outliers documents). Corpus pass =
+    * explode → broadcast word join → map-side-partial sums; the word
+    * table is the committed artifact, so the oracle replays the whole
+    * query relationally. */
+  def qUnigramPpl(spark: SparkSession, dir: String): DataFrame = {
+    val words = qUnigramWords(spark, dir)
+      .select(col("word"), col("n_tokens").as("wt"),
+        col("logprob_micro").as("wlp"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.toks(col("text"))).as("word"))
+      .join(broadcast(words), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("wt").cast("long").as("n_tokens"),
+        sum("wlp").cast("long").as("logprob_micro"))
+      .withColumn("ppl_bucket",
+        when(col("logprob_micro") >= lit(-3450000L) * col("n_tokens"), 0L)
+          .when(col("logprob_micro") >= lit(-3480000L) * col("n_tokens"), 1L)
+          .when(col("logprob_micro") >= lit(-3510000L) * col("n_tokens"), 2L)
+          .when(col("logprob_micro") >= lit(-3600000L) * col("n_tokens"), 3L)
+          .otherwise(4L))
+      .orderBy("doc_id")
+  }
+
   /** Registered unigram trainer — golden oracle ([[graft.GoldenChunks]]),
     * like [[qBpeTrain]]: the EM loop has no SQL analogue; UnigramSpec
     * pins the algorithm against an independent reference. */
@@ -1342,6 +1423,8 @@ object Curation {
     "q_bpe_encode"    -> (qBpeEncode _),
     "q_unigram_train" -> (qUnigramTrain _),
     "q_unigram_encode" -> (qUnigramEncode _),
+    "q_unigram_words" -> (qUnigramWords _),
+    "q_unigram_ppl"   -> (qUnigramPpl _),
     "q_tok_fertility" -> (qTokFertility _),
     "q_corpus_diff"   -> (qCorpusDiff _),
     "q_pack_bpe"      -> (qPackBpe _),
@@ -1499,6 +1582,30 @@ object Curation {
       s"""SELECT * FROM
          |read_parquet('$fixturesDir/unigram_encode_sf0.01.parquet/*.parquet')
          |ORDER BY doc_id""".stripMargin,
+    "q_unigram_words" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/unigram_words_sf0.01.parquet/*.parquet')
+         |ORDER BY word""".stripMargin,
+    // a REAL relational oracle over the committed word-score artifact:
+    // DuckDB independently explodes the corpus, joins and aggregates
+    "q_unigram_ppl" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(${TextAnalysis.toksSql}) AS word
+         |  FROM documents),
+         |agg AS (
+         |  SELECT doc_id, sum(u.n_tokens)::BIGINT AS n_tokens,
+         |    sum(u.logprob_micro)::BIGINT AS logprob_micro
+         |  FROM w JOIN
+         |  read_parquet('$fixturesDir/unigram_words_sf0.01.parquet/*.parquet') u
+         |  USING (word)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, logprob_micro,
+         |  CASE WHEN logprob_micro >= -3450000 * n_tokens THEN 0
+         |       WHEN logprob_micro >= -3480000 * n_tokens THEN 1
+         |       WHEN logprob_micro >= -3510000 * n_tokens THEN 2
+         |       WHEN logprob_micro >= -3600000 * n_tokens THEN 3
+         |       ELSE 4 END::BIGINT AS ppl_bucket
+         |FROM agg ORDER BY doc_id""".stripMargin,
     // a REAL relational oracle over the committed encode artifact —
     // DuckDB independently joins and aggregates it against documents
     "q_tok_fertility" ->

@@ -123,4 +123,35 @@ class UnigramSpec extends SparkSpec {
     val b = Curation.qUnigramTrain(spark, sfDir).collect().toSeq
     assert(a === b)
   }
+
+  test("LM scoring: word scores recompute exactly, per-doc totals " +
+      "conserve the encode accounting, buckets spread") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vocab = Curation.unigramTrain(spark, sfDir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val model = vocab.filter(_._2 > 0)
+    val total = model.values.sum
+    val words = Curation.qUnigramWords(spark, sfDir).collect()
+    // each row's (n_tokens, n_fallback, logprob) equals a direct
+    // in-spec recompute; on the training corpus fallback never fires
+    words.foreach { r =>
+      val (nt, nf, lp) =
+        Curation.unigramWordScore(r.getString(0), model, total)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((nt, nf, lp)),
+        s"word ${r.getString(0)}")
+      assert(nf === 0L)
+      assert(lp < 0L)
+    }
+    // per-doc token totals match the encode round trip doc for doc
+    val ppl = Curation.qUnigramPpl(spark, sfDir)
+    val enc = Curation.qUnigramEncode(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens").as("enc_tokens"))
+    assert(ppl.join(enc, "doc_id")
+      .filter(col("n_tokens") =!= col("enc_tokens")).count() === 0)
+    // thresholds actually separate the corpus (no degenerate bucket)
+    val buckets = ppl.groupBy("ppl_bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets.size >= 3, s"degenerate bucketing: $buckets")
+  }
 }

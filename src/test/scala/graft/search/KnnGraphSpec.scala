@@ -67,6 +67,28 @@ class KnnGraphSpec extends SparkSpec {
     brute.unpersist(); base.unpersist(); refined.unpersist()
   }
 
+  test("iterated NN-Descent: score mass non-decreasing and recall " +
+      "at least the single round's") {
+    def micro(g: DataFrame): Long = g
+      .agg(sum((col("score") * 1000000).cast("long"))).head.getLong(0)
+    val one = Ann.qKnnGraph(spark, sfDir).cache()
+    val conv = Ann.refineKnnGraph(spark, sfDir).cache()
+    assert(micro(conv) >= micro(one))
+    val brute = bruteTop3.cache()
+    val n = brute.count().toDouble
+    val rOne = one.select("vec_id", "neighbor_id")
+      .join(brute, Seq("vec_id", "neighbor_id")).count() / n
+    val rConv = conv.select("vec_id", "neighbor_id")
+      .join(brute, Seq("vec_id", "neighbor_id")).count() / n
+    assert(rConv >= rOne, s"converged recall $rConv < one-round $rOne")
+    // well-formed output
+    val badRank = conv.groupBy("vec_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(badRank.count() === 0)
+    one.unpersist(); conv.unpersist(); brute.unpersist()
+  }
+
   test("graph search: equals an independent in-memory beam-search " +
       "replay over the same graph") {
     val out = Ann.qGraphSearch(spark, sfDir).collect()
