@@ -1662,11 +1662,14 @@ object Ann {
     * [[graft.functions.TopKAggregator]] (NN-Descent's ρK reverse
     * sample, made deterministic: score desc, id asc) so a hub vector
     * appearing in thousands of lists still contributes a bounded
-    * degree. With degree ≤ 2k the local join emits ≤ 4k² candidates
-    * per node — linear in N per round at any corpus size, the paper's
-    * empirical-cost claim. No corpus-keyed window anywhere: both
-    * rankings ride the bounded aggregator; KnnGraphSpec measures the
-    * recall gain over the base graph against brute force. */
+    * degree; seed edges come from the capped slot join (see
+    * [[knnGraphCandidates]]), ≤ k·[[SeedProviders]] forward and the
+    * same capped reverse. Every per-node degree term is a CONSTANT,
+    * so the local join emits O(degree²) candidates per node — linear
+    * in N per round at any corpus size, the paper's empirical-cost
+    * claim. No corpus-keyed window anywhere: every ranking rides the
+    * bounded aggregators; KnnGraphSpec measures the recall gain over
+    * the base graph against brute force. */
   def qKnnGraph(spark: SparkSession, dir: String): DataFrame =
     Cache.getOrBuild(spark, "knnGraphPinned", dir) {
       qKnnGraphG(spark, dir)
@@ -1720,20 +1723,50 @@ object Ann {
     // precisely because a locality-closed seed cannot escape its own
     // neighborhood — an LSH-only base is bucket-CLOSED (every edge
     // AND every neighbor-of-neighbor stays inside one bucket), so a
-    // round over it alone provably adds nothing. k deterministic
-    // hash-derived cross-bucket edges per node are the random init,
-    // made engine-portable (vec_ids are contiguous 0..N-1, the same
-    // corpus invariant the IVF codebook bootstrap rides).
+    // round over it alone provably adds nothing. The random init is a
+    // SLOT JOIN, free of any id-layout assumption (a `hash mod N`
+    // target id would require contiguous ids — true of the synthetic
+    // corpus, false of any real one): every node registers as a
+    // provider in one hash slot (capped at SeedProviders per slot,
+    // smallest ids win — a hard bound, not an expectation), every
+    // node posts k hash-derived requests, and request ⋈ provider on
+    // the slot key yields ≤ k·SeedProviders deterministic
+    // pseudo-random edges per node. Slot count scales with corpus
+    // size (N / SeedProviders / 2), so occupancy is constant at any
+    // scale.
     val n = Tables.embeddings(spark, dir).count()
-    val seeds = Tables.embeddings(spark, dir).select(col("vec_id").as("u"))
+    val slots = math.max(1L, n / (SeedProviders * 2))
+    val providers = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("v"))
+      .withColumn("slot", pmod(hash60Col(
+        concat(col("v").cast("string"), lit(":prov"))), lit(slots)))
+      .as[(Long, Long)]
+      .groupByKey(_._2).mapValues(t => (t._1, t._1))
+      .agg(graft.functions.MinKPairAggregator.minK(SeedProviders))
+      .toDF("slot", "top")
+      .select(col("slot"), explode(col("top")).as("p"))
+      .select(col("slot"), col("p._1").as("v"))
+    val requests = Tables.embeddings(spark, dir).select(col("vec_id").as("u"))
       .crossJoin(broadcast(spark.range(k).withColumnRenamed("id", "j")))
-      .withColumn("v", pmod(
-        hash60Col(concat(col("u").cast("string"), lit(":seed:"),
-          col("j").cast("string"))), lit(n)))
+      .select(col("u"), pmod(hash60Col(
+        concat(col("u").cast("string"), lit(":seed:"),
+          col("j").cast("string"))), lit(slots)).as("slot"))
+      .distinct()
+    // forward seeds capped at k per node (keep the k smallest matched
+    // providers — a request can match up to SeedProviders each, and an
+    // uncapped union would multiply every degree term by SeedProviders,
+    // measured as cand/vec 72 → 370 before this cap)
+    val seeds = requests.join(providers, "slot")
       .filter(col("u") =!= col("v"))
       .select("u", "v")
-    // reverse seed lists capped at k (no score exists on a seed edge
-    // yet, so the bound orders on the source id itself)
+      .as[(Long, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._2))
+      .agg(graft.functions.MinKPairAggregator.minK(k))
+      .toDF("u", "top")
+      .select(col("u"), explode(col("top")).as("p"))
+      .select(col("u"), col("p._1").as("v"))
+    // reverse seed lists capped at k too (no score exists on a seed
+    // edge yet, so both bounds order on the id itself)
     val revSeeds = seeds
       .as[(Long, Long)]
       .groupByKey(_._2).mapValues(t => (t._1, t._1))
@@ -1827,6 +1860,9 @@ object Ann {
     }
     g.orderBy("vec_id", "rank")
   }
+
+  /** Providers kept per seed slot (hard per-slot cap, smallest ids). */
+  private[graft] val SeedProviders = 4
 
   /** Beam hops / entry node / beam width for [[qGraphSearch]]. */
   private[graft] val GraphSearchHops = 3
@@ -1967,13 +2003,27 @@ object Ann {
       |      row_number() OVER (PARTITION BY nid ORDER BY score DESC, qid) AS rr
       |    FROM base) t WHERE rr <= 3),
       |nn AS (SELECT count(*) AS n FROM embeddings),
+      |sl AS (SELECT greatest(1, (SELECT n FROM nn) // 8) AS s),
+      |prov0 AS (
+      |  SELECT vec_id AS v,
+      |    ('0x'||substr(md5(vec_id::VARCHAR||':prov'),1,15))::BIGINT
+      |      % (SELECT s FROM sl) AS slot
+      |  FROM embeddings),
+      |prov AS (
+      |  SELECT slot, v FROM (
+      |    SELECT slot, v, row_number() OVER (PARTITION BY slot ORDER BY v) AS rr
+      |    FROM prov0) t WHERE rr <= 4),
+      |req AS (
+      |  SELECT DISTINCT vec_id AS u,
+      |    ('0x'||substr(md5(vec_id::VARCHAR||':seed:'||j::VARCHAR),1,15))::BIGINT
+      |      % (SELECT s FROM sl) AS slot
+      |  FROM embeddings, (SELECT unnest(range(3)) AS j) s),
+      |seeds0 AS (
+      |  SELECT u, v FROM req JOIN prov USING (slot) WHERE u <> v),
       |seeds AS (
       |  SELECT u, v FROM (
-      |    SELECT vec_id AS u,
-      |      ('0x'||substr(md5(vec_id::VARCHAR||':seed:'||j::VARCHAR),1,15))::BIGINT
-      |        % (SELECT n FROM nn) AS v
-      |    FROM embeddings, (SELECT unnest(range(3)) AS j) s) t
-      |  WHERE u <> v),
+      |    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rr
+      |    FROM seeds0) t WHERE rr <= 3),
       |rvs AS (
       |  SELECT u, v FROM (
       |    SELECT s.v AS u, s.u AS v,
