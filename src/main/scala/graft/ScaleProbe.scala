@@ -824,6 +824,29 @@ object ScaleProbe {
         s"shards=${r.length} full_except_tail=$fullExceptTail " +
           s"lossless=$lossless"
       },
+      time("impact_serve") {
+        // Impact-ordered serving on the replicated corpus — the
+        // fixed-constant-vs-N contract probed like ann_geometry /
+        // bloom_saturation: at the PINNED m the per-term list
+        // truncates to replicas of the few highest-impact docs (the
+        // ×mult duplication makes every doc occupy mult tied slots)
+        // and the exhaustive-overlap collapses; deriving m from the
+        // duplication factor (m × mult) restores it, while the index
+        // stays m-bounded per term in both geometries.
+        import operators.Search
+        val full = Search.qSearchBm25(spark, work).collect()
+          .map(_.getLong(0)).toSet
+        val fastPinned = Search.qImpactTopk(spark, work).collect()
+          .map(_.getLong(0)).toSet
+        val mScaled = Search.ImpactM * mult
+        val fastScaled = Search.qImpactTopkG(spark, work, mScaled)
+          .collect().map(_.getLong(0)).toSet
+        val maxList = Search.impactIndexG(spark, work, mScaled)
+          .groupBy("term").count().agg(max("count")).head.getLong(0)
+        s"pinned_overlap=${(fastPinned intersect full).size} " +
+          s"scaled_m=$mScaled scaled_overlap=${(fastScaled intersect full).size} " +
+          s"m_bounded=${maxList <= mScaled}"
+      },
       time("range_join") {
         // The banded interval join on the replicated events table
         // (mult per-replica users, identical histories): every replica

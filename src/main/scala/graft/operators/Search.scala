@@ -274,6 +274,121 @@ object Search {
       .limit(10)
   }
 
+  /** Per-term top-[[ImpactM]] posting entries by EXACT BM25
+    * contribution — the impact-ordered index (Anh & Moffat 2006), the
+    * sparse-retrieval twin of the ANN shortlist artifacts: where the
+    * exhaustive scorer reads df(term) postings per query term, a serve
+    * against this artifact reads AT MOST m, making query cost
+    * independent of how common its terms are. Built over the FULL
+    * vocabulary in one corpus scan + a bounded per-term TopK (never a
+    * term-keyed window — df of a stop-word-class term is corpus-sized,
+    * the inverted-index lesson); at 100 TB it persists term-bucketed
+    * like the IVF cells. */
+  private[operators] def impactIndex(spark: SparkSession,
+      dir: String): DataFrame =
+    impactIndexG(spark, dir, ImpactM)
+
+  /** [[impactIndex]] at an explicit list length — the geometry knob
+    * (same contract as AnnGeometry / bloomBitsFor: the registry pins
+    * [[ImpactM]] for oracle hash-exactness; scale jobs derive m from
+    * corpus size ÷ expected distinct-doc ratio, because a list length
+    * that ignores duplication truncates to replicas of the few
+    * highest-impact documents — ScaleProbe measures overlap collapsing
+    * to 0 at ×20 duplication under the pinned m and restored under the
+    * scaled one). */
+  private[graft] def impactIndexG(spark: SparkSession,
+      dir: String, m: Int): DataFrame =
+    Cache.getOrBuild(spark, s"impactIndex@$m", dir) {
+      import spark.implicits._
+      val docsT = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.toks(col("text")).as("t"))
+      val dls = docsT.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+      val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = docsT
+        .select(col("doc_id"), explode(col("t")).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("cnt"))
+      val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfs), "tok")
+        .join(dls, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("ratio",
+          (col("dl") * col("n_docs")).cast("double") / col("sum_dl"))
+        .withColumn("impact_micro",
+          round((col("idf") * (col("cnt") * 2.2) /
+            (col("cnt") + lit(1.2) * (lit(0.25) + lit(0.75) * col("ratio")))) * 1000000, 0)
+            .cast("long"))
+        .select(col("tok"), col("doc_id"), col("impact_micro"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1).mapValues(t => (t._2, t._3.toDouble))
+        .agg(graft.functions.TopKAggregator.topK(m))
+        .toDF("term", "top")
+        .select(col("term"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("term"), (col("pos") + 1).cast("long").as("rank"),
+          col("p._1").as("doc_id"), col("p._2").cast("long").as("impact_micro"))
+    }
+
+  private[graft] val ImpactM = 64
+
+  /** The index artifact as a registry row (full vocabulary, ordered). */
+  def qImpactIndex(spark: SparkSession, dir: String): DataFrame =
+    impactIndex(spark, dir).orderBy("term", "rank")
+
+  /** IMPACT-ORDERED top-k serving — candidates are the UNION of the
+    * query terms' top-[[ImpactM]] impact postings (≤ m·|q| docs read,
+    * independent of term frequency), then an exact full BM25 rescore
+    * of just those candidates, top-10. The lexical mirror of every
+    * shortlist-then-rescore serve in the ANN family (ADC-50, binary
+    * Hamming-50): the artifact bounds the read, the rescore restores
+    * exactness over the candidate set, and the only semantic deviation
+    * from the exhaustive [[qSearchBm25]] is a candidate that ranks
+    * top-10 overall while sitting below rank m in EVERY query term's
+    * impact list — SearchSpec measures that overlap directly. */
+  def qImpactTopk(spark: SparkSession, dir: String): DataFrame =
+    qImpactTopkG(spark, dir, ImpactM)
+
+  private[graft] def qImpactTopkG(spark: SparkSession, dir: String,
+      m: Int): DataFrame = {
+    val cand = impactIndexG(spark, dir, m)
+      .filter(col("term").isin(queryWords: _*))
+      .select("doc_id").distinct()
+    val docsT = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("t"))
+    val dls = docsT.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docsT
+      .join(cand, "doc_id")
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .filter(col("tok").isin(queryWords: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    // df comes from the FULL corpus (scoring semantics unchanged by
+    // candidate pruning), not from the candidate subset
+    val dfs = docsT
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .filter(col("tok").isin(queryWords: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c0"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfs), "tok")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("ratio",
+        (col("dl") * col("n_docs")).cast("double") / col("sum_dl"))
+      .withColumn("term_fp",
+        round((col("idf") * (col("cnt") * 2.2) /
+          (col("cnt") + lit(1.2) * (lit(0.25) + lit(0.75) * col("ratio")))) * 1000000, 0)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("term_fp")).cast("double") / 1000000.0, 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(10)
+  }
+
   /** Reciprocal-Rank-Fusion hybrid (Cormack, Clarke & Buettcher,
     * SIGIR 2009) — the rank-based alternative to the reference's
     * score-blend hybrid (Q2, search.ts:98-136): fuse the semantic
@@ -395,6 +510,8 @@ object Search {
     "q_search_semantic" -> (qSearchSemantic _),
     "q_search_hybrid"   -> (qSearchHybrid _),
     "q_search_bm25"     -> (qSearchBm25 _),
+    "q_impact_index"    -> (qImpactIndex _),
+    "q_impact_topk"     -> (qImpactTopk _),
     "q_search_rrf"      -> (qSearchRrf _),
     "q_doc_maxsim"      -> (qDocMaxsim _),
     "q_search_stats"    -> (qSearchStats _),
@@ -447,6 +564,36 @@ object Search {
 
   /** BM25 scoring CTE chain ending in `bmscore(doc_id, n_terms,
     * score)` — shared by the BM25 ranking and the RRF fusion. */
+  /** Impact-index oracle CTEs: full-vocabulary BM25 contributions,
+    * per-term top-[[ImpactM]] → `idx(term, rank, doc_id,
+    * impact_micro)`. */
+  private lazy val impactCtes =
+    s"""t2 AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |dls2 AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM t2),
+       |stats2 AS (
+       |  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dls2),
+       |tf2 AS (
+       |  SELECT doc_id, tok, count(*)::BIGINT AS cnt
+       |  FROM t2, LATERAL (SELECT unnest(tk) AS tok) u
+       |  GROUP BY doc_id, tok),
+       |dfs2 AS (SELECT tok, count(*)::BIGINT AS df FROM tf2 GROUP BY tok),
+       |imp AS (
+       |  SELECT tf2.tok AS term, tf2.doc_id,
+       |    CAST(round((ln((s.n_docs - dfs2.df + 0.5) / (dfs2.df + 0.5) + 1.0) *
+       |      (tf2.cnt * 2.2) /
+       |      (tf2.cnt + 1.2 * (0.25 + 0.75 * ((dls2.dl * s.n_docs)::DOUBLE / s.sum_dl))))
+       |      * 1000000, 0) AS BIGINT) AS impact_micro
+       |  FROM tf2 JOIN dfs2 USING (tok) JOIN dls2 ON dls2.doc_id = tf2.doc_id,
+       |    stats2 s),
+       |idx AS (
+       |  SELECT term, rank, doc_id, impact_micro FROM (
+       |    SELECT term, doc_id, impact_micro, row_number() OVER (
+       |        PARTITION BY term ORDER BY impact_micro DESC, doc_id) AS rank
+       |    FROM imp) r WHERE rank <= $ImpactM)""".stripMargin
+
   private lazy val bm25Ctes = {
     val words = queryWords.map(w => s"('$w')").mkString(", ")
     s"""qw(tok) AS (VALUES $words),
@@ -643,6 +790,29 @@ object Search {
     "q_search_bm25" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, n_terms, score FROM bmscore
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q_impact_index" ->
+      s"""WITH $impactCtes
+         |SELECT term, rank, doc_id, impact_micro FROM idx
+         |ORDER BY term, rank""".stripMargin,
+    "q_impact_topk" ->
+      s"""WITH $impactCtes,
+         |$bm25Ctes,
+         |cand AS (
+         |  SELECT DISTINCT idx.doc_id FROM idx JOIN qw ON idx.term = qw.tok),
+         |cterm AS (
+         |  SELECT term.* FROM (
+         |    SELECT tf.doc_id,
+         |      CAST(round((ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) *
+         |        (tf.cnt * 2.2) /
+         |        (tf.cnt + 1.2 * (0.25 + 0.75 * ((dls.dl * s.n_docs)::DOUBLE / s.sum_dl))))
+         |        * 1000000, 0) AS BIGINT) AS term_fp
+         |    FROM tf JOIN dfs USING (tok) JOIN dls ON dls.doc_id = tf.doc_id,
+         |      stats s) term
+         |  JOIN cand ON cand.doc_id = term.doc_id)
+         |SELECT doc_id, count(*) AS n_terms,
+         |  round(sum(term_fp)::DOUBLE / 1000000.0, 6) AS score
+         |FROM cterm GROUP BY doc_id
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q_search_rrf" ->
       s"""WITH $docVecCte,

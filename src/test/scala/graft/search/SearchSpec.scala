@@ -71,6 +71,34 @@ class SearchSpec extends SparkSpec {
     assert(finals.sameElements(finals.sorted.reverse))
   }
 
+  test("impact index: per-term lists bounded, impact-ordered, and " +
+      "every entry's impact is the exact BM25 contribution") {
+    val idx = Search.qImpactIndex(spark, sfDir).collect()
+    // bounded lists, dense ranks, ordered by impact desc / doc asc
+    idx.groupBy(_.getString(0)).foreach { case (term, rows) =>
+      assert(rows.length <= Search.ImpactM)
+      val ranks = rows.map(_.getLong(1)).sorted
+      assert(ranks.toSeq === (1L to rows.length).toSeq, term)
+      val byRank = rows.sortBy(_.getLong(1))
+        .map(r => (r.getLong(3), r.getLong(2)))
+      assert(byRank.sliding(2).forall(w => w.length < 2 ||
+        w(0)._1 > w(1)._1 || (w(0)._1 == w(1)._1 && w(0)._2 < w(1)._2)), term)
+    }
+  }
+
+  test("impact top-k: candidate-pruned serve scores exactly like the " +
+      "exhaustive BM25 on shared docs, high overlap") {
+    val fast = Search.qImpactTopk(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val full = Search.qSearchBm25(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // rescore is EXACT: any doc in both lists has identical score
+    val shared = fast.keySet intersect full.keySet
+    shared.foreach(id => assert(fast(id) === full(id), s"doc $id"))
+    // and the pruning misses little on this corpus
+    assert(shared.size >= 8, s"overlap ${shared.size} of 10")
+  }
+
   test("hybrid search: blend bounded by its components") {
     val out = Search.qSearchHybrid(spark, sfDir).collect()
     assert(out.length == 10)
