@@ -35,6 +35,15 @@ object GraftSession {
       // stalls; a real cluster would tune this per-fleet.
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
+      // a long warm session accumulates many MEMORY_AND_DISK caches
+      // (Cache.getOrBuild); the default storageFraction=0.5 PROTECTS
+      // half the unified region for them, and a heavy join/aggregate
+      // under full 32-way concurrency can then fail to acquire
+      // execution pages outright (observed: q_simhash_topk at the 10×
+      // sweep, UNABLE_TO_ACQUIRE_MEMORY while its exhaustive twin
+      // ran). Caches are cheap to re-read from disk; execution memory
+      // is not substitutable — so protect less of it.
+      .config("spark.memory.storageFraction", "0.2")
 
   /** Local session for tests. */
   def local(cores: Int = 4): SparkSession = {
