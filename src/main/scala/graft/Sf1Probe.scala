@@ -85,10 +85,16 @@ object Sf1Probe {
       rows.map { case (k, (c, m, _)) =>
         s""""$k":{"cold":${f"$c%.2f"},"median":${f"$m%.2f"}}"""
       }.mkString("\"queries\":{", ",", "}}")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("sf1_full.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // only a FULL-registry run may update the committed artifact — a
+    // targeted `only` run writing it would silently replace the
+    // 170-query sweep with a handful of rows (this happened once; the
+    // full sweep was recovered from the run log)
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("sf1_full.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     println(line)
     spark.stop()
   }

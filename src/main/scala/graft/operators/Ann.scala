@@ -1680,9 +1680,19 @@ object Ann {
     * candidate volume stays near-linear, exactly as the base kNN join
     * is probed. */
   def qKnnGraphG(spark: SparkSession, dir: String,
-      geo: AnnGeometry = AnnGeometry.Pinned, k: Int = 3): DataFrame = {
+      geo: AnnGeometry = AnnGeometry.Pinned, k: Int = 3): DataFrame =
+    rankGraphCandidates(spark, dir,
+      knnGraphCandidates(spark, dir, geo, k), k)
+      .orderBy("vec_id", "rank")
+
+  /** The ONE ranking tail of the graph family: exact-cosine score each
+    * candidate pair, keep every node's top-k via the bounded
+    * aggregator → `(vec_id, rank, neighbor_id, score)`. Shared by the
+    * registry round and the iterated trainer so tie-breaks can never
+    * drift between them. */
+  private def rankGraphCandidates(spark: SparkSession, dir: String,
+      cand: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
-    val cand = knnGraphCandidates(spark, dir, geo, k)
     val e = Search.embNormed(spark, dir)
     val qe = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       col("nrm").as("qn"))
@@ -1700,7 +1710,32 @@ object Ann {
       .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("p._1").as("neighbor_id"), col("p._2").as("score"))
-      .orderBy("vec_id", "rank")
+  }
+
+  /** Capped reverse adjacency of scored edges `(u, v, score)`: per
+    * target node, its k best sources (score desc, id asc) — the
+    * NN-Descent ρK reverse sample, shared by seed construction and
+    * every refinement round. */
+  private def cappedReverse(spark: SparkSession, edges: DataFrame,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    edges.select(col("v").as("u"), col("u").as("v"), col("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(graft.functions.TopKAggregator.topK(k))
+      .toDF("u", "top")
+      .select(col("u"), explode(col("top")).as("p"))
+      .select(col("u"), col("p._1").as("v"))
+  }
+
+  /** All pairs sharing an adjacent node in `adj(u, v)` — the local
+    * join at the heart of NN-Descent. Distinct column names per side:
+    * the self-join alias trap documented at [[qMineBitext]]. */
+  private def localJoinPairs(adj: DataFrame): DataFrame = {
+    val a = adj.select(col("u").as("au"), col("v").as("av"))
+    val b = adj.select(col("u").as("bu"), col("v").as("bv"))
+    a.join(b, col("au") === col("bu") && col("av") =!= col("bv"))
+      .select(col("av").as("qid"), col("bv").as("nid"))
   }
 
   /** The round's candidate edge set `(qid, nid)` — base edges ∪ seed
@@ -1712,13 +1747,7 @@ object Ann {
     import spark.implicits._
     val base = qKnnJoinG(spark, dir, geo, k)
       .select(col("vec_id").as("u"), col("neighbor_id").as("v"), col("score"))
-    val rev = base
-      .as[(Long, Long, Double)]
-      .groupByKey(_._2).mapValues(t => (t._1, t._3))
-      .agg(graft.functions.TopKAggregator.topK(k))
-      .toDF("u", "top")
-      .select(col("u"), explode(col("top")).as("p"))
-      .select(col("u"), col("p._1").as("v"))
+    val rev = cappedReverse(spark, base, k)
     // Seeding matters: the paper initializes with a RANDOM graph
     // precisely because a locality-closed seed cannot escape its own
     // neighborhood — an LSH-only base is bucket-CLOSED (every edge
@@ -1776,12 +1805,7 @@ object Ann {
       .select(col("u"), col("p._1").as("v"))
     val adj = base.select("u", "v").union(rev)
       .union(seeds).union(revSeeds).distinct()
-    // distinct column names per side — the self-join alias trap
-    // documented at [[qMineBitext]].
-    val a = adj.select(col("u").as("au"), col("v").as("av"))
-    val b = adj.select(col("u").as("bu"), col("v").as("bv"))
-    a.join(b, col("au") === col("bu") && col("av") =!= col("bv"))
-      .select(col("av").as("qid"), col("bv").as("nid"))
+    localJoinPairs(adj)
       .union(base.select(col("u").as("qid"), col("v").as("nid")))
       .union(seeds.select(col("u").as("qid"), col("v").as("nid")))
       .distinct()
@@ -1803,44 +1827,18 @@ object Ann {
   def refineKnnGraph(spark: SparkSession, dir: String,
       geo: AnnGeometry = AnnGeometry.Pinned, k: Int = 3,
       maxRounds: Int = 4): DataFrame = {
-    import spark.implicits._
-    val e = Search.embNormed(spark, dir)
-    val qe = e.select(col("vec_id").as("qid"), col("embedding").as("qv"),
-      col("nrm").as("qn"))
-    val ne = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-      col("nrm").as("nn"))
     def microSum(g: DataFrame): Long = g
       .agg(coalesce(sum((col("score") * 1000000).cast("long")), lit(0L)))
       .head.getLong(0)
     def round1(g: DataFrame): DataFrame = {
-      val edges = g.select(col("vec_id").as("u"), col("neighbor_id").as("v"))
-      val rev = g.select(col("neighbor_id").as("u"), col("vec_id").as("v"),
-          col("score"))
-        .as[(Long, Long, Double)]
-        .groupByKey(_._1).mapValues(t => (t._2, t._3))
-        .agg(graft.functions.TopKAggregator.topK(k))
-        .toDF("u", "top")
-        .select(col("u"), explode(col("top")).as("p"))
-        .select(col("u"), col("p._1").as("v"))
-      val adj = edges.union(rev).distinct()
-      val a = adj.select(col("u").as("au"), col("v").as("av"))
-      val b = adj.select(col("u").as("bu"), col("v").as("bv"))
-      val cand = a.join(b, col("au") === col("bu") && col("av") =!= col("bv"))
-        .select(col("av").as("qid"), col("bv").as("nid"))
+      val edges = g.select(col("vec_id").as("u"),
+        col("neighbor_id").as("v"), col("score"))
+      val adj = edges.select("u", "v")
+        .union(cappedReverse(spark, edges, k)).distinct()
+      val cand = localJoinPairs(adj)
         .union(edges.select(col("u").as("qid"), col("v").as("nid")))
         .distinct()
-      cand.join(qe, "qid").join(ne, "nid")
-        .withColumn("score",
-          round(cosinePrenormed(dot(col("qv"), col("nv")),
-            col("qn"), col("nn")), 6))
-        .select("qid", "nid", "score")
-        .as[(Long, Long, Double)]
-        .groupByKey(_._1).mapValues(t => (t._2, t._3))
-        .agg(graft.functions.TopKAggregator.topK(k))
-        .toDF("vec_id", "top")
-        .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "p")))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
-          col("p._1").as("neighbor_id"), col("p._2").as("score"))
+      rankGraphCandidates(spark, dir, cand, k)
     }
     // localCheckpoint truncates lineage between rounds — iterating on
     // the raw plan compounds the self-join tree exponentially (the
@@ -1907,17 +1905,22 @@ object Ann {
     var visited: Map[Long, Double] = scoreOf(Seq(GraphSearchEntry))
     var beam: Seq[Long] = Seq(GraphSearchEntry)
     var hop = 0
-    while (hop < GraphSearchHops) {
-      val nbrs = edges.filter(col("u").isin(beam: _*))
-        .select("v").distinct().as[Long].collect()
-      val fresh = nbrs.filterNot(visited.contains)
-      if (fresh.nonEmpty) visited = visited ++ scoreOf(fresh.toSeq)
-      beam = visited.toSeq.filter(_._1 != 0L)
-        .sortBy { case (id, s) => (-s, id) }
-        .take(GraphSearchBeam).map(_._1)
-      hop += 1
-    }
-    edges.unpersist(false)
+    // finally-release: a mid-hop failure must not leak the persisted
+    // edge table into the warm session's storage region (accumulated
+    // caches starving execution memory is exactly the failure mode
+    // GraftSession's storageFraction setting exists for)
+    try {
+      while (hop < GraphSearchHops) {
+        val nbrs = edges.filter(col("u").isin(beam: _*))
+          .select("v").distinct().as[Long].collect()
+        val fresh = nbrs.filterNot(visited.contains)
+        if (fresh.nonEmpty) visited = visited ++ scoreOf(fresh.toSeq)
+        beam = visited.toSeq.filter(_._1 != 0L)
+          .sortBy { case (id, s) => (-s, id) }
+          .take(GraphSearchBeam).map(_._1)
+        hop += 1
+      }
+    } finally edges.unpersist(false)
     visited.toSeq.filter(_._1 != 0L)
       .sortBy { case (id, s) => (-s, id) }
       .take(10)

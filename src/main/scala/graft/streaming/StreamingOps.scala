@@ -74,8 +74,8 @@ object StreamingOps {
           .as("bucket"))
     p.join(c,
       p("bucket") === c("bucket") &&
-        expr(s"c_ts BETWEEN p_ts - INTERVAL ${bandMs / 1000} SECONDS " +
-          s"AND p_ts + INTERVAL ${bandMs / 1000} SECONDS"))
+        expr(s"c_ts BETWEEN p_ts - INTERVAL $bandMs MILLISECOND " +
+          s"AND p_ts + INTERVAL $bandMs MILLISECOND"))
       .drop("bucket")
   }
 

@@ -154,4 +154,32 @@ class UnigramSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(buckets.size >= 3, s"degenerate bucketing: $buckets")
   }
+
+  test("coverage fallback: unseen characters segment losslessly and " +
+      "carry the -log(total) penalty") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vocab = Curation.unigramTrain(spark, sfDir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val model = vocab.filter(_._2 > 0)
+    val total = model.values.sum
+    // a word with chars entirely outside the trained vocabulary
+    val oov = "@#%&"
+    assert(oov.forall(c => !vocab.contains(c.toString)))
+    val segs = Curation.unigramSegment(oov, model, total)
+    assert(segs.mkString === oov)
+    assert(segs.forall(_.length == 1)) // only fallback edges exist
+    val (nt, nf, lp) = Curation.unigramWordScore(oov, model, total)
+    assert(nt === oov.length.toLong && nf === oov.length.toLong)
+    assert(lp ===
+      math.round(-oov.length * math.log(total.toDouble) * 1000000))
+    // mixed word: real pieces are preferred, fallback only where
+    // no piece can cover — and the fallback count is minimal
+    val mixed = "data@"
+    val (mt, mf, mlp) = Curation.unigramWordScore(mixed, model, total)
+    assert(mf === 1L, s"expected exactly one fallback char, got $mf")
+    assert(mt < mixed.length.toLong + 1)
+    assert(mlp < 0L)
+    assert(Curation.unigramSegment(mixed, model, total).mkString === mixed)
+  }
 }
