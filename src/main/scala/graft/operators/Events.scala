@@ -70,6 +70,21 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** UNPIVOT (melt) — the inverse reshape of [[qPivot]], via Spark's
+    * codegen'd `stack` expression: the wide per-user count matrix back
+    * to long `(user_id, event_type, n)` rows, zero cells dropped (the
+    * sparse long form). Round-trips [[qPivot]] exactly — the spec pins
+    * melt(pivot(events)) against the plain groupBy — and stays
+    * row-local after the pivot's aggregate: stack emits 5 rows per
+    * input row inside the same stage, no extra shuffle. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    qPivot(spark, dir)
+      .select(col("user_id"), expr(
+        "stack(5, 'click', click, 'error', error, 'purchase', purchase," +
+          " 'signup', signup, 'view', view) AS (event_type, n)"))
+      .filter(col("n") > 0)
+      .orderBy("user_id", "event_type")
+
   /** RANGE (band) JOIN — every purchase joined to the clicks within
     * ±30 minutes, with NO shared equi-key: the inequality-join shape
     * Spark would otherwise plan as a quadratic
@@ -456,6 +471,7 @@ object Events {
     "q_sessionize"     -> (qSessionize _),
     "q_asof_join"      -> (qAsofJoin _),
     "q_range_join"     -> (qRangeJoin _),
+    "q_unpivot"        -> (qUnpivot _),
     "q_pivot"          -> (qPivot _),
     "q_running_window" -> (qRunningWindow _),
     "q_ntile"          -> (qNtile _),
@@ -648,6 +664,10 @@ object Events {
         |  sum(CAST(ROUND(value*100,0) AS BIGINT))/100.0 AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_unpivot" ->
+      """SELECT user_id, event_type, count(*)::BIGINT AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "q_range_join" ->
       """SELECT p.event_id, count(c.ts)::BIGINT AS n_clicks,
         |  coalesce(sum(CAST(ROUND(c.value*100,0) AS BIGINT)), 0)::BIGINT

@@ -11,6 +11,18 @@ class EventsSpec extends SparkSpec {
     assert(r.filter(col("view_ts") > col("ts")).count() === 0)
   }
 
+  test("unpivot: melt(pivot(events)) equals the direct long-form " +
+      "groupBy, zero cells dropped") {
+    val melted = Events.qUnpivot(spark, sfDir)
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n2"))
+    assert(melted.join(direct, Seq("user_id", "event_type"), "full_outer")
+      .filter(col("n").isNull || col("n2").isNull ||
+        col("n") =!= col("n2")).count() === 0)
+    assert(melted.filter(col("n") <= 0).count() === 0)
+  }
+
   test("range join: equi-join plan (no nested loop), counts equal the " +
       "direct inequality-join recompute") {
     val out = Events.qRangeJoin(spark, sfDir)
