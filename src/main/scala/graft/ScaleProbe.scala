@@ -915,6 +915,54 @@ object ScaleProbe {
           s"refined_twin_recall=${f"${refHits.toDouble / nTwins}%.3f"} " +
           s"no_drop=${refHits >= baseHits}"
       },
+      time("knn_refine") {
+        // The iterated NN-Descent trainer at corpus-derived geometry
+        // on the same twin-planted corpus as knn_graph (built there;
+        // rebuild here so a targeted run stands alone): the converged
+        // graph's twin recall must be >= the single round's, score
+        // mass must not decrease, and the loop must terminate well
+        // inside the round budget (the fixpoint check is one
+        // aggregate per round).
+        import operators.{Ann, AnnGeometry}
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val nBase = emb.count()
+        val flipped = emb
+          .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CASE WHEN rep = 0 THEN x " +
+              "WHEN pmod(hash(rep, i), 2) = 0 THEN x ELSE -x END)"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * nBase)
+          .drop("rep")
+        val tw0 = mult * nBase
+        val twins = flipped.filter(col("vec_id") % 97 === 0)
+          .withColumn("vec_id", lit(tw0) + (col("vec_id") / 97L).cast("long"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = " +
+              s"CAST((vec_id - $tw0) * 97 % 64 AS INT) " +
+              "THEN CAST(x + 0.02 AS FLOAT) ELSE x END)"))
+        flipped.unionByName(twins)
+          .write.mode("overwrite").parquet(s"$work/kr/embeddings.parquet")
+        val gdir = s"$work/kr"
+        val n = spark.read.parquet(s"$gdir/embeddings.parquet").count()
+        val nTwins = twins.count()
+        val geo = AnnGeometry.forCorpus(n)
+        def micro(g: org.apache.spark.sql.DataFrame): Long = g
+          .agg(sum((col("score") * 1000000).cast("long"))).head.getLong(0)
+        def twinHits(g: org.apache.spark.sql.DataFrame): Long = g
+          .filter(col("vec_id") >= tw0 &&
+            col("neighbor_id") === (col("vec_id") - tw0) * 97L)
+          .select("vec_id").distinct().count()
+        val one = Ann.qKnnGraphG(spark, gdir, geo)
+        val m1 = micro(one); val h1 = twinHits(one)
+        val conv = Ann.refineKnnGraph(spark, gdir, geo)
+        val m2 = micro(conv); val h2 = twinHits(conv)
+        s"n=$n geo=${geo.planes}p${geo.tables}t " +
+          s"round1_recall=${f"${h1.toDouble / nTwins}%.3f"} " +
+          s"conv_recall=${f"${h2.toDouble / nTwins}%.3f"} " +
+          s"score_mass_nondecreasing=${m2 >= m1} " +
+          s"recall_nondecreasing=${h2 >= h1}"
+      },
       time("ann_binary") {
         // Binary-quantization serve at mult x replicated vectors
         // (embxDir): the Hamming scan is an 8-byte column pass, so the
