@@ -948,7 +948,8 @@ object ScaleProbe {
         val nTwins = twins.count()
         val geo = AnnGeometry.forCorpus(n)
         def micro(g: org.apache.spark.sql.DataFrame): Long = g
-          .agg(sum((col("score") * 1000000).cast("long"))).head.getLong(0)
+          .agg(coalesce(sum((col("score") * 1000000).cast("long")), lit(0L)))
+          .head.getLong(0)
         def twinHits(g: org.apache.spark.sql.DataFrame): Long = g
           .filter(col("vec_id") >= tw0 &&
             col("neighbor_id") === (col("vec_id") - tw0) * 97L)

@@ -1597,7 +1597,12 @@ object Ann {
     Cache.getOrBuild(spark, "binarySigs", dir) {
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .withColumn("bit", when(col("x") >= 0, 1L).otherwise(0L))
+        // two-word packing holds exactly 64 sign bits; a wider corpus
+        // must fail fast, not silently overflow pow(2, d-32) past 2^31
+        .withColumn("bit", when(col("d") >= 64,
+            expr("assert_true(d < 64, 'binarySigs: embedding dimension > 64 " +
+              "overflows the two-word sign packing')").cast("long"))
+          .when(col("x") >= 0, 1L).otherwise(0L))
         .groupBy("vec_id")
         .agg(
           sum(when(col("d") < 32,
@@ -1816,19 +1821,28 @@ object Ann {
     * out (the paper's actual training loop; one round is the
     * registry-pinned step). Monotone by construction: each round's
     * candidate set CONTAINS the current edges, so every node's top-k
-    * can only improve — Σ scores is non-decreasing and equality means
-    * the fixpoint was reached (the convergence check is one cheap
-    * aggregate per round, the [[graft.operators.Dedup]]
-    * min-label-propagation discipline). Per-round cost stays the
-    * bounded local join (degree ≤ 2k after round 1, since the
-    * adjacency is then the refined graph ∪ its capped reverse, and
+    * can only improve — Σ scores is non-decreasing. Convergence is
+    * declared on the EDGE SET (an order-independent sum of per-edge
+    * hashes, one cheap aggregate per round, the
+    * [[graft.operators.Dedup]] min-label-propagation discipline), not
+    * the score mass: a swap between equally-truncated-scored neighbors
+    * leaves Σ scores unchanged while the graph still moved, and a
+    * score-sum check would stop the trainer a round early. The
+    * maxRounds budget stays the hard termination bound. Per-round
+    * cost stays the bounded local join (degree ≤ 2k after round 1,
+    * since the adjacency is then the refined graph ∪ its capped
+    * reverse, and
     * seeds are only needed to diversify round 1's bucket-closed
     * base). */
   def refineKnnGraph(spark: SparkSession, dir: String,
       geo: AnnGeometry = AnnGeometry.Pinned, k: Int = 3,
       maxRounds: Int = 4): DataFrame = {
-    def microSum(g: DataFrame): Long = g
-      .agg(coalesce(sum((col("score") * 1000000).cast("long")), lit(0L)))
+    // XOR-fold of per-edge hashes: order-independent, overflow-free
+    // under ANSI (a SUM of 2^63-scale hashes overflows), and edges are
+    // distinct rows so the fold is a proper set checksum.
+    def edgeChecksum(g: DataFrame): Long = g
+      .agg(coalesce(
+        expr("bit_xor(xxhash64(vec_id, neighbor_id))"), lit(0L)))
       .head.getLong(0)
     def round1(g: DataFrame): DataFrame = {
       val edges = g.select(col("vec_id").as("u"),
@@ -1845,12 +1859,12 @@ object Ann {
     // classic iterative-Spark hazard; only the k·N-row graph TABLE
     // should cross rounds, the refineCodebook discipline).
     var g = qKnnGraphG(spark, dir, geo, k).localCheckpoint(true)
-    var sum0 = microSum(g)
+    var sum0 = edgeChecksum(g)
     var converged = false
     var r = 1
     while (r < maxRounds && !converged) {
       val next = round1(g).localCheckpoint(true)
-      val s1 = microSum(next)
+      val s1 = edgeChecksum(next)
       converged = s1 == sum0
       sum0 = s1
       g = next

@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** The generator's closed set of event types — single source of
+    * truth for the pivot column list and the unpivot stack expression
+    * (both diverge from their all-types DuckDB oracles if the data
+    * ever grows a sixth type; EventsSpec asserts the table matches). */
+  private[graft] val EventTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
   /** X9/F2: JSON property extraction + pushdown-style predicate, then
     * grouped aggregation over the extracted value. */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -80,8 +87,9 @@ object Events {
   def qUnpivot(spark: SparkSession, dir: String): DataFrame =
     qPivot(spark, dir)
       .select(col("user_id"), expr(
-        "stack(5, 'click', click, 'error', error, 'purchase', purchase," +
-          " 'signup', signup, 'view', view) AS (event_type, n)"))
+        s"stack(${EventTypes.size}, " +
+          EventTypes.map(t => s"'$t', $t").mkString(", ") +
+          ") AS (event_type, n)"))
       .filter(col("n") > 0)
       .orderBy("user_id", "event_type")
 
@@ -126,7 +134,7 @@ object Events {
     * reference lacks; conditional-aggregation form so the oracle is
     * plain SQL). */
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = EventTypes
     Tables.events(spark, dir)
       .groupBy("user_id")
       .pivot("event_type", types)
@@ -523,7 +531,7 @@ object Events {
         |hc AS (
         |  SELECT event_type, vc, c,
         |    sum(c) OVER (PARTITION BY event_type ORDER BY vc) AS cum,
-        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |    (sum(c) OVER (PARTITION BY event_type))::BIGINT AS n
         |  FROM (SELECT event_type, vc, count(*) AS c FROM ev GROUP BY 1,2)),
         |ex AS (
         |  SELECT event_type, pct, n, vc/100.0 AS exact_value

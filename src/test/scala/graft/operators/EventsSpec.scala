@@ -23,6 +23,13 @@ class EventsSpec extends SparkSpec {
     assert(melted.filter(col("n") <= 0).count() === 0)
   }
 
+  test("event-type universe: the table contains exactly the closed " +
+      "EventTypes set the pivot/unpivot column lists assume") {
+    val actual = Tables.events(spark, sfDir)
+      .select("event_type").distinct().collect().map(_.getString(0)).sorted
+    assert(actual.toSeq === Events.EventTypes)
+  }
+
   test("range join: equi-join plan (no nested loop), counts equal the " +
       "direct inequality-join recompute") {
     val out = Events.qRangeJoin(spark, sfDir)

@@ -70,7 +70,8 @@ class KnnGraphSpec extends SparkSpec {
   test("iterated NN-Descent: score mass non-decreasing and recall " +
       "at least the single round's") {
     def micro(g: DataFrame): Long = g
-      .agg(sum((col("score") * 1000000).cast("long"))).head.getLong(0)
+      .agg(coalesce(sum((col("score") * 1000000).cast("long")), lit(0L)))
+      .head.getLong(0)
     val one = Ann.qKnnGraph(spark, sfDir).cache()
     val conv = Ann.refineKnnGraph(spark, sfDir).cache()
     assert(micro(conv) >= micro(one))

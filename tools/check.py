@@ -2,11 +2,16 @@
 """Local replica of the driver's correctness gate (dev tooling only — the
 engine itself is pure Scala/Spark; python+duckdb are driver-side deps).
 
-Usage: python3 tools/check.py [sfdir] [outdir]
+Usage: python3 tools/check.py [sfdir] [outdir] [--strict]
   1. expects `sbt "runMain graft.Verify <sfdir> <outdir>"` to have run
   2. loads each <outdir>/<name> parquet (Spark result)
   3. runs oracle_sql.json[name] in DuckDB with tables registered from sfdir
   4. compares schema (column names sorted), row count, and values
+  5. with --strict, also compares per-column DTYPES between the Spark
+     parquet and the DuckDB result — the driver's hash is type-sensitive
+     (e.g. a DuckDB windowed sum of BIGINT comes back HUGEINT→float64
+     while Spark writes int64: identical values, failed hash). The lint
+     catches that class of oracle-SQL skew before the driver does.
 """
 import json
 import math
@@ -39,9 +44,45 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def dtype_key(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the equivalence class the driver's
+    type-sensitive hash distinguishes: integer width vs float vs bool vs
+    datetime vs string/object/list. Nullable extension ints (Int64) and
+    numpy int64 hash alike once values match, so they share a key."""
+    d = s.dtype
+    k = getattr(d, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    if k == "m":
+        return "timedelta"
+    # object: decimal.Decimal from DuckDB DECIMAL sums is a numeric-type
+    # skew vs Spark's float/int — surface it distinctly.
+    if k == "O" and len(s):
+        v = s.dropna()
+        if len(v):
+            import decimal
+            if isinstance(v.iloc[0], decimal.Decimal):
+                return "decimal"
+            if isinstance(v.iloc[0], bool):
+                return "bool"
+            if isinstance(v.iloc[0], int):
+                return "int"
+            if isinstance(v.iloc[0], float):
+                return "float"
+    return "object"
+
+
 def main():
-    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    outdir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sfdir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    outdir = Path(argv[1] if len(argv) > 1 else "/tmp/verify_out")
     oracle = json.loads((outdir / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
@@ -70,6 +111,17 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
+        if strict:
+            skew = [
+                (c, str(got[c].dtype), str(want[c].dtype))
+                for c in got.columns
+                if dtype_key(got[c]) != dtype_key(want[c])
+            ]
+            if skew:
+                c, a, b = skew[0]
+                print(f"FAIL {name}: dtype skew col {c}: spark={a} duckdb={b}")
+                n_fail += 1
+                continue
         bad = None
         for i in range(len(got)):
             for c in got.columns:
