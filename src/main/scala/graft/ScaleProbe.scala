@@ -964,6 +964,118 @@ object ScaleProbe {
           s"score_mass_nondecreasing=${m2 >= m1} " +
           s"recall_nondecreasing=${h2 >= h1}"
       },
+      time("graph_serve") {
+        // Graph SERVING at corpus scale — the half of the family
+        // knn_graph/knn_refine leave unprobed. Twin-planted corpus
+        // (as knn_graph); 10 spread queries; recall@10 vs the
+        // brute-force exact top-10. Three shapes measured: the
+        // registry's flat fixed-entry beam, the flat beam with a
+        // corpus-derived IVF entry (Ann.graphEntryFor), and the HNSW
+        // hierarchy (Hnsw.buildIndex + Searcher.serve). The first
+        // grid run of this probe is why Hnsw exists: the flat beam
+        // collapses to ~0.03 recall at 20x REGARDLESS of entry or
+        // budget (16 hops x beam 32 reached 0.09) — a short-range
+        // k-NN graph is not navigable, and the hierarchy's sparse
+        // upper layers supply the missing long-range hops.
+        import operators.{Ann, AnnGeometry, Search}
+        import graft.functions.VectorFunctions.{cosinePrenormed, dot}
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val nBase = emb.count()
+        val flipped = emb
+          .crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CASE WHEN rep = 0 THEN x " +
+              "WHEN pmod(hash(rep, i), 2) = 0 THEN x ELSE -x END)"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * nBase)
+          .drop("rep")
+        val tw0 = mult * nBase
+        val twins = flipped.filter(col("vec_id") % 97 === 0)
+          .withColumn("vec_id", lit(tw0) + (col("vec_id") / 97L).cast("long"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = " +
+              s"CAST((vec_id - $tw0) * 97 % 64 AS INT) " +
+              "THEN CAST(x + 0.02 AS FLOAT) ELSE x END)"))
+        flipped.unionByName(twins)
+          .write.mode("overwrite").parquet(s"$work/gs/embeddings.parquet")
+        val gdir = s"$work/gs"
+        val n = spark.read.parquet(s"$gdir/embeddings.parquet").count()
+        val geo = AnnGeometry.forCorpus(n)
+        val g = Ann.refineKnnGraph(spark, gdir, geo)
+          .select(col("vec_id").as("u"), col("neighbor_id").as("v"))
+        val edges = g.union(g.select(col("v").as("u"), col("u").as("v")))
+          .distinct().persist()
+        edges.count()
+        val qids: Seq[Long] =
+          (1 to 10).map(i => 2L + (i.toLong * 7919L) % (tw0 - 2))
+        val e = Search.embNormed(spark, gdir)
+        val qv = e.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("qid"),
+            col("embedding").as("qv"), col("nrm").as("qn"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(desc("score"), col("vec_id"))
+        val exact: Map[Long, Set[Long]] = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("score", round(
+            cosinePrenormed(dot(col("embedding"), col("qv")),
+              col("nrm"), col("qn")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("qid", "vec_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        def serve(entryFor: Long => Long, hops: Int,
+            beam: Int): (Double, Double) = {
+          val t0 = System.nanoTime()
+          val rs = qids.map { qid =>
+            val top = Ann.beamServe(spark, gdir, edges, qid, entryFor(qid),
+              hops = hops, beamW = beam)
+              .map(_._1).toSet
+            top.count(exact(qid).contains) / 10.0
+          }
+          (rs.sum / rs.size, (System.nanoTime() - t0) / 1e9)
+        }
+        val (rFlat, tFlat) = serve(_ => Ann.GraphSearchEntry, 3, 8)
+        val (rEntry, tEntry) =
+          serve(qid => Ann.graphEntryFor(spark, gdir, qid, geo.ivfCells),
+            3, 8)
+        edges.unpersist(false)
+        val tb0 = System.nanoTime()
+        val idx = operators.Hnsw.buildIndex(spark, gdir, s"$work/gs_idx")
+        val tBuild = (System.nanoTime() - tb0) / 1e9
+        val searcher = new operators.Hnsw.Searcher(spark, gdir, idx)
+        // planted-structure recall: serve each of 10 twin queries and
+        // check the planted near-twin lands in the top-10 (the same
+        // structured gauge knn_graph/knn_refine use — generic top-10
+        // on this sign-flip corpus is dimensionality-capped for ANY
+        // sublinear method, twins are the navigable signal)
+        val twinQs = (1 to 10).map(i => tw0 + (i.toLong * 13L) % (n - tw0))
+        val (rHnsw, tHnsw, twinHit, rHnsw64) =
+          try {
+            val t0 = System.nanoTime()
+            val rs = qids.map { qid =>
+              val top = searcher.serve(qid, ef = 32).map(_._1).toSet
+              top.count(exact(qid).contains) / 10.0
+            }
+            val wall = (System.nanoTime() - t0) / 1e9
+            val th = twinQs.count { qid =>
+              searcher.serve(qid, ef = 32).map(_._1)
+                .contains((qid - tw0) * 97L)
+            }.toDouble / twinQs.size
+            val r64 = qids.map { qid =>
+              val top = searcher.serve(qid, ef = 64).map(_._1).toSet
+              top.count(exact(qid).contains) / 10.0
+            }
+            (rs.sum / rs.size, wall, th, r64.sum / r64.size)
+          } finally searcher.close()
+        s"n=$n geo=${geo.planes}p${geo.tables}t queries=${qids.size} " +
+          s"flat_recall10=${f"$rFlat%.2f"}@${f"$tFlat%.0f"}s " +
+          s"ivf_entry_recall10=${f"$rEntry%.2f"}@${f"$tEntry%.0f"}s " +
+          s"hnsw_recall10=${f"$rHnsw%.2f"}@${f"$tHnsw%.0f"}s " +
+          s"hnsw_recall10_ef64=${f"$rHnsw64%.2f"} " +
+          s"hnsw_twin_hit=${f"$twinHit%.2f"} " +
+          s"hnsw_levels=${idx.maxLevel} hnsw_build=${f"$tBuild%.0f"}s"
+      },
       time("ann_binary") {
         // Binary-quantization serve at mult x replicated vectors
         // (embxDir): the Hamming scan is an 8-byte column pass, so the

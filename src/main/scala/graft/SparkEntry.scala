@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.Ann.queries ++
       operators.ResultAnalytics.queries ++ operators.Media.queries ++
       operators.Ci.queries ++ operators.Events.queries ++
-      operators.Curation.queries ++ operators.Quality.queries
+      operators.Curation.queries ++ operators.Quality.queries ++
+      operators.Hnsw.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.Dedup.oracles ++ operators.Ann.oracles ++
       operators.ResultAnalytics.oracles ++ operators.Media.oracles ++
       operators.Ci.oracles ++ operators.Events.oracles ++
-      operators.Curation.oracles ++ operators.Quality.oracles
+      operators.Curation.oracles ++ operators.Quality.oracles ++
+      operators.Hnsw.oracles
 }

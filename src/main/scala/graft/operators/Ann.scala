@@ -1584,6 +1584,92 @@ object Ann {
       .orderBy("d")
   }
 
+  /** Fixed-point scale of the trained rotation matrix entries. */
+  private[graft] val RotMicro = 1000000L
+
+  /** Train the OPQ ROTATION (Ge et al. 2014's other half, completing
+    * what [[qPqBalance]]'s permutation started): one distributed
+    * covariance pass ([[qEmbCov]]), then the bounded 64×64 Jacobi
+    * eigendecomposition ([[graft.functions.JacobiEigen]]) on the
+    * driver — rows of the returned matrix are eigenvectors in
+    * eigenvalue-descending order, quantized to micro fixed-point so
+    * every downstream product is exact integer arithmetic (the same
+    * oracle-portability contract as the PQ encode). Deterministic end
+    * to end: exact-integer covariance + canonical eigen order/sign,
+    * so the RotateSpec drift check can pin the live training against
+    * the committed golden artifact. */
+  private[graft] def trainRotationMicro(spark: SparkSession,
+      dir: String): Seq[(Long, Long, Long)] = {
+    val rows = qEmbCov(spark, dir).collect()
+    val n = rows.head.getLong(2).toDouble
+    val cov = Array.ofDim[Double](Dim, Dim)
+    rows.foreach { r =>
+      val v = r.getLong(6).toDouble / (n * n * 1e6)
+      cov(r.getInt(0))(r.getInt(1)) = v
+      cov(r.getInt(1))(r.getInt(0)) = v
+    }
+    val (_, vecs) = graft.functions.JacobiEigen.eigenSym(cov)
+    for {
+      k <- 0 until Dim
+      d <- 0 until Dim
+    } yield (k.toLong, d.toLong, math.round(vecs(k)(d) * RotMicro))
+  }
+
+  /** The trained rotation as a table `(k, d, r_micro)` — the
+    * publishable artifact ([[graft.model.Artifacts]] layout: one
+    * bounded broadcastable table). Registry entry so the training is
+    * itself oracle-checked: the DuckDB side replays the committed
+    * golden fixture (generated by GoldenChunks from this exact code;
+    * PqRotateSpec re-trains live and asserts zero drift). */
+  def qPqRotation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainRotationMicro(spark, dir)
+      .toDF("k", "d", "r_micro")
+      .orderBy("k", "d")
+  }
+
+  /** OPQ-ROTATED fixed-point components: every vector mapped into the
+    * covariance eigenbasis by one broadcast join against the 4096-row
+    * rotation table + a (vec_id, k) aggregate — `y_k = Σ_d se_d ·
+    * R_micro(k,d)`, exact integers end to end. Because eigen order IS
+    * variance order, the balanced subspace allocation over rotated
+    * components is the snake over k itself (no second variance pass),
+    * emitted as `sub`. One corpus scan, one narrow shuffle keyed by
+    * (vec_id, k) with map-side partial sums — linear at any corpus
+    * size; the rotation table is training output, broadcast like any
+    * other model artifact. */
+  def qPqRotate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rot = broadcast(trainRotationMicro(spark, dir)
+      .toDF("k", "d", "r_micro"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        round(col("x").cast("double") * 1000, 0).cast("long").as("se"))
+      .join(rot, "d")
+      .groupBy("vec_id", "k")
+      .agg(sum(col("se") * col("r_micro")).as("y"))
+      .withColumn("blk", floor(col("k") / SubSpaces).cast("long"))
+      .withColumn("sub",
+        when(pmod(col("blk"), lit(2)) === 0, pmod(col("k"), lit(SubSpaces)))
+          .otherwise(lit(SubSpaces - 1) - pmod(col("k"), lit(SubSpaces)))
+          .cast("long"))
+      .select("vec_id", "k", "y", "sub")
+      .orderBy("vec_id", "k")
+  }
+
+  /** Rotated components in [[pqComponents]] shape `(vec_id, d, se,
+    * sub)` so the UNCHANGED PQ encode / refine / error plans run over
+    * the eigenbasis layout — `se` rescaled back to the encode's 1e6
+    * fixed-point (y carries 1e3·1e6; one exact integer division). */
+  private[graft] def pqComponentsRotated(spark: SparkSession,
+      dir: String): DataFrame =
+    qPqRotate(spark, dir)
+      .select(col("vec_id"), col("k").as("d"),
+        (col("y") - pmod(col("y"), lit(1000L))).divide(lit(1000L))
+          .cast("long").as("se"),
+        col("sub"))
+
   /** 1-bit sign signatures of every vector, packed into two 32-bit
     * halves (`sig_lo` = dims 0-31, `sig_hi` = dims 32-63) — the binary
     * quantization code (sign of each component; Charikar 2002's SimHash
@@ -1906,8 +1992,31 @@ object Ann {
       .select(col("vec_id").as("u"), col("neighbor_id").as("v"))
     val edges = kg.union(kg.select(col("v").as("u"), col("u").as("v")))
       .distinct().persist()
+    // finally-release: a mid-hop failure must not leak the persisted
+    // edge table into the warm session's storage region (accumulated
+    // caches starving execution memory is exactly the failure mode
+    // GraftSession's storageFraction setting exists for)
+    try
+      beamServe(spark, dir, edges, queryId = 0L, entry = GraphSearchEntry)
+        .toDF("vec_id", "score")
+    finally edges.unpersist(false)
+  }
+
+  /** One beam search over a prepared symmetric edge table: expand the
+    * beam's neighbors hop by hop, exact-score newcomers against the
+    * query vector, keep the best `beamW` visited, return the top-`k`
+    * of everything visited (query itself excluded). Factored out of
+    * [[qGraphSearch]] so the scale probe can serve MANY queries from
+    * MANY entry strategies over one persisted graph; registry
+    * semantics (query 0, entry [[GraphSearchEntry]]) are this with the
+    * defaults. */
+  private[graft] def beamServe(spark: SparkSession, dir: String,
+      edges: DataFrame, queryId: Long, entry: Long,
+      hops: Int = GraphSearchHops, beamW: Int = GraphSearchBeam,
+      k: Int = 10): Seq[(Long, Double)] = {
+    import spark.implicits._
     val e = Search.embNormed(spark, dir)
-    val q = e.filter(col("vec_id") === 0)
+    val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qv"), col("nrm").as("qn"))
     def scoreOf(ids: Seq[Long]): Map[Long, Double] =
       e.filter(col("vec_id").isin(ids: _*))
@@ -1916,29 +2025,49 @@ object Ann {
           round(cosinePrenormed(dot(col("embedding"), col("qv")),
             col("nrm"), col("qn")), 6).as("score"))
         .as[(Long, Double)].collect().toMap
-    var visited: Map[Long, Double] = scoreOf(Seq(GraphSearchEntry))
-    var beam: Seq[Long] = Seq(GraphSearchEntry)
+    var visited: Map[Long, Double] = scoreOf(Seq(entry))
+    var beam: Seq[Long] = Seq(entry)
     var hop = 0
-    // finally-release: a mid-hop failure must not leak the persisted
-    // edge table into the warm session's storage region (accumulated
-    // caches starving execution memory is exactly the failure mode
-    // GraftSession's storageFraction setting exists for)
-    try {
-      while (hop < GraphSearchHops) {
-        val nbrs = edges.filter(col("u").isin(beam: _*))
-          .select("v").distinct().as[Long].collect()
-        val fresh = nbrs.filterNot(visited.contains)
-        if (fresh.nonEmpty) visited = visited ++ scoreOf(fresh.toSeq)
-        beam = visited.toSeq.filter(_._1 != 0L)
-          .sortBy { case (id, s) => (-s, id) }
-          .take(GraphSearchBeam).map(_._1)
-        hop += 1
-      }
-    } finally edges.unpersist(false)
-    visited.toSeq.filter(_._1 != 0L)
+    var done = false
+    while (hop < hops && !done) {
+      val nbrs = edges.filter(col("u").isin(beam: _*))
+        .select("v").distinct().as[Long].collect()
+      val fresh = nbrs.filterNot(visited.contains)
+      // no fresh nodes ⇒ visited (hence the recomputed beam) is a
+      // FIXPOINT: every remaining hop would expand the same beam to
+      // the same neighbors — stopping here is output-identical and
+      // lets callers pass a generous hop cap for free
+      if (fresh.isEmpty) done = true
+      else visited = visited ++ scoreOf(fresh.toSeq)
+      beam = visited.toSeq.filter(_._1 != queryId)
+        .sortBy { case (id, s) => (-s, id) }
+        .take(beamW).map(_._1)
+      hop += 1
+    }
+    visited.toSeq.filter(_._1 != queryId)
       .sortBy { case (id, s) => (-s, id) }
-      .take(10)
-      .toDF("vec_id", "score")
+      .take(k)
+  }
+
+  /** Corpus-derived beam ENTRY for a query: the member of the query's
+    * nearest IVF cell that sits closest to that cell's centroid — the
+    * HNSW-family answer to "where does the descent start". A FIXED
+    * entry id is a pinned constant that degrades as N grows (the entry
+    * drifts arbitrarily far from any given query; hops are bounded, so
+    * a far entry directly costs recall — ScaleProbe's graph_serve
+    * measures exactly this). Cost: two point lookups on the cached
+    * [[ivfRankedG]] table — no new corpus pass. */
+  private[graft] def graphEntryFor(spark: SparkSession, dir: String,
+      queryId: Long, cells: Int = AnnGeometry.Pinned.ivfCells): Long = {
+    val ranked = ivfRankedG(spark, dir, cells)
+    val qcell = ranked
+      .filter(col("vec_id") === queryId && col("rn") === 1)
+      .select("cell").head.getLong(0)
+    ranked
+      .filter(col("rn") === 1 && col("cell") === qcell &&
+        col("vec_id") =!= queryId)
+      .orderBy(desc("csim"), col("vec_id"))
+      .select("vec_id").head.getLong(0)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

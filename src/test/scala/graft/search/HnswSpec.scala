@@ -1,0 +1,101 @@
+package graft
+package search
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Hnsw, Search}
+
+/** The HNSW hierarchy ([[Hnsw]]): geometric level scaffolding, layered
+  * build over the unchanged NN-Descent machinery, and the descent+beam
+  * serve — the scale path for graph serving after ScaleProbe measured
+  * the flat single-layer beam collapsing at 20× (recall@10 ≈ 0.03).
+  */
+class HnswSpec extends SparkSpec {
+
+  private val bigDir = "/root/testdata/sf0.01"
+
+  test("levels: geometric occupancy, unique entry at the top layer") {
+    val lv = Hnsw.qHnswLevels(spark, bigDir).collect()
+    val n = lv.length
+    val atLeast1 = lv.count(_.getLong(1) >= 1)
+    // P(level >= 1) = 1/8; loose 3-sigma-ish band around n/8
+    assert(atLeast1 > n / 24 && atLeast1 < n / 3,
+      s"level>=1 occupancy $atLeast1 of $n is not geometric-ish")
+    val entries = lv.filter(_.getBoolean(2))
+    assert(entries.length === 1)
+    val maxLevel = lv.map(_.getLong(1)).max
+    assert(entries.head.getLong(1) === maxLevel)
+    assert(entries.head.getLong(0) ===
+      lv.filter(_.getLong(1) == maxLevel).map(_.getLong(0)).min)
+  }
+
+  test("build: layers nest, edges symmetric and intra-layer") {
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("hnsw_idx").toString
+    val idx = Hnsw.buildIndex(spark, bigDir, idxPath)
+    assert(idx.maxLevel >= 1, "sf0.01 should occupy at least 2 layers")
+    val lv = spark.read.parquet(s"$idxPath/levels.parquet")
+    (1 to idx.maxLevel).foreach { l =>
+      val members = lv.filter(col("level") >= l)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val ed = spark.read.parquet(s"$idxPath/edges$l.parquet").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(ed.nonEmpty, s"layer $l has no edges")
+      // every endpoint belongs to the layer; symmetric closure holds
+      assert(ed.forall { case (u, v) =>
+        members.contains(u) && members.contains(v) })
+      val set = ed.toSet
+      assert(ed.forall { case (u, v) => set.contains((v, u)) })
+    }
+  }
+
+  test("serve: descent+beam recall@10 beats the flat fixed-entry beam " +
+      "and clears the pinned floor") {
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("hnsw_idx2").toString
+    val idx = Hnsw.buildIndex(spark, bigDir, idxPath)
+    val searcher = new Hnsw.Searcher(spark, bigDir, idx)
+    try {
+      val e = Search.embNormed(spark, bigDir)
+      val n = e.count()
+      val qids = (1 to 8).map(i => 2L + (i.toLong * 131L) % (n - 2))
+      val qv = e.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"),
+          col("embedding").as("qv"), col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+      val exact = e.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", round(
+          graft.functions.VectorFunctions.cosinePrenormed(
+            graft.functions.VectorFunctions.dot(
+              col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      def recallOf(f: Long => Set[Long]): Double = {
+        val rs = qids.map(q => f(q).count(exact(q).contains) / 10.0)
+        rs.sum / rs.size
+      }
+      val hnswRecall = recallOf(q =>
+        searcher.serve(q, ef = 32).map(_._1).toSet)
+      // flat baseline: registry shape (fixed entry, 3 hops, beam 8)
+      val g = Ann.qKnnGraph(spark, bigDir)
+        .select(col("vec_id").as("u"), col("neighbor_id").as("v"))
+      val edges = g.union(g.select(col("v").as("u"), col("u").as("v")))
+        .distinct().persist()
+      val flatRecall =
+        try recallOf(q => Ann.beamServe(spark, bigDir, edges, q,
+          Ann.GraphSearchEntry).map(_._1).toSet)
+        finally { edges.unpersist(false); () }
+      info(f"hnsw_recall10=$hnswRecall%.2f flat_recall10=$flatRecall%.2f")
+      assert(hnswRecall >= flatRecall,
+        s"hierarchy must not lose to the flat serve " +
+          s"($hnswRecall vs $flatRecall)")
+      assert(hnswRecall >= 0.8,
+        s"descent+beam recall@10 $hnswRecall below the pinned floor")
+    } finally searcher.close()
+  }
+}
