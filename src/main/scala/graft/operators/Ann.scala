@@ -2075,6 +2075,8 @@ object Ann {
     "q_knn_graph"      -> (qKnnGraph _),
     "q_graph_search"   -> (qGraphSearch _),
     "q_pq_balance"     -> (qPqBalance _),
+    "q_pq_rotation"    -> (qPqRotation _),
+    "q_pq_rotate"      -> (qPqRotate _),
     "q_emb_cov"        -> (qEmbCov _),
     "q_mine_bitext"    -> (qMineBitext _),
     "q_ann_delta"      -> (qAnnDelta _),
@@ -2297,6 +2299,30 @@ object Ann {
          |SELECT qid AS vec_id, rank, nid AS neighbor_id, score
          |FROM kgr WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
     "q_graph_search" -> graphSearchSql,
+    // The trained rotation is a Jacobi eigendecomposition — not SQL-
+    // expressible, so its oracle is the committed golden artifact
+    // (GoldenChunks pattern; PqRotateSpec re-trains live and pins zero
+    // drift). The rotated-components oracle REPLAYS the rotation from
+    // that artifact over the corpus in exact integer arithmetic.
+    "q_pq_rotation" ->
+      s"""SELECT k, d, r_micro FROM
+         |read_parquet('$fixturesDir/pq_rotation_sf0.01.parquet/*.parquet')
+         |ORDER BY k, d""".stripMargin,
+    "q_pq_rotate" ->
+      s"""WITH r AS (
+        |  SELECT k, d, r_micro FROM
+        |  read_parquet('$fixturesDir/pq_rotation_sf0.01.parquet/*.parquet')),
+        |sv AS (
+        |  SELECT vec_id, d,
+        |    CAST(round(embedding[d+1]::DOUBLE * 1000, 0) AS BIGINT) AS se
+        |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) g),
+        |y AS (
+        |  SELECT vec_id, k, sum(se * r_micro)::BIGINT AS y
+        |  FROM sv JOIN r USING (d) GROUP BY 1, 2)
+        |SELECT vec_id, k, y,
+        |  CASE WHEN (k // $SubSpaces) % 2 = 0 THEN k % $SubSpaces
+        |       ELSE ${SubSpaces - 1} - k % $SubSpaces END AS sub
+        |FROM y ORDER BY vec_id, k""".stripMargin,
     "q_pq_balance" ->
       s"""WITH x AS (
         |  SELECT vec_id, d,
