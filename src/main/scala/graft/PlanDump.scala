@@ -6,7 +6,7 @@ object PlanDump {
     for (name <- args) {
       println(s"########## $name")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode).take(3000))
+        org.apache.spark.sql.execution.FormattedMode).take(30000))
     }
     spark.stop()
   }

@@ -366,9 +366,12 @@ object Search {
       .select("doc_id").distinct()
     // rescore = a candidate semi-join into the session-cached scoring
     // table ([[bm25TermScores]]); document lengths, corpus totals and
-    // dfs are index metadata paid once per session, never per query
+    // dfs are index metadata paid once per session, never per query.
+    // The candidate set is ≤ m·|q| ids BY CONSTRUCTION — broadcast it
+    // so the rescore never sorts the scoring table (PlanSpec pins the
+    // fused serve free of inner sort-merge joins).
     bm25TermScores(spark, dir)
-      .join(cand, "doc_id")
+      .join(broadcast(cand), "doc_id")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
         round(sum(col("term_fp")).cast("double") / 1000000.0, 6).as("score"))
@@ -395,6 +398,41 @@ object Search {
       .withColumn("sem_rank", row_number().over(w).cast("long"))
       .select("doc_id", "sem_rank")
     val bm = qSearchBm25(spark, dir)
+      .withColumn("g", lit(1))
+      .withColumn("bm25_rank", row_number().over(w).cast("long"))
+      .select("doc_id", "bm25_rank")
+    sem.join(bm, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + bm25_rank)"), lit(0L)))
+      .withColumn("sem_rank", coalesce(col("sem_rank"), lit(0L)))
+      .withColumn("bm25_rank", coalesce(col("bm25_rank"), lit(0L)))
+      .select("doc_id", "sem_rank", "bm25_rank", "rrf_micro")
+      .orderBy(desc("rrf_micro"), col("doc_id"))
+      .limit(10)
+  }
+
+  /** [[qSearchRrf]] with the lexical arm served FROM THE IMPACT INDEX
+    * ([[qImpactTopk]]) instead of the exhaustive BM25 ranking — the
+    * production fusion plan: the semantic arm is already a bounded
+    * bucket-join candidate build, and this moves the lexical arm onto
+    * the same footing (≤ m·|q| posting reads + a candidate-semi-join
+    * rescore against the session-cached scoring table, no corpus text
+    * scan at query time). Rescore exactness means the two arms'
+    * rankings agree wherever their candidate sets agree, so fusion
+    * output equals [[qSearchRrf]]'s whenever the impact shortlist
+    * recovers the exhaustive top-10 (SearchSpec pins both the
+    * conditional equality and the measured agreement on this corpus;
+    * the residual divergence case is exactly [[qImpactTopk]]'s
+    * documented below-rank-m-everywhere candidate). */
+  def qSearchRrfIdx(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("g").orderBy(desc("score"), col("doc_id"))
+    val sem = scoredDocs(spark, dir)
+      .orderBy(desc("score"), col("doc_id")).limit(20)
+      .withColumn("g", lit(1))
+      .withColumn("sem_rank", row_number().over(w).cast("long"))
+      .select("doc_id", "sem_rank")
+    val bm = qImpactTopk(spark, dir)
       .withColumn("g", lit(1))
       .withColumn("bm25_rank", row_number().over(w).cast("long"))
       .select("doc_id", "bm25_rank")
@@ -500,6 +538,7 @@ object Search {
     "q_impact_index"    -> (qImpactIndex _),
     "q_impact_topk"     -> (qImpactTopk _),
     "q_search_rrf"      -> (qSearchRrf _),
+    "q_search_rrf_idx"  -> (qSearchRrfIdx _),
     "q_doc_maxsim"      -> (qDocMaxsim _),
     "q_search_stats"    -> (qSearchStats _),
   )
@@ -807,6 +846,34 @@ object Search {
          |  SELECT doc_id, row_number() OVER (
          |    ORDER BY score DESC, doc_id)::BIGINT AS br
          |  FROM bmscore),
+         |bm AS (SELECT doc_id, br FROM bmr WHERE br <= 10),
+         |fused AS (SELECT doc_id, sr, br FROM sem FULL OUTER JOIN bm USING (doc_id))
+         |SELECT doc_id, coalesce(sr, 0) AS sem_rank, coalesce(br, 0) AS bm25_rank,
+         |  coalesce(1000000 // (60 + sr), 0) +
+         |    coalesce(1000000 // (60 + br), 0) AS rrf_micro
+         |FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+    "q_search_rrf_idx" ->
+      s"""WITH $docVecCte,
+         |$queryVecCte,
+         |semr AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY score DESC, doc_id)::BIGINT AS sr
+         |  FROM sc),
+         |sem AS (SELECT doc_id, sr FROM semr WHERE sr <= 20),
+         |$impactCtes,
+         |$bm25Ctes,
+         |cand AS (
+         |  SELECT DISTINCT idx.doc_id FROM idx JOIN qw ON idx.term = qw.tok),
+         |cterm AS (
+         |  SELECT term.doc_id, term.term_fp
+         |  FROM term JOIN cand ON cand.doc_id = term.doc_id),
+         |iscore AS (
+         |  SELECT doc_id, round(sum(term_fp)::DOUBLE / 1000000.0, 6) AS score
+         |  FROM cterm GROUP BY doc_id),
+         |bmr AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY score DESC, doc_id)::BIGINT AS br
+         |  FROM iscore),
          |bm AS (SELECT doc_id, br FROM bmr WHERE br <= 10),
          |fused AS (SELECT doc_id, sr, br FROM sem FULL OUTER JOIN bm USING (doc_id))
          |SELECT doc_id, coalesce(sr, 0) AS sem_rank, coalesce(br, 0) AS bm25_rank,

@@ -129,6 +129,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p)
   }
 
+  test("q_search_rrf_idx: both fusion arms ride session-cached " +
+      "artifacts — no corpus text scan at query time") {
+    val p = planOf("q_search_rrf_idx")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only sort-merge join allowed is the FULL OUTER fusion of the
+    // two ≤20-row rank lists (broadcast hash join does not support
+    // full outer); the lexical rescore broadcasts its bounded
+    // candidate set, so no inner join ever sorts the scoring table
+    assert(!p.contains("SortMergeJoin Inner"), p)
+    // three cached artifacts feed the fusion: the sparse doc vectors
+    // (semantic arm), the impact index (candidate lists) and the BM25
+    // scoring table (rescore) — every parquet scan in the plan sits
+    // INSIDE an InMemoryRelation's build definition, paid once per
+    // session, never per query
+    assert(p.split("InMemoryTableScan").length >= 4, p)
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p)
+  }
+
   test("q_c4_rules: single scan, row-local flags, no join, no window") {
     val p = planOf("q_c4_rules")
     assert(!p.contains("Join"), p)

@@ -99,6 +99,30 @@ class SearchSpec extends SparkSpec {
     assert(shared.size >= 8, s"overlap ${shared.size} of 10")
   }
 
+  test("rrf over the impact index: fusion equals the exhaustive-arm " +
+      "RRF whenever the lexical shortlists agree") {
+    val idxed = Search.qSearchRrfIdx(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val full = Search.qSearchRrf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fastLex = Search.qImpactTopk(spark, sfDir).collect()
+      .map(_.getLong(0)).toSeq
+    val fullLex = Search.qSearchBm25(spark, sfDir).collect()
+      .map(_.getLong(0)).toSeq
+    if (fastLex == fullLex)
+      // identical lexical arms ⇒ identical fusion, row for row
+      assert(idxed.toSeq === full.toSeq)
+    else {
+      // divergence is confined to docs the impact shortlist missed:
+      // every doc ranked by both fusions carries identical ranks
+      val byDoc = full.map(t => t._1 -> t).toMap
+      idxed.filter(t => byDoc.contains(t._1)).foreach { t =>
+        assert(t === byDoc(t._1), s"doc ${t._1}")
+      }
+    }
+    info(s"lexical arms identical: ${fastLex == fullLex}")
+  }
+
   test("hybrid search: blend bounded by its components") {
     val out = Search.qSearchHybrid(spark, sfDir).collect()
     assert(out.length == 10)
