@@ -1076,6 +1076,32 @@ object ScaleProbe {
           s"hnsw_twin_hit=${f"$twinHit%.2f"} " +
           s"hnsw_levels=${idx.maxLevel} hnsw_build=${f"$tBuild%.0f"}s"
       },
+      time("pipeline_full") {
+        // The composed curation lineage (quality → exact dedup →
+        // decon → near-dup → sample → pack → shard) end to end at
+        // ×mult replication — the 100 TB snapshot rehearsal. The
+        // replicas are EXACT duplicates (same text, shifted ids), so
+        // every dedup layer fires: the quality chain's span-dedup
+        // component (first-occurrence-wins) already collapses the
+        // replicas, the exact stage guarantees it, and the FULL
+        // manifest from quality onward must equal the base run's —
+        // the curated snapshot of 20 identical crawls IS the snapshot
+        // of one. The base-run manifest is recomputed inside the
+        // timed span (cheap: sf base).
+        val base = api.CurationPipeline.full(spark, sfDir).collect()
+          .map(r => r.getString(1) -> (r.getLong(2), r.getLong(4))).toMap
+        val m = api.CurationPipeline.full(spark, work).collect()
+          .map(r => r.getString(1) -> (r.getLong(2), r.getLong(4))).toMap
+        val collapsed = Seq("after_quality", "after_exact", "after_decon",
+          "after_neardup", "after_sample", "packed", "sharded")
+          .forall(k => m(k) == base(k))
+        s"input=${m("input")._1} quality=${m("after_quality")._1} " +
+          s"exact=${m("after_exact")._1} decon=${m("after_decon")._1} " +
+          s"neardup=${m("after_neardup")._1} " +
+          s"sample=${m("after_sample")._1} " +
+          s"batches=${m("packed")._2} shards=${m("sharded")._2} " +
+          s"collapses_to_base=$collapsed"
+      },
       time("ann_binary") {
         // Binary-quantization serve at mult x replicated vectors
         // (embxDir): the Hamming scan is an 8-byte column pass, so the

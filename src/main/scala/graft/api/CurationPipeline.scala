@@ -4,7 +4,7 @@ package api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Quality}
+import graft.operators.{Curation, Dedup, Quality}
 
 /** The end-to-end corpus-curation job: raw documents → quality gate →
   * near-dup curation → curated corpus + attrition manifest. This is
@@ -72,6 +72,112 @@ object CurationPipeline {
           |  2L, 'after_quality', n2, c2,
           |  3L, 'after_neardup', n3, c3)
           |  AS (stage, name, n_docs, n_chars)""".stripMargin))
+      .orderBy("stage")
+  }
+
+  /** The FULL manifest-driven curation job — every stage a 100 TB
+    * training-data snapshot runs, SEQUENTIALLY composed (each stage
+    * filters the previous stage's survivors) with ONE lineage and one
+    * attrition manifest:
+    *
+    *  1. input
+    *  2. quality gate ([[Quality.qFilterChain]]'s composite keep)
+    *  3. exact dedup (content-hash groupBy, keep-min id)
+    *  4. decontamination (drop the held-out docs and every doc with
+    *     ≥ half its shingles in the held-out set —
+    *     [[Dedup.contaminatedMajority]]; verdicts are pairwise vs the
+    *     FIXED test set, so restricting them to survivors is exact)
+    *  5. near-dup curation — MinHash candidate pairs restricted to
+    *     survivors (band signatures are row-local, so filtering the
+    *     cached full-corpus pairs is exact), connected components
+    *     RECOMPUTED on the survivor subgraph
+    *     ([[Dedup.componentsOf]] — a dropped bridge doc can split a
+    *     component, so full-corpus labels must not be reused), keep
+    *     each component's longest member;
+    *  6. weighted sampling (per-language [[Curation.SampleK]]
+    *     chars-proportional reservoir over survivors);
+    *  7. packing — survivors' whitespace token counts through the
+    *     two-pass packer ([[Curation.packFrom]]); `n_units` = packed
+    *     batch count;
+    *  8. shard plan — `n_units` = ceil(n_docs / ShardDocs), exactly
+    *     the distinct-shard count of the rank-cut assignment (the
+    *     rank is a dense permutation, so the count is closed-form).
+    *
+    * Every stage reuses its operator's audited semantics, so the
+    * manifest reconciles row-for-row with the per-family queries
+    * (PipelineFullSpec) and the whole chain is one hash-exact DuckDB
+    * oracle (`q_pipeline_full`). No new shuffle shapes: doc-keyed
+    * joins against cached artifacts + each operator's own plan. */
+  def full(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source", "n_chars", "text")
+
+    val s2 = docs.join(
+      Quality.qFilterChain(spark, dir).filter(col("keep")).select("doc_id"),
+      "doc_id").persist()
+
+    val exactWinners = s2
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val s3 = s2.join(exactWinners, "doc_id")
+
+    val s4 = s3.filter(col("doc_id") >= 20)
+      .join(Dedup.contaminatedMajority(spark, dir),
+        Seq("doc_id"), "left_anti").persist()
+
+    val ids4 = s4.select("doc_id")
+    val pairs = Dedup.nearDupPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .join(ids4.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(ids4.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .select("doc_a", "doc_b")
+    val labels = Dedup.componentsOf(spark, pairs)
+    val ndLosers = labels.join(s4.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("grp")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("grp"), (-col("b.nid")).as("kept_doc"))
+      .join(labels, "grp")
+      .filter(col("doc_id") =!= col("kept_doc"))
+      .select("doc_id")
+    val s5 = s4.join(ndLosers, Seq("doc_id"), "left_anti").persist()
+
+    val s6 = s5.join(
+      Curation.weightedSampleFrom(
+        s5.select("lang", "doc_id", "n_chars")).select("doc_id"),
+      "doc_id").persist()
+
+    val packed = Curation.packFrom(
+      s6.select(col("doc_id"), col("source"),
+        size(graft.operators.TextAnalysis.toks(col("text")))
+          .cast("long").as("tok")))
+    val nBatches = packed.count()
+
+    def acct(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum("n_chars"), lit(0L)).cast("long")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (n1, c1) = acct(docs)
+    val (n2, c2) = acct(s2)
+    val (n3, c3) = acct(s3)
+    val (n4, c4) = acct(s4)
+    val (n5, c5) = acct(s5)
+    val (n6, c6) = acct(s6)
+    val nShards = (n6 + Curation.ShardDocs - 1) / Curation.ShardDocs
+    Seq(s2, s4, s5, s6).foreach(_.unpersist(false))
+
+    Seq(
+      (1L, "input", n1, c1, 0L),
+      (2L, "after_quality", n2, c2, 0L),
+      (3L, "after_exact", n3, c3, 0L),
+      (4L, "after_decon", n4, c4, 0L),
+      (5L, "after_neardup", n5, c5, 0L),
+      (6L, "after_sample", n6, c6, 0L),
+      (7L, "packed", n6, c6, nBatches),
+      (8L, "sharded", n6, c6, nShards))
+      .toDF("stage", "name", "n_docs", "n_chars", "n_units")
       .orderBy("stage")
   }
 }

@@ -329,15 +329,27 @@ object Curation {
     * to [[qSampleStrat]] — bounded MinK map-side buffers per stratum,
     * never a rank window over the corpus. */
   def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val keyed = Tables.documents(spark, dir)
+    val winners = weightedSampleFrom(
+      Tables.documents(spark, dir).select("lang", "doc_id", "n_chars"))
+    Tables.documents(spark, dir)
+      .select("doc_id", "n_chars")
+      .join(broadcast(winners), "doc_id")
+      .select("lang", "rk", "doc_id", "n_chars", "key_micro")
+      .orderBy("lang", "rk")
+  }
+
+  /** The weighted-reservoir core over an explicit `(lang, doc_id,
+    * n_chars)` frame — isolated so the curation pipeline can sample
+    * its SURVIVOR set with the registry query's exact semantics. */
+  private[graft] def weightedSampleFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select(col("lang"), col("doc_id"), col("n_chars"),
         round(-log(
           (hash60Col(concat(lit("wsamp:"), col("doc_id").cast("string")))
             + 1).cast("double") /
             lit(1152921504606846976L).cast("double")) * 1e6 /
           col("n_chars")).cast("long").as("key_micro"))
-    val winners = keyed
       .select(col("lang"), col("key_micro"), col("doc_id"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
@@ -347,11 +359,6 @@ object Curation {
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
         col("p._1").as("key_micro"), col("p._2").as("doc_id"))
-    Tables.documents(spark, dir)
-      .select("doc_id", "n_chars")
-      .join(broadcast(winners), "doc_id")
-      .select("lang", "rk", "doc_id", "n_chars", "key_micro")
-      .orderBy("lang", "rk")
   }
 
   /** Max docs kept per source domain. */

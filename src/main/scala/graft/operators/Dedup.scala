@@ -32,7 +32,7 @@ object Dedup {
   /** 3-token shingles, distinct per doc (standard near-dup unit).
     * The all-docs variant is cached — shingling is the shared upstream
     * of both the signature matrix and candidate verification. */
-  private def shingled(spark: SparkSession, dir: String,
+  private[operators] def shingled(spark: SparkSession, dir: String,
       maxDoc: Long = Long.MaxValue): DataFrame =
     if (maxDoc == Long.MaxValue)
       Cache.getOrBuild(spark, "shingles", dir)(shingleAll(spark, dir))
@@ -51,7 +51,7 @@ object Dedup {
       .distinct()
   }
 
-  private def shinglesCte(where: String = ""): String =
+  private[operators] def shinglesCte(where: String = ""): String =
     s"""sh AS (
        |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
        |  FROM (SELECT doc_id,
@@ -466,6 +466,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** MAJORITY-containment decontamination verdicts — the DROP rule the
+    * curation pipeline applies on top of [[qDecontaminate]]'s overlap
+    * report: a doc is contaminated when ≥ half of its own distinct
+    * shingles appear in the held-out set (substantial containment),
+    * not when it shares ANY shingle (on a natural-language corpus
+    * every doc shares some common 3-gram with a 20-doc test set — the
+    * any-overlap rule measured 172 → 9 survivors at sf0.01, i.e. it
+    * deletes the corpus). Same one broadcast join + doc-keyed
+    * aggregate shape as the report itself. */
+  private[graft] def contaminatedMajority(spark: SparkSession,
+      dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val testSh = sh.filter(col("doc_id") < 20)
+      .select("shingle").distinct()
+    val shared = sh.filter(col("doc_id") >= 20)
+      .join(broadcast(testSh), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val sizes = sh.filter(col("doc_id") >= 20)
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    shared.join(sizes, "doc_id")
+      .filter(col("n_shared") * 2 >= col("sz"))
+      .select("doc_id")
+  }
+
   /** SEMANTIC decontamination — the embedding-level member of the
     * decontamination family (exact n-gram = [[qDecontaminate]], Bloom
     * -prefiltered = [[qBloomDecon]], semantic = here): paraphrased or
@@ -525,14 +549,24 @@ object Dedup {
     * node labeled with its component's minimum doc_id). */
   def componentLabels(spark: SparkSession, dir: String): DataFrame =
     Cache.getOrBuild(spark, "dupComponents", dir) {
-      val pairs = nearDupPairs(spark, dir).filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      if (pairs.count() <= DriverCcMaxEdges) {
-        import spark.implicits._
-        val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
-        unionFindMinLabels(edges).toSeq.toDF("doc_id", "grp")
-      } else propagateMinLabels(pairs)
+      componentsOf(spark,
+        nearDupPairs(spark, dir).filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b")))
     }
+
+  /** Connected components over an EXPLICIT pair table — the size-gated
+    * dispatch [[componentLabels]] caches for the full corpus, exposed
+    * so sequential compositions (the curation pipeline's near-dup
+    * stage runs on the SURVIVOR subgraph, where dropping a bridge doc
+    * can split a component — filtering full-corpus labels would be
+    * wrong) recompute labels on their own edge set. */
+  private[graft] def componentsOf(spark: SparkSession,
+      pairs: DataFrame): DataFrame =
+    if (pairs.count() <= DriverCcMaxEdges) {
+      import spark.implicits._
+      val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      unionFindMinLabels(edges).toSeq.toDF("doc_id", "grp")
+    } else propagateMinLabels(pairs)
 
   /** Driver union-find, min-label roots (path-halving). */
   private[graft] def unionFindMinLabels(
@@ -811,7 +845,7 @@ object Dedup {
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh _),
   )
 
-  private lazy val coeffValues =
+  private[operators] lazy val coeffValues =
     minhashCoeffs.map { case (h, a, b) => s"($h, ${a}::BIGINT, ${b}::BIGINT)" }
       .mkString(", ")
 

@@ -572,6 +572,10 @@ object Quality {
     // oracle-checked like any operator: the pipeline IS a query)
     "q_curation_manifest" ->
       ((s: SparkSession, d: String) => api.CurationPipeline.curate(s, d)),
+    // the full sequential snapshot job: quality → exact dedup →
+    // decontaminate → near-dup → sample → pack → shard, one manifest
+    "q_pipeline_full" ->
+      ((s: SparkSession, d: String) => api.CurationPipeline.full(s, d)),
   )
 
   import TextAnalysis.{toksSql, bigramScoreSql}
@@ -801,6 +805,133 @@ object Quality {
          |read_parquet('$fixturesDir/compress_ratio_sf0.01.parquet/*.parquet')
          |ORDER BY doc_id""".stripMargin) +
     ("q_filter_chain" -> chainSql) +
+    // The FULL sequential pipeline: every stage's CTE filters the
+    // previous stage's survivors, reusing the component oracles'
+    // formulas verbatim (shingles/minhash from Dedup, the sample key
+    // from Curation, the packer's cumsum) so the manifest can never
+    // drift from the per-family queries it reconciles with.
+    ("q_pipeline_full" ->
+      s"""WITH RECURSIVE
+         |keepq AS MATERIALIZED (SELECT doc_id FROM ($chainSql) ch WHERE ch.keep),
+         |s2base AS MATERIALIZED (
+         |  SELECT d.* FROM documents d JOIN keepq USING (doc_id)),
+         |ew AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, md5(lower(text)) AS fp FROM s2base)
+         |  GROUP BY fp),
+         |s3base AS MATERIALIZED (SELECT s.* FROM s2base s JOIN ew USING (doc_id)),
+         |${Dedup.shinglesCte(
+             "WHERE doc_id IN (SELECT doc_id FROM s3base) OR doc_id < 20")
+             .replace("sh AS (", "sh AS MATERIALIZED (")},
+         |cont AS (
+         |  SELECT s.doc_id FROM (
+         |    SELECT c.doc_id, count(*) AS n_shared
+         |    FROM sh c
+         |    JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20) t
+         |      USING (shingle)
+         |    WHERE c.doc_id >= 20 GROUP BY c.doc_id) s
+         |  JOIN (SELECT doc_id, count(*) AS sz FROM sh
+         |        WHERE doc_id >= 20 GROUP BY 1) z USING (doc_id)
+         |  WHERE 2 * s.n_shared >= z.sz),
+         |s4base AS MATERIALIZED (
+         |  SELECT * FROM s3base WHERE doc_id >= 20
+         |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |hv AS (
+         |  SELECT sh.doc_id,
+         |    ('0x'||substr(md5(shingle),1,15))::BIGINT % ${Dedup.MinhashP} AS hv
+         |  FROM sh JOIN s4base USING (doc_id)),
+         |sig AS MATERIALIZED (
+         |  SELECT doc_id, h, min((a * hv + b) % ${Dedup.MinhashP}) AS minhash
+         |  FROM hv, (VALUES ${Dedup.coeffValues}) c(h, a, b)
+         |  GROUP BY doc_id, h),
+         |bands AS (
+         |  SELECT doc_id, h // 4 AS band,
+         |    md5(string_agg(minhash::VARCHAR, ',' ORDER BY h)) AS band_sig
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b USING (band, band_sig)
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (
+         |  SELECT sh.doc_id, count(*) AS sz
+         |  FROM sh JOIN s4base USING (doc_id) GROUP BY 1),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |  GROUP BY c.doc_a, c.doc_b, sa.sz, sb.sz
+         |  HAVING round(count(*)::DOUBLE / (sa.sz + sb.sz - count(*)), 6) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, root) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+         |  UNION
+         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.u),
+         |labels AS (SELECT u AS doc_id, min(root) AS grp FROM reach GROUP BY u),
+         |rq AS (
+         |  SELECT l.doc_id, row_number() OVER (PARTITION BY grp
+         |    ORDER BY d.n_chars DESC, l.doc_id) AS rk
+         |  FROM labels l JOIN s4base d USING (doc_id)),
+         |losers AS (SELECT doc_id FROM rq WHERE rk > 1),
+         |s5base AS MATERIALIZED (
+         |  SELECT * FROM s4base
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |h6 AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    ('0x'||substr(md5('wsamp:'||doc_id::VARCHAR),1,15))::BIGINT AS h
+         |  FROM s5base),
+         |k6 AS (
+         |  SELECT lang, doc_id,
+         |    CAST(round(-ln((h + 1)::DOUBLE / 1152921504606846976.0)
+         |      * 1000000 / n_chars) AS BIGINT) AS key_micro
+         |  FROM h6),
+         |r6 AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY lang
+         |    ORDER BY key_micro, doc_id) AS rk
+         |  FROM k6),
+         |s6base AS MATERIALIZED (
+         |  SELECT s.* FROM s5base s
+         |  JOIN (SELECT doc_id FROM r6 WHERE rk <= ${Curation.SampleK}) w
+         |  USING (doc_id)),
+         |d7 AS (
+         |  SELECT doc_id, source, len($toksSql)::BIGINT AS tok FROM s6base),
+         |c7 AS (
+         |  SELECT doc_id, source, tok,
+         |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d7),
+         |np AS (
+         |  SELECT count(*)::BIGINT AS n FROM (
+         |    SELECT DISTINCT source,
+         |      CAST(floor((cum - tok) / ${Curation.PackCapacity}) AS BIGINT)
+         |    FROM c7)),
+         |n6 AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    coalesce(sum(n_chars), 0)::BIGINT AS c FROM s6base)
+         |SELECT 1::BIGINT AS stage, 'input' AS name, count(*)::BIGINT AS n_docs,
+         |  coalesce(sum(n_chars), 0)::BIGINT AS n_chars, 0::BIGINT AS n_units
+         |FROM documents
+         |UNION ALL SELECT 2::BIGINT, 'after_quality', count(*)::BIGINT,
+         |  coalesce(sum(n_chars), 0)::BIGINT, 0::BIGINT FROM s2base
+         |UNION ALL SELECT 3::BIGINT, 'after_exact', count(*)::BIGINT,
+         |  coalesce(sum(n_chars), 0)::BIGINT, 0::BIGINT FROM s3base
+         |UNION ALL SELECT 4::BIGINT, 'after_decon', count(*)::BIGINT,
+         |  coalesce(sum(n_chars), 0)::BIGINT, 0::BIGINT FROM s4base
+         |UNION ALL SELECT 5::BIGINT, 'after_neardup', count(*)::BIGINT,
+         |  coalesce(sum(n_chars), 0)::BIGINT, 0::BIGINT FROM s5base
+         |UNION ALL SELECT 6::BIGINT, 'after_sample', count(*)::BIGINT,
+         |  coalesce(sum(n_chars), 0)::BIGINT, 0::BIGINT FROM s6base
+         |UNION ALL SELECT 7::BIGINT, 'packed', (SELECT n FROM n6),
+         |  (SELECT c FROM n6), (SELECT n FROM np)
+         |UNION ALL SELECT 8::BIGINT, 'sharded', (SELECT n FROM n6),
+         |  (SELECT c FROM n6),
+         |  ((SELECT n FROM n6) + ${Curation.ShardDocs - 1})
+         |    // ${Curation.ShardDocs}
+         |ORDER BY stage""".stripMargin) +
     ("q_curation_manifest" ->
       s"""WITH RECURSIVE ${Dedup.ccSql},
          |keepq AS (SELECT doc_id FROM ($chainSql) ch WHERE ch.keep),
