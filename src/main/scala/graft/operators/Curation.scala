@@ -1344,7 +1344,7 @@ object Curation {
     * k-hash construction with the engine's portable hash, so the
     * bitmap is deterministic and the oracle recomputes it
     * bit-for-bit. */
-  private def bloomPositions(df: DataFrame,
+  private[graft] def bloomPositions(df: DataFrame,
       bits: Long = BloomBits): DataFrame =
     df.select(col("shard"), col("h"),
       explode(sequence(lit(0), lit(BloomK - 1))).as("i"))

@@ -108,12 +108,20 @@ object Relational {
     * base counts ride the stacked scan. Every shuffle key is
     * (column, value/hash): 5 well-spread groups, no wide rows, no
     * window. */
-  def qTableStats(spark: SparkSession, dir: String): DataFrame = {
+  def qTableStats(spark: SparkSession, dir: String): DataFrame =
+    tableStatsOf(Tables.documents(spark, dir), StatsCols)
+
+  /** [[qTableStats]]'s one-pass profile over an EXPLICIT frame and
+    * column list — the form [[graft.store.ChunkStore.writeWithStats]]
+    * attaches to any store write as the `_stats` sidecar. */
+  private[graft] def tableStatsOf(df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
     import graft.embed.Embedder.hash60Col
     val k = TextAnalysis.KmvK
-    val stacked = Tables.documents(spark, dir)
-      .select(explode(array(StatsCols.map(c =>
+    val stacked = df
+      .select(explode(array(cols.map(c =>
         struct(lit(c).as("cname"), col(c).cast("string").as("v"))): _*)).as("e"))
       .select(col("e.cname").as("cname"), col("e.v").as("v"))
     val base = stacked.groupBy("cname").agg(

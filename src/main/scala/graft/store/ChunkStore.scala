@@ -78,6 +78,113 @@ object ChunkStore {
       files: Int): Unit =
     write(read(spark, src).repartition(files), dst)
 
+  /** Z-ORDERED store write — the generic two-dimension Morton layout
+    * behind [[graft.operators.Events.zorderWrite]] (whose query-side
+    * twin `q_zorder_stats` pins the cell extents), exposed as a store
+    * option: both dims scaled to 16-bit integer buckets over their
+    * table min/max, bit-interleaved, range-partitioned and sorted by
+    * the Morton key, helper columns dropped before write. The written
+    * files' parquet footers then bound BOTH dimensions (each file
+    * spans a quadtree-ish cell), so a point/range predicate on EITHER
+    * dim prunes most files at scan time — where a single-dim sort
+    * gives perfect pruning on one dim and ZERO on the other
+    * (StoreSpec asserts the contrast from the written footers, the
+    * ZorderSpec mechanism). At 100 TB this is the layout knob for
+    * tables queried on two orthogonal keys. */
+  def writeZordered(df: DataFrame, path: String, dimA: String,
+      dimB: String, files: Int = 16): Unit = {
+    val bounds = df.agg(
+      min(col(dimA)).cast("long").as("__a0"),
+      max(col(dimA)).cast("long").as("__a1"),
+      min(col(dimB)).cast("long").as("__b0"),
+      max(col(dimB)).cast("long").as("__b1"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__ab",
+        expr(s"(($dimA - __a0) * 65535) div greatest(__a1 - __a0, 1)"))
+      .withColumn("__bb",
+        expr(s"(($dimB - __b0) * 65535) div greatest(__b1 - __b0, 1)"))
+      .withColumn("__zkey", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, b) ->
+          |  acc + shiftleft(shiftright(__ab, b) & 1, 2*b + 1)
+          |      + shiftleft(shiftright(__bb, b) & 1, 2*b))""".stripMargin))
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__a0", "__a1", "__b0", "__b1", "__ab", "__bb", "__zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** The Bloom-indexed store's shard directory column. */
+  private[graft] val BloomDirCol = "__shard"
+
+  /** BLOOM-INDEXED store write: rows land in
+    * `data/__shard=<hash(key) mod shards>/` directories and an 8 KB
+    * `_bloom` sidecar (the per-shard set-bit table of
+    * [[graft.operators.Curation.qBloomIndex]]'s filter) is published
+    * alongside. A point lookup ([[getViaBloom]]) consults the sidecar
+    * FIRST: only shards whose filter contains all k probe positions
+    * are read — directory-level pruning on top of parquet's own
+    * footers, the LSM/SST skip-index pattern. The sidecar is published
+    * atomically ([[graft.model.Artifacts]] swap) so a reader never
+    * sees data without its index. */
+  def writeBloomIndexed(df: DataFrame, path: String,
+      keyCol: String): Unit = {
+    import graft.embed.Embedder.hash60Col
+    val sharded = df.withColumn(BloomDirCol,
+      pmod(hash60Col(col(keyCol).cast("string")),
+        lit(graft.operators.Curation.BloomShards)))
+    write(sharded, s"$path/data", partitionCols = Seq(BloomDirCol))
+    val keys = sharded
+      .select(col(BloomDirCol).as("shard"),
+        hash60Col(col(keyCol).cast("string")).as("h"))
+      .distinct()
+    graft.model.Artifacts.publish(
+      graft.operators.Curation.bloomPositions(keys)
+        .select("shard", "p").distinct(),
+      s"$path/_bloom")
+  }
+
+  /** Point lookup through the Bloom sidecar: compute the probe key's k
+    * bit positions driver-side (same portable hash as the writer),
+    * keep only shards whose filter has ALL of them set (zero false
+    * negatives by construction), and scan just those `__shard=`
+    * directories. An absent key typically resolves to zero candidate
+    * shards — the store answers without touching data files at all. */
+  def getViaBloom(spark: SparkSession, path: String, keyCol: String,
+      value: String): DataFrame = {
+    import graft.embed.Embedder.hash60
+    val h = hash60(value)
+    val positions = (0 until graft.operators.Curation.BloomK)
+      .map(i => hash60(s"$h:$i") % graft.operators.Curation.BloomBits)
+      .toSet
+    val bitmap = read(spark, s"$path/_bloom").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toSet }
+    val cands = bitmap.collect {
+      case (s, ps) if positions.subsetOf(ps) => s
+    }.toSeq
+    val data = read(spark, s"$path/data")
+    if (cands.isEmpty) data.filter(lit(false))
+    else data
+      .filter(col(BloomDirCol).isin(cands: _*) && col(keyCol) === value)
+  }
+
+  /** Store write with an ANALYZE-style `_stats` sidecar
+    * ([[graft.operators.Relational.tableStatsOf]]): per column, row /
+    * null counts, total string length, exact ndv and the KMV sketch
+    * estimate — the table a cost-based planner (broadcast thresholds,
+    * salt decisions) reads instead of re-scanning the store. */
+  def writeWithStats(df: DataFrame, path: String,
+      statsCols: Seq[String],
+      partitionCols: Seq[String] = Seq.empty): Unit = {
+    write(df, s"$path/data", partitionCols)
+    graft.model.Artifacts.publish(
+      graft.operators.Relational.tableStatsOf(df, statsCols),
+      s"$path/_stats")
+  }
+
+  def readStats(spark: SparkSession, path: String): DataFrame =
+    read(spark, s"$path/_stats")
+
   /** S8 upsert as union + keep-latest per key (ordered by `versionCol`
     * desc), staged to `dst`. */
   def upsertInto(spark: SparkSession, src: String, dst: String,

@@ -22,6 +22,63 @@ class StoreSpec extends SparkSpec {
     ).toDF("doc_id", "text", "lang", "version")
   }
 
+  test("z-ordered store write: file footers bound both dims where a " +
+      "single-dim sort leaves the other unbounded") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"))
+    ChunkStore.writeZordered(ev, s"$tmp/z", "user_id", "ms")
+    ev.repartitionByRange(16, col("ms")).sortWithinPartitions("ms")
+      .write.mode("overwrite").parquet(s"$tmp/zt")
+    def extents(p: String): Seq[Long] =
+      spark.read.parquet(p)
+        .groupBy(input_file_name())
+        .agg((max("user_id") - min("user_id")).as("ue"))
+        .collect().map(_.getLong(1)).toSeq
+    def med(xs: Seq[Long]): Long = xs.sorted.apply(xs.length / 2)
+    val (zu, tu) = (med(extents(s"$tmp/z")), med(extents(s"$tmp/zt")))
+    // the z layout's typical file spans a bounded user range; the
+    // time-sorted layout's files span essentially the whole user dim
+    assert(zu < tu, s"z=$zu time-sorted=$tu")
+    // round trip: no helper columns leak into the stored schema
+    assert(spark.read.parquet(s"$tmp/z").columns.sorted.toSeq ===
+      Seq("event_id", "ms", "user_id"))
+  }
+
+  test("bloom-indexed store: lookup reads only bloom-positive shards, " +
+      "absent keys touch no data files") {
+    ChunkStore.writeBloomIndexed(docs, s"$tmp/b", "text")
+    // present key: exactly its row, via a pruned shard scan
+    val hit = ChunkStore.getViaBloom(spark, s"$tmp/b", "text", "gamma")
+    assert(hit.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // the scan is restricted to candidate shard directories
+    val plan = hit.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") || plan.contains("__shard"),
+      plan)
+    // absent key: zero candidate shards — no data read at all
+    val miss = ChunkStore.getViaBloom(spark, s"$tmp/b", "text", "omega")
+    assert(miss.count() === 0)
+    assert(miss.queryExecution.optimizedPlan.toString
+      .contains("LocalRelation") ||
+      miss.queryExecution.sparkPlan.toString.contains("LocalTableScan"),
+      "absent-key lookup should collapse to an empty local relation")
+  }
+
+  test("stats-sidecar store write: the published profile matches an " +
+      "independent recompute") {
+    ChunkStore.writeWithStats(docs, s"$tmp/s",
+      statsCols = Seq("doc_id", "text", "lang"))
+    val stats = ChunkStore.readStats(spark, s"$tmp/s").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(stats("doc_id") === ((4L, 0L, 4L))) // 4 rows, 0 null, ndv 4
+    assert(stats("lang") === ((4L, 0L, 2L)))
+    assert(stats("text")._3 === 4L)
+    // and the data itself round-trips
+    assert(ChunkStore.read(spark, s"$tmp/s/data").count() === 4)
+  }
+
   test("partitioned write/read round trip with partition pruning") {
     val p = s"$tmp/t1"
     ChunkStore.write(docs, p, partitionCols = Seq("lang"))
