@@ -128,6 +128,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
       (children: Seq[Expression]) => Hash60(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_imatvec"),
+      new ExpressionInfo(classOf[MatVecMicro].getName, "graft_imatvec"),
+      (children: Seq[Expression]) => MatVecMicro(children.head, children(1))))
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
   }
 }

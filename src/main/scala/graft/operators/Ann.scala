@@ -1573,8 +1573,12 @@ object Ann {
       .filter(col("i") === col("j"))
       .select(col("i").as("d"), col("cov_num").as("var_num"))
     diag
+      // 64-row dim table: the single-partition window is deliberate —
+      // the literal key marks it so WindowExec's unpartitioned-window
+      // warning flags only genuine corpus-wide windows
       .withColumn("rk",
-        row_number().over(Window.orderBy(desc("var_num"), col("d"))) - 1)
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(desc("var_num"), col("d"))) - 1)
       .withColumn("blk", floor(col("rk") / SubSpaces).cast("long"))
       .withColumn("sub",
         when(pmod(col("blk"), lit(2)) === 0, pmod(col("rk"), lit(SubSpaces)))
@@ -1639,16 +1643,25 @@ object Ann {
     * size; the rotation table is training output, broadcast like any
     * other model artifact. */
   def qPqRotate(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val rot = broadcast(trainRotationMicro(spark, dir)
-      .toDF("k", "d", "r_micro"))
+    // the rotation rides as a LITERAL 64×64 matrix inside the native
+    // codegen'd integer mat-vec ([[graft.functions.MatVecMicro]]) —
+    // the explode+join formulation shuffled N·d² intermediate rows
+    // (27.6 s at the 10× sweep, second-slowest registry query) and
+    // the HOF zip_with formulation paid per-element lambda overhead
+    // (13 s); this shape is one narrow corpus scan with two tight
+    // primitive loops per row + the final posexplode, no join, no
+    // aggregate shuffle beyond the output ordering
+    val rows = trainRotationMicro(spark, dir)
+      .grouped(Dim).map(_.map(_._3)).toSeq
+    val rotLit = typedlit(rows)
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), col("d").cast("long").as("d"),
-        round(col("x").cast("double") * 1000, 0).cast("long").as("se"))
-      .join(rot, "d")
-      .groupBy("vec_id", "k")
-      .agg(sum(col("se") * col("r_micro")).as("y"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000, 0).cast("long")).as("se"))
+      .select(col("vec_id"),
+        posexplode(call_function("graft_imatvec", col("se"), rotLit))
+          .as(Seq("kpos", "y")))
+      .select(col("vec_id"), col("kpos").cast("long").as("k"), col("y"))
       .withColumn("blk", floor(col("k") / SubSpaces).cast("long"))
       .withColumn("sub",
         when(pmod(col("blk"), lit(2)) === 0, pmod(col("k"), lit(SubSpaces)))

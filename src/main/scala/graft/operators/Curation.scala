@@ -1182,7 +1182,8 @@ object Curation {
       .withColumn("cap", col("n_tokens") * UniMaxEpochCap)
     val tot = toks.agg(sum("n_tokens").cast("long").as("n_corpus"),
       count(lit(1)).cast("long").as("n_langs"))
-    val w = Window.orderBy("cap", "lang")
+    // languages-sized waterfill table: deliberate single partition
+    val w = Window.partitionBy(lit(0)).orderBy("cap", "lang")
     val r = toks.crossJoin(broadcast(tot))
       .withColumn("budget", expr("(n_corpus * 7) div 2"))
       .withColumn("k", row_number().over(w).cast("long"))
@@ -1246,7 +1247,9 @@ object Curation {
           .as("h"),
         hash60Col(col("text")).as("ch"))
       .withColumn("seg", expr(s"h div $ShardSegDiv"))
-    val wCarry = Window.orderBy("seg")
+    // seg table is bounded by 2^60/ShardSegDiv = 4096 rows:
+    // deliberate single partition
+    val wCarry = Window.partitionBy(lit(0)).orderBy("seg")
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = docs.groupBy("seg").agg(count(lit(1)).as("seg_n"))
       .withColumn("carry", coalesce(sum(col("seg_n")).over(wCarry), lit(0L)))
