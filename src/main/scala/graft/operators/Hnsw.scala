@@ -237,11 +237,48 @@ object Hnsw {
     def close(): Unit = edges0.unpersist(false)
   }
 
+  /** One built index per (session, corpus) — the hierarchy is an
+    * ARTIFACT: train once, serve many (the sealed-IVF discipline), so
+    * repeated registry/bench invocations pay the build exactly once.
+    * Keyed by corpus dir; the index lands in a temp directory. */
+  private val builtIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def indexFor(spark: SparkSession, dir: String): HnswIndex = {
+    val path = builtIndexes.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_hnsw").toString
+      buildIndex(spark, d, p)
+      p
+    })
+    openIndex(spark, path)
+  }
+
+  /** HNSW SERVING as a registry row: greedy descent + beam for the
+    * pinned query (vec_id 0), top-10 — the hierarchy's answer to
+    * `q_graph_search`'s flat serve. Not SQL-expressible (multi-layer
+    * trained graphs + an adaptive descent), so like the tokenizer
+    * trainers the oracle is the committed golden table; the serve's
+    * SEMANTIC quality is pinned independently by HnswSpec (recall
+    * vs brute force ≥ 0.8 where the flat serve reads 0.08). */
+  def qHnswSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = new Searcher(spark, dir, indexFor(spark, dir))
+    try s.serve(0L, ef = 16).toDF("vec_id", "score")
+      .orderBy(desc("score"), col("vec_id"))
+    finally s.close()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_hnsw_levels" -> (qHnswLevels _)
+    "q_hnsw_levels" -> (qHnswLevels _),
+    "q_hnsw_search" -> (qHnswSearch _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hnsw_search" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/hnsw_search_sf0.01.parquet/*.parquet')
+         |ORDER BY score DESC, vec_id""".stripMargin,
     "q_hnsw_levels" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),
         |cap AS (
