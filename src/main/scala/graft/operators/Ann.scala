@@ -1998,7 +1998,16 @@ object Ann {
     * table and one scoring pass over ≤ beam·2k vectors — at 100 TB
     * the graph lives id-partitioned on disk and a hop touches a
     * handful of partitions, which is exactly why the graph family
-    * serves in sub-linear time where IVF probes scan whole cells. */
+    * serves in sub-linear time where IVF probes scan whole cells.
+    *
+    * SCALE CAVEAT (measured, round 9): per-hop cost is bounded, but
+    * RECALL is not scale-stable on a single-layer k-NN graph — the
+    * graph_serve probe shows this flat serve collapsing to recall@10
+    * ≈ 0.03 at 20× corpus regardless of entry node or hop/beam budget
+    * (short-range edges cannot cross the corpus). This query remains
+    * the registry-pinned single-layer shape; the production scale
+    * path is the [[Hnsw]] hierarchy (`q_hnsw_search`), whose sparse
+    * upper layers supply the missing long-range hops. */
   def qGraphSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val kg = qKnnGraph(spark, dir)
