@@ -49,6 +49,21 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("serve: the gate-spilled path (no upper-layer driver cache, " +
+      "per-hop point lookups) returns exactly the cached path's answer") {
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("hnsw_idx0").toString
+    val idx = Hnsw.buildIndex(spark, bigDir, idxPath)
+    val cached = new Hnsw.Searcher(spark, bigDir, idx)
+    val spilled = new Hnsw.Searcher(spark, bigDir, idx, cacheGate = 0L)
+    try {
+      Seq(7L, 42L, 301L).foreach { q =>
+        assert(spilled.serve(q, ef = 16) === cached.serve(q, ef = 16),
+          s"query $q diverged between cache and lookup paths")
+      }
+    } finally { cached.close(); spilled.close() }
+  }
+
   test("serve: descent+beam recall@10 beats the flat fixed-entry beam " +
       "and clears the pinned floor") {
     val idxPath = java.nio.file.Files
