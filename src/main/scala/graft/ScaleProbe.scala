@@ -1076,6 +1076,74 @@ object ScaleProbe {
           s"hnsw_twin_hit=${f"$twinHit%.2f"} " +
           s"hnsw_levels=${idx.maxLevel} hnsw_build=${f"$tBuild%.0f"}s"
       },
+      time("graph_serve_clustered") {
+        // The graph_serve probe's sign-flip corpus is ADVERSARIALLY
+        // FLAT (replicas are near-random 64-d vectors; pairwise
+        // cosines concentrate, so generic top-10 recall is
+        // dimensionality-capped for any sublinear method). This twin
+        // probe derives a CLUSTERED corpus from the same base — every
+        // base embedding becomes a cluster of mult jittered copies
+        // (per-(rep,dim) hash noise ≤ ±0.05), so each query's true
+        // top-10 are its cluster siblings and navigability is
+        // measurable: HNSW must recover the neighborhood the flat
+        // fixed-budget beam cannot.
+        import operators.{Ann, AnnGeometry, Search}
+        import graft.functions.VectorFunctions.{cosinePrenormed, dot}
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val nBase = emb.count()
+        emb.crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CASE WHEN rep = 0 THEN x " +
+              "ELSE CAST(x + (pmod(hash(rep, i, vec_id), 21) - 10) " +
+              "* 0.005 AS FLOAT) END)"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * nBase)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$work/gc/embeddings.parquet")
+        val gdir = s"$work/gc"
+        val n = spark.read.parquet(s"$gdir/embeddings.parquet").count()
+        val qids: Seq[Long] = (1 to 10).map(i => 2L + (i.toLong * 7919L) % n)
+        val e = Search.embNormed(spark, gdir)
+        val qv = e.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("qid"),
+            col("embedding").as("qv"), col("nrm").as("qn"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(desc("score"), col("vec_id"))
+        val exact: Map[Long, Set[Long]] = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("score", round(
+            cosinePrenormed(dot(col("embedding"), col("qv")),
+              col("nrm"), col("qn")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("qid", "vec_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val geo = AnnGeometry.forCorpus(n)
+        val g = Ann.qKnnGraphG(spark, gdir, geo)
+          .select(col("vec_id").as("u"), col("neighbor_id").as("v"))
+        val edges = g.union(g.select(col("v").as("u"), col("u").as("v")))
+          .distinct().persist()
+        edges.count()
+        val rFlat = qids.map { qid =>
+          Ann.beamServe(spark, gdir, edges, qid, Ann.GraphSearchEntry)
+            .map(_._1).count(exact(qid).contains) / 10.0
+        }.sum / qids.size
+        edges.unpersist(false)
+        val idx = operators.Hnsw.buildIndex(spark, gdir, s"$work/gc_idx")
+        val searcher = new operators.Hnsw.Searcher(spark, gdir, idx)
+        val (rHnsw, rHnsw64) =
+          try {
+            def rec(ef: Int) = qids.map { qid =>
+              searcher.serve(qid, ef = ef)
+                .map(_._1).count(exact(qid).contains) / 10.0
+            }.sum / qids.size
+            (rec(32), rec(64))
+          } finally searcher.close()
+        s"n=$n clusters=$nBase flat_recall10=${f"$rFlat%.2f"} " +
+          s"hnsw_recall10=${f"$rHnsw%.2f"} " +
+          s"hnsw_recall10_ef64=${f"$rHnsw64%.2f"}"
+      },
       time("pipeline_full") {
         // The composed curation lineage (quality → exact dedup →
         // decon → near-dup → sample → pack → shard) end to end at

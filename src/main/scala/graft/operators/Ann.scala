@@ -1867,6 +1867,37 @@ object Ann {
     // pseudo-random edges per node. Slot count scales with corpus
     // size (N / SeedProviders / 2), so occupancy is constant at any
     // scale.
+    val seeds = seedEdges(spark, dir, k)
+    // reverse seed lists capped at k too (no score exists on a seed
+    // edge yet, so both bounds order on the id itself)
+    val revSeeds = seeds
+      .as[(Long, Long)]
+      .groupByKey(_._2).mapValues(t => (t._1, t._1))
+      .agg(graft.functions.MinKPairAggregator.minK(k))
+      .toDF("u", "top")
+      .select(col("u"), explode(col("top")).as("p"))
+      .select(col("u"), col("p._1").as("v"))
+    val adj = base.select("u", "v").union(rev)
+      .union(seeds).union(revSeeds).distinct()
+    localJoinPairs(adj)
+      .union(base.select(col("u").as("qid"), col("v").as("nid")))
+      .union(seeds.select(col("u").as("qid"), col("v").as("nid")))
+      .distinct()
+  }
+
+  /** Deterministic pseudo-random edges, ≤ k per node — the NN-Descent
+    * random init's SLOT JOIN (see [[knnGraphCandidates]] for why a
+    * slot join and not `hash mod N`), extracted so the HNSW layer
+    * build can union a capped random-edge quota into every layer's
+    * refined graph: pure kNN layers go CLUSTER-CLOSED on clustered
+    * corpora (every top-k edge is an intra-cluster sibling; with
+    * near-orthogonal clusters greedy descent then has no gradient
+    * between them — ScaleProbe's graph_serve_clustered measured
+    * recall capped at 0.40), and the long-range quota is exactly the
+    * "small world" half of navigable-small-world graphs. */
+  private[graft] def seedEdges(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
     val n = Tables.embeddings(spark, dir).count()
     val slots = math.max(1L, n / (SeedProviders * 2))
     val providers = Tables.embeddings(spark, dir)
@@ -1889,7 +1920,7 @@ object Ann {
     // providers — a request can match up to SeedProviders each, and an
     // uncapped union would multiply every degree term by SeedProviders,
     // measured as cand/vec 72 → 370 before this cap)
-    val seeds = requests.join(providers, "slot")
+    requests.join(providers, "slot")
       .filter(col("u") =!= col("v"))
       .select("u", "v")
       .as[(Long, Long)]
@@ -1898,21 +1929,6 @@ object Ann {
       .toDF("u", "top")
       .select(col("u"), explode(col("top")).as("p"))
       .select(col("u"), col("p._1").as("v"))
-    // reverse seed lists capped at k too (no score exists on a seed
-    // edge yet, so both bounds order on the id itself)
-    val revSeeds = seeds
-      .as[(Long, Long)]
-      .groupByKey(_._2).mapValues(t => (t._1, t._1))
-      .agg(graft.functions.MinKPairAggregator.minK(k))
-      .toDF("u", "top")
-      .select(col("u"), explode(col("top")).as("p"))
-      .select(col("u"), col("p._1").as("v"))
-    val adj = base.select("u", "v").union(rev)
-      .union(seeds).union(revSeeds).distinct()
-    localJoinPairs(adj)
-      .union(base.select(col("u").as("qid"), col("v").as("nid")))
-      .union(seeds.select(col("u").as("qid"), col("v").as("nid")))
-      .distinct()
   }
 
   /** ITERATED NN-Descent — [[qKnnGraphG]]'s round applied to its own
@@ -2035,6 +2051,15 @@ object Ann {
   private[graft] def beamServe(spark: SparkSession, dir: String,
       edges: DataFrame, queryId: Long, entry: Long,
       hops: Int = GraphSearchHops, beamW: Int = GraphSearchBeam,
+      k: Int = 10): Seq[(Long, Double)] =
+    beamServeFrom(spark, dir, edges, queryId, Seq(entry), hops, beamW, k)
+
+  /** [[beamServe]] from an ENTRY SET — identical algorithm, the beam
+    * just starts populated with every entry (the multi-entry descent
+    * frontier of the HNSW searcher, or any multi-probe caller). */
+  private[graft] def beamServeFrom(spark: SparkSession, dir: String,
+      edges: DataFrame, queryId: Long, entries: Seq[Long],
+      hops: Int = GraphSearchHops, beamW: Int = GraphSearchBeam,
       k: Int = 10): Seq[(Long, Double)] = {
     import spark.implicits._
     val e = Search.embNormed(spark, dir)
@@ -2047,8 +2072,8 @@ object Ann {
           round(cosinePrenormed(dot(col("embedding"), col("qv")),
             col("nrm"), col("qn")), 6).as("score"))
         .as[(Long, Double)].collect().toMap
-    var visited: Map[Long, Double] = scoreOf(Seq(entry))
-    var beam: Seq[Long] = Seq(entry)
+    var visited: Map[Long, Double] = scoreOf(entries.distinct)
+    var beam: Seq[Long] = entries.distinct
     var hop = 0
     var done = false
     while (hop < hops && !done) {

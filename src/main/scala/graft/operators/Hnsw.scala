@@ -50,6 +50,10 @@ object Hnsw {
     * at k=3 (0.49) vs k=8 documents why. Build cost stays k·N edges. */
   private[graft] val IndexDegree = 8
 
+  /** Random long-range edges unioned into every layer (per node, before
+    * symmetrization) — the small-world quota beside the kNN edges. */
+  private[graft] val LongRangeEdges = 2
+
   /** Corpus-derived level cap: max l with 8^l ≤ n (integer loop — no
     * float log, so the DuckDB mirror can't round differently). */
   private[graft] def levelCap(n: Long): Int = {
@@ -113,9 +117,19 @@ object Hnsw {
           }
         val subN = Tables.embeddings(spark, ldir).count()
         val g = Ann.refineKnnGraph(spark, ldir, AnnGeometry.forCorpus(subN), k)
-          .select(col("vec_id").as("u"), col("neighbor_id").as("v"),
-            col("score"))
-        g.union(g.select(col("v").as("u"), col("u").as("v"), col("score")))
+          .select(col("vec_id").as("u"), col("neighbor_id").as("v"))
+        // navigability needs BOTH edge kinds: the refined kNN edges
+        // (short-range, the precision half) and a capped random quota
+        // ([[Ann.seedEdges]], the small-world half). Pure kNN layers
+        // go cluster-closed on clustered corpora — every top-k edge is
+        // an intra-cluster sibling, and with near-orthogonal clusters
+        // greedy descent has no gradient between them (the
+        // graph_serve_clustered probe measured recall capped at 0.40
+        // before this union; the beam absorbs the extra degree).
+        val e = g.union(
+          Ann.seedEdges(spark, ldir, LongRangeEdges)
+            .select(col("u"), col("v")))
+        e.union(e.select(col("v").as("u"), col("u").as("v")))
           .distinct()
           .write.mode("overwrite").parquet(s"$indexPath/edges$l.parquet")
       }
@@ -206,31 +220,47 @@ object Hnsw {
       }
     }
 
-    /** Top-k for one corpus query id: greedy descent through the upper
-      * layers, then the fixpoint-stopped beam on layer 0. */
+    /** Every node of the top occupied layer (bounded: expected
+      * N/8^maxLevel ≤ 8; hard-capped) — the descent's starting set. */
+    private val topIds: Seq[Long] =
+      spark.read.parquet(s"${idx.path}/levels.parquet")
+        .filter(col("level") === idx.maxLevel.toLong)
+        .orderBy("vec_id").limit(256)
+        .select("vec_id").as[Long].collect().toSeq
+
+    /** Top-k for one corpus query id: WIDTH-BOUNDED descent through
+      * the upper layers (a frontier of up to `width` nodes per layer
+      * instead of a single greedy walker — the multi-probe
+      * generalization; width 1 is classic HNSW greedy. On corpora
+      * whose cluster centers are near-orthogonal a single walker has
+      * no inter-cluster gradient and strands in the wrong basin —
+      * graph_serve_clustered measures the recall each width buys),
+      * then the fixpoint-stopped beam on layer 0 seeded with the
+      * whole frontier. */
     def serve(queryId: Long, ef: Int = 16, k: Int = 10,
-        hopCap: Int = 32): Seq[(Long, Double)] = {
+        hopCap: Int = 32, width: Int = 4): Seq[(Long, Double)] = {
       val q = vecOf(queryId)
-      var cur = idx.entry
-      var curScore = scoreAgainst(q, cur)
+      val memo = scala.collection.mutable.Map.empty[Long, Double]
+      def sc(id: Long): Double =
+        memo.getOrElseUpdate(id, scoreAgainst(q, id))
+      def top(ids: Iterable[Long]): Seq[Long] = ids.toSeq.distinct
+        .filter(_ != queryId)
+        .sortBy(id => (-sc(id), id)).take(width)
+      var frontier: Seq[Long] =
+        top(if (topIds.nonEmpty) topIds else Seq(idx.entry))
       var l = idx.maxLevel
       while (l >= 1) {
         var moved = true
         while (moved) {
-          moved = false
-          val nb = neighborsOf(l, cur).filter(_ != queryId)
-          if (nb.nonEmpty) {
-            val (bestId, bestScore) = nb.map(id => (id, scoreAgainst(q, id)))
-              .minBy { case (id, s) => (-s, id) }
-            if (bestScore > curScore) {
-              cur = bestId; curScore = bestScore; moved = true
-            }
-          }
+          val expanded =
+            top(frontier ++ frontier.flatMap(neighborsOf(l, _)))
+          moved = expanded != frontier
+          frontier = expanded
         }
         l -= 1
       }
-      Ann.beamServe(spark, dir, edges0, queryId,
-        entry = if (cur == queryId) idx.entry else cur,
+      Ann.beamServeFrom(spark, dir, edges0, queryId,
+        entries = if (frontier.nonEmpty) frontier else Seq(idx.entry),
         hops = hopCap, beamW = ef, k = k)
     }
 
