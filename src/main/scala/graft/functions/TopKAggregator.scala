@@ -53,6 +53,16 @@ class TopKAggregator(k: Int)
 object TopKAggregator {
   /** Column form for `Dataset.groupByKey(...).agg(...)`. */
   def topK(k: Int) = new TopKAggregator(k).toColumn
+
+  /** Untyped-udaf form for `DataFrame.groupBy(...).agg(...)`. Same
+    * bounded buffer and ordering; the difference is plan shape: the
+    * typed `groupByKey` route inserts a DeserializeToObject boundary
+    * that materializes EVERY input row as a Scala tuple before the
+    * aggregate, while the udaf rides ObjectHashAggregate directly over
+    * Tungsten rows — upstream projections and joins stay codegen'd. */
+  def topKUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKAggregator(k),
+      ExpressionEncoder[(Long, Double)]())
 }
 
 /** The keep-k-SMALLEST sibling of [[TopKAggregator]], ordered
@@ -99,4 +109,13 @@ class MinKPairAggregator(k: Int)
 object MinKPairAggregator {
   /** Column form for `Dataset.groupByKey(...).agg(...)`. */
   def minK(k: Int) = new MinKPairAggregator(k).toColumn
+
+  /** Untyped-udaf form for `DataFrame.groupBy(...).agg(...)` — lets
+    * the bounded k-smallest buffer ride the SAME aggregate exec as
+    * sibling metrics (`count`, `sum`), so a multi-metric report stays
+    * one pass over its input instead of one pass per consumer joined
+    * back together. Same reduce/merge, same exact-integer ordering. */
+  def minKUdaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new MinKPairAggregator(k),
+      ExpressionEncoder[(Long, Long)]())
 }

@@ -499,7 +499,7 @@ object Ann {
 
   /** The sealed-segment cutoff [[qAnnDelta]] serves against: ids below
     * it existed at index-build time. One broadcast aggregate row. */
-  private def deltaCutoff(e: DataFrame): DataFrame =
+  private[graft] def deltaCutoff(e: DataFrame): DataFrame =
     e.agg(expr(
       "min(vec_id) + ((max(vec_id) - min(vec_id) + 1) * 9) div 10")
       .as("cutoff"))
@@ -1095,14 +1095,12 @@ object Ann {
     * funnels through one sort task (the row_number-per-cell
     * formulation stays the oracle). */
   def qClusterCap(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val assign = ivfRanked(spark, dir).filter(col("rn") === 1)
       .select(col("cell"), col("vec_id"),
         round(col("csim") * 1000000, 0).cast("long").as("csim_micro"))
-    assign.as[(Long, Long, Long)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3.toDouble))
-      .agg(graft.functions.TopKAggregator.topK(ClusterCapK))
-      .toDF("cell", "top")
+    assign.groupBy("cell")
+      .agg(graft.functions.TopKAggregator.topKUdaf(ClusterCapK)(
+        col("vec_id"), col("csim_micro").cast("double")).as("top"))
       .select(col("cell"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("cell"), (col("pos") + 1).cast("long").as("rk"),
         col("p._1").as("vec_id"), col("p._2").cast("long").as("csim_micro"))
@@ -1159,10 +1157,9 @@ object Ann {
         round(cosinePrenormed(dot(col("embedding"), col("qv")),
           col("nrm"), col("qn")), 6))
       .select(col("query_id"), col("vec_id"), col("score"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3))
-      .agg(graft.functions.TopKAggregator.topK(5))
-      .toDF("query_id", "top")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topKUdaf(5)(
+        col("vec_id"), col("score")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("p._1").as("vec_id"), col("p._2").as("score"))
@@ -1262,10 +1259,9 @@ object Ann {
     // multi-table: a pair colliding in several tables must rank once
     val uniq = if (geo.tables == 1) scored else scored.distinct()
     uniq
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3))
-      .agg(graft.functions.TopKAggregator.topK(k))
-      .toDF("vec_id", "top")
+      .groupBy(col("qid").as("vec_id"))
+      .agg(graft.functions.TopKAggregator.topKUdaf(k)(
+        col("nid"), col("score")).as("top"))
       .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("p._1").as("neighbor_id"), col("p._2").as("score"))
@@ -1460,15 +1456,12 @@ object Ann {
     // multi-table: a pair colliding in several tables must count once
     // in both margin neighborhoods
     val cand = if (geo.tables == 1) raw else raw.distinct()
-    val fwd = cand.as[(Long, Long, Long)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3.toDouble))
-      .agg(graft.functions.TopKAggregator.topK(MineK))
-      .toDF("en_id", "ftop")
-    val bwd = cand.select(col("other_id"), col("en_id"), col("s_micro"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3.toDouble))
-      .agg(graft.functions.TopKAggregator.topK(MineK))
-      .toDF("other_id", "btop")
+    val fwd = cand.groupBy("en_id")
+      .agg(graft.functions.TopKAggregator.topKUdaf(MineK)(
+        col("other_id"), col("s_micro").cast("double")).as("ftop"))
+    val bwd = cand.groupBy("other_id")
+      .agg(graft.functions.TopKAggregator.topKUdaf(MineK)(
+        col("en_id"), col("s_micro").cast("double")).as("btop"))
       .select(col("other_id"),
         expr("CAST(aggregate(btop, CAST(0.0 AS DOUBLE), (a, x) -> a + x._2) AS BIGINT)")
           .as("sb_sum"),
@@ -1807,10 +1800,9 @@ object Ann {
         round(cosinePrenormed(dot(col("qv"), col("nv")),
           col("qn"), col("nn")), 6))
       .select("qid", "nid", "score")
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3))
-      .agg(graft.functions.TopKAggregator.topK(k))
-      .toDF("vec_id", "top")
+      .groupBy(col("qid").as("vec_id"))
+      .agg(graft.functions.TopKAggregator.topKUdaf(k)(
+        col("nid"), col("score")).as("top"))
       .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
         col("p._1").as("neighbor_id"), col("p._2").as("score"))
@@ -1823,11 +1815,10 @@ object Ann {
   private def cappedReverse(spark: SparkSession, edges: DataFrame,
       k: Int): DataFrame = {
     import spark.implicits._
-    edges.select(col("v").as("u"), col("u").as("v"), col("score"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3))
-      .agg(graft.functions.TopKAggregator.topK(k))
-      .toDF("u", "top")
+    edges.select(col("v").as("ru"), col("u").as("rv"), col("score"))
+      .groupBy(col("ru").as("u"))
+      .agg(graft.functions.TopKAggregator.topKUdaf(k)(
+        col("rv"), col("score")).as("top"))
       .select(col("u"), explode(col("top")).as("p"))
       .select(col("u"), col("p._1").as("v"))
   }
@@ -1871,10 +1862,9 @@ object Ann {
     // reverse seed lists capped at k too (no score exists on a seed
     // edge yet, so both bounds order on the id itself)
     val revSeeds = seeds
-      .as[(Long, Long)]
-      .groupByKey(_._2).mapValues(t => (t._1, t._1))
-      .agg(graft.functions.MinKPairAggregator.minK(k))
-      .toDF("u", "top")
+      .groupBy(col("v").as("u"))
+      .agg(graft.functions.MinKPairAggregator.minKUdaf(k)(
+        col("u"), col("u")).as("top"))
       .select(col("u"), explode(col("top")).as("p"))
       .select(col("u"), col("p._1").as("v"))
     val adj = base.select("u", "v").union(rev)
@@ -1904,10 +1894,9 @@ object Ann {
       .select(col("vec_id").as("v"))
       .withColumn("slot", pmod(hash60Col(
         concat(col("v").cast("string"), lit(":prov"))), lit(slots)))
-      .as[(Long, Long)]
-      .groupByKey(_._2).mapValues(t => (t._1, t._1))
-      .agg(graft.functions.MinKPairAggregator.minK(SeedProviders))
-      .toDF("slot", "top")
+      .groupBy("slot")
+      .agg(graft.functions.MinKPairAggregator.minKUdaf(SeedProviders)(
+        col("v"), col("v")).as("top"))
       .select(col("slot"), explode(col("top")).as("p"))
       .select(col("slot"), col("p._1").as("v"))
     val requests = Tables.embeddings(spark, dir).select(col("vec_id").as("u"))
@@ -1923,10 +1912,9 @@ object Ann {
     requests.join(providers, "slot")
       .filter(col("u") =!= col("v"))
       .select("u", "v")
-      .as[(Long, Long)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._2))
-      .agg(graft.functions.MinKPairAggregator.minK(k))
-      .toDF("u", "top")
+      .groupBy("u")
+      .agg(graft.functions.MinKPairAggregator.minKUdaf(k)(
+        col("v"), col("v")).as("top"))
       .select(col("u"), explode(col("top")).as("p"))
       .select(col("u"), col("p._1").as("v"))
   }

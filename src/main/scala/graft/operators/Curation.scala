@@ -298,11 +298,9 @@ object Curation {
       .select(col("lang"),
         hash60Col(concat(lit("samp:"), col("doc_id").cast("string"))).as("h"),
         col("doc_id"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(graft.functions.MinKPairAggregator.minK(SampleK))
-      .toDF("lang", "top")
+      .groupBy("lang")
+      .agg(graft.functions.MinKPairAggregator.minKUdaf(SampleK)(
+        col("h"), col("doc_id")).as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
         col("p._2").as("doc_id"))
@@ -351,11 +349,9 @@ object Curation {
             lit(1152921504606846976L).cast("double")) * 1e6 /
           col("n_chars")).cast("long").as("key_micro"))
       .select(col("lang"), col("key_micro"), col("doc_id"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(graft.functions.MinKPairAggregator.minK(SampleK))
-      .toDF("lang", "top")
+      .groupBy("lang")
+      .agg(graft.functions.MinKPairAggregator.minKUdaf(SampleK)(
+        col("key_micro"), col("doc_id")).as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
         col("p._1").as("key_micro"), col("p._2").as("doc_id"))
@@ -386,11 +382,9 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"))
     val kept = docs
-      .select(col("source"), col("doc_id"), col("n_chars").cast("double"))
-      .as[(String, Long, Double)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3))
-      .agg(graft.functions.TopKAggregator.topK(DomainCap))
-      .toDF("source", "top")
+      .groupBy("source")
+      .agg(graft.functions.TopKAggregator.topKUdaf(DomainCap)(
+        col("doc_id"), col("n_chars").cast("double")).as("top"))
       .select(col("source"),
         size(col("top")).cast("long").as("kept_docs"),
         expr("aggregate(top, 0L, (acc, x) -> acc + CAST(x._2 AS BIGINT))")

@@ -314,10 +314,9 @@ object Dedup {
       .distinct() // a pair may collide in several bands — rank it once
       // TopK ranks by score desc with id-asc tie-break; score :=
       // -hamming gives exactly (hamming asc, neighbor_id asc)
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1).mapValues(t => (t._2, -t._3.toDouble))
-      .agg(graft.functions.TopKAggregator.topK(k))
-      .toDF("doc_id", "top")
+      .groupBy("doc_id")
+      .agg(graft.functions.TopKAggregator.topKUdaf(k)(
+        col("neighbor_id"), -col("hamming").cast("double")).as("top"))
       .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
         col("p._1").as("neighbor_id"), (-col("p._2")).cast("long").as("hamming"))

@@ -355,10 +355,9 @@ object Events {
     val pcts = broadcast(QsPcts.toDF("pct"))
     // sketch side: bounded bottom-k-by-hash sample, then ceil-rank
     // over the ≤QsK sampled values per group
-    val samp = ev.as[(String, Long, Long)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3))
-      .agg(graft.functions.MinKPairAggregator.minK(QsK))
-      .toDF("event_type", "mins")
+    val samp = ev.groupBy("event_type")
+      .agg(graft.functions.MinKPairAggregator.minKUdaf(QsK)(
+        col("h"), col("vc")).as("mins"))
       .select(col("event_type"), explode(col("mins")).as("e"))
       .select(col("event_type"), col("e._2").as("vc"))
     val est = qsEstFromSample(samp)

@@ -130,16 +130,17 @@ object Relational {
       sum(length(coalesce(col("v"), lit("")))).as("sum_len"))
     val dh = stacked.filter(col("v").isNotNull).distinct()
       .select(col("cname"), hash60Col(col("v")).as("h"))
-    val ndv = dh.groupBy("cname").agg(count(lit(1)).as("ndv"))
-    val kth = dh.select(col("cname"), col("h"), lit(0L))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3))
-      .agg(graft.functions.MinKPairAggregator.minK(k))
-      .toDF("cname", "mins")
-      .select(col("cname"),
+    // ndv and the KMV kth-min ride ONE aggregate over the distinct
+    // table (udaf beside count) — the former two-consumer join
+    // recomputed the stack + distinct lineage once per branch
+    val ndvKth = dh.groupBy("cname")
+      .agg(count(lit(1)).as("ndv"),
+        graft.functions.MinKPairAggregator.minKUdaf(k)(
+          col("h"), lit(0L)).as("mins"))
+      .select(col("cname"), col("ndv"),
         when(size(col("mins")) >= k,
           element_at(col("mins"), k).getField("_1")).as("h_k"))
-    base.join(ndv, "cname").join(kth, "cname")
+    base.join(ndvKth, "cname")
       .withColumn("ndv_kmv",
         when(col("h_k").isNull, col("ndv")).otherwise(expr(
           s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976 AS DECIMAL(38,0)) div h_k")))

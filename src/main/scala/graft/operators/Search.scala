@@ -331,10 +331,9 @@ object Search {
         .crossJoin(broadcast(stats)))
         .select(col("tok"), col("doc_id"),
           col("term_fp").as("impact_micro"))
-        .as[(String, Long, Long)]
-        .groupByKey(_._1).mapValues(t => (t._2, t._3.toDouble))
-        .agg(graft.functions.TopKAggregator.topK(m))
-        .toDF("term", "top")
+        .groupBy(col("tok").as("term"))
+        .agg(graft.functions.TopKAggregator.topKUdaf(m)(
+          col("doc_id"), col("impact_micro").cast("double")).as("top"))
         .select(col("term"), posexplode(col("top")).as(Seq("pos", "p")))
         .select(col("term"), (col("pos") + 1).cast("long").as("rank"),
           col("p._1").as("doc_id"), col("p._2").cast("long").as("impact_micro"))

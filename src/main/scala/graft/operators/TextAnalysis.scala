@@ -211,11 +211,9 @@ object TextAnalysis {
   def qInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tf = termFreqs(spark, dir)
-    val postings = tf.select(col("term"), col("doc_id"), col("tf"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3.toDouble))
-      .agg(graft.functions.TopKAggregator.topK(5))
-      .toDF("term", "top")
+    val postings = tf.groupBy("term")
+      .agg(graft.functions.TopKAggregator.topKUdaf(5)(
+        col("doc_id"), col("tf").cast("double")).as("top"))
       .select(col("term"),
         array_join(transform(col("top"),
           x => x.getField("_1").cast("string")), ",").as("postings"))
@@ -383,13 +381,15 @@ object TextAnalysis {
     * distinct values fall back to the sketch's own exact content.
     *
     * Scale shape: one distinct over (lang, hash60) — map-side partial
-    * dedup on uniform 8-byte keys — then
-    * [[graft.functions.MinKPairAggregator]] ships at most K rows per
-    * language per partition into a tiny final shuffle: no per-language
-    * sort, no dominant-language single-task window. The exact count
-    * rides the same distinct table. */
+    * dedup on uniform 8-byte keys — then ONE hash aggregate computes
+    * the exact count and the [[graft.functions.MinKPairAggregator]]
+    * k-smallest buffer side by side (udaf form), shipping at most
+    * K+1 values per language per partition into a tiny final shuffle:
+    * no per-language sort, no dominant-language single-task window,
+    * and no second pass over the trigram table for the exact count
+    * (the former two-consumer join recomputed the tokenize + explode
+    * + distinct lineage once per branch). */
   def qKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import graft.embed.Embedder.hash60Col
     val dh = Tables.documents(spark, dir)
       .withColumn("t", toks(col("text")))
@@ -400,16 +400,13 @@ object TextAnalysis {
             element_at(col("t"), i + 1), element_at(col("t"), i + 2)))))
           .as("h"))
       .distinct()
-    val exact = dh.groupBy("lang").agg(count(lit(1)).as("n_exact"))
-    val kth = dh.select(col("lang"), col("h"), lit(0L))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3))
-      .agg(graft.functions.MinKPairAggregator.minK(KmvK))
-      .toDF("lang", "mins")
-      .select(col("lang"),
+    dh.groupBy("lang")
+      .agg(count(lit(1)).as("n_exact"),
+        graft.functions.MinKPairAggregator.minKUdaf(KmvK)(
+          col("h"), lit(0L)).as("mins"))
+      .select(col("lang"), col("n_exact"),
         when(size(col("mins")) >= KmvK,
           element_at(col("mins"), KmvK).getField("_1")).as("h_k"))
-    exact.join(kth, "lang")
       .withColumn("kmv_est",
         when(col("h_k").isNull, col("n_exact")).otherwise(expr(
           s"CAST(CAST(${KmvK - 1} AS DECIMAL(38,0)) * 1152921504606846976 AS DECIMAL(38,0)) div h_k")))
