@@ -16,22 +16,27 @@ package graft
   * integrated output against drift — regenerating them is a
   * deliberate, reviewable act (rerun this main), never a side effect.
   *
-  * Usage: runMain graft.GoldenChunks [sfDir] [outDir]
+  * Usage: runMain graft.GoldenChunks [sfDir] [outDir] [only]
+  * (`only` = comma-separated query names — regenerate just those
+  * goldens; binary parquet artifacts otherwise churn in git for
+  * queries whose rows didn't change)
   */
 object GoldenChunks {
   val Queries =
     Seq("q_chunk_markdown", "q_chunk_code", "q_compress_ratio",
       "q_bpe_train", "q_bpe_encode", "q_unigram_train",
       "q_unigram_encode", "q_unigram_words", "q_pq_rotation",
-      "q_hnsw_search")
+      "q_hnsw_search", "q_hnsw_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse(fixturesDir)
+    val only: Set[String] =
+      args.lift(2).map(_.split(",").toSet).getOrElse(Set.empty)
     val sfTag = "sf[0-9.]+".r.findFirstIn(sfDir).getOrElse("sf")
     val spark = GraftSession.local(8)
     spark.sparkContext.setLogLevel("WARN")
-    Queries.foreach { name =>
+    Queries.filter(q => only.isEmpty || only(q)).foreach { name =>
       val out = s"$outDir/${name.stripPrefix("q_")}_$sfTag.parquet"
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1)

@@ -299,15 +299,88 @@ object Hnsw {
     finally s.close()
   }
 
+  /** One sealed-segment corpus per (session, source dir): the ids
+    * below [[Ann.deltaCutoff]]'s 90% boundary, written as their own
+    * embeddings table so every id-layout-free builder (levels,
+    * NN-Descent, seed edges) runs over it unchanged. */
+  private val sealedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sealedDirFor(spark: SparkSession, dir: String): String =
+    sealedDirs.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_hnsw_sealed").toString
+      val e = Tables.embeddings(spark, d)
+      e.crossJoin(broadcast(Ann.deltaCutoff(e)))
+        .filter(col("vec_id") < col("cutoff")).drop("cutoff")
+        .write.mode("overwrite").parquet(s"$p/embeddings.parquet")
+      p
+    })
+
+  /** Sealed+delta HNSW serving — the growing-segment lifecycle on the
+    * GRAPH index ([[Ann.qAnnDelta]] is the IVF twin): the layered
+    * graph covers only the vectors that existed at build time (ids
+    * below the same 90% cutoff every segment lifecycle here uses);
+    * vectors that arrived since form an unindexed delta that is
+    * brute-force-scanned exactly and merged into one top-10. The
+    * hierarchy build is the expensive artifact — rebuilding it per
+    * ingest batch would dominate the pipeline, so freshness rides the
+    * delta until a reseal re-trains the layers (HNSW has no cheap
+    * incremental distributed insert: every insert mutates neighbor
+    * lists across layers, which is why production graph stores segment
+    * exactly like this).
+    *
+    * Scale shape: the sealed arm is the [[Searcher]]'s bounded
+    * descent+beam (upper-layer driver cache + one id-partitioned
+    * layer-0 edge probe); the delta arm scans ONLY the delta — bounded
+    * by ingest rate between builds, not corpus size — and the merge is
+    * a 20-row driver union. Delta members of the true global top-10
+    * can never be displaced (every merged candidate carries its exact
+    * rescored cosine), which HnswSpec pins.
+    *
+    * Oracle: committed golden table (the sealed arm rides trained
+    * multi-layer graphs — not SQL-expressible; the [[GoldenChunks]]
+    * regeneration discipline applies). */
+  def qHnswDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Search.embNormed(spark, dir)
+    val cut = Ann.deltaCutoff(e)
+    val sealedDir = sealedDirFor(spark, dir)
+    val s = new Searcher(spark, sealedDir, indexFor(spark, sealedDir))
+    val sealedArm =
+      try s.serve(0L, ef = 16).toDF("vec_id", "score")
+        .select(col("vec_id"), lit("indexed").as("segment"), col("score"))
+      finally s.close()
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val deltaArm = e.crossJoin(broadcast(cut))
+      .filter(col("vec_id") >= col("cutoff"))
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6))
+      .select(col("vec_id"), lit("delta").as("segment"), col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+    sealedArm.unionByName(deltaArm)
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hnsw_levels" -> (qHnswLevels _),
-    "q_hnsw_search" -> (qHnswSearch _)
+    "q_hnsw_search" -> (qHnswSearch _),
+    "q_hnsw_delta" -> (qHnswDelta _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_hnsw_search" ->
       s"""SELECT * FROM
          |read_parquet('$fixturesDir/hnsw_search_sf0.01.parquet/*.parquet')
+         |ORDER BY score DESC, vec_id""".stripMargin,
+    "q_hnsw_delta" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/hnsw_delta_sf0.01.parquet/*.parquet')
          |ORDER BY score DESC, vec_id""".stripMargin,
     "q_hnsw_levels" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),

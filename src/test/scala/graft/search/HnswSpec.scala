@@ -113,4 +113,42 @@ class HnswSpec extends SparkSpec {
         s"descent+beam recall@10 $hnswRecall below the pinned floor")
     } finally searcher.close()
   }
+
+  test("delta serve: segments split at the cutoff, delta arm is exact " +
+      "(true top-10 delta members can never be displaced), deterministic") {
+    val out = Hnsw.qHnswDelta(spark, bigDir).collect()
+    assert(out.length === 10)
+    val scores = out.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sortBy(-_)), "not score-descending")
+    val e = Search.embNormed(spark, bigDir)
+    val cutoff = Ann.deltaCutoff(e).head.getLong(0)
+    out.foreach { r =>
+      val (id, seg) = (r.getLong(0), r.getString(1))
+      if (seg == "delta") assert(id >= cutoff, s"delta row $id below cutoff")
+      else assert(id < cutoff, s"indexed row $id at/above cutoff")
+    }
+    // exact ground truth for query 0 over the FULL corpus: any true
+    // top-10 member living in the delta segment must appear in the
+    // merged answer — every merged candidate carries its exact
+    // rescored cosine, so only truly-better vectors can outrank it
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val exactTop = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("score", round(
+        graft.functions.VectorFunctions.cosinePrenormed(
+          graft.functions.VectorFunctions.dot(
+            col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10).select("vec_id").collect().map(_.getLong(0))
+    val served = out.map(_.getLong(0)).toSet
+    exactTop.filter(_ >= cutoff).foreach(id =>
+      assert(served.contains(id),
+        s"true-top-10 delta vector $id missing from the merged serve"))
+    // memoized sealed index ⇒ bit-identical repeat
+    val again = Hnsw.qHnswDelta(spark, bigDir).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sameElements(again.map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2)))))
+  }
 }
