@@ -44,6 +44,19 @@ object GraftSession {
       // ran). Caches are cheap to re-read from disk; execution memory
       // is not substitutable — so protect less of it.
       .config("spark.memory.storageFraction", "0.2")
+      // every ObjectHashAggregate here carries a BOUNDED buffer (the
+      // top-k/min-k aggregators: ≤ k entries per group), so hash-map
+      // memory is O(groups-per-task × k) — predictable and small. The
+      // default sortBased.fallbackThreshold=128 instead routed the
+      // whole input of any >128-group task through an unsafe KV
+      // sorter, whose pointer-array growth is the one allocation that
+      // CANNOT spill itself out of pressure (observed: q_simhash_topk
+      // OOM at the 10× sweep inside SortBasedAggregator.addInput
+      // while the hash path would have held ~20k × ~500 B). 500k keys
+      // ≈ 250 MB/task worst case — within a 4 GB/task budget; truly
+      // pathological partitions still fall back. */
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "500000")
 
   /** Local session for tests. */
   def local(cores: Int = 4): SparkSession = {

@@ -2044,11 +2044,16 @@ object Ann {
 
   /** [[beamServe]] from an ENTRY SET — identical algorithm, the beam
     * just starts populated with every entry (the multi-entry descent
-    * frontier of the HNSW searcher, or any multi-probe caller). */
+    * frontier of the HNSW searcher, or any multi-probe caller).
+    * `excludeIds` are tombstoned nodes: they stay NAVIGABLE (removing
+    * them from the graph would sever paths the search still needs —
+    * the Lucene live-docs / HNSW deleted-node rule) but are filtered
+    * from the REPORTED top-k; the set is delete-rate-bounded between
+    * compactions, never corpus-bounded. */
   private[graft] def beamServeFrom(spark: SparkSession, dir: String,
       edges: DataFrame, queryId: Long, entries: Seq[Long],
       hops: Int = GraphSearchHops, beamW: Int = GraphSearchBeam,
-      k: Int = 10): Seq[(Long, Double)] = {
+      k: Int = 10, excludeIds: Set[Long] = Set.empty): Seq[(Long, Double)] = {
     import spark.implicits._
     val e = Search.embNormed(spark, dir)
     val q = e.filter(col("vec_id") === queryId)
@@ -2079,7 +2084,8 @@ object Ann {
         .take(beamW).map(_._1)
       hop += 1
     }
-    visited.toSeq.filter(_._1 != queryId)
+    visited.toSeq
+      .filter { case (id, _) => id != queryId && !excludeIds.contains(id) }
       .sortBy { case (id, s) => (-s, id) }
       .take(k)
   }

@@ -238,7 +238,8 @@ object Hnsw {
       * then the fixpoint-stopped beam on layer 0 seeded with the
       * whole frontier. */
     def serve(queryId: Long, ef: Int = 16, k: Int = 10,
-        hopCap: Int = 32, width: Int = 4): Seq[(Long, Double)] = {
+        hopCap: Int = 32, width: Int = 4,
+        exclude: Set[Long] = Set.empty): Seq[(Long, Double)] = {
       val q = vecOf(queryId)
       val memo = scala.collection.mutable.Map.empty[Long, Double]
       def sc(id: Long): Double =
@@ -261,7 +262,7 @@ object Hnsw {
       }
       Ann.beamServeFrom(spark, dir, edges0, queryId,
         entries = if (frontier.nonEmpty) frontier else Seq(idx.entry),
-        hops = hopCap, beamW = ef, k = k)
+        hops = hopCap, beamW = ef, k = k, excludeIds = exclude)
     }
 
     def close(): Unit = edges0.unpersist(false)
@@ -341,20 +342,45 @@ object Hnsw {
     * Oracle: committed golden table (the sealed arm rides trained
     * multi-layer graphs — not SQL-expressible; the [[GoldenChunks]]
     * regeneration discipline applies). */
-  def qHnswDelta(spark: SparkSession, dir: String): DataFrame = {
+  def qHnswDelta(spark: SparkSession, dir: String): DataFrame =
+    hnswDeltaServe(spark, dir, tombstones = None)
+
+  /** Tombstoned sealed+delta HNSW serve — the DELETE half of the graph
+    * lifecycle ([[Ann.qAnnTombstone]] is the IVF twin). Deletes never
+    * rewrite the layered graph: tombstoned nodes stay NAVIGABLE (the
+    * beam routes through them — removing them would sever paths; the
+    * Lucene live-docs rule) but are excluded from the reported top-k,
+    * and the delta scan anti-joins the same id table. The serve-side
+    * exclude set is the RECENT-deletes buffer, delete-rate-bounded
+    * between compactions (a reseal folds old tombstones into the
+    * rebuild), so collecting it driver-side is bounded the same way
+    * the upper-layer cache is. The registry variant plants
+    * `vec_id ≡ 1 mod 5` so the serve is golden-checkable. */
+  def qHnswTombstone(spark: SparkSession, dir: String): DataFrame = {
+    val tomb = Search.embNormed(spark, dir)
+      .select("vec_id").filter(col("vec_id") % 5 === 1)
+    hnswDeltaServe(spark, dir, tombstones = Some(tomb))
+  }
+
+  private def hnswDeltaServe(spark: SparkSession, dir: String,
+      tombstones: Option[DataFrame]): DataFrame = {
     import spark.implicits._
     val e = Search.embNormed(spark, dir)
     val cut = Ann.deltaCutoff(e)
     val sealedDir = sealedDirFor(spark, dir)
+    val exclude: Set[Long] = tombstones.fold(Set.empty[Long])(
+      _.as[Long].collect().toSet)
     val s = new Searcher(spark, sealedDir, indexFor(spark, sealedDir))
     val sealedArm =
-      try s.serve(0L, ef = 16).toDF("vec_id", "score")
+      try s.serve(0L, ef = 16, exclude = exclude).toDF("vec_id", "score")
         .select(col("vec_id"), lit("indexed").as("segment"), col("score"))
       finally s.close()
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("nrm").as("qn"))
-    val deltaArm = e.crossJoin(broadcast(cut))
-      .filter(col("vec_id") >= col("cutoff"))
+    val deltaLive = tombstones.foldLeft(
+      e.crossJoin(broadcast(cut)).filter(col("vec_id") >= col("cutoff")))(
+      (d, t) => d.join(t, Seq("vec_id"), "left_anti"))
+    val deltaArm = deltaLive
       .crossJoin(broadcast(q))
       .withColumn("score",
         round(cosinePrenormed(dot(col("embedding"), col("qv")),
@@ -370,7 +396,8 @@ object Hnsw {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hnsw_levels" -> (qHnswLevels _),
     "q_hnsw_search" -> (qHnswSearch _),
-    "q_hnsw_delta" -> (qHnswDelta _)
+    "q_hnsw_delta" -> (qHnswDelta _),
+    "q_hnsw_tombstone" -> (qHnswTombstone _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -381,6 +408,10 @@ object Hnsw {
     "q_hnsw_delta" ->
       s"""SELECT * FROM
          |read_parquet('$fixturesDir/hnsw_delta_sf0.01.parquet/*.parquet')
+         |ORDER BY score DESC, vec_id""".stripMargin,
+    "q_hnsw_tombstone" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/hnsw_tombstone_sf0.01.parquet/*.parquet')
          |ORDER BY score DESC, vec_id""".stripMargin,
     "q_hnsw_levels" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),

@@ -441,4 +441,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("bounded-aggregator queries stay object-boundary-free: no " +
+      "DeserializeToObject ahead of the top-k/min-k aggregate") {
+    // the typed groupByKey route materialized every input row as a
+    // Scala tuple before the aggregate; the udaf forms must keep the
+    // full upstream (joins, projections) in Tungsten rows
+    Seq("q_knn_join", "q_kmv_distinct", "q_inverted_index",
+        "q_cluster_cap", "q_domain_cap", "q_sample_strat",
+        "q_weighted_sample", "q_table_stats", "q_simhash_topk",
+        "q_quantile_sketch", "q_mine_bitext").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("DeserializeToObject"),
+        s"$q re-grew an object boundary:\n$p")
+      assert(!p.contains("MapGroups"), s"$q plans a MapGroups:\n$p")
+    }
+  }
 }

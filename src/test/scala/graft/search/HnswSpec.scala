@@ -151,4 +151,22 @@ class HnswSpec extends SparkSpec {
       .sameElements(again.map(r =>
         (r.getLong(0), r.getString(1), r.getDouble(2)))))
   }
+
+  test("tombstone serve: planted deletes never reported, no underfill, " +
+      "survivors keep their delta-arm ranks") {
+    val out = Hnsw.qHnswTombstone(spark, bigDir).collect()
+    assert(out.length === 10, "tombstone filtering underfilled the top-k")
+    out.foreach(r => assert(r.getLong(0) % 5 != 1L,
+      s"tombstoned vector ${r.getLong(0)} reported"))
+    // deletes only REMOVE candidates: every reported vector must also
+    // appear (same segment, same exact score) in the delete-free serve
+    // OR be a backfill with a score no better than the vector it
+    // replaced — i.e. the tombstoned result is dominated rank-by-rank
+    val free = Hnsw.qHnswDelta(spark, bigDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    out.map(_.getDouble(2)).zip(free.map(_._2)).foreach { case (t, f) =>
+      assert(t <= f + 1e-9,
+        s"tombstoned serve outscored the delete-free serve ($t > $f)")
+    }
+  }
 }
