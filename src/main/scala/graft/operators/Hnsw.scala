@@ -393,11 +393,49 @@ object Hnsw {
       .limit(10)
   }
 
+  /** Metadata-filtered HNSW serve — [[Ann.qAnnFiltered]]'s graph twin,
+    * via the standard post-filter-with-widened-ef strategy: the beam
+    * NAVIGATES the unfiltered graph (filtering during traversal
+    * disconnects it — the predicate-correlated islands problem every
+    * filtered-ANN paper starts from), with ef widened 16→64 so the
+    * visited pool is deep enough that the label slice of it still
+    * fills k; the predicate then applies to REPORTING only, on exact
+    * rescored candidates. Underfill is the documented hazard of this
+    * strategy (SearchSpec demonstrates it on the IVF twin); the spec
+    * pins fill and predicate purity here. */
+  def qHnswFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Search.embNormed(spark, dir)
+    // pool depth is CORPUS-DERIVED from the predicate's measured
+    // selectivity (k / sel × 2 safety), never pinned: a 64-deep pool
+    // over a 1/8-selectivity label yields ~8 matches — underfill by
+    // construction (measured before this derivation; the r8
+    // fixed-constant discipline)
+    val sel = e.agg(
+      sum(when(col("label") === 3, 1L).otherwise(0L)).cast("double")
+        / count(lit(1))).head.getDouble(0)
+    val pool = math.max(64, math.ceil(10 / math.max(sel, 1e-6) * 2).toInt)
+    val s = new Searcher(spark, dir, indexFor(spark, dir))
+    // k = pool: return the whole widened visited-top so the filter
+    // has a pool to cut from, not a pre-cut top-10
+    val poolDf =
+      try s.serve(0L, ef = 64, k = pool).toDF("vec_id", "score")
+      finally s.close()
+    poolDf
+      .join(Search.embNormed(spark, dir)
+        .filter(col("label") === 3).select("vec_id", "label"), "vec_id")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hnsw_levels" -> (qHnswLevels _),
     "q_hnsw_search" -> (qHnswSearch _),
     "q_hnsw_delta" -> (qHnswDelta _),
-    "q_hnsw_tombstone" -> (qHnswTombstone _)
+    "q_hnsw_tombstone" -> (qHnswTombstone _),
+    "q_hnsw_filtered" -> (qHnswFiltered _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -412,6 +450,10 @@ object Hnsw {
     "q_hnsw_tombstone" ->
       s"""SELECT * FROM
          |read_parquet('$fixturesDir/hnsw_tombstone_sf0.01.parquet/*.parquet')
+         |ORDER BY score DESC, vec_id""".stripMargin,
+    "q_hnsw_filtered" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/hnsw_filtered_sf0.01.parquet/*.parquet')
          |ORDER BY score DESC, vec_id""".stripMargin,
     "q_hnsw_levels" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),

@@ -169,4 +169,27 @@ class HnswSpec extends SparkSpec {
         s"tombstoned serve outscored the delete-free serve ($t > $f)")
     }
   }
+
+  test("filtered serve: widened-ef pool fills k, predicate pure, " +
+      "recall vs exact filtered top-10 clears the floor") {
+    val out = Hnsw.qHnswFiltered(spark, bigDir).collect()
+    assert(out.length === 10, "widened ef still underfilled the label slice")
+    out.foreach(r => assert(r.getLong(1) === 3L,
+      s"off-label vector ${r.getLong(0)} reported"))
+    val e = Search.embNormed(spark, bigDir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val exact = e.filter(col("label") === 3 && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("score", round(
+        graft.functions.VectorFunctions.cosinePrenormed(
+          graft.functions.VectorFunctions.dot(
+            col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = out.map(_.getLong(0)).count(exact.contains) / 10.0
+    info(f"filtered_recall10=$recall%.2f")
+    assert(recall >= 0.7,
+      s"filtered recall $recall below floor — widen ef or deepen pool")
+  }
 }
