@@ -430,12 +430,36 @@ object Hnsw {
       .limit(10)
   }
 
+  /** Batched HNSW serving — [[Ann.qAnnIvfBatch]]'s graph twin, and the
+    * [[Searcher]]'s design contract made a registry row: construct
+    * ONCE (edges persisted, upper layers cached, vectors memoized
+    * across queries — the memo is shared, so a neighborhood two
+    * queries both touch is fetched once), then serve the whole query
+    * batch against it. Per-query cost after the first is descent +
+    * beam only; the 8-query batch amortizes exactly the way a real
+    * serving tier holds one index handle per executor. Top-5 per
+    * query, `(query_id, rank, vec_id, score)` — the batch-serve shape
+    * every ANN family here shares. */
+  def qHnswBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = new Searcher(spark, dir, indexFor(spark, dir))
+    val rows =
+      try (0L until 8L).flatMap { qid =>
+        s.serve(qid, ef = 16, k = 5).zipWithIndex.map {
+          case ((id, score), i) => (qid, (i + 1).toLong, id, score)
+        }
+      } finally s.close()
+    rows.toDF("query_id", "rank", "vec_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hnsw_levels" -> (qHnswLevels _),
     "q_hnsw_search" -> (qHnswSearch _),
     "q_hnsw_delta" -> (qHnswDelta _),
     "q_hnsw_tombstone" -> (qHnswTombstone _),
-    "q_hnsw_filtered" -> (qHnswFiltered _)
+    "q_hnsw_filtered" -> (qHnswFiltered _),
+    "q_hnsw_batch" -> (qHnswBatch _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -455,6 +479,10 @@ object Hnsw {
       s"""SELECT * FROM
          |read_parquet('$fixturesDir/hnsw_filtered_sf0.01.parquet/*.parquet')
          |ORDER BY score DESC, vec_id""".stripMargin,
+    "q_hnsw_batch" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/hnsw_batch_sf0.01.parquet/*.parquet')
+         |ORDER BY query_id, rank""".stripMargin,
     "q_hnsw_levels" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),
         |cap AS (

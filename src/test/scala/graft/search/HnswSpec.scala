@@ -192,4 +192,25 @@ class HnswSpec extends SparkSpec {
     assert(recall >= 0.7,
       s"filtered recall $recall below floor — widen ef or deepen pool")
   }
+
+  test("batch serve: one shared searcher answers each query exactly " +
+      "as a fresh single-query serve would") {
+    val batch = Hnsw.qHnswBatch(spark, bigDir).collect()
+      .groupBy(_.getLong(0))
+    assert(batch.keySet === (0L until 8L).toSet)
+    batch.values.foreach(rs => assert(rs.length === 5))
+    // the shared vector memo must not CHANGE any answer — query 3
+    // served alone (fresh searcher) is rank-identical to its batch rows
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("hnsw_idxb").toString
+    val idx = Hnsw.buildIndex(spark, bigDir, idxPath)
+    val solo = new Hnsw.Searcher(spark, bigDir, idx)
+    val alone =
+      try solo.serve(3L, ef = 16, k = 5)
+      finally solo.close()
+    val inBatch = batch(3L).sortBy(_.getLong(1))
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(inBatch === alone,
+      s"batch rows for query 3 diverge from the solo serve")
+  }
 }
