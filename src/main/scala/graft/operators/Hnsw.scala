@@ -453,13 +453,74 @@ object Hnsw {
       .orderBy("query_id", "rank")
   }
 
+  /** COMPACT (reseal) the layered index — the graph lifecycle's
+    * terminal step and [[Ann.resealWithTombstones]]'s twin: rebuild
+    * the hierarchy over the LIVE corpus, i.e. the full table (the
+    * delta segment folded in — those vectors become navigable graph
+    * members instead of a brute-force arm) anti-joined against the
+    * tombstone table (deleted vectors become physically absent from
+    * `levels` and every per-layer edge list, not merely excluded at
+    * report time — the Lucene merge-drops-deletes rule). The rebuild
+    * IS the cost model: HNSW has no cheap distributed in-place
+    * delete/insert (every mutation touches neighbor lists across
+    * layers), so production graph stores amortize exactly this way —
+    * serve sealed+delta+tombstones between compactions, then one
+    * distributed re-train (the unchanged id-layout-free builders)
+    * swaps in a fresh artifact. The new index lands under its own
+    * directory and the handle swap is atomic by construction
+    * ([[graft.model.Artifacts]] publish discipline). */
+  def compactIndex(spark: SparkSession, dir: String,
+      tombstones: Option[DataFrame], outPath: String): HnswIndex = {
+    val live = tombstones.foldLeft(Tables.embeddings(spark, dir))(
+      (e, t) => e.join(t.select("vec_id"), Seq("vec_id"), "left_anti"))
+    live.write.mode("overwrite").parquet(s"$outPath/embeddings.parquet")
+    buildIndex(spark, outPath, s"$outPath/index")
+  }
+
+  /** One compacted corpus+index per (session, source dir), under the
+    * registry's planted tombstone set (`vec_id ≡ 1 mod 5` — the same
+    * deletes [[qHnswTombstone]] serves AROUND, so the two rows bracket
+    * the lifecycle: before-compaction exclude-at-serve vs
+    * after-compaction physical absence). */
+  private val compactedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def compactedFor(spark: SparkSession,
+      dir: String): (String, HnswIndex) = {
+    val p = compactedDirs.computeIfAbsent(dir, { d =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_hnsw_compact").toString
+      val tomb = Tables.embeddings(spark, d)
+        .select("vec_id").filter(col("vec_id") % 5 === 1)
+      compactIndex(spark, d, Some(tomb), out)
+      out
+    })
+    (p, openIndex(spark, s"$p/index"))
+  }
+
+  /** Post-compaction serve as a registry row: query 0's top-10 over
+    * the compacted index — no delta arm (everything is indexed), no
+    * exclude set (deletes are physically gone). Golden oracle like
+    * every trained-graph serve; HnswSpec pins the physical-removal and
+    * delta-fold invariants plus a recall floor vs the exact live
+    * top-10. */
+  def qHnswCompact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (live, idx) = compactedFor(spark, dir)
+    val s = new Searcher(spark, live, idx)
+    try s.serve(0L, ef = 32).toDF("vec_id", "score")
+      .orderBy(desc("score"), col("vec_id"))
+    finally s.close()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hnsw_levels" -> (qHnswLevels _),
     "q_hnsw_search" -> (qHnswSearch _),
     "q_hnsw_delta" -> (qHnswDelta _),
     "q_hnsw_tombstone" -> (qHnswTombstone _),
     "q_hnsw_filtered" -> (qHnswFiltered _),
-    "q_hnsw_batch" -> (qHnswBatch _)
+    "q_hnsw_batch" -> (qHnswBatch _),
+    "q_hnsw_compact" -> (qHnswCompact _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -483,6 +544,10 @@ object Hnsw {
       s"""SELECT * FROM
          |read_parquet('$fixturesDir/hnsw_batch_sf0.01.parquet/*.parquet')
          |ORDER BY query_id, rank""".stripMargin,
+    "q_hnsw_compact" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/hnsw_compact_sf0.01.parquet/*.parquet')
+         |ORDER BY score DESC, vec_id""".stripMargin,
     "q_hnsw_levels" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),
         |cap AS (

@@ -213,4 +213,45 @@ class HnswSpec extends SparkSpec {
     assert(inBatch === alone,
       s"batch rows for query 3 diverge from the solo serve")
   }
+
+  test("compaction: tombstones physically absent from every layer, " +
+      "delta folded into the graph, serve recall clears the floor") {
+    val out = Hnsw.qHnswCompact(spark, bigDir).collect()
+    assert(out.length === 10)
+    out.foreach(r => assert(r.getLong(0) % 5 != 1L,
+      s"tombstoned vector ${r.getLong(0)} survived compaction"))
+    val (live, idx) = Hnsw.compactedFor(spark, bigDir)
+    val e = Search.embNormed(spark, bigDir)
+    val liveIds = e.filter(col("vec_id") % 5 =!= 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // levels cover EXACTLY the live corpus — the delta segment's ids
+    // (>= the old cutoff) are now graph members, the deletes are gone
+    val lvIds = spark.read.parquet(s"${idx.path}/levels.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lvIds === liveIds, "compacted levels != live corpus")
+    val cutoff = Ann.deltaCutoff(e).head.getLong(0)
+    assert(lvIds.exists(_ >= cutoff), "delta ids not folded into levels")
+    // no edge list may reference a deleted vector
+    (0 to idx.maxLevel).foreach { l =>
+      val bad = spark.read.parquet(s"${idx.path}/edges$l.parquet")
+        .filter(col("u") % 5 === 1 || col("v") % 5 === 1).count()
+      assert(bad === 0L, s"layer $l carries $bad tombstoned endpoints")
+    }
+    // recall floor vs the exact top-10 over the live corpus
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val exact = Search.embNormed(spark, live)
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("score", round(
+        graft.functions.VectorFunctions.cosinePrenormed(
+          graft.functions.VectorFunctions.dot(
+            col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = out.map(_.getLong(0)).count(exact.contains) / 10.0
+    info(f"compact_recall10=$recall%.2f")
+    assert(recall >= 0.8,
+      s"post-compaction recall $recall below the floor")
+  }
 }
