@@ -933,11 +933,16 @@ object Ann {
       .orderBy("label")
   }
 
-  /** Self-measuring ANN quality: recall@10 of each approximate method
-    * against the exact brute-force top-10, in one plan (union-tag →
-    * hit join → grouped ratio). The engine reports its own
+  /** Self-measuring ANN quality: recall@10 of EVERY approximate
+    * serving family against the exact brute-force top-10, in one plan
+    * (union-tag → hit join → grouped ratio) — the partition methods
+    * (lsh / lsh_mt / lsh_probe / ivf), the quantization methods
+    * (pq / ivfpq / sq8 / binary), and the trained-graph serve (hnsw,
+    * whose arm the oracle replays from the committed golden since a
+    * trained hierarchy has no SQL mirror). The engine reports its own
     * approximation quality — at scale you run this on a sampled query
-    * set as a data-quality job. */
+    * set as a data-quality job, and the bake-off table is what decides
+    * which family serves which corpus. */
   def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
     // The per-method top-10s are deterministic 10-row tables — persist
     // them session-scoped (like the indices they probe) so the recall
@@ -958,6 +963,12 @@ object Ann {
           .withColumn("method", lit("pq")))
         .unionByName(top10("ivfpq")(qAnnIvfPq(spark, dir))
           .withColumn("method", lit("ivfpq")))
+        .unionByName(top10("binary")(qAnnBinary(spark, dir))
+          .withColumn("method", lit("binary")))
+        .unionByName(top10("sq8")(qAnnSq8(spark, dir))
+          .withColumn("method", lit("sq8")))
+        .unionByName(top10("hnsw")(Hnsw.qHnswSearch(spark, dir))
+          .withColumn("method", lit("hnsw")))
     all.join(broadcast(exact), Seq("vec_id"), "left")
       .groupBy("method")
       .agg(count(lit(1)).as("n_returned"),
@@ -2710,13 +2721,56 @@ object Ann {
          |  SELECT sh.vec_id FROM ipqshort sh JOIN e ON e.vec_id = sh.vec_id, q
          |  ORDER BY round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) DESC,
          |    sh.vec_id LIMIT 10),
+         |bbits AS (
+         |  SELECT vec_id, d,
+         |    CASE WHEN embedding[d+1] >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) g),
+         |bsigs AS (
+         |  SELECT vec_id,
+         |    sum(CASE WHEN d < 32 THEN bit * CAST(pow(2, d) AS BIGINT)
+         |        ELSE 0 END)::BIGINT AS sig_lo,
+         |    sum(CASE WHEN d >= 32 THEN bit * CAST(pow(2, d - 32) AS BIGINT)
+         |        ELSE 0 END)::BIGINT AS sig_hi
+         |  FROM bbits GROUP BY vec_id),
+         |bqs AS (SELECT sig_lo AS qlo, sig_hi AS qhi FROM bsigs WHERE vec_id = 0),
+         |bshort AS (
+         |  SELECT s.vec_id,
+         |    (bit_count(xor(s.sig_lo, qlo)) + bit_count(xor(s.sig_hi, qhi)))::BIGINT AS hamming
+         |  FROM bsigs s, bqs WHERE s.vec_id <> 0
+         |  ORDER BY hamming, s.vec_id LIMIT 50),
+         |bin10 AS (
+         |  SELECT e.vec_id FROM e JOIN bshort USING (vec_id), q
+         |  ORDER BY round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) DESC,
+         |    e.vec_id LIMIT 10),
+         |smm AS (SELECT d, min(se) AS mn, max(se) AS mx FROM sv GROUP BY d),
+         |sdeq AS (
+         |  SELECT vec_id, d,
+         |    mn + ((CASE WHEN mx > mn THEN ((se - mn) * 255) // (mx - mn)
+         |           ELSE 0 END) * (mx - mn)) // 255 AS dq
+         |  FROM sv JOIN smm USING (d)),
+         |sqc AS (SELECT d, se AS qse FROM sv WHERE vec_id = 0),
+         |sshort AS (
+         |  SELECT c.vec_id FROM sdeq c JOIN sqc USING (d)
+         |  WHERE c.vec_id <> 0
+         |  GROUP BY c.vec_id
+         |  ORDER BY sum(qse * dq) DESC, c.vec_id LIMIT 30),
+         |sq810 AS (
+         |  SELECT e.vec_id FROM e JOIN sshort USING (vec_id), q
+         |  ORDER BY round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) DESC,
+         |    e.vec_id LIMIT 10),
+         |hnsw10 AS (
+         |  SELECT vec_id
+         |  FROM read_parquet('$fixturesDir/hnsw_search_sf0.01.parquet/*.parquet')),
          |allm AS (
          |  SELECT vec_id, 'lsh' AS method FROM lsh10
          |  UNION ALL SELECT vec_id, 'lsh_mt' FROM lshmt10
          |  UNION ALL SELECT vec_id, 'lsh_probe' FROM lshp10
          |  UNION ALL SELECT vec_id, 'ivf' FROM ivf10
          |  UNION ALL SELECT vec_id, 'pq' FROM pq10
-         |  UNION ALL SELECT vec_id, 'ivfpq' FROM ipq10)
+         |  UNION ALL SELECT vec_id, 'ivfpq' FROM ipq10
+         |  UNION ALL SELECT vec_id, 'binary' FROM bin10
+         |  UNION ALL SELECT vec_id, 'sq8' FROM sq810
+         |  UNION ALL SELECT vec_id, 'hnsw' FROM hnsw10)
          |SELECT method, count(*) AS n_returned,
          |  sum(coalesce(hit, 0))::BIGINT AS n_hits,
          |  round(sum(coalesce(hit, 0))::DOUBLE / 10, 6) AS recall
