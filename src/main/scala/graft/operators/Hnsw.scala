@@ -275,7 +275,7 @@ object Hnsw {
   private val builtIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def indexFor(spark: SparkSession, dir: String): HnswIndex = {
+  private[graft] def indexFor(spark: SparkSession, dir: String): HnswIndex = {
     val path = builtIndexes.computeIfAbsent(dir, { d =>
       val p = java.nio.file.Files
         .createTempDirectory("graft_hnsw").toString
@@ -453,6 +453,140 @@ object Hnsw {
       .orderBy("query_id", "rank")
   }
 
+  /** An immutable, broadcastable image of a built index: per-layer
+    * adjacency, every corpus vector with its norm, and the descent
+    * scaffolding (top-layer ids, entry). This is the REPLICATED-INDEX
+    * serving model every production graph store uses — the index is
+    * memory-resident on each serving node, queries fan out — expressed
+    * Spark-natively as one broadcast: ~(2k+1)·8·N bytes of adjacency +
+    * 4·d·N of vectors, so a 64-dim 10M-vector segment images at
+    * ~4 GB — executor-RAM-sized by the same segmentation that already
+    * bounds the sealed index (a corpus beyond the gate serves as
+    * per-segment images + a k-bounded merge, the sealed+delta
+    * discipline). */
+  final case class IndexImage(
+      maxLevel: Int,
+      entry: Long,
+      topIds: Array[Long],
+      adj: Map[Int, Map[Long, Array[Long]]],
+      vecs: Map[Long, (Array[Float], Double)])
+
+  private[graft] def imageOf(spark: SparkSession, dir: String,
+      idx: HnswIndex): IndexImage = {
+    import spark.implicits._
+    val vecs = Search.embNormed(spark, dir)
+      .select("vec_id", "embedding", "nrm").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .toMap
+    val adj = (0 to idx.maxLevel).map { l =>
+      l -> spark.read.parquet(s"${idx.path}/edges$l.parquet")
+        .select("u", "v").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+    }.toMap
+    val topIds = spark.read.parquet(s"${idx.path}/levels.parquet")
+      .filter(col("level") === idx.maxLevel.toLong)
+      .orderBy("vec_id").limit(256).select("vec_id").as[Long].collect()
+    IndexImage(idx.maxLevel, idx.entry, topIds, adj, vecs)
+  }
+
+  /** Pure-local serve over an [[IndexImage]] — [[Searcher.serve]]'s
+    * executor-side twin, step-for-step: the same width-bounded descent
+    * (frontier fixpoint per layer), the same layer-0 beam loop as
+    * [[Ann.beamServeFrom]] (fresh-neighbor fixpoint, beam recomputed
+    * from ALL visited), the same left-to-right double dot and HALF_UP
+    * 6-decimal rounding — so HnswDistSpec can pin bit-equality between
+    * the distributed and driver-side answers. No Spark calls inside:
+    * safe on executors. */
+  private[graft] def serveLocal(img: IndexImage, queryId: Long,
+      ef: Int = 16, k: Int = 10, hopCap: Int = 32,
+      width: Int = 4): Seq[(Long, Double)] = {
+    val q = img.vecs.getOrElse(queryId, (Array.empty[Float], 0.0))
+    // a query id with no corpus vector serves empty (a skipped row in
+    // a batch job), never a page of -1-scored noise
+    if (q._1.isEmpty || q._2 == 0) return Seq.empty
+    val memo = scala.collection.mutable.Map.empty[Long, Double]
+    def sc(id: Long): Double = memo.getOrElseUpdate(id, {
+      val (v, nrm) = img.vecs.getOrElse(id, (Array.empty[Float], 0.0))
+      if (v.isEmpty || nrm == 0 || q._2 == 0) -1.0
+      else {
+        var s = 0.0
+        var i = 0
+        val n = math.min(v.length, q._1.length)
+        while (i < n) { s += v(i).toDouble * q._1(i).toDouble; i += 1 }
+        BigDecimal(s / (nrm * q._2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    })
+    def top(ids: Iterable[Long]): Seq[Long] = ids.toSeq.distinct
+      .filter(_ != queryId)
+      .sortBy(id => (-sc(id), id)).take(width)
+    def nbrs(l: Int, id: Long): Array[Long] =
+      img.adj.getOrElse(l, Map.empty).getOrElse(id, Array.empty)
+    var frontier: Seq[Long] =
+      top(if (img.topIds.nonEmpty) img.topIds.toSeq else Seq(img.entry))
+    var l = img.maxLevel
+    while (l >= 1) {
+      var moved = true
+      while (moved) {
+        val expanded = top(frontier ++ frontier.flatMap(nbrs(l, _)))
+        moved = expanded != frontier
+        frontier = expanded
+      }
+      l -= 1
+    }
+    val entries = if (frontier.nonEmpty) frontier else Seq(img.entry)
+    var visited: Map[Long, Double] =
+      entries.distinct.map(id => id -> sc(id)).toMap
+    var beam: Seq[Long] = entries.distinct
+    var hop = 0
+    var done = false
+    while (hop < hopCap && !done) {
+      val out = beam.flatMap(nbrs(0, _)).distinct
+      val fresh = out.filterNot(visited.contains)
+      if (fresh.isEmpty) done = true
+      else visited = visited ++ fresh.map(id => id -> sc(id))
+      beam = visited.toSeq.filter(_._1 != queryId)
+        .sortBy { case (id, s) => (-s, id) }.take(ef).map(_._1)
+      hop += 1
+    }
+    visited.toSeq.filter(_._1 != queryId)
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  /** DISTRIBUTED batch serving: broadcast the index image once, then
+    * `mapPartitions` over an arbitrarily large query table — each
+    * executor serves its query partition against its local image with
+    * zero per-query Spark round-trips. This is the 1000-executor
+    * serving shape: the query axis (the 100 TB axis — billions of
+    * lookups in a mining/dedup job) is embarrassingly parallel, the
+    * index axis is bounded by the image gate documented on
+    * [[IndexImage]]. The driver-side [[Searcher]] remains the
+    * low-latency single-query path; this is the throughput path. */
+  def serveDistributed(spark: SparkSession, dir: String, idx: HnswIndex,
+      queries: DataFrame, ef: Int = 16, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(imageOf(spark, dir, idx))
+    queries.select(col("query_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { qid =>
+          serveLocal(bc.value, qid, ef, k).zipWithIndex.map {
+            case ((id, s), i) => (qid, (i + 1).toLong, id, s)
+          }
+        }
+      }
+      .toDF("query_id", "rank", "vec_id", "score")
+  }
+
+  /** The distributed serve as a registry row: 16 queries over 4
+    * partitions, top-5 each — same output shape as [[qHnswBatch]]
+    * (whose driver-side answers HnswDistSpec pins it against). Golden
+    * oracle like every trained-graph serve. */
+  def qHnswServeDist(spark: SparkSession, dir: String): DataFrame = {
+    val qs = spark.range(16).toDF("query_id").repartition(4)
+    serveDistributed(spark, dir, indexFor(spark, dir), qs, ef = 16, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** COMPACT (reseal) the layered index — the graph lifecycle's
     * terminal step and [[Ann.resealWithTombstones]]'s twin: rebuild
     * the hierarchy over the LIVE corpus, i.e. the full table (the
@@ -520,7 +654,8 @@ object Hnsw {
     "q_hnsw_tombstone" -> (qHnswTombstone _),
     "q_hnsw_filtered" -> (qHnswFiltered _),
     "q_hnsw_batch" -> (qHnswBatch _),
-    "q_hnsw_compact" -> (qHnswCompact _)
+    "q_hnsw_compact" -> (qHnswCompact _),
+    "q_hnsw_dist" -> (qHnswServeDist _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -548,6 +683,10 @@ object Hnsw {
       s"""SELECT * FROM
          |read_parquet('$fixturesDir/hnsw_compact_sf0.01.parquet/*.parquet')
          |ORDER BY score DESC, vec_id""".stripMargin,
+    "q_hnsw_dist" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/hnsw_dist_sf0.01.parquet/*.parquet')
+         |ORDER BY query_id, rank""".stripMargin,
     "q_hnsw_levels" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),
         |cap AS (
