@@ -1144,6 +1144,59 @@ object ScaleProbe {
           s"hnsw_recall10=${f"$rHnsw%.2f"} " +
           s"hnsw_recall10_ef64=${f"$rHnsw64%.2f"}"
       },
+      time("hnsw_dist_serve") {
+        // The distributed HNSW serve's throughput claim, measured: one
+        // broadcast index image + mapPartitions over a 100×-larger
+        // query batch vs the driver-side searcher loop. Corpus =
+        // sign-flip replicas (distinct vectors, the graph_serve
+        // recipe); correctness gauge = the distributed rows for the
+        // driver's own queries must match it exactly (the HnswDistSpec
+        // equality, re-proven on the derived corpus at mult×).
+        import operators.Hnsw
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val nBase = emb.count()
+        emb.crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CASE WHEN rep = 0 THEN x " +
+              "WHEN pmod(hash(rep, i), 2) = 0 THEN x ELSE -x END)"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * nBase)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$work/hd/embeddings.parquet")
+        val gdir = s"$work/hd"
+        val n = spark.read.parquet(s"$gdir/embeddings.parquet").count()
+        val tb0 = System.nanoTime()
+        val idx = Hnsw.buildIndex(spark, gdir, s"$work/hd_idx")
+        val tBuild = (System.nanoTime() - tb0) / 1e9
+        val qDriver = (0L until 20L)
+        val searcher = new Hnsw.Searcher(spark, gdir, idx)
+        val (driverAns, tDrv) =
+          try {
+            val t0 = System.nanoTime()
+            val a = qDriver.map(q => q -> searcher.serve(q, ef = 16, k = 5))
+            (a.toMap, (System.nanoTime() - t0) / 1e9)
+          } finally searcher.close()
+        val nDist = 2000L
+        val t1 = System.nanoTime()
+        val dist = Hnsw.serveDistributed(spark, gdir, idx,
+          spark.range(nDist).toDF("query_id").repartition(32),
+          ef = 16, k = 5).persist()
+        val served = dist.select("query_id").distinct().count()
+        val tDist = (System.nanoTime() - t1) / 1e9
+        val eq = dist.filter(col("query_id") < 20)
+          .collect()
+          .groupBy(_.getLong(0))
+          .forall { case (q, rs) =>
+            rs.sortBy(_.getLong(1))
+              .map(r => (r.getLong(2), r.getDouble(3))).toSeq ==
+              driverAns(q)
+          }
+        dist.unpersist(false)
+        s"n=$n build=${f"$tBuild%.0f"}s " +
+          s"driver_qps=${f"${qDriver.size / tDrv}%.1f"} " +
+          s"dist_queries=$served dist_qps=${f"${served / tDist}%.1f"} " +
+          s"dist_equals_driver=$eq"
+      },
       time("pipeline_full") {
         // The composed curation lineage (quality → exact dedup →
         // decon → near-dup → sample → pack → shard) end to end at
