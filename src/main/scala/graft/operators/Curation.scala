@@ -1416,7 +1416,56 @@ object Curation {
       .select(col("h"), col("shard"))
   }
 
+  /** Target rows per training shard for [[qTrainOrder]] — the knob
+    * that makes per-shard windows BOUNDED by construction (shards =
+    * n/target, so each shard holds ~target rows however large the
+    * corpus). */
+  private[graft] val TrainOrderTarget = 64L
+
+  /** Seed baked into the shuffle key: reshuffling an epoch = a new
+    * seed, nothing else changes. */
+  private[graft] val TrainOrderSeed = 42L
+
+  /** TRAINING ORDER — the deterministic seeded global shuffle that
+    * sits between curation and the shard writer: every document gets
+    * a portable-hash shuffle key (`hash60(doc_id:ord<seed>)`), a
+    * shard (`key mod S`), and a position within its shard; the
+    * training stream is `(shard, pos)` lexicographic. Properties a
+    * training pipeline needs, by construction:
+    *
+    *   - REPRODUCIBLE and partitioning-independent: the key is a pure
+    *     function of (doc_id, seed) — any cluster, any input layout,
+    *     any retry produces the same order (CurationSpec pins
+    *     invariance under arbitrary repartition).
+    *   - INTERLEAVED: hashing mixes sources/domains uniformly into
+    *     every stretch of the stream, which is what per-domain
+    *     gradient balance actually requires — no explicit stratified
+    *     merge needed (the spec bounds each shard's source mix
+    *     against the corpus mix).
+    *   - SCALE-SAFE: S = n / [[TrainOrderTarget]] grows with the
+    *     corpus, so the per-shard `row_number` window is bounded at
+    *     ~target rows per shard regardless of corpus size — the
+    *     global-order window a naive ORDER BY + row_number would need
+    *     never exists. Writing shard files in `(shard, pos)` order IS
+    *     the shard writer's layout ([[qPackShards]]); a trainer reads
+    *     shards round-robin and gets the interleave for free.
+    */
+  def qTrainOrder(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val n = docs.count()
+    val shards = math.max(8L, n / TrainOrderTarget)
+    val w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    docs
+      .withColumn("shuffle_key", hash60Col(
+        concat(col("doc_id").cast("string"), lit(s":ord$TrainOrderSeed"))))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(shards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "source", "shuffle_key", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_train_order"   -> (qTrainOrder _),
     "q_bloom_index"   -> (qBloomIndex _),
     "q_shard_plan"    -> (qShardPlan _),
     "q_dist_drift"    -> (qDistDrift _),
@@ -1451,6 +1500,20 @@ object Curation {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "q_train_order" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT greatest(8, (SELECT n FROM nn) // $TrainOrderTarget) AS s),
+         |k AS (
+         |  SELECT doc_id, source,
+         |    ('0x'||substr(md5(doc_id::VARCHAR||':ord$TrainOrderSeed'),1,15))::BIGINT
+         |      AS shuffle_key
+         |  FROM documents)
+         |SELECT doc_id, source, shuffle_key,
+         |  shuffle_key % (SELECT s FROM s) AS shard,
+         |  row_number() OVER (
+         |    PARTITION BY shuffle_key % (SELECT s FROM s)
+         |    ORDER BY shuffle_key, doc_id)::BIGINT AS pos
+         |FROM k ORDER BY shard, pos""".stripMargin,
     "q_bloom_index" ->
       s"""WITH keys AS (
         |  SELECT DISTINCT doc_id % $BloomShards AS shard,

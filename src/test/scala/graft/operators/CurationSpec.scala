@@ -351,4 +351,43 @@ class CurationSpec extends SparkSpec {
     })
     p.unpersist()
   }
+
+  test("train order: a permutation of the corpus, bounded shards, " +
+      "sources interleaved, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val o = Curation.qTrainOrder(spark, sfDir).persist()
+    // permutation: every doc exactly once, (shard, pos) is a key and
+    // positions are dense 1..size within each shard
+    assert(o.count() === n)
+    assert(o.select("doc_id").distinct().count() === n)
+    val shardStats = o.groupBy("shard")
+      .agg(count(lit(1)).as("sz"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("dp"))
+      .collect()
+    shardStats.foreach { r =>
+      assert(r.getLong(4) === r.getLong(1) && r.getLong(2) === r.getLong(1)
+          && r.getLong(3) === 1L,
+        s"shard ${r.getLong(0)} positions not dense 1..size")
+      // shards are TrainOrderTarget-sized within a loose uniform band
+      assert(r.getLong(1) > Curation.TrainOrderTarget / 4 &&
+        r.getLong(1) < Curation.TrainOrderTarget * 4,
+        s"shard ${r.getLong(0)} size ${r.getLong(1)} far from target")
+    }
+    // interleave: each shard's dominant-source share stays within a
+    // loose band of the corpus share (hash mixing, not clustering)
+    val globalTop = docs.groupBy("source").count()
+      .orderBy(desc("count")).head.getLong(1).toDouble / n
+    val worst = o.groupBy("shard", "source").count()
+      .withColumn("tot", sum("count")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("shard")))
+      .withColumn("share", col("count") / col("tot"))
+      .agg(max("share")).head.getDouble(0)
+    assert(worst < math.min(1.0, globalTop * 3 + 0.2),
+      s"a shard is source-clustered: worst share $worst vs corpus $globalTop")
+    // determinism: the order is a pure function of (doc_id, seed)
+    val again = Curation.qTrainOrder(spark, sfDir)
+    assert(o.exceptAll(again).isEmpty && again.exceptAll(o).isEmpty)
+    o.unpersist()
+  }
 }
