@@ -1687,6 +1687,66 @@ object Ann {
           .cast("long").as("se"),
         col("sub"))
 
+  /** Truncation grid for [[qTruncRecall]]: prefix lengths in the
+    * eigen-ordered rotated basis. */
+  private[graft] val TruncDims = Seq(4, 8, 16, 32, 64)
+
+  /** TRUNCATED-DIMENSION retrieval eval — the adaptive-retrieval /
+    * matryoshka serving question (Kusupati et al. 2022) answered with
+    * the artifacts already trained: the OPQ rotation
+    * ([[qPqRotation]]) orders dimensions by variance
+    * (eigenvalue-descending), so the first d rotated components are
+    * the best d-dim linear summary of every vector — a PREFIX scan
+    * reads d/64 of the bytes. For each prefix length the serve is the
+    * house two-stage shape (integer-dot shortlist of 50 on the
+    * truncated components, exact-cosine rescore, top-10), and the row
+    * reports recall@10 against the exact top-10 beside the byte
+    * fraction the first pass read — the table that decides how short
+    * the first pass can afford to be. dims=64 doubles as a rotation
+    * sanity row: an orthonormal rotation preserves the geometry, so
+    * full-width recall must be ~1. Scale shape: each arm is one
+    * narrow scan of a d/64-pruned column slice + a 50-row rescore —
+    * the cheap end of the family's cost spectrum. */
+  def qTruncRecall(spark: SparkSession, dir: String): DataFrame = {
+    val rotated = Cache.getOrBuild(spark, "rotComponents", dir)(
+      pqComponentsRotated(spark, dir).select("vec_id", "d", "se"))
+    val qc = rotated.filter(col("vec_id") === 0)
+      .select(col("d"), col("se").as("qse"))
+    val e = Search.embNormed(spark, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val arms = TruncDims.map { dims =>
+      val short = rotated
+        .filter(col("vec_id") =!= 0 && col("d") < dims)
+        .join(broadcast(qc), "d")
+        .groupBy("vec_id")
+        .agg(sum(col("se") * col("qse")).as("adot"))
+        .orderBy(desc("adot"), col("vec_id"))
+        .limit(50)
+        .select("vec_id")
+      short.join(e, "vec_id")
+        .crossJoin(broadcast(qv))
+        .withColumn("score",
+          round(cosinePrenormed(dot(col("embedding"), col("qv")),
+            col("nrm"), col("qn")), 6))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), lit(dims.toLong).as("dims"))
+    }
+    // same session-scoped exact-top-10 the bake-off uses (shared key)
+    val exact = Cache.getOrBuild(spark, "top10_exact", dir)(
+      Search.qKnn(spark, dir).select(col("vec_id")))
+      .withColumn("hit", lit(1L))
+    arms.reduce(_ unionByName _)
+      .join(broadcast(exact), Seq("vec_id"), "left")
+      .groupBy("dims")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / 10, 6))
+      .withColumn("bytes_frac", round(col("dims").cast("double") / 64, 6))
+      .orderBy("dims")
+  }
+
   /** 1-bit sign signatures of every vector, packed into two 32-bit
     * halves (`sig_lo` = dims 0-31, `sig_hi` = dims 32-63) — the binary
     * quantization code (sign of each component; Charikar 2002's SimHash
@@ -2150,6 +2210,7 @@ object Ann {
     "q_ann_pq"        -> (qAnnPq _),
     "q_ann_sq8"       -> (qAnnSq8 _),
     "q_ann_recall"    -> (qAnnRecall _),
+    "q_trunc_recall"  -> (qTruncRecall _),
     "q_ivf_balance"   -> (qIvfBalance _),
     "q_label_stats"   -> (qLabelStats _),
     "q_emb_drift"     -> (qEmbDrift _),
@@ -2375,6 +2436,59 @@ object Ann {
         |  CASE WHEN (k // $SubSpaces) % 2 = 0 THEN k % $SubSpaces
         |       ELSE ${SubSpaces - 1} - k % $SubSpaces END AS sub
         |FROM y ORDER BY vec_id, k""".stripMargin,
+    "q_trunc_recall" ->
+      s"""WITH r AS (
+        |  SELECT k, d, r_micro FROM
+        |  read_parquet('$fixturesDir/pq_rotation_sf0.01.parquet/*.parquet')),
+        |sv3 AS (
+        |  SELECT vec_id, d,
+        |    CAST(round(embedding[d+1]::DOUBLE * 1000, 0) AS BIGINT) AS se
+        |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) g),
+        |y AS (
+        |  SELECT vec_id, k, sum(se * r_micro)::BIGINT AS y
+        |  FROM sv3 JOIN r USING (d) GROUP BY 1, 2),
+        |rc AS (
+        |  SELECT vec_id, k AS d,
+        |    (y - ((y % 1000) + 1000) % 1000) // 1000 AS se
+        |  FROM y),
+        |e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+        |dims(dims) AS (VALUES (4), (8), (16), (32), (64)),
+        |qc AS (SELECT d, se AS qse FROM rc WHERE vec_id = 0),
+        |adots AS (
+        |  SELECT dims, c.vec_id, sum(c.se * qse)::BIGINT AS adot
+        |  FROM rc c JOIN qc USING (d) CROSS JOIN dims
+        |  WHERE c.vec_id <> 0 AND c.d < dims
+        |  GROUP BY dims, c.vec_id),
+        |short AS (
+        |  SELECT dims, vec_id FROM (
+        |    SELECT dims, vec_id,
+        |      row_number() OVER (PARTITION BY dims
+        |        ORDER BY adot DESC, vec_id) AS rn
+        |    FROM adots) WHERE rn <= 50),
+        |resc AS (
+        |  SELECT dims, s.vec_id,
+        |    round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS score
+        |  FROM short s JOIN e ON e.vec_id = s.vec_id, q),
+        |top AS (
+        |  SELECT dims, vec_id FROM (
+        |    SELECT dims, vec_id,
+        |      row_number() OVER (PARTITION BY dims
+        |        ORDER BY score DESC, vec_id) AS rn
+        |    FROM resc) WHERE rn <= 10),
+        |exact10 AS (
+        |  SELECT e.vec_id, 1::BIGINT AS hit FROM e, q WHERE e.vec_id <> 0
+        |  ORDER BY round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) DESC,
+        |    e.vec_id LIMIT 10)
+        |SELECT dims::BIGINT AS dims, count(*) AS n_returned,
+        |  sum(coalesce(hit, 0))::BIGINT AS n_hits,
+        |  round(sum(coalesce(hit, 0))::DOUBLE / 10, 6) AS recall,
+        |  round(dims::DOUBLE / 64, 6) AS bytes_frac
+        |FROM top LEFT JOIN exact10 USING (vec_id)
+        |GROUP BY dims ORDER BY dims""".stripMargin,
     "q_pq_balance" ->
       s"""WITH x AS (
         |  SELECT vec_id, d,

@@ -73,4 +73,18 @@ class PqRotateSpec extends SparkSpec {
       .filter(col("c") =!= Ann.SubSpaces.toLong).count()
     assert(bad === 0)
   }
+
+  test("truncated retrieval: full-width rotated serve recovers the " +
+      "exact top-10, prefixes degrade gracefully") {
+    val rows = Ann.qTruncRecall(spark, goldDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet === Ann.TruncDims.map(_.toLong).toSet)
+    // an (approximately) orthonormal rotation preserves the ranking:
+    // the full 64-dim prefix is just the rotated exact serve
+    assert(rows(64L) >= 0.9,
+      s"full-width rotated recall ${rows(64L)} lost the exact top-10")
+    // more prefix can only help on average; pin the endpoints
+    assert(rows(64L) >= rows(4L),
+      "full-width recall below the 4-dim prefix's")
+  }
 }
