@@ -457,4 +457,24 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("MapGroups"), s"$q plans a MapGroups:\n$p")
     }
   }
+
+  test("q_train_order: the only window is shard-partitioned — the " +
+      "global-order window never exists") {
+    val p = planOf("q_train_order")
+    assert(p.contains("Window"), "expected the per-shard row_number")
+    assert(p.matches(
+      "(?s).*windowspecdefinition\\(shard#\\d+L, shuffle_key.*"),
+      s"the row_number window is not shard-partitioned:\n$p")
+    assert(!p.contains("windowspecdefinition(shuffle_key"),
+      s"a corpus-wide (shard-free) window appeared:\n$p")
+  }
+
+  test("q_trunc_recall: every prefix arm lowers its top-k to " +
+      "TakeOrderedAndProject — no corpus-wide rank window") {
+    val p = planOf("q_trunc_recall")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"prefix arms lost the TakeOrdered lowering:\n$p")
+    assert(!p.contains("Window"),
+      s"a rank window appeared in the truncation eval:\n$p")
+  }
 }
