@@ -233,6 +233,69 @@ object IndexPipeline {
       .limit(k)
   }
 
+  /** One ANN artifact per (session, store): chunk embeddings bridged
+    * to the HNSW builders (`vec_id = hash60(chunk id)` — sparse ids
+    * are fine, the builders are id-layout-free) plus the id map back;
+    * the image is the driver-cached serving handle. */
+  private val annIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, graft.operators.Hnsw.IndexImage)]()
+
+  private def annIndexFor(spark: SparkSession,
+      storePath: String): (String, graft.operators.Hnsw.IndexImage) =
+    annIndexes.computeIfAbsent(storePath, { p =>
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_store_ann").toString
+      val chunks = ChunkStore.read(spark, s"$p/chunks")
+        .select(Embedder.hash60Col(col("id")).as("vec_id"),
+          col("id"), col("embedding"))
+      chunks.select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+        .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+      chunks.select("vec_id", "id")
+        .write.mode("overwrite").parquet(s"$work/ids.parquet")
+      val idx = graft.operators.Hnsw.buildIndex(spark, work, s"$work/index")
+      (work, graft.operators.Hnsw.imageOf(spark, work, idx))
+    })
+
+  /** Q1 at index speed: ANN-backed semantic search over the chunk
+    * store — the analogue of the reference's HNSW index option on its
+    * DuckDB adapter (`duckdb-adapter.ts:358-412`, `CREATE INDEX …
+    * USING HNSW`), which the brute-force [[search]] deliberately
+    * skips. Build once per store (session-cached artifact: the
+    * layered graph over the embedding column + the id bridge), then
+    * serve each query through the broadcast-ready index image —
+    * descent+beam instead of the full scored scan. Same result shape
+    * as [[search]]; scores are exact rescored cosines of the visited
+    * pool, so ranking agrees with the scan on everything the beam
+    * reaches (PipelineSpec pins top-1 agreement and recall). At 100 TB
+    * the store-side analogue of [[graft.operators.Hnsw.serveDistributed]]
+    * applies unchanged — this entry point is the per-query latency
+    * path. */
+  def searchAnn(spark: SparkSession, storePath: String, query: String,
+      k: Int = 5, dim: Int = Embedder.DefaultDim,
+      provider: Option[EmbeddingProvider] = None): DataFrame = {
+    import spark.implicits._
+    val prov = provider.getOrElse(Embedder.withDim(dim))
+    val (work, img) = annIndexFor(spark, storePath)
+    val qd = prov.embed(query)
+    val qv = qd.map(_.toFloat)
+    var s = 0.0
+    var i = 0
+    while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
+    val qn = math.sqrt(s)
+    val hits = graft.operators.Hnsw
+      .serveVec(img, qv, qn, selfId = -1L, ef = math.max(32, 4 * k), k = k)
+    val hitDf = hits.toDF("vec_id", "score")
+    val ids = spark.read.parquet(s"$work/ids.parquet")
+    hitDf.join(ids, "vec_id")
+      .join(ChunkStore.read(spark, s"$storePath/chunks")
+        .select("id", "sourceId", "chunkIndex", "content", "sourceType"),
+        "id")
+      .select("id", "sourceId", "chunkIndex", "content", "score",
+        "sourceType")
+      .orderBy(desc("score"), col("id"))
+  }
+
   /** Largest prefix of `next` that is a suffix of `prev` (bounded by
     * `window`) — the reference's overlap heuristic (search.ts:203,290),
     * generalized to the actual window instead of a fixed 200. */

@@ -504,21 +504,31 @@ object Hnsw {
     // a query id with no corpus vector serves empty (a skipped row in
     // a batch job), never a page of -1-scored noise
     if (q._1.isEmpty || q._2 == 0) return Seq.empty
+    serveVec(img, q._1, q._2, queryId, ef, k, hopCap, width)
+  }
+
+  /** [[serveLocal]] for an EXTERNAL query vector (one not in the
+    * corpus — a freshly embedded search string): same descent+beam,
+    * `selfId` is the corpus id to exclude from results (-1 = none). */
+  private[graft] def serveVec(img: IndexImage, qv: Array[Float],
+      qn: Double, selfId: Long, ef: Int = 16, k: Int = 10,
+      hopCap: Int = 32, width: Int = 4): Seq[(Long, Double)] = {
+    if (qv.isEmpty || qn == 0) return Seq.empty
     val memo = scala.collection.mutable.Map.empty[Long, Double]
     def sc(id: Long): Double = memo.getOrElseUpdate(id, {
       val (v, nrm) = img.vecs.getOrElse(id, (Array.empty[Float], 0.0))
-      if (v.isEmpty || nrm == 0 || q._2 == 0) -1.0
+      if (v.isEmpty || nrm == 0) -1.0
       else {
         var s = 0.0
         var i = 0
-        val n = math.min(v.length, q._1.length)
-        while (i < n) { s += v(i).toDouble * q._1(i).toDouble; i += 1 }
-        BigDecimal(s / (nrm * q._2))
+        val n = math.min(v.length, qv.length)
+        while (i < n) { s += v(i).toDouble * qv(i).toDouble; i += 1 }
+        BigDecimal(s / (nrm * qn))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
     })
     def top(ids: Iterable[Long]): Seq[Long] = ids.toSeq.distinct
-      .filter(_ != queryId)
+      .filter(_ != selfId)
       .sortBy(id => (-sc(id), id)).take(width)
     def nbrs(l: Int, id: Long): Array[Long] =
       img.adj.getOrElse(l, Map.empty).getOrElse(id, Array.empty)
@@ -545,11 +555,11 @@ object Hnsw {
       val fresh = out.filterNot(visited.contains)
       if (fresh.isEmpty) done = true
       else visited = visited ++ fresh.map(id => id -> sc(id))
-      beam = visited.toSeq.filter(_._1 != queryId)
+      beam = visited.toSeq.filter(_._1 != selfId)
         .sortBy { case (id, s) => (-s, id) }.take(ef).map(_._1)
       hop += 1
     }
-    visited.toSeq.filter(_._1 != queryId)
+    visited.toSeq.filter(_._1 != selfId)
       .sortBy { case (id, s) => (-s, id) }.take(k)
   }
 

@@ -82,6 +82,37 @@ class PipelineSpec extends SparkSpec {
       .map(_.getString(0)).toSet === Set("code"))
   }
 
+  test("ANN-indexed search agrees with the brute-force scan on this " +
+      "store and is deterministic") {
+    indexed
+    val q = "zanzibar telescope aardvark"
+    val ann = IndexPipeline.searchAnn(spark, store, q, k = 3).collect()
+    assert(ann.length === 3)
+    // the templated store contains chunks with IDENTICAL embeddings
+    // (equal scores), and the two paths break those ties on different
+    // keys (chunk id vs hash60(vec_id)) — so agreement is pinned on
+    // SCORES: every ANN hit must score at least the brute-force 3rd
+    // hit (i.e. belong to a valid top-3 under ties)
+    val brute = IndexPipeline.search(spark, store, q, k = 10,
+      rerank = false).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Double]("score"))
+    val third = brute(2)._2
+    val bruteScore = brute.toMap
+    ann.foreach { r =>
+      val id = r.getAs[String]("id")
+      assert(bruteScore.contains(id), s"ANN returned $id not in brute top-10")
+      assert(bruteScore(id) >= third - 1e-6,
+        s"ANN hit $id scores ${bruteScore(id)} below the brute 3rd $third")
+    }
+    assert(bruteScore(ann.head.getAs[String]("id")) >= brute.head._2 - 1e-6,
+      "ANN top-1 is not a valid brute-force top-1 under ties")
+    // session-cached artifact ⇒ bit-identical repeat
+    val again = IndexPipeline.searchAnn(spark, store, q, k = 3).collect()
+    assert(ann.map(r => (r.getAs[String]("id"), r.getAs[Double]("score")))
+      .sameElements(again.map(r =>
+        (r.getAs[String]("id"), r.getAs[Double]("score")))))
+  }
+
   test("hybrid search blends keyword ratio into the score") {
     indexed
     val hits = IndexPipeline.hybridSearch(spark, store,
