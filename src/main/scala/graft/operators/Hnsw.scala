@@ -587,6 +587,31 @@ object Hnsw {
       .toDF("query_id", "rank", "vec_id", "score")
   }
 
+  /** [[serveDistributed]] for EXTERNAL query vectors — rows of
+    * `(query_id, qv)` instead of corpus ids; the broadcast is
+    * caller-held so a long-lived consumer (the streaming serve, a
+    * multi-batch job) pays the image ship exactly once. */
+  def serveVecsDistributed(spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[IndexImage],
+      queries: DataFrame, ef: Int = 16, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    queries.select(col("query_id").cast("long"),
+        col("qv").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (qid, qv) =>
+          var s = 0.0
+          var i = 0
+          while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
+          serveVec(bc.value, qv, math.sqrt(s), selfId = -1L, ef, k)
+            .zipWithIndex.map {
+              case ((id, sc), r) => (qid, (r + 1).toLong, id, sc)
+            }
+        }
+      }
+      .toDF("query_id", "rank", "vec_id", "score")
+  }
+
   /** The distributed serve as a registry row: 16 queries over 4
     * partitions, top-5 each — same output shape as [[qHnswBatch]]
     * (whose driver-side answers HnswDistSpec pins it against). Golden

@@ -58,4 +58,30 @@ object StreamingServe {
       }
       .start()
   }
+
+  /** Graph-INDEXED streaming serve — [[serve]]'s throughput twin: the
+    * static side is the HNSW index image, broadcast ONCE when the
+    * stream starts (not per micro-batch), and each batch of query
+    * vectors fans out through the same executor-local descent+beam
+    * the offline [[graft.operators.Hnsw.serveDistributed]] path uses.
+    * Per-batch cost is queries × (descent + beam) with zero corpus
+    * scans — the serving tier a live query stream actually needs at
+    * 100 TB, where [[probeBatch]]'s exact full scan per micro-batch
+    * would be the bottleneck. Same result shape as [[probeBatch]];
+    * StreamingServeSpec pins the streamed rows identical to one
+    * batch invocation of the distributed serve over the same
+    * queries. */
+  def serveIndexed(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 5, ef: Int = 32)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    import graft.operators.Hnsw
+    val idx = Hnsw.indexFor(spark, dir)
+    val bc = spark.sparkContext.broadcast(Hnsw.imageOf(spark, dir, idx))
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(Hnsw.serveVecsDistributed(spark, bc, batch, ef, k), id)
+      }
+      .start()
+  }
 }

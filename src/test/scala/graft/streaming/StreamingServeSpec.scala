@@ -46,6 +46,42 @@ class StreamingServeSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("graph-indexed streaming serve == one batch distributed serve " +
+      "over the same query vectors, across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val qs = queryVecs(4)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingServe.serveIndexed(spark, sfDir,
+      stream.toDF().toDF("query_id", "qv"), k = 5) { (scored, _) =>
+      scored.collect().foreach(Results.add)
+    }
+    try {
+      stream.addData(qs.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(qs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = Results.drain()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(streamed.size === 4 * 5)
+    // one code path, two execution modes: the batch distributed serve
+    // over the same vectors must produce the same rows
+    val idx = graft.operators.Hnsw.indexFor(spark, sfDir)
+    val bc = spark.sparkContext.broadcast(
+      graft.operators.Hnsw.imageOf(spark, sfDir, idx))
+    val batch = graft.operators.Hnsw.serveVecsDistributed(spark, bc,
+      qs.toDF("query_id", "qv"), ef = 32, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(streamed === batch.toSeq,
+      "streamed graph serve diverged from the batch distributed serve")
+  }
+
   test("every streamed hit is a true cosine neighbor (≤ exact best)") {
     val spark2 = spark
     import spark2.implicits._
