@@ -275,6 +275,15 @@ object Hnsw {
   private val builtIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One materialized serving image per (session, corpus) — the
+    * driver-held handle [[qHnswBatch]] serves from. */
+  private val images =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexImage]()
+
+  private[graft] def imageFor(spark: SparkSession, dir: String): IndexImage =
+    images.computeIfAbsent(dir,
+      { d => imageOf(spark, d, indexFor(spark, d)) })
+
   private[graft] def indexFor(spark: SparkSession, dir: String): HnswIndex = {
     val path = builtIndexes.computeIfAbsent(dir, { d =>
       val p = java.nio.file.Files
@@ -430,25 +439,28 @@ object Hnsw {
       .limit(10)
   }
 
-  /** Batched HNSW serving — [[Ann.qAnnIvfBatch]]'s graph twin, and the
-    * [[Searcher]]'s design contract made a registry row: construct
-    * ONCE (edges persisted, upper layers cached, vectors memoized
-    * across queries — the memo is shared, so a neighborhood two
-    * queries both touch is fetched once), then serve the whole query
-    * batch against it. Per-query cost after the first is descent +
-    * beam only; the 8-query batch amortizes exactly the way a real
-    * serving tier holds one index handle per executor. Top-5 per
-    * query, `(query_id, rank, vec_id, score)` — the batch-serve shape
-    * every ANN family here shares. */
+  /** Batched HNSW serving — [[Ann.qAnnIvfBatch]]'s graph twin:
+    * construct the serving handle ONCE, then answer the whole query
+    * batch against it, exactly the way a real serving tier holds one
+    * index handle per node. The handle here is the materialized
+    * [[IndexImage]] served driver-locally ([[serveLocal]] — pinned
+    * bit-identical to the Spark-backed [[Searcher]] by HnswDistSpec),
+    * so per-query cost is pure descent+beam with ZERO Spark
+    * round-trips — the [[Searcher]]'s per-hop point-lookup jobs made
+    * an 8-query batch cost ~10 s of job-scheduling overhead at the
+    * sf0.1 bench before this (the latency path is fine for ONE query;
+    * a batch should ride the image). Top-5 per query,
+    * `(query_id, rank, vec_id, score)` — the batch-serve shape every
+    * ANN family here shares; [[qHnswServeDist]] is the same serve
+    * fanned out over executors when the batch is itself large. */
   def qHnswBatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val s = new Searcher(spark, dir, indexFor(spark, dir))
-    val rows =
-      try (0L until 8L).flatMap { qid =>
-        s.serve(qid, ef = 16, k = 5).zipWithIndex.map {
-          case ((id, score), i) => (qid, (i + 1).toLong, id, score)
-        }
-      } finally s.close()
+    val img = imageFor(spark, dir)
+    val rows = (0L until 8L).flatMap { qid =>
+      serveLocal(img, qid, ef = 16, k = 5).zipWithIndex.map {
+        case ((id, score), i) => (qid, (i + 1).toLong, id, score)
+      }
+    }
     rows.toDF("query_id", "rank", "vec_id", "score")
       .orderBy("query_id", "rank")
   }
