@@ -1197,6 +1197,76 @@ object ScaleProbe {
           s"dist_queries=$served dist_qps=${f"${served / tDist}%.1f"} " +
           s"dist_equals_driver=$eq"
       },
+      time("hnsw_sharded") {
+        // The PARTITIONED-index serve (Hnsw.serveShardedDistributed)
+        // at mult×: segment count derived from a 1 MiB planted
+        // serving-node budget (NOT pinned — S grows with the corpus:
+        // ~3 at 10×, ~12 at 50×), so the probe exercises the gate the
+        // IndexImage doc promises. Gauges: recall@10 vs exact brute
+        // force for the sharded serve AND for the monolithic single
+        // image (the merge must not lose recall — each segment's graph
+        // is searched independently, so sharded recall should hold or
+        // beat), plus build/serve walls for both layouts.
+        import operators.{Hnsw, Search}
+        import graft.functions.VectorFunctions.{cosinePrenormed, dot}
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val nBase = emb.count()
+        emb.crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CASE WHEN rep = 0 THEN x " +
+              "WHEN pmod(hash(rep, i), 2) = 0 THEN x ELSE -x END)"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * nBase)
+          .drop("rep")
+          .write.mode("overwrite").parquet(s"$work/hs/embeddings.parquet")
+        val gdir = s"$work/hs"
+        val n = spark.read.parquet(s"$gdir/embeddings.parquet").count()
+        val budget = 1L << 20
+        val s = Hnsw.shardCountFor(n, 64, budget)
+        val qids = (0L until 40L)
+        val e = Search.embNormed(spark, gdir)
+        val qv = e.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("qid"),
+            col("embedding").as("qv"), col("nrm").as("qn"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(desc("score"), col("vec_id"))
+        val exact: Map[Long, Set[Long]] = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("score", round(
+            cosinePrenormed(dot(col("embedding"), col("qv")),
+              col("nrm"), col("qn")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("qid", "vec_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        // sharded: S segment builds + images + scatter-gather serve
+        val ts0 = System.nanoTime()
+        val shardAns = Hnsw.serveShardedDistributed(spark, gdir,
+          spark.range(40).toDF("query_id"), shards = s, ef = 16, k = 10)
+          .collect()
+        val tShard = (System.nanoTime() - ts0) / 1e9
+        val rShard = {
+          val byQ = shardAns.groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+          qids.map(q => byQ.getOrElse(q, Set.empty[Long])
+            .count(exact(q).contains) / 10.0).sum / qids.size
+        }
+        // monolithic: one full-corpus image, same queries
+        val tm0 = System.nanoTime()
+        val mono = Hnsw.imageFor(spark, gdir)
+        val monoAns = qids.map(q =>
+          q -> Hnsw.serveLocal(mono, q, ef = 16, k = 10).map(_._1).toSet)
+          .toMap
+        val tMono = (System.nanoTime() - tm0) / 1e9
+        val rMono = qids.map(q =>
+          monoAns(q).count(exact(q).contains) / 10.0).sum / qids.size
+        s"n=$n budget=1MiB shards=$s " +
+          s"shard_recall10=${f"$rShard%.2f"} " +
+          s"mono_recall10=${f"$rMono%.2f"} " +
+          s"shard_wall=${f"$tShard%.0f"}s mono_wall=${f"$tMono%.0f"}s " +
+          "(both walls include their index build+image)"
+      },
       time("pipeline_full") {
         // The composed curation lineage (quality → exact dedup →
         // decon → near-dup → sample → pack → shard) end to end at

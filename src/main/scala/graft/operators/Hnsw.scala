@@ -284,6 +284,13 @@ object Hnsw {
     images.computeIfAbsent(dir,
       { d => imageOf(spark, d, indexFor(spark, d)) })
 
+  /** [[imageFor]] over an ALREADY-BUILT index (compaction output and
+    * other artifacts that carry their index beside the corpus) — same
+    * cache, no redundant rebuild. */
+  private[graft] def imageFor(spark: SparkSession, dir: String,
+      idx: HnswIndex): IndexImage =
+    images.computeIfAbsent(dir, { d => imageOf(spark, d, idx) })
+
   private[graft] def indexFor(spark: SparkSession, dir: String): HnswIndex = {
     val path = builtIndexes.computeIfAbsent(dir, { d =>
       val p = java.nio.file.Files
@@ -300,13 +307,17 @@ object Hnsw {
     * trained graphs + an adaptive descent), so like the tokenizer
     * trainers the oracle is the committed golden table; the serve's
     * SEMANTIC quality is pinned independently by HnswSpec (recall
-    * vs brute force ≥ 0.8 where the flat serve reads 0.08). */
+    * vs brute force ≥ 0.8 where the flat serve reads 0.08). Serves
+    * from the session-cached [[IndexImage]] ([[serveLocal]], pinned
+    * bit-identical to the [[Searcher]] by HnswDistSpec) — the
+    * Searcher's per-hop point-lookup jobs are the LATENCY path for a
+    * cold single query; a registry/bench invocation is a warm
+    * serving-tier call and rides the image like [[qHnswBatch]]. */
   def qHnswSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val s = new Searcher(spark, dir, indexFor(spark, dir))
-    try s.serve(0L, ef = 16).toDF("vec_id", "score")
+    serveLocal(imageFor(spark, dir), 0L, ef = 16)
+      .toDF("vec_id", "score")
       .orderBy(desc("score"), col("vec_id"))
-    finally s.close()
   }
 
   /** One sealed-segment corpus per (session, source dir): the ids
@@ -379,11 +390,10 @@ object Hnsw {
     val sealedDir = sealedDirFor(spark, dir)
     val exclude: Set[Long] = tombstones.fold(Set.empty[Long])(
       _.as[Long].collect().toSet)
-    val s = new Searcher(spark, sealedDir, indexFor(spark, sealedDir))
     val sealedArm =
-      try s.serve(0L, ef = 16, exclude = exclude).toDF("vec_id", "score")
+      serveLocal(imageFor(spark, sealedDir), 0L, ef = 16,
+        exclude = exclude).toDF("vec_id", "score")
         .select(col("vec_id"), lit("indexed").as("segment"), col("score"))
-      finally s.close()
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("nrm").as("qn"))
     val deltaLive = tombstones.foldLeft(
@@ -424,12 +434,11 @@ object Hnsw {
       sum(when(col("label") === 3, 1L).otherwise(0L)).cast("double")
         / count(lit(1))).head.getDouble(0)
     val pool = math.max(64, math.ceil(10 / math.max(sel, 1e-6) * 2).toInt)
-    val s = new Searcher(spark, dir, indexFor(spark, dir))
     // k = pool: return the whole widened visited-top so the filter
     // has a pool to cut from, not a pre-cut top-10
     val poolDf =
-      try s.serve(0L, ef = 64, k = pool).toDF("vec_id", "score")
-      finally s.close()
+      serveLocal(imageFor(spark, dir), 0L, ef = 64, k = pool)
+        .toDF("vec_id", "score")
     poolDf
       .join(Search.embNormed(spark, dir)
         .filter(col("label") === 3).select("vec_id", "label"), "vec_id")
@@ -511,20 +520,24 @@ object Hnsw {
     * safe on executors. */
   private[graft] def serveLocal(img: IndexImage, queryId: Long,
       ef: Int = 16, k: Int = 10, hopCap: Int = 32,
-      width: Int = 4): Seq[(Long, Double)] = {
+      width: Int = 4, exclude: Set[Long] = Set.empty): Seq[(Long, Double)] = {
     val q = img.vecs.getOrElse(queryId, (Array.empty[Float], 0.0))
     // a query id with no corpus vector serves empty (a skipped row in
     // a batch job), never a page of -1-scored noise
     if (q._1.isEmpty || q._2 == 0) return Seq.empty
-    serveVec(img, q._1, q._2, queryId, ef, k, hopCap, width)
+    serveVec(img, q._1, q._2, queryId, ef, k, hopCap, width, exclude)
   }
 
   /** [[serveLocal]] for an EXTERNAL query vector (one not in the
     * corpus — a freshly embedded search string): same descent+beam,
-    * `selfId` is the corpus id to exclude from results (-1 = none). */
+    * `selfId` is the corpus id to exclude from results (-1 = none).
+    * `exclude` follows [[Ann.beamServeFrom]]'s tombstone rule exactly:
+    * excluded ids stay NAVIGABLE (beam membership untouched) and are
+    * filtered from the REPORTED top-k only. */
   private[graft] def serveVec(img: IndexImage, qv: Array[Float],
       qn: Double, selfId: Long, ef: Int = 16, k: Int = 10,
-      hopCap: Int = 32, width: Int = 4): Seq[(Long, Double)] = {
+      hopCap: Int = 32, width: Int = 4,
+      exclude: Set[Long] = Set.empty): Seq[(Long, Double)] = {
     if (qv.isEmpty || qn == 0) return Seq.empty
     val memo = scala.collection.mutable.Map.empty[Long, Double]
     def sc(id: Long): Double = memo.getOrElseUpdate(id, {
@@ -571,7 +584,8 @@ object Hnsw {
         .sortBy { case (id, s) => (-s, id) }.take(ef).map(_._1)
       hop += 1
     }
-    visited.toSeq.filter(_._1 != selfId)
+    visited.toSeq
+      .filter { case (id, _) => id != selfId && !exclude.contains(id) }
       .sortBy { case (id, s) => (-s, id) }.take(k)
   }
 
@@ -688,11 +702,110 @@ object Hnsw {
   def qHnswCompact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (live, idx) = compactedFor(spark, dir)
-    val s = new Searcher(spark, live, idx)
-    try s.serve(0L, ef = 32).toDF("vec_id", "score")
+    serveLocal(imageFor(spark, live, idx), 0L, ef = 32)
+      .toDF("vec_id", "score")
       .orderBy(desc("score"), col("vec_id"))
-    finally s.close()
   }
+
+  /** Bytes of [[IndexImage]] per indexed vector at dimension `dim`:
+    * (2k+1)·8 adjacency (k out-edges symmetrized, plus the id) +
+    * 4·dim float payload — the budget formula the image Scaladoc
+    * quotes, held in one place so the shard math can't drift from it. */
+  private[graft] def imageBytesPerVec(dim: Int): Long =
+    (2L * IndexDegree + 1L) * 8L + 4L * dim
+
+  /** Corpus-derived segment count for a serving-node memory budget:
+    * the smallest S with N·bytesPerVec ≤ S·budget. This is the gate
+    * the [[IndexImage]] doc promises — a corpus whose image outgrows
+    * one node serves as per-segment images, never a bigger single
+    * image and never a pinned S. */
+  private[graft] def shardCountFor(n: Long, dim: Int,
+      budgetBytes: Long): Int = {
+    val total = n * imageBytesPerVec(dim)
+    math.max(1L, (total + budgetBytes - 1L) / budgetBytes).toInt
+  }
+
+  /** One sharded corpus layout per (session, source dir, S): shard i
+    * holds `vec_id ≡ i (mod S)` as its own embeddings table, so every
+    * id-layout-free builder (levels, NN-Descent, seed edges) runs over
+    * each segment unchanged — the sealed-dir discipline, S ways. */
+  private val shardLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private[graft] def shardDirsFor(spark: SparkSession, dir: String,
+      s: Int): Seq[String] =
+    shardLayouts.computeIfAbsent(s"$dir#$s", { _ =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_hnsw_shards").toString
+      val e = Tables.embeddings(spark, dir)
+      (0 until s).map { i =>
+        val p = s"$base/shard$i"
+        e.filter(pmod(col("vec_id"), lit(s.toLong)) === i.toLong)
+          .write.mode("overwrite").parquet(s"$p/embeddings.parquet")
+        p
+      }
+    })
+
+  /** SCATTER-GATHER serving over a PARTITIONED index — the path the
+    * [[IndexImage]] gate promises for a corpus whose image outgrows
+    * one serving node. Each of S segments carries its own layered
+    * index and image; a query fans out to ALL segments (per-segment
+    * descent+beam over the segment's own graph), and the per-segment
+    * answers — EXACT rescored cosines, the same HALF_UP 6-decimal
+    * score every serve here reports — merge in a k-bounded aggregate.
+    *
+    * The distribution shape is the honest one for indexes that exceed
+    * cluster-wide replication: each segment image ships to EXACTLY ONE
+    * task (`parallelize(images, S)` — never a broadcast of all S to
+    * every node, which would re-create the monolithic memory bill),
+    * the bounded query batch broadcasts once, and the gather is
+    * `groupBy(query_id)` + the bounded [[graft.functions.TopKAggregator]]
+    * udaf — k·S candidate rows per query into the shuffle, never a
+    * corpus-scale window. Merge order cannot affect the answer: the
+    * bounded buffer keeps the global k-best under the total
+    * (score desc, id asc) order, so the union of segment answers is
+    * commutative by construction. */
+  def serveShardedDistributed(spark: SparkSession, dir: String,
+      queries: DataFrame, shards: Int, ef: Int = 16,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val imgs = shardDirsFor(spark, dir, shards)
+      .map(d => imageFor(spark, d))
+    val qrows = Search.embNormed(spark, dir)
+      .join(queries.select(col("query_id").cast("long").as("vec_id")),
+        "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val qbc = spark.sparkContext.broadcast(qrows)
+    val cands = spark.sparkContext
+      .parallelize(imgs, math.max(imgs.size, 1))
+      .flatMap { img =>
+        qbc.value.iterator.flatMap { case (qid, qv, qn) =>
+          serveVec(img, qv, qn, selfId = qid, ef = ef, k = k).map {
+            case (id, sc) => (qid, id, sc)
+          }
+        }
+      }.toDF("query_id", "vec_id", "score")
+    cands.groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topKUdaf(k)(
+        col("vec_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("vec_id"), col("col._2").as("score"))
+  }
+
+  /** Sharded serving as a registry row: 8 queries over a PLANTED
+    * 4-segment layout (S=4 stands in for a corpus whose image exceeds
+    * one node — the planted-tombstone convention; production derives S
+    * from [[shardCountFor]]'s budget math, which HnswShardSpec pins),
+    * top-5 per query with the exact k-bounded merge. Golden oracle
+    * like every trained-graph serve; the spec pins segment-partition
+    * completeness, score exactness, and recall vs brute force. */
+  def qHnswSharded(spark: SparkSession, dir: String): DataFrame =
+    serveShardedDistributed(spark, dir,
+      spark.range(8).toDF("query_id"), shards = 4, ef = 16, k = 5)
+      .orderBy("query_id", "rank")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hnsw_levels" -> (qHnswLevels _),
@@ -702,7 +815,8 @@ object Hnsw {
     "q_hnsw_filtered" -> (qHnswFiltered _),
     "q_hnsw_batch" -> (qHnswBatch _),
     "q_hnsw_compact" -> (qHnswCompact _),
-    "q_hnsw_dist" -> (qHnswServeDist _)
+    "q_hnsw_dist" -> (qHnswServeDist _),
+    "q_hnsw_sharded" -> (qHnswSharded _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -733,6 +847,10 @@ object Hnsw {
     "q_hnsw_dist" ->
       s"""SELECT * FROM
          |read_parquet('$fixturesDir/hnsw_dist_sf0.01.parquet/*.parquet')
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_hnsw_sharded" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/hnsw_sharded_sf0.01.parquet/*.parquet')
          |ORDER BY query_id, rank""".stripMargin,
     "q_hnsw_levels" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),

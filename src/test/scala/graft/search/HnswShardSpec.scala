@@ -1,0 +1,132 @@
+package graft
+package search
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Hnsw, Search}
+
+/** The sharded (partitioned-index) HNSW serve
+  * ([[Hnsw.serveShardedDistributed]]): per-segment images + an exact
+  * k-bounded merge — the path the [[Hnsw.IndexImage]] gate promises
+  * for a corpus whose image outgrows one serving node. Pins the four
+  * load-bearing claims: the segment layout PARTITIONS the corpus, the
+  * segment count is BUDGET-DERIVED (never pinned), the merge is the
+  * exact global top-k of the segment answers (distributed ≡ a
+  * driver-side reference merge, scores exact), and recall vs brute
+  * force clears the family floor.
+  */
+class HnswShardSpec extends SparkSpec {
+
+  private val bigDir = "/root/testdata/sf0.01"
+  private val S = 4
+
+  test("shard layout partitions the corpus: disjoint, covering, " +
+      "residue-assigned") {
+    import spark.implicits._
+    val all = Search.embNormed(spark, bigDir)
+      .select("vec_id").as[Long].collect().toSet
+    val dirs = Hnsw.shardDirsFor(spark, bigDir, S)
+    assert(dirs.size === S)
+    val parts = dirs.zipWithIndex.map { case (d, i) =>
+      val ids = spark.read.parquet(s"$d/embeddings.parquet")
+        .select("vec_id").as[Long].collect().toSet
+      assert(ids.forall(id => (id % S + S) % S == i),
+        s"shard $i holds an id outside its residue class")
+      ids
+    }
+    assert(parts.map(_.size).sum === all.size, "shards overlap or drop rows")
+    assert(parts.reduce(_ ++ _) === all, "shard union must be the corpus")
+  }
+
+  test("shardCountFor: smallest S whose per-segment image fits the " +
+      "budget — derived, minimal, monotone") {
+    val bpv = Hnsw.imageBytesPerVec(64)
+    // a budget that swallows the whole corpus ⇒ one segment
+    assert(Hnsw.shardCountFor(1000L, 64, 1000L * bpv) === 1)
+    val n = 999983L
+    val budget = 1L << 22
+    val s = Hnsw.shardCountFor(n, 64, budget)
+    assert(s.toLong * budget >= n * bpv, "S segments must cover the image")
+    assert((s - 1).toLong * budget < n * bpv, "S must be minimal")
+    assert(Hnsw.shardCountFor(2 * n, 64, budget) >= s, "monotone in N")
+    // the sf0.01 corpus under a deliberately tiny budget actually shards
+    val nn = Search.embNormed(spark, bigDir).count()
+    assert(Hnsw.shardCountFor(nn, 64, 16L << 10) >= 2,
+      "the planted-budget story needs a corpus that genuinely shards")
+  }
+
+  test("sharded serve: distributed merge equals the driver-side " +
+      "reference merge, and every reported score is the exact cosine") {
+    val out = Hnsw.qHnswSharded(spark, bigDir).collect()
+    assert(out.map(_.getLong(0)).toSet === (0L until 8L).toSet)
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.length === 5)
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 5L))
+    }
+    // driver-side reference: serve each segment image locally, merge
+    // under the engine's total (score desc, id asc) order
+    val imgs = Hnsw.shardDirsFor(spark, bigDir, S)
+      .map(d => Hnsw.imageFor(spark, d))
+    val e = Search.embNormed(spark, bigDir)
+    val qvs = e.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    qvs.foreach { case (qid, qv, qn) =>
+      val ref = imgs
+        .flatMap(img => Hnsw.serveVec(img, qv, qn, selfId = qid,
+          ef = 16, k = 5))
+        .sortBy { case (id, sc) => (-sc, id) }.take(5)
+      val got = out.filter(_.getLong(0) == qid).sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      assert(got === ref,
+        s"query $qid: distributed sharded serve diverged from the " +
+          "driver-side merge")
+    }
+    // score exactness: each reported cosine matches a direct rescore
+    qvs.foreach { case (qid, qv, qn) =>
+      out.filter(_.getLong(0) == qid).foreach { r =>
+        val (v, nrm) = e.filter(col("vec_id") === r.getLong(2))
+          .select("embedding", "nrm").collect().headOption
+          .map(x => (x.getSeq[Float](0).toArray, x.getDouble(1)))
+          .getOrElse(fail(s"reported id ${r.getLong(2)} not in corpus"))
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i).toDouble * qv(i).toDouble; i += 1 }
+        val exact = BigDecimal(s / (nrm * qn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(3) === exact,
+          s"query $qid id ${r.getLong(2)}: merged score is not the " +
+            "exact rescored cosine")
+      }
+    }
+  }
+
+  test("sharded serve recall@5 vs brute force clears the family floor") {
+    val e = Search.embNormed(spark, bigDir)
+    val qv = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+    val exact = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", round(
+        graft.functions.VectorFunctions.cosinePrenormed(
+          graft.functions.VectorFunctions.dot(
+            col("embedding"), col("qv")), col("nrm"), col("qn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val got = Hnsw.qHnswSharded(spark, bigDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = (0L until 8L).map(q =>
+      got(q).count(exact(q).contains) / 5.0)
+    val recall = recalls.sum / recalls.size
+    info(f"sharded_recall5=$recall%.2f")
+    assert(recall >= 0.8,
+      s"sharded recall@5 $recall below the family floor")
+  }
+}
