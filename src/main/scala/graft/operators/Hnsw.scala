@@ -737,11 +737,26 @@ object Hnsw {
     shardLayouts.computeIfAbsent(s"$dir#$s", { _ =>
       val base = java.nio.file.Files
         .createTempDirectory("graft_hnsw_shards").toString
-      val e = Tables.embeddings(spark, dir)
+      // ONE pass over the corpus: the partitioned write fans every
+      // row to its residue-class directory inside the same scan —
+      // never S filter-scans of the (100 TB) embeddings table. The
+      // per-shard corpus dirs are then driver-side directory renames
+      // of the partition dirs, zero data movement.
+      Tables.embeddings(spark, dir)
+        .withColumn("shard", pmod(col("vec_id"), lit(s.toLong)))
+        .write.partitionBy("shard").mode("overwrite")
+        .parquet(s"$base/all")
       (0 until s).map { i =>
         val p = s"$base/shard$i"
-        e.filter(pmod(col("vec_id"), lit(s.toLong)) === i.toLong)
-          .write.mode("overwrite").parquet(s"$p/embeddings.parquet")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(p))
+        val part = java.nio.file.Paths.get(s"$base/all", s"shard=$i")
+        if (java.nio.file.Files.exists(part))
+          java.nio.file.Files.move(part,
+            java.nio.file.Paths.get(p, "embeddings.parquet"))
+        else // an empty residue class still needs a readable table
+          Tables.embeddings(spark, dir).filter(lit(false))
+            .write.parquet(s"$p/embeddings.parquet")
         p
       }
     })
@@ -767,7 +782,7 @@ object Hnsw {
     * commutative by construction. */
   def serveShardedDistributed(spark: SparkSession, dir: String,
       queries: DataFrame, shards: Int, ef: Int = 16,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, exclude: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
     val imgs = shardDirsFor(spark, dir, shards)
       .map(d => imageFor(spark, d))
@@ -778,11 +793,17 @@ object Hnsw {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
     val qbc = spark.sparkContext.broadcast(qrows)
+    // tombstones follow the family rule ([[serveVec]]'s exclude):
+    // navigable inside every segment's beam, filtered from each
+    // segment's REPORT — so the k-bounded gather below merges only
+    // live candidates and k live answers survive per query (each
+    // segment already backfills its own top-k past the exclusions)
     val cands = spark.sparkContext
       .parallelize(imgs, math.max(imgs.size, 1))
       .flatMap { img =>
         qbc.value.iterator.flatMap { case (qid, qv, qn) =>
-          serveVec(img, qv, qn, selfId = qid, ef = ef, k = k).map {
+          serveVec(img, qv, qn, selfId = qid, ef = ef, k = k,
+            exclude = exclude).map {
             case (id, sc) => (qid, id, sc)
           }
         }

@@ -101,6 +101,40 @@ class HnswShardSpec extends SparkSpec {
     }
   }
 
+  test("tombstoned sharded serve: excluded ids navigate but are never " +
+      "reported, live answers backfill to k, merge stays exact") {
+    val out = Hnsw.qHnswSharded(spark, bigDir).collect()
+    // tombstone, per query, its own top-1 — the id whose removal must
+    // visibly change the answer if exclusion works at all
+    val dead: Set[Long] = out.filter(_.getLong(1) == 1L)
+      .map(_.getLong(2)).toSet
+    val t = Hnsw.serveShardedDistributed(spark, bigDir,
+      spark.range(8).toDF("query_id"), shards = S, ef = 16, k = 5,
+      exclude = dead).collect()
+    assert(t.forall(r => !dead.contains(r.getLong(2))),
+      "a tombstoned id was reported")
+    t.groupBy(_.getLong(0)).values.foreach(rs =>
+      assert(rs.length === 5, "exclusion must backfill, not shrink k"))
+    // exactness: ≡ the driver-side reference merge under the same rule
+    val imgs = Hnsw.shardDirsFor(spark, bigDir, S)
+      .map(d => Hnsw.imageFor(spark, d))
+    val e = Search.embNormed(spark, bigDir)
+    e.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .foreach { case (qid, qv, qn) =>
+        val ref = imgs
+          .flatMap(img => Hnsw.serveVec(img, qv, qn, selfId = qid,
+            ef = 16, k = 5, exclude = dead))
+          .sortBy { case (id, sc) => (-sc, id) }.take(5)
+        val got = t.filter(_.getLong(0) == qid).sortBy(_.getLong(1))
+          .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+        assert(got === ref,
+          s"query $qid: tombstoned sharded serve diverged from the " +
+            "driver-side merge")
+      }
+  }
+
   test("sharded serve recall@5 vs brute force clears the family floor") {
     val e = Search.embNormed(spark, bigDir)
     val qv = e.filter(col("vec_id") < 8)
