@@ -327,7 +327,7 @@ object Hnsw {
   private val sealedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def sealedDirFor(spark: SparkSession, dir: String): String =
+  private[graft] def sealedDirFor(spark: SparkSession, dir: String): String =
     sealedDirs.computeIfAbsent(dir, { d =>
       val p = java.nio.file.Files
         .createTempDirectory("graft_hnsw_sealed").toString
@@ -782,11 +782,23 @@ object Hnsw {
     * commutative by construction. */
   def serveShardedDistributed(spark: SparkSession, dir: String,
       queries: DataFrame, shards: Int, ef: Int = 16,
-      k: Int = 10, exclude: Set[Long] = Set.empty): DataFrame = {
+      k: Int = 10, exclude: Set[Long] = Set.empty): DataFrame =
+    shardedGather(spark, k,
+      shardedCands(spark, dir, dir, queries, shards, ef, k, exclude))
+
+  /** The scatter half: per-segment beam answers as raw
+    * `(query_id, vec_id, score)` candidate rows. `corpusDir` is the
+    * corpus the S segment indexes cover; `queryDir` is where the query
+    * VECTORS live — they differ in the sealed+delta composition, where
+    * a freshly-ingested (unsealed) vector still queries the sealed
+    * segments. */
+  private def shardedCands(spark: SparkSession, corpusDir: String,
+      queryDir: String, queries: DataFrame, shards: Int, ef: Int,
+      k: Int, exclude: Set[Long]): DataFrame = {
     import spark.implicits._
-    val imgs = shardDirsFor(spark, dir, shards)
+    val imgs = shardDirsFor(spark, corpusDir, shards)
       .map(d => imageFor(spark, d))
-    val qrows = Search.embNormed(spark, dir)
+    val qrows = Search.embNormed(spark, queryDir)
       .join(queries.select(col("query_id").cast("long").as("vec_id")),
         "vec_id")
       .select(col("vec_id"), col("embedding"), col("nrm"))
@@ -795,10 +807,10 @@ object Hnsw {
     val qbc = spark.sparkContext.broadcast(qrows)
     // tombstones follow the family rule ([[serveVec]]'s exclude):
     // navigable inside every segment's beam, filtered from each
-    // segment's REPORT — so the k-bounded gather below merges only
-    // live candidates and k live answers survive per query (each
-    // segment already backfills its own top-k past the exclusions)
-    val cands = spark.sparkContext
+    // segment's REPORT — so the k-bounded gather merges only live
+    // candidates and k live answers survive per query (each segment
+    // already backfills its own top-k past the exclusions)
+    spark.sparkContext
       .parallelize(imgs, math.max(imgs.size, 1))
       .flatMap { img =>
         qbc.value.iterator.flatMap { case (qid, qv, qn) =>
@@ -808,12 +820,58 @@ object Hnsw {
           }
         }
       }.toDF("query_id", "vec_id", "score")
+  }
+
+  /** The gather half: one bounded TopK aggregate over candidate rows
+    * — k·(arms) rows per query into the shuffle, never a corpus-scale
+    * window; commutative, so arms union freely before it. */
+  private def shardedGather(spark: SparkSession, k: Int,
+      cands: DataFrame): DataFrame =
     cands.groupBy("query_id")
       .agg(graft.functions.TopKAggregator.topKUdaf(k)(
         col("vec_id"), col("score")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col._1").as("vec_id"), col("col._2").as("score"))
+
+  /** The full lifecycle on the PARTITIONED regime — sealed+delta (and
+    * tombstones) composed with the sharded serve, completing the
+    * matrix whose monolithic row is [[qHnswDelta]]/[[qHnswTombstone]]:
+    * the SEALED corpus (ids below [[Ann.deltaCutoff]]'s boundary)
+    * serves through S budget-derived segment images; vectors that
+    * arrived since form the unindexed delta, brute-force-scanned
+    * EXACTLY (bounded by ingest rate between reseals, not corpus
+    * size) with the same rounded-cosine score; both arms' candidates
+    * union into ONE k-bounded gather, so a delta member of the true
+    * top-k can never be displaced. Tombstones apply the family rule
+    * on both arms: navigable in every segment's beam, anti-joined
+    * from the delta scan, never reported. */
+  def serveShardedDelta(spark: SparkSession, dir: String,
+      queries: DataFrame, shards: Int, ef: Int = 16, k: Int = 10,
+      tombstones: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val e = Search.embNormed(spark, dir)
+    val cut = Ann.deltaCutoff(e)
+    val sealedDir = sealedDirFor(spark, dir)
+    val exclude: Set[Long] = tombstones.fold(Set.empty[Long])(
+      _.as[Long].collect().toSet)
+    val sealedCands = shardedCands(spark, sealedDir, dir, queries,
+      shards, ef, k, exclude)
+    val qv = e.join(queries.select(
+        col("query_id").cast("long").as("vec_id")), "vec_id")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val deltaLive = tombstones.foldLeft(
+      e.crossJoin(broadcast(cut)).filter(col("vec_id") >= col("cutoff")))(
+      (d, t) => d.join(t, Seq("vec_id"), "left_anti"))
+    val deltaCands = deltaLive
+      .crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6))
+      .select("query_id", "vec_id", "score")
+    shardedGather(spark, k, sealedCands.unionByName(deltaCands))
   }
 
   /** Sharded serving as a registry row: 8 queries over a PLANTED

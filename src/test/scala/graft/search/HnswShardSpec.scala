@@ -135,6 +135,74 @@ class HnswShardSpec extends SparkSpec {
       }
   }
 
+  test("sealed+delta sharded serve: one k-bounded gather over both " +
+      "arms equals the driver-side reference, delta winners never " +
+      "displaced, tombstones honored on both arms") {
+    import graft.operators.Ann
+    val e = Search.embNormed(spark, bigDir)
+    val cutoff = Ann.deltaCutoff(e).collect().head.getAs[Long]("cutoff")
+    // queries from BOTH regimes: sealed ids and freshly-ingested
+    // (unsealed) ids — a delta vector must be able to query the index
+    val deltaIds = e.filter(col("vec_id") >= cutoff)
+      .select("vec_id").orderBy("vec_id").limit(4)
+      .collect().map(_.getLong(0))
+    assert(deltaIds.length === 4, "corpus must have a delta tail")
+    val qids = Seq(0L, 1L, 2L, 3L) ++ deltaIds
+    val queries = spark.createDataFrame(
+      qids.map(Tuple1(_))).toDF("query_id")
+    val got = Hnsw.serveShardedDelta(spark, bigDir, queries,
+      shards = S, ef = 16, k = 5).collect()
+    assert(got.map(_.getLong(0)).toSet === qids.toSet)
+    got.groupBy(_.getLong(0)).values.foreach(rs =>
+      assert(rs.length === 5))
+    // driver-side reference: per-sealed-segment beams + the EXACT
+    // delta scan, merged under the engine's (score desc, id asc) order
+    val sealedDir = Hnsw.sealedDirFor(spark, bigDir)
+    val imgs = Hnsw.shardDirsFor(spark, sealedDir, S)
+      .map(d => Hnsw.imageFor(spark, d))
+    val deltaRows = e.filter(col("vec_id") >= cutoff)
+      .select("vec_id", "embedding", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val qvs = e.filter(col("vec_id").isin(qids: _*))
+      .select("vec_id", "embedding", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def cos(v: Array[Float], vn: Double, qv: Array[Float],
+        qn: Double): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * qv(i).toDouble; i += 1 }
+      BigDecimal(s / (vn * qn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var deltaContributed = 0
+    qvs.foreach { case (qid, qv, qn) =>
+      val sealedRef = imgs.flatMap(img =>
+        Hnsw.serveVec(img, qv, qn, selfId = qid, ef = 16, k = 5))
+      val deltaRef = deltaRows.filter(_._1 != qid)
+        .map { case (id, v, vn) => (id, cos(v, vn, qv, qn)) }
+      val ref = (sealedRef ++ deltaRef)
+        .sortBy { case (id, sc) => (-sc, id) }.take(5)
+      val gotQ = got.filter(_.getLong(0) == qid).sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      assert(gotQ === ref,
+        s"query $qid: sealed+delta sharded serve diverged from the " +
+          "driver-side merge")
+      deltaContributed += ref.count(_._1 >= cutoff)
+    }
+    assert(deltaContributed > 0,
+      "test corpus never put a delta id in a top-5 — the delta arm " +
+        "went unexercised; widen the query set")
+    // tombstones: kill each query's top-1; both arms must honor it
+    val dead = got.filter(_.getLong(1) == 1L).map(_.getLong(2)).toSet
+    val t = Hnsw.serveShardedDelta(spark, bigDir, queries,
+      shards = S, ef = 16, k = 5,
+      tombstones = Some(spark.createDataFrame(
+        dead.toSeq.map(Tuple1(_))).toDF("vec_id"))).collect()
+    assert(t.forall(r => !dead.contains(r.getLong(2))),
+      "a tombstoned id was reported by the sealed+delta serve")
+    t.groupBy(_.getLong(0)).values.foreach(rs =>
+      assert(rs.length === 5, "tombstoning must backfill, not shrink k"))
+  }
+
   test("sharded serve recall@5 vs brute force clears the family floor") {
     val e = Search.embNormed(spark, bigDir)
     val qv = e.filter(col("vec_id") < 8)
