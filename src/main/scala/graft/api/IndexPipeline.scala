@@ -233,19 +233,24 @@ object IndexPipeline {
       .limit(k)
   }
 
-  /** One ANN artifact per (session, store): chunk embeddings bridged
-    * to the HNSW builders (`vec_id = hash60(chunk id)` — sparse ids
-    * are fine, the builders are id-layout-free) plus the id map back;
-    * the image is the driver-cached serving handle. */
+  /** One ANN artifact per (session, store, budget): chunk embeddings
+    * bridged to the HNSW builders (`vec_id = hash60(chunk id)` —
+    * sparse ids are fine, the builders are id-layout-free) plus the
+    * id map back. The serving REGIME is budget-derived, never a
+    * caller choice: [[graft.operators.Hnsw.shardCountFor]] over the
+    * store's actual row count and embedding width decides — one
+    * image while it fits the node budget (the replicated/latency
+    * regime), S per-segment images past it (the partitioned regime,
+    * merged under the engine's exact k-bounded order). */
   private val annIndexes = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, graft.operators.Hnsw.IndexImage)]()
+    String, (String, Seq[graft.operators.Hnsw.IndexImage])]()
 
-  private def annIndexFor(spark: SparkSession,
-      storePath: String): (String, graft.operators.Hnsw.IndexImage) =
-    annIndexes.computeIfAbsent(storePath, { p =>
+  private def annIndexFor(spark: SparkSession, storePath: String,
+      nodeBudgetBytes: Long): (String, Seq[graft.operators.Hnsw.IndexImage]) =
+    annIndexes.computeIfAbsent(s"$storePath#$nodeBudgetBytes", { _ =>
       val work = java.nio.file.Files
         .createTempDirectory("graft_store_ann").toString
-      val chunks = ChunkStore.read(spark, s"$p/chunks")
+      val chunks = ChunkStore.read(spark, s"$storePath/chunks")
         .select(Embedder.hash60Col(col("id")).as("vec_id"),
           col("id"), col("embedding"))
       chunks.select(col("vec_id"),
@@ -253,8 +258,18 @@ object IndexPipeline {
         .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
       chunks.select("vec_id", "id")
         .write.mode("overwrite").parquet(s"$work/ids.parquet")
-      val idx = graft.operators.Hnsw.buildIndex(spark, work, s"$work/index")
-      (work, graft.operators.Hnsw.imageOf(spark, work, idx))
+      val stats = spark.read.parquet(s"$work/embeddings.parquet")
+        .agg(count(lit(1)), first(size(col("embedding")))).head
+      val (n, dim) = (stats.getLong(0), stats.getInt(1))
+      val s = graft.operators.Hnsw.shardCountFor(n, dim, nodeBudgetBytes)
+      val imgs =
+        if (s <= 1) {
+          val idx = graft.operators.Hnsw
+            .buildIndex(spark, work, s"$work/index")
+          Seq(graft.operators.Hnsw.imageOf(spark, work, idx))
+        } else graft.operators.Hnsw.shardDirsFor(spark, work, s)
+          .map(d => graft.operators.Hnsw.imageFor(spark, d))
+      (work, imgs)
     })
 
   /** Q1 at index speed: ANN-backed semantic search over the chunk
@@ -270,21 +285,33 @@ object IndexPipeline {
     * reaches (PipelineSpec pins top-1 agreement and recall). At 100 TB
     * the store-side analogue of [[graft.operators.Hnsw.serveDistributed]]
     * applies unchanged — this entry point is the per-query latency
-    * path. */
+    * path. The serving regime is BUDGET-DERIVED, not a caller choice:
+    * a store whose image outgrows `nodeBudgetBytes` automatically
+    * serves through S per-segment images with the exact k-bounded
+    * merge (PipelineSpec pins the same score contract under a planted
+    * tiny budget). */
   def searchAnn(spark: SparkSession, storePath: String, query: String,
       k: Int = 5, dim: Int = Embedder.DefaultDim,
-      provider: Option[EmbeddingProvider] = None): DataFrame = {
+      provider: Option[EmbeddingProvider] = None,
+      nodeBudgetBytes: Long =
+        graft.operators.Hnsw.DefaultNodeBudget): DataFrame = {
     import spark.implicits._
     val prov = provider.getOrElse(Embedder.withDim(dim))
-    val (work, img) = annIndexFor(spark, storePath)
+    val (work, imgs) = annIndexFor(spark, storePath, nodeBudgetBytes)
     val qd = prov.embed(query)
     val qv = qd.map(_.toFloat)
     var s = 0.0
     var i = 0
     while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
     val qn = math.sqrt(s)
-    val hits = graft.operators.Hnsw
-      .serveVec(img, qv, qn, selfId = -1L, ef = math.max(32, 4 * k), k = k)
+    // one beam per image; for the single-image regime this IS the old
+    // serve, for the partitioned regime the driver merges k·S exact
+    // rescored candidates under the engine's (score desc, id asc)
+    // total order — the HnswShardSpec merge rule on a 1-query batch
+    val hits = imgs
+      .flatMap(img => graft.operators.Hnsw.serveVec(img, qv, qn,
+        selfId = -1L, ef = math.max(32, 4 * k), k = k))
+      .sortBy { case (id, sc) => (-sc, id) }.take(k)
     val hitDf = hits.toDF("vec_id", "score")
     val ids = spark.read.parquet(s"$work/ids.parquet")
     hitDf.join(ids, "vec_id")

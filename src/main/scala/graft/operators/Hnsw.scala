@@ -714,6 +714,14 @@ object Hnsw {
   private[graft] def imageBytesPerVec(dim: Int): Long =
     (2L * IndexDegree + 1L) * 8L + 4L * dim
 
+  /** Default serving-node budget for one [[IndexImage]]: 4 GiB — an
+    * executor-heap share on a commodity serving node (the SCALE.md
+    * image math: a 64-dim 10M-vector segment images at ~4 GB). A
+    * deployment overrides it per call; the point is that the REGIME
+    * (replicate vs partition) is derived from this budget and the
+    * corpus, never hardcoded by the caller. */
+  val DefaultNodeBudget: Long = 4L << 30
+
   /** Corpus-derived segment count for a serving-node memory budget:
     * the smallest S with N·bytesPerVec ≤ S·budget. This is the gate
     * the [[IndexImage]] doc promises — a corpus whose image outgrows

@@ -113,6 +113,39 @@ class PipelineSpec extends SparkSpec {
         (r.getAs[String]("id"), r.getAs[Double]("score")))))
   }
 
+  test("searchAnn derives the serving regime from the node budget: a " +
+      "store whose image outgrows it serves partitioned, same contract") {
+    indexed
+    val q = "zanzibar telescope aardvark"
+    // a budget the store's image provably exceeds ⇒ the partitioned
+    // regime: a third of the store's own image size, so S lands at
+    // ~3 regardless of how many chunks the fixture indexes
+    val n = spark.read.parquet(s"$store/chunks").count()
+    val tiny = math.max(1L,
+      n * graft.operators.Hnsw.imageBytesPerVec(
+        graft.embed.Embedder.DefaultDim) / 3)
+    assert(graft.operators.Hnsw.shardCountFor(
+        n, graft.embed.Embedder.DefaultDim, tiny) >= 2,
+      "planted budget failed to force the partitioned regime")
+    val ann = IndexPipeline.searchAnn(spark, store, q, k = 3,
+      nodeBudgetBytes = tiny).collect()
+    assert(ann.length === 3)
+    // same score-level contract as the monolithic regime: every hit
+    // belongs to a valid brute-force top-3 under ties
+    val brute = IndexPipeline.search(spark, store, q, k = 10,
+      rerank = false).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Double]("score"))
+    val third = brute(2)._2
+    val bruteScore = brute.toMap
+    ann.foreach { r =>
+      val id = r.getAs[String]("id")
+      assert(bruteScore.contains(id), s"ANN returned $id not in brute top-10")
+      assert(bruteScore(id) >= third - 1e-6,
+        s"partitioned ANN hit $id scores ${bruteScore(id)} below the " +
+          s"brute 3rd $third")
+    }
+  }
+
   test("hybrid search blends keyword ratio into the score") {
     indexed
     val hits = IndexPipeline.hybridSearch(spark, store,
