@@ -1207,7 +1207,7 @@ object ScaleProbe {
         // image (the merge must not lose recall — each segment's graph
         // is searched independently, so sharded recall should hold or
         // beat), plus build/serve walls for both layouts.
-        import operators.{Hnsw, Search}
+        import operators.{Ann, Hnsw, Search}
         import graft.functions.VectorFunctions.{cosinePrenormed, dot}
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
           .select("vec_id", "embedding")
@@ -1261,11 +1261,40 @@ object ScaleProbe {
         val tMono = (System.nanoTime() - tm0) / 1e9
         val rMono = qids.map(q =>
           monoAns(q).count(exact(q).contains) / 10.0).sum / qids.size
+        // the LIFECYCLE composition at mult×: sealed segments +
+        // exactly-scanned delta + tombstones, one k-bounded gather.
+        // The delta arm is EXACT, so every query whose true top-10
+        // contains a live delta id must report it — measured, not
+        // assumed (deltaHit below). The wall includes the sealed
+        // corpus's own S segment builds (the sealed 90% is a
+        // different corpus than the full-corpus shards above).
+        val cutoff = Ann.deltaCutoff(Search.embNormed(spark, gdir))
+          .collect().head.getAs[Long]("cutoff")
+        val dead = (0L until n).filter(_ % 97 == 13).toSet
+        val td0 = System.nanoTime()
+        val deltaAns = Hnsw.serveShardedDelta(spark, gdir,
+          spark.range(40).toDF("query_id"), shards = s, ef = 16,
+          k = 10, tombstones = Some(
+            spark.createDataFrame(dead.toSeq.map(Tuple1(_)))
+              .toDF("vec_id"))).collect()
+        val tDelta = (System.nanoTime() - td0) / 1e9
+        val tombClean = deltaAns.forall(r => !dead.contains(r.getLong(2)))
+        val byQd = deltaAns.groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+        // of the exact top-10s, the LIVE delta members that must appear
+        val deltaWanted = qids.flatMap(q => exact(q)
+          .filter(id => id >= cutoff && !dead.contains(id))
+          .map(q -> _))
+        val deltaHit = deltaWanted.count { case (q, id) =>
+          byQd.getOrElse(q, Set.empty).contains(id) }
         s"n=$n budget=1MiB shards=$s " +
           s"shard_recall10=${f"$rShard%.2f"} " +
           s"mono_recall10=${f"$rMono%.2f"} " +
           s"shard_wall=${f"$tShard%.0f"}s mono_wall=${f"$tMono%.0f"}s " +
-          "(both walls include their index build+image)"
+          "(both walls include their index build+image) " +
+          s"delta_wall=${f"$tDelta%.0f"}s " +
+          s"delta_hits=$deltaHit/${deltaWanted.size} " +
+          s"tombstones_clean=$tombClean"
       },
       time("pipeline_full") {
         // The composed curation lineage (quality → exact dedup →
