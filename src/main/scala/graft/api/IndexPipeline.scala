@@ -267,8 +267,8 @@ object IndexPipeline {
           val idx = graft.operators.Hnsw
             .buildIndex(spark, work, s"$work/index")
           Seq(graft.operators.Hnsw.imageOf(spark, work, idx))
-        } else graft.operators.Hnsw.shardDirsFor(spark, work, s)
-          .map(d => graft.operators.Hnsw.imageFor(spark, d))
+        } else graft.operators.Hnsw.segmentImages(spark,
+          graft.operators.Hnsw.shardDirsFor(spark, work, s))
       (work, imgs)
     })
 

@@ -800,12 +800,26 @@ object Hnsw {
     * VECTORS live — they differ in the sealed+delta composition, where
     * a freshly-ingested (unsealed) vector still queries the sealed
     * segments. */
+  /** Build (or fetch) every segment's image, submitting the
+    * independent per-segment builds CONCURRENTLY: on a cluster these
+    * are separate jobs a FAIR scheduler interleaves across executors,
+    * and sequential submission would serialize S one-time index
+    * builds behind each other for no reason (the probe measured the
+    * sharded wall build-dominated). Determinism is untouched — each
+    * build reads only its own segment dir and the image cache is
+    * keyed per dir, so parallel submission cannot change any answer. */
+  private[graft] def segmentImages(spark: SparkSession,
+      dirs: Seq[String]): Seq[IndexImage] = {
+    import scala.collection.parallel.CollectionConverters._
+    dirs.par.map(d => imageFor(spark, d)).seq
+  }
+
   private def shardedCands(spark: SparkSession, corpusDir: String,
       queryDir: String, queries: DataFrame, shards: Int, ef: Int,
       k: Int, exclude: Set[Long]): DataFrame = {
     import spark.implicits._
-    val imgs = shardDirsFor(spark, corpusDir, shards)
-      .map(d => imageFor(spark, d))
+    val imgs = segmentImages(spark,
+      shardDirsFor(spark, corpusDir, shards))
     val qrows = Search.embNormed(spark, queryDir)
       .join(queries.select(col("query_id").cast("long").as("vec_id")),
         "vec_id")
