@@ -908,6 +908,20 @@ object Hnsw {
       spark.range(8).toDF("query_id"), shards = 4, ef = 16, k = 5)
       .orderBy("query_id", "rank")
 
+  /** The full lifecycle on the partitioned regime as a registry row:
+    * planted tombstones (`vec_id ≡ 1 mod 5`, the family convention),
+    * 8 queries over the planted 4-segment layout, top-5 through the
+    * two-arm (sealed segments + exact delta) k-bounded gather. Golden
+    * oracle like every trained-graph serve; HnswShardSpec pins the
+    * composition against a driver-side reference merge. */
+  def qHnswShardedDelta(spark: SparkSession, dir: String): DataFrame = {
+    val tomb = Search.embNormed(spark, dir)
+      .select("vec_id").filter(col("vec_id") % 5 === 1)
+    serveShardedDelta(spark, dir, spark.range(8).toDF("query_id"),
+      shards = 4, ef = 16, k = 5, tombstones = Some(tomb))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hnsw_levels" -> (qHnswLevels _),
     "q_hnsw_search" -> (qHnswSearch _),
@@ -917,7 +931,8 @@ object Hnsw {
     "q_hnsw_batch" -> (qHnswBatch _),
     "q_hnsw_compact" -> (qHnswCompact _),
     "q_hnsw_dist" -> (qHnswServeDist _),
-    "q_hnsw_sharded" -> (qHnswSharded _)
+    "q_hnsw_sharded" -> (qHnswSharded _),
+    "q_hnsw_sharded_delta" -> (qHnswShardedDelta _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -952,6 +967,11 @@ object Hnsw {
     "q_hnsw_sharded" ->
       s"""SELECT * FROM
          |read_parquet('$fixturesDir/hnsw_sharded_sf0.01.parquet/*.parquet')
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_hnsw_sharded_delta" ->
+      s"""SELECT * FROM
+         |read_parquet(
+         |  '$fixturesDir/hnsw_sharded_delta_sf0.01.parquet/*.parquet')
          |ORDER BY query_id, rank""".stripMargin,
     "q_hnsw_levels" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),
