@@ -1287,6 +1287,16 @@ object ScaleProbe {
           .map(q -> _))
         val deltaHit = deltaWanted.count { case (q, id) =>
           byQd.getOrElse(q, Set.empty).contains(id) }
+        // the query-TABLE serve (unbounded-query quadrant): stream a
+        // 2,000-row query table through each segment image in turn —
+        // warm images, so the wall is the S passes themselves; the
+        // gauge is q/s and equality is spec-pinned (HnswShardSpec)
+        val tq0 = System.nanoTime()
+        val servedQt = Hnsw.serveShardedQueryTable(spark, gdir,
+          spark.range(2000).toDF("query_id").repartition(32),
+          shards = s, ef = 16, k = 10)
+          .select(countDistinct("query_id")).head.getLong(0)
+        val tQt = (System.nanoTime() - tq0) / 1e9
         s"n=$n budget=1MiB shards=$s " +
           s"shard_recall10=${f"$rShard%.2f"} " +
           s"mono_recall10=${f"$rMono%.2f"} " +
@@ -1294,7 +1304,8 @@ object ScaleProbe {
           "(both walls include their index build+image) " +
           s"delta_wall=${f"$tDelta%.0f"}s " +
           s"delta_hits=$deltaHit/${deltaWanted.size} " +
-          s"tombstones_clean=$tombClean"
+          s"tombstones_clean=$tombClean " +
+          s"qtable_queries=$servedQt qtable_qps=${f"${servedQt / tQt}%.1f"}"
       },
       time("pipeline_full") {
         // The composed curation lineage (quality → exact dedup →

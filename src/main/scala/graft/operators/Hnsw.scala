@@ -896,6 +896,48 @@ object Hnsw {
     shardedGather(spark, k, sealedCands.unionByName(deltaCands))
   }
 
+  /** The remaining quadrant of the serving matrix: an UNBOUNDED query
+    * table against a PARTITIONED index. [[serveShardedDistributed]]
+    * broadcasts the (bounded) query batch and ships each segment
+    * image to one task; here the QUERY table is the 100 TB axis, so
+    * the roles flip — each segment's budget-sized image broadcasts IN
+    * TURN and [[serveVecsDistributed]] streams the whole query table
+    * through it, with the arm MATERIALIZED (localCheckpoint, k rows
+    * per query) and the broadcast dropped before the next segment
+    * ships, so executor memory holds exactly one segment image at a
+    * time — never the S-image monolithic bill a plain union of lazy
+    * arms would re-create by pulling every broadcast into one job.
+    * The S bounded arms then merge in the same k-bounded gather.
+    * Cost: S passes over the query table, the honest price of an
+    * index no node can hold.
+    *
+    * Self-exclusion parity: each arm requests k+1 and drops the
+    * query's own row, which equals [[serveVec]]'s selfId rule exactly
+    * — the beam is unaffected by reporting, so top-k of
+    * (visited minus self) ≡ top-(k+1) of visited, minus self, take k,
+    * whether or not self made the prefix. HnswShardSpec pins the
+    * whole serve bit-equal to [[serveShardedDistributed]]. */
+  def serveShardedQueryTable(spark: SparkSession, dir: String,
+      queries: DataFrame, shards: Int, ef: Int = 16,
+      k: Int = 10): DataFrame = {
+    val qv = Search.embNormed(spark, dir)
+      .join(queries.select(col("query_id").cast("long").as("vec_id")),
+        "vec_id")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val dirs = shardDirsFor(spark, dir, shards)
+    segmentImages(spark, dirs) // build all segments concurrently once
+    val arms = dirs.map { d =>
+      val bc = spark.sparkContext.broadcast(imageFor(spark, d))
+      val arm = serveVecsDistributed(spark, bc, qv, ef, k + 1)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id", "score")
+        .localCheckpoint(true)
+      bc.unpersist()
+      arm
+    }
+    shardedGather(spark, k, arms.reduce(_.unionByName(_)))
+  }
+
   /** Sharded serving as a registry row: 8 queries over a PLANTED
     * 4-segment layout (S=4 stands in for a corpus whose image exceeds
     * one node — the planted-tombstone convention; production derives S

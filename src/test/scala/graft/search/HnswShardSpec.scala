@@ -203,6 +203,21 @@ class HnswShardSpec extends SparkSpec {
       assert(rs.length === 5, "tombstoning must backfill, not shrink k"))
   }
 
+  test("query-table sharded serve (segment images broadcast in turn) " +
+      "is bit-equal to the bounded-batch scatter-gather") {
+    val batch = Hnsw.qHnswSharded(spark, bigDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val table = Hnsw.serveShardedQueryTable(spark, bigDir,
+      spark.range(8).toDF("query_id").repartition(3), shards = S,
+      ef = 16, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(table === batch,
+      "the streamed-query-table serve diverged from the bounded-batch " +
+        "serve — the two partitioned regimes must be the same answer")
+  }
+
   test("sharded serve recall@5 vs brute force clears the family floor") {
     val e = Search.embNormed(spark, bigDir)
     val qv = e.filter(col("vec_id") < 8)
