@@ -104,7 +104,18 @@ object Hnsw {
     val lv = qHnswLevels(spark, dir).persist()
     try {
       lv.write.mode("overwrite").parquet(s"$indexPath/levels.parquet")
-      val top = lv.agg(max(col("level"))).head.getLong(0).toInt
+      val topRow = lv.agg(max(col("level"))).head
+      if (topRow.isNullAt(0)) {
+        // an EMPTY corpus — e.g. a shard residue class that happens to
+        // hold no ids under sparse hash-derived vec_ids — builds an
+        // empty index: no layers, no entry; the serve guard answers
+        // no rows rather than crashing the build or emitting noise
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("u", "v")
+          .write.mode("overwrite").parquet(s"$indexPath/edges0.parquet")
+        return HnswIndex(indexPath, 0, -1L)
+      }
+      val top = topRow.getLong(0).toInt
       (0 to top).foreach { l =>
         val ldir =
           if (l == 0) dir
@@ -145,8 +156,9 @@ object Hnsw {
     * stored levels table — no side metadata file to drift). */
   def openIndex(spark: SparkSession, indexPath: String): HnswIndex = {
     val lv = spark.read.parquet(s"$indexPath/levels.parquet")
-    HnswIndex(indexPath,
-      lv.agg(max(col("level"))).head.getLong(0).toInt, entryOf(lv))
+    val topRow = lv.agg(max(col("level"))).head
+    if (topRow.isNullAt(0)) HnswIndex(indexPath, 0, -1L)
+    else HnswIndex(indexPath, topRow.getLong(0).toInt, entryOf(lv))
   }
 
   /** Serving handle over a built index: caches upper layers (edges +
@@ -538,7 +550,9 @@ object Hnsw {
       qn: Double, selfId: Long, ef: Int = 16, k: Int = 10,
       hopCap: Int = 32, width: Int = 4,
       exclude: Set[Long] = Set.empty): Seq[(Long, Double)] = {
-    if (qv.isEmpty || qn == 0) return Seq.empty
+    // an empty image (an unpopulated shard segment) serves no rows —
+    // the -1 no-entry sentinel must never surface as a scored answer
+    if (qv.isEmpty || qn == 0 || img.vecs.isEmpty) return Seq.empty
     val memo = scala.collection.mutable.Map.empty[Long, Double]
     def sc(id: Long): Double = memo.getOrElseUpdate(id, {
       val (v, nrm) = img.vecs.getOrElse(id, (Array.empty[Float], 0.0))

@@ -218,6 +218,22 @@ class HnswShardSpec extends SparkSpec {
         "serve — the two partitioned regimes must be the same answer")
   }
 
+  test("an empty segment (a residue class no sparse id landed in) " +
+      "builds an empty index and serves no rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_empty").toString
+    Tables.embeddings(spark, bigDir).filter(lit(false))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val img = Hnsw.imageFor(spark, dir)
+    assert(img.vecs.isEmpty)
+    val e = Search.embNormed(spark, bigDir)
+      .select("embedding", "nrm").head
+    val got = Hnsw.serveVec(img, e.getSeq[Float](0).toArray,
+      e.getDouble(1), selfId = -1L, ef = 16, k = 5)
+    assert(got.isEmpty,
+      "an empty segment must serve no rows — never the -1 sentinel")
+  }
+
   test("sharded serve recall@5 vs brute force clears the family floor") {
     val e = Search.embNormed(spark, bigDir)
     val qv = e.filter(col("vec_id") < 8)
