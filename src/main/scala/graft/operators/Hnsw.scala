@@ -923,7 +923,12 @@ object Hnsw {
     * arms would re-create by pulling every broadcast into one job.
     * The S bounded arms then merge in the same k-bounded gather.
     * Cost: S passes over the query table, the honest price of an
-    * index no node can hold.
+    * index no node can hold. (The DRIVER's session cache does retain
+    * all S images between calls — the repeat-serve convenience of
+    * this single-JVM harness; a deployment whose coordinator cannot
+    * hold S images keeps only the built index DIRS and materializes
+    * each image per arm from [[openIndex]], which this method's
+    * per-arm broadcast shape already permits.)
     *
     * Self-exclusion parity: each arm requests k+1 and drops the
     * query's own row, which equals [[serveVec]]'s selfId rule exactly
