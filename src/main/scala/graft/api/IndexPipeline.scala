@@ -260,7 +260,11 @@ object IndexPipeline {
         .write.mode("overwrite").parquet(s"$work/ids.parquet")
       val stats = spark.read.parquet(s"$work/embeddings.parquet")
         .agg(count(lit(1)), first(size(col("embedding")))).head
-      val (n, dim) = (stats.getLong(0), stats.getInt(1))
+      // an EMPTY store has no first row: dim 0 keeps shardCountFor at
+      // S=1 and the monolithic build path already yields an empty
+      // index that serves no rows
+      val (n, dim) = (stats.getLong(0),
+        if (stats.isNullAt(1)) 0 else stats.getInt(1))
       val s = graft.operators.Hnsw.shardCountFor(n, dim, nodeBudgetBytes)
       val imgs =
         if (s <= 1) {
