@@ -910,6 +910,27 @@ object Hnsw {
     shardedGather(spark, k, sealedCands.unionByName(deltaCands))
   }
 
+  /** The sharded regime's RESEAL ([[resealIndex]]'s partitioned twin):
+    * re-derive the segment count from the CURRENT corpus and (re)build
+    * the layout + images at the new S. S is a FUNCTION of corpus size
+    * and node budget — a corpus that grew since the last layout
+    * reseals into MORE segments, never a bigger per-node image and
+    * never a pinned S; this is the operation that keeps the
+    * [[IndexImage]] budget gate true across ingest. Returns the
+    * derived S and the segment dirs (images built concurrently and
+    * session-cached, ready to serve). */
+  def resealSharded(spark: SparkSession, dir: String,
+      budgetBytes: Long = DefaultNodeBudget): (Int, Seq[String]) = {
+    val stats = Search.embNormed(spark, dir)
+      .agg(count(lit(1)), first(size(col("embedding")))).head
+    val n = stats.getLong(0)
+    val dim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
+    val s = shardCountFor(n, dim, budgetBytes)
+    val dirs = shardDirsFor(spark, dir, s)
+    segmentImages(spark, dirs)
+    (s, dirs)
+  }
+
   /** The remaining quadrant of the serving matrix: an UNBOUNDED query
     * table against a PARTITIONED index. [[serveShardedDistributed]]
     * broadcasts the (bounded) query batch and ships each segment

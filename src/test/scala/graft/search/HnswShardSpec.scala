@@ -234,6 +234,43 @@ class HnswShardSpec extends SparkSpec {
       "an empty segment must serve no rows — never the -1 sentinel")
   }
 
+  test("resealSharded: a grown corpus reseals into more segments, " +
+      "every segment image within the budget, layout still a partition") {
+    import spark.implicits._
+    val e = Search.embNormed(spark, bigDir)
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val bpv = Hnsw.imageBytesPerVec(dim)
+    val n0 = e.count()
+    // budget sized so the base corpus reseals to ~2 segments
+    val budget = math.max(1L, n0 * bpv / 2)
+    val (s0, _) = Hnsw.resealSharded(spark, bigDir, budget)
+    assert(s0 >= 2)
+    // grow the corpus 3x (shifted ids) into its own dir and reseal:
+    // S must grow with N under the SAME budget — the gate holds
+    // across ingest, never by inflating the per-node image
+    val grown = java.nio.file.Files
+      .createTempDirectory("graft_hnsw_grow").toString
+    val emb = Tables.embeddings(spark, bigDir)
+    emb.union(emb.withColumn("vec_id", col("vec_id") + n0))
+      .union(emb.withColumn("vec_id", col("vec_id") + 2 * n0))
+      .write.parquet(s"$grown/embeddings.parquet")
+    val (s1, dirs) = Hnsw.resealSharded(spark, grown, budget)
+    assert(s1 > s0, s"3x corpus must reseal into more segments ($s0 -> $s1)")
+    // each segment's image fits the budget (dense ids split residues
+    // within one row of even, so per-segment counts carry no skew)
+    val counts = dirs.map(d => spark.read
+      .parquet(s"$d/embeddings.parquet").count())
+    counts.foreach(c => assert(c * bpv <= budget + bpv,
+      s"a resealed segment image ($c vecs) exceeds the node budget"))
+    assert(counts.sum === 3 * n0, "reseal must not drop or duplicate rows")
+    // the resealed layout serves: 4 queries, k rows each, exact scores
+    val out = Hnsw.serveShardedDistributed(spark, grown,
+      spark.range(4).toDF("query_id"), shards = s1, ef = 16, k = 5)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet === (0L until 4L).toSet)
+    out.groupBy(_.getLong(0)).values.foreach(rs => assert(rs.length === 5))
+  }
+
   test("sharded serve recall@5 vs brute force clears the family floor") {
     val e = Search.embNormed(spark, bigDir)
     val qv = e.filter(col("vec_id") < 8)
