@@ -243,11 +243,42 @@ object IndexPipeline {
     * regime), S per-segment images past it (the partitioned regime,
     * merged under the engine's exact k-bounded order). */
   private val annIndexes = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Seq[graft.operators.Hnsw.IndexImage])]()
+    String, AnnArtifact]()
 
-  private def annIndexFor(spark: SparkSession, storePath: String,
-      nodeBudgetBytes: Long): (String, Seq[graft.operators.Hnsw.IndexImage]) =
-    annIndexes.computeIfAbsent(s"$storePath#$nodeBudgetBytes", { _ =>
+  /** A built ANN serving artifact plus the store state it was sealed
+    * against: `fingerprint` is the chunks directory's file-listing
+    * hash at build time and `sealedCount` the row count it indexed —
+    * the two facts [[searchAnn]] needs to detect mutation and decide
+    * between the delta arm and a reseal. */
+  private[api] final case class AnnArtifact(work: String,
+      imgs: Seq[graft.operators.Hnsw.IndexImage],
+      fingerprint: String, sealedCount: Long)
+
+  /** Content fingerprint of a store directory: MD5 over the sorted
+    * recursive file listing (path, length, modification time) — a
+    * DRIVER-side filesystem walk, no Spark job, so the freshness check
+    * on every [[searchAnn]] call costs microseconds. Any append /
+    * delete / rewrite under the path changes the listing; at 100 TB a
+    * table format's snapshot id plays this role, the contract is
+    * identical. */
+  private[api] def storeFingerprint(spark: SparkSession,
+      path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      parts += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+    }
+    val md = MessageDigest.getInstance("MD5")
+    parts.sorted.foreach(s => md.update(s.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def buildAnnArtifact(spark: SparkSession, storePath: String,
+      nodeBudgetBytes: Long, fingerprint: String): AnnArtifact = {
       val work = java.nio.file.Files
         .createTempDirectory("graft_store_ann").toString
       val chunks = ChunkStore.read(spark, s"$storePath/chunks")
@@ -273,8 +304,41 @@ object IndexPipeline {
           Seq(graft.operators.Hnsw.imageOf(spark, work, idx))
         } else graft.operators.Hnsw.segmentImages(spark,
           graft.operators.Hnsw.shardDirsFor(spark, work, s))
-      (work, imgs)
-    })
+      AnnArtifact(work, imgs, fingerprint, n)
+  }
+
+  /** The session's artifact for (store, budget) — built on first use,
+    * RESEALED (rebuilt against the current corpus) when the store has
+    * mutated past the point where the exact delta arm is cheaper than
+    * a rebuild: |delta| + |deleted| > sealed/2, the amortization rule
+    * every sealed+delta lifecycle here uses. Between reseals a
+    * mutated store serves sealed+delta (see [[searchAnn]]); the
+    * returned artifact's fingerprint tells the caller which case it
+    * is in. */
+  private def annIndexFor(spark: SparkSession, storePath: String,
+      nodeBudgetBytes: Long): AnnArtifact = {
+    val key = s"$storePath#$nodeBudgetBytes"
+    val fp = storeFingerprint(spark, s"$storePath/chunks")
+    val cached = annIndexes.computeIfAbsent(key,
+      _ => buildAnnArtifact(spark, storePath, nodeBudgetBytes, fp))
+    if (cached.fingerprint == fp) cached
+    else {
+      // mutated store: measure the unindexed tail + tombstones once
+      // (two anti-join counts over id columns only); reseal when the
+      // mutation outgrows half the sealed corpus, else keep serving
+      // sealed+delta off the existing images
+      val live = ChunkStore.read(spark, s"$storePath/chunks").select("id")
+      val sealed0 = spark.read.parquet(s"${cached.work}/ids.parquet")
+        .select("id")
+      val deltaN = live.join(sealed0, Seq("id"), "left_anti").count()
+      val deadN = sealed0.join(live, Seq("id"), "left_anti").count()
+      if (2L * (deltaN + deadN) > math.max(cached.sealedCount, 1L)) {
+        val fresh = buildAnnArtifact(spark, storePath, nodeBudgetBytes, fp)
+        annIndexes.put(key, fresh)
+        fresh
+      } else cached
+    }
+  }
 
   /** Q1 at index speed: ANN-backed semantic search over the chunk
     * store — the analogue of the reference's HNSW index option on its
@@ -293,35 +357,73 @@ object IndexPipeline {
     * a store whose image outgrows `nodeBudgetBytes` automatically
     * serves through S per-segment images with the exact k-bounded
     * merge (PipelineSpec pins the same score contract under a planted
-    * tiny budget). */
+    * tiny budget). FRESHNESS: the artifact remembers the store's
+    * file-listing fingerprint at seal time; a store mutated since
+    * (S7/S8/S9) serves sealed+delta — exact brute arm over the
+    * unindexed tail, tombstones for deleted chunks — and reseals when
+    * the mutation outgrows half the sealed corpus, so this path and
+    * the brute [[search]] never diverge after mutation (PipelineSpec
+    * pins index→serve→mutate→serve parity). */
   def searchAnn(spark: SparkSession, storePath: String, query: String,
       k: Int = 5, dim: Int = Embedder.DefaultDim,
       provider: Option[EmbeddingProvider] = None,
       nodeBudgetBytes: Long =
         graft.operators.Hnsw.DefaultNodeBudget): DataFrame = {
     import spark.implicits._
+    import graft.functions.VectorFunctions.{cosinePrenormed, l2norm}
     val prov = provider.getOrElse(Embedder.withDim(dim))
-    val (work, imgs) = annIndexFor(spark, storePath, nodeBudgetBytes)
+    val art = annIndexFor(spark, storePath, nodeBudgetBytes)
     val qd = prov.embed(query)
     val qv = qd.map(_.toFloat)
     var s = 0.0
     var i = 0
     while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
     val qn = math.sqrt(s)
+    val fresh = art.fingerprint ==
+      storeFingerprint(spark, s"$storePath/chunks")
+    val live = ChunkStore.read(spark, s"$storePath/chunks")
+    // a store mutated since the seal serves sealed+delta — the
+    // adapter-equivalence rule (the reference DB maintains its HNSW
+    // index on insert, base-adapter.test.ts): chunks indexed after
+    // the seal form an EXACT brute-force arm, chunks deleted since
+    // become tombstones (navigable in the beam, never reported), and
+    // both arms merge under the engine's (score desc, id asc) order —
+    // so mutate-then-search agrees with the brute [[search]] path.
+    val (excluded, deltaHits) =
+      if (fresh) (Set.empty[Long], Seq.empty[(Long, Double)])
+      else {
+        val sealedIds = spark.read.parquet(s"${art.work}/ids.parquet")
+        val liveIds = live.select(
+          Embedder.hash60Col(col("id")).as("vec_id"),
+          col("id"), col("embedding"))
+        val dead = sealedIds
+          .join(liveIds.select("id"), Seq("id"), "left_anti")
+          .select("vec_id").as[Long].collect().toSet
+        val delta = liveIds
+          .join(sealedIds.select("id"), Seq("id"), "left_anti")
+          .withColumn("nrm", l2norm(col("embedding")))
+          .withColumn("score", round(cosinePrenormed(
+            dot(col("embedding"), lit(qv)), col("nrm"), lit(qn)), 6))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(k)
+          .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+        (dead, delta)
+      }
     // one beam per image; for the single-image regime this IS the old
     // serve, for the partitioned regime the driver merges k·S exact
     // rescored candidates under the engine's (score desc, id asc)
     // total order — the HnswShardSpec merge rule on a 1-query batch
-    val hits = imgs
+    val hits = (art.imgs
       .flatMap(img => graft.operators.Hnsw.serveVec(img, qv, qn,
-        selfId = -1L, ef = math.max(32, 4 * k), k = k))
+        selfId = -1L, ef = math.max(32, 4 * k), k = k,
+        exclude = excluded)) ++ deltaHits)
       .sortBy { case (id, sc) => (-sc, id) }.take(k)
     val hitDf = hits.toDF("vec_id", "score")
-    val ids = spark.read.parquet(s"$work/ids.parquet")
-    hitDf.join(ids, "vec_id")
-      .join(ChunkStore.read(spark, s"$storePath/chunks")
-        .select("id", "sourceId", "chunkIndex", "content", "sourceType"),
-        "id")
+    // id bridge via the LIVE store (not the sealed ids table), so a
+    // delta hit resolves and a tombstoned id cannot resurface
+    hitDf.join(live.select(Embedder.hash60Col(col("id")).as("vec_id"),
+        col("id"), col("sourceId"), col("chunkIndex"), col("content"),
+        col("sourceType")), "vec_id")
       .select("id", "sourceId", "chunkIndex", "content", "score",
         "sourceType")
       .orderBy(desc("score"), col("id"))

@@ -209,6 +209,79 @@ class PipelineSpec extends SparkSpec {
     assert(sum.analysis.estTokens < full.analysis.estTokens)
   }
 
+  test("searchAnn freshness: mutate-then-search agrees with the brute " +
+      "path (delta arm, sealed-member tombstone, reseal)") {
+    val store3 = s"$root/store_mut"
+    val vocab = Seq("ember", "quartz", "falcon", "meadow", "cobalt",
+      "tundra", "violet", "saffron", "beacon", "harbor")
+    vocab.zipWithIndex.foreach { case (w, i) =>
+      IndexPipeline.indexText(spark, s"$w document body " * 30, s"d$i",
+        store3, t0)
+    }
+    def annIds(q: String, k: Int): Seq[String] =
+      IndexPipeline.searchAnn(spark, store3, q, k = k).collect()
+        .map(_.getAs[String]("id")).toSeq
+    // the adapter-equivalence contract (the reference's
+    // base-adapter.test.ts at the ANN path): every ANN hit belongs to
+    // a valid brute-force top-k under ties, whatever the store's
+    // mutation state
+    def checkParity(q: String, k: Int): Unit = {
+      val ann = annIds(q, k)
+      val brute = IndexPipeline.search(spark, store3, q, k = 50,
+        rerank = false).collect()
+        .map(r => r.getAs[String]("id") -> r.getAs[Double]("score"))
+      val bruteScore = brute.toMap
+      val kth = brute(math.min(k, brute.length) - 1)._2
+      assert(ann.length === math.min(k, brute.length))
+      ann.foreach { id =>
+        assert(bruteScore.contains(id), s"ANN hit $id unknown to brute")
+        assert(bruteScore(id) >= kth - 1e-6,
+          s"ANN hit $id scores ${bruteScore(id)} below brute ${k}th $kth")
+      }
+    }
+    val q = "glacier obsidian lantern"
+    checkParity(q, 3) // seals the artifact against the 10-doc store
+    // S7 mutation: a post-seal document that BEATS the sealed corpus
+    // on q — a stale image cannot see it, the delta arm must
+    IndexPipeline.indexText(spark, s"$q " * 30, "winner", store3, t0)
+    val bruteTop = IndexPipeline.search(spark, store3, q, k = 1,
+      rerank = false).head.getAs[String]("id")
+    assert(annIds(q, 3).contains(bruteTop),
+      "searchAnn misses the post-seal best match — stale index served")
+    checkParity(q, 3)
+    // S9 mutation: delete a SEALED member that tops its own query —
+    // a stale serve keeps reporting it, the tombstone rule must not
+    val q2 = "ember document body"
+    val doomed = IndexPipeline.search(spark, store3, q2, k = 1,
+      rerank = false).head.getAs[String]("id")
+    val chunks = spark.read.parquet(s"$store3/chunks")
+    val doomedSrc = chunks.filter(col("id") === doomed)
+      .select("sourceId").head.getString(0)
+    val staged = s"$root/store_mut_staged"
+    graft.store.ChunkStore.write(
+      chunks.filter(col("sourceId") =!= doomedSrc), staged,
+      partitionCols = Seq("sourceType"))
+    // swap staged → live (the table-format atomic swap, fs edition)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(c => rmTree(c))
+      Files.deleteIfExists(p)
+    }
+    rmTree(Paths.get(s"$store3/chunks"))
+    Files.move(Paths.get(staged), Paths.get(s"$store3/chunks"))
+    assert(!annIds(q2, 3).contains(doomed),
+      "deleted sealed chunk resurfaced from the stale ANN image")
+    checkParity(q2, 3)
+    // grow past the reseal threshold (delta > sealed/2) — the
+    // artifact rebuilds against the current corpus, parity holds
+    (0 until 12).foreach(i => IndexPipeline.indexText(spark,
+      s"${vocab(i % vocab.size)} extra corpus growth " * 25,
+      s"g$i", store3, t0))
+    checkParity(q, 3)
+    assert(annIds(q, 3).contains(bruteTop),
+      "post-reseal serve lost the delta member it should have sealed in")
+  }
+
   test("S1 raw-text indexing round trips through the same store") {
     indexed
     val r = IndexPipeline.indexText(spark, "plutonium widget factory " * 50,
