@@ -10,7 +10,22 @@ import org.apache.spark.sql.SparkSession
   * 2-3× total cores or rely on AQE coalescing).
   */
 object GraftSession {
-  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+
+  /** The engine carries exactly three DELIBERATE unpartitioned
+    * windows, each over a table bounded by construction (embedding
+    * dims ≤ 64, language count, ≤ 4096 shard segments — bounds pinned
+    * in PlanAuditSpec). WindowExec's "No Partition Defined" warning
+    * cannot be silenced per-site (a literal partition key is
+    * constant-folded away), so the logger is raised to ERROR here —
+    * honestly: any NEW unpartitioned window a refactor introduces is
+    * caught by the PlanAudit bound pins, not by log noise. */
+  private lazy val silenceAuditedWindowWarning: Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder = {
+    silenceAuditedWindowWarning
     SparkSession.builder()
       .master(master)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
@@ -57,6 +72,7 @@ object GraftSession {
       // pathological partitions still fall back. */
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "500000")
+  }
 
   /** Local session for tests. */
   def local(cores: Int = 4): SparkSession = {

@@ -88,8 +88,16 @@ object Sf1Probe {
     // only a FULL-registry run may update the committed artifact — a
     // targeted `only` run writing it would silently replace the
     // 170-query sweep with a handful of rows (this happened once; the
-    // full sweep was recovered from the run log)
-    if (only.isEmpty) {
+    // full sweep was recovered from the run log). A run containing -1
+    // failure sentinels may not be recorded either: the r9 mid-round
+    // sweep whose Spark context died mid-run recorded "177/177" with
+    // 28 silent -1s — a partial record reads as a complete one, so the
+    // writer refuses it outright.
+    val failed = rows.collect { case (k, (_, m, _)) if m < 0 => k }
+    if (failed.nonEmpty)
+      System.err.println(s"[sf1] NOT writing sf1_full.json: " +
+        s"${failed.size} queries failed (${failed.take(5).mkString(",")}…)")
+    if (only.isEmpty && failed.isEmpty) {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("sf1_full.json"),
         (line + "\n").getBytes("UTF-8"))

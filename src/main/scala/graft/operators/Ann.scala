@@ -1577,11 +1577,13 @@ object Ann {
       .filter(col("i") === col("j"))
       .select(col("i").as("d"), col("cov_num").as("var_num"))
     diag
-      // 64-row dim table: the single-partition window is deliberate —
-      // the literal key marks it so WindowExec's unpartitioned-window
-      // warning flags only genuine corpus-wide windows
+      // 64-row dim table: the single-partition window is deliberate
+      // and BOUNDED BY CONSTRUCTION (one row per embedding dimension
+      // — PlanAuditSpec pins the bound; the WindowExec warning for
+      // these audited windows is filtered in GraftSession, since a
+      // literal partition key is constant-folded and silences nothing)
       .withColumn("rk",
-        row_number().over(Window.partitionBy(lit(0))
+        row_number().over(Window
           .orderBy(desc("var_num"), col("d"))) - 1)
       .withColumn("blk", floor(col("rk") / SubSpaces).cast("long"))
       .withColumn("sub",

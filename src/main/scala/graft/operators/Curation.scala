@@ -1176,8 +1176,12 @@ object Curation {
       .withColumn("cap", col("n_tokens") * UniMaxEpochCap)
     val tot = toks.agg(sum("n_tokens").cast("long").as("n_corpus"),
       count(lit(1)).cast("long").as("n_langs"))
-    // languages-sized waterfill table: deliberate single partition
-    val w = Window.partitionBy(lit(0)).orderBy("cap", "lang")
+    // languages-sized waterfill table: deliberate single partition —
+    // the prefix sum runs ACROSS languages, so no real partition key
+    // exists; boundedness (rows = language count) is pinned in
+    // PlanAuditSpec and the audited WindowExec warning filtered in
+    // GraftSession (a literal key would be constant-folded anyway)
+    val w = Window.orderBy("cap", "lang")
     val r = toks.crossJoin(broadcast(tot))
       .withColumn("budget", expr("(n_corpus * 7) div 2"))
       .withColumn("k", row_number().over(w).cast("long"))
@@ -1242,8 +1246,10 @@ object Curation {
         hash60Col(col("text")).as("ch"))
       .withColumn("seg", expr(s"h div $ShardSegDiv"))
     // seg table is bounded by 2^60/ShardSegDiv = 4096 rows:
-    // deliberate single partition
-    val wCarry = Window.partitionBy(lit(0)).orderBy("seg")
+    // deliberate single partition (cross-segment carry — no real
+    // key exists; bound pinned in PlanAuditSpec, warning filtered
+    // in GraftSession)
+    val wCarry = Window.orderBy("seg")
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = docs.groupBy("seg").agg(count(lit(1)).as("seg_n"))
       .withColumn("carry", coalesce(sum(col("seg_n")).over(wCarry), lit(0L)))

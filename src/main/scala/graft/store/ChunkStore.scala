@@ -98,11 +98,17 @@ object ChunkStore {
       max(col(dimA)).cast("long").as("__a1"),
       min(col(dimB)).cast("long").as("__b0"),
       max(col(dimB)).cast("long").as("__b1"))
+    // scale each dim to the FULL 16-bit bucket domain (a partial
+    // domain would zero the high interleave bits and degenerate the
+    // Morton key toward a single-dim sort) — in DECIMAL, so a
+    // dimension whose range exceeds ~2^47 (e.g. nanosecond epochs)
+    // cannot overflow the long multiply; IntegralDivide lands back
+    // on BIGINT
     df.crossJoin(broadcast(bounds))
-      .withColumn("__ab",
-        expr(s"(($dimA - __a0) * 65535) div greatest(__a1 - __a0, 1)"))
-      .withColumn("__bb",
-        expr(s"(($dimB - __b0) * 65535) div greatest(__b1 - __b0, 1)"))
+      .withColumn("__ab", expr(s"(cast($dimA as decimal(38,0)) - __a0)" +
+        " * 65535 div greatest(__a1 - __a0, 1)"))
+      .withColumn("__bb", expr(s"(cast($dimB as decimal(38,0)) - __b0)" +
+        " * 65535 div greatest(__b1 - __b0, 1)"))
       .withColumn("__zkey", expr(
         """aggregate(sequence(0, 15), 0L, (acc, b) ->
           |  acc + shiftleft(shiftright(__ab, b) & 1, 2*b + 1)
@@ -143,6 +149,29 @@ object ChunkStore {
       s"$path/_bloom")
   }
 
+  /** Session cache of collected `_bloom` sidecars, keyed by store path
+    * AND the sidecar directory's file listing (name:len:mtime) — so
+    * the point-lookup fast path pays the sidecar's Spark job + driver
+    * collect ONCE per store state (the HNSW image-cache discipline),
+    * and a republished sidecar (Artifacts swap) is picked up on the
+    * next probe instead of serving stale membership. The sidecar is
+    * 8 KB-scale by construction (shards × set bit positions). */
+  private val bloomSidecars = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[Long, Set[Long]]]()
+
+  private def bloomListing(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      parts += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+    }
+    parts.sorted.mkString(",")
+  }
+
   /** Point lookup through the Bloom sidecar: compute the probe key's k
     * bit positions driver-side (same portable hash as the writer),
     * keep only shards whose filter has ALL of them set (zero false
@@ -156,9 +185,11 @@ object ChunkStore {
     val positions = (0 until graft.operators.Curation.BloomK)
       .map(i => hash60(s"$h:$i") % graft.operators.Curation.BloomBits)
       .toSet
-    val bitmap = read(spark, s"$path/_bloom").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toSet }
+    val bitmap = bloomSidecars.computeIfAbsent(
+      s"$path#${bloomListing(spark, s"$path/_bloom")}",
+      _ => read(spark, s"$path/_bloom").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toSet })
     val cands = bitmap.collect {
       case (s, ps) if positions.subsetOf(ps) => s
     }.toSeq

@@ -77,11 +77,31 @@ object StreamingServe {
     import graft.operators.Hnsw
     val idx = Hnsw.indexFor(spark, dir)
     val bc = spark.sparkContext.broadcast(Hnsw.imageOf(spark, dir, idx))
-    queries.writeStream
+    val q = queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         sink(Hnsw.serveVecsDistributed(spark, bc, batch, ef, k), id)
       }
       .start()
+    // release the stream-lifetime broadcast when the stream ends — a
+    // long-lived session starting many streams would otherwise leak
+    // one image per stream on both driver and executors
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            bc.unpersist()
+            spark.streams.removeListener(this)
+          }
+      })
+    q
   }
 }

@@ -82,4 +82,22 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("the three deliberate unpartitioned windows run over tables " +
+      "bounded by construction (the bound GraftSession's WindowExec " +
+      "logger filter relies on)") {
+    import org.apache.spark.sql.functions._
+    // qPqBalance (Ann.scala): one row per embedding dimension
+    val dims = operators.Ann.qEmbCov(spark, sfDir)
+      .filter(col("i") === col("j")).count()
+    assert(dims <= 64, s"PQ balance window input grew past dims: $dims")
+    // qUnimaxAlloc (Curation.scala): one row per language
+    val langs = Tables.documents(spark, sfDir)
+      .select("lang").distinct().count()
+    assert(langs <= 64, s"UniMax waterfill input grew past langs: $langs")
+    // shardAssignments carry (Curation.scala): segment space is a
+    // hash-range constant — 2^60 ids / ShardSegDiv residue classes
+    assert((1L << 60) / operators.Curation.ShardSegDiv <= 4096L,
+      "shard segment space outgrew the 4096-row carry-window bound")
+  }
 }

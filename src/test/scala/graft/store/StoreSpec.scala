@@ -45,6 +45,22 @@ class StoreSpec extends SparkSpec {
       Seq("event_id", "ms", "user_id"))
   }
 
+  test("z-ordered write survives a dimension with a > 2^47 range " +
+      "(nanosecond-epoch scale) — the multiply is decimal, not long") {
+    val spark2 = spark
+    import spark2.implicits._
+    // nanosecond-ish epochs: range ~1.5e18; the old long multiply
+    // ((dim-min)*65535) overflows at range > ~2^47 — ANSI mode fails
+    // the write, non-ANSI silently mis-buckets
+    val ns = (0 until 64).map(i =>
+      (i.toLong, 1_500_000_000_000_000_000L + i.toLong * 23_000_000_000_000_000L / 64))
+      .toDF("id", "ts_ns")
+    ChunkStore.writeZordered(ns, s"$tmp/zns", "id", "ts_ns", files = 4)
+    val back = spark.read.parquet(s"$tmp/zns")
+    assert(back.count() === 64)
+    assert(back.columns.sorted.toSeq === Seq("id", "ts_ns"))
+  }
+
   test("bloom-indexed store: lookup reads only bloom-positive shards, " +
       "absent keys touch no data files") {
     ChunkStore.writeBloomIndexed(docs, s"$tmp/b", "text")
