@@ -28,7 +28,8 @@ object GoldenChunks {
       "q_unigram_encode", "q_unigram_words", "q_pq_rotation",
       "q_hnsw_search", "q_hnsw_delta", "q_hnsw_tombstone",
       "q_hnsw_filtered", "q_hnsw_batch", "q_hnsw_compact",
-      "q_hnsw_dist", "q_hnsw_sharded", "q_hnsw_sharded_delta")
+      "q_hnsw_dist", "q_hnsw_sharded", "q_hnsw_sharded_delta",
+      "q_hnsw_sharded_filtered")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -301,7 +301,8 @@ object IndexPipeline {
         if (s <= 1) {
           val idx = graft.operators.Hnsw
             .buildIndex(spark, work, s"$work/index")
-          Seq(graft.operators.Hnsw.imageOf(spark, work, idx))
+          Seq(graft.operators.Hnsw.imageOf(spark, work, idx,
+            nodeBudgetBytes))
         } else graft.operators.Hnsw.segmentImages(spark,
           graft.operators.Hnsw.shardDirsFor(spark, work, s))
       AnnArtifact(work, imgs, fingerprint, n)

@@ -186,10 +186,14 @@ object Hnsw {
       }.toMap
 
     /** Vectors of every node in a cached upper layer (bounded by the
-      * same gate: node count ≤ edge count). */
-    private val vecCache: scala.collection.mutable.Map[Long, (Array[Float], Double)] = {
+      * same gate: node count ≤ edge count). Concurrent map: the handle
+      * is construct-once-serve-many and the point-lookup spill path
+      * mutates this cache, so concurrent serve() calls must not race
+      * (TrieMap's getOrElseUpdate may doubly evaluate a lookup but
+      * never corrupts — both evaluations return the same row). */
+    private val vecCache: scala.collection.concurrent.TrieMap[Long, (Array[Float], Double)] = {
       val ids = adjCache.values.flatMap(m => m.keys).toSet
-      val m = scala.collection.mutable.Map.empty[Long, (Array[Float], Double)]
+      val m = scala.collection.concurrent.TrieMap.empty[Long, (Array[Float], Double)]
       if (ids.nonEmpty) {
         val idDf = spark.createDataset(ids.toSeq).toDF("vec_id")
         e.join(idDf.hint("broadcast"), "vec_id")
@@ -505,8 +509,21 @@ object Hnsw {
       vecs: Map[Long, (Array[Float], Double)])
 
   private[graft] def imageOf(spark: SparkSession, dir: String,
-      idx: HnswIndex): IndexImage = {
+      idx: HnswIndex, budgetBytes: Long = DefaultNodeBudget): IndexImage = {
     import spark.implicits._
+    // budget gate BEFORE the full-corpus collect: no call path may
+    // image an over-budget corpus onto one JVM by accident — a corpus
+    // past the gate must serve through the sharded regime
+    // ([[shardCountFor]] / serveSharded*), whose segments are
+    // budget-sized by construction
+    val stats = Search.embNormed(spark, dir)
+      .agg(count(lit(1)), first(size(col("embedding")))).head
+    val n = stats.getLong(0)
+    val d = if (stats.isNullAt(1)) 0 else stats.getInt(1)
+    require(n * imageBytesPerVec(d) <= budgetBytes,
+      s"imageOf: corpus at $dir images at ${n * imageBytesPerVec(d)} " +
+        s"bytes > node budget $budgetBytes — serve it through the " +
+        "sharded regime (shardCountFor / serveShardedDistributed)")
     val vecs = Search.embNormed(spark, dir)
       .select("vec_id", "embedding", "nrm").collect()
       .map(r => r.getLong(0) -> (r.getSeq[Float](1).toArray, r.getDouble(2)))
@@ -630,20 +647,30 @@ object Hnsw {
   /** [[serveDistributed]] for EXTERNAL query vectors — rows of
     * `(query_id, qv)` instead of corpus ids; the broadcast is
     * caller-held so a long-lived consumer (the streaming serve, a
-    * multi-batch job) pays the image ship exactly once. */
+    * multi-batch job) pays the image ship exactly once. A row may
+    * carry an optional `self_id` column: the corpus id [[serveVec]]
+    * excludes as the query's OWN row — self-exclusion affects the
+    * beam's frontier/membership, not just reporting, so a caller
+    * whose queries are corpus members (the sharded query-table serve)
+    * threads the id through to navigate identically to the
+    * corpus-id serves; absent column = -1 (a genuinely external
+    * vector). */
   def serveVecsDistributed(spark: SparkSession,
       bc: org.apache.spark.broadcast.Broadcast[IndexImage],
       queries: DataFrame, ef: Int = 16, k: Int = 10): DataFrame = {
     import spark.implicits._
-    queries.select(col("query_id").cast("long"),
-        col("qv").cast("array<float>"))
-      .as[(Long, Array[Float])]
+    val withSelf =
+      if (queries.columns.contains("self_id")) queries
+      else queries.withColumn("self_id", lit(-1L))
+    withSelf.select(col("query_id").cast("long"),
+        col("qv").cast("array<float>"), col("self_id").cast("long"))
+      .as[(Long, Array[Float], Long)]
       .mapPartitions { it =>
-        it.flatMap { case (qid, qv) =>
+        it.flatMap { case (qid, qv, selfId) =>
           var s = 0.0
           var i = 0
           while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
-          serveVec(bc.value, qv, math.sqrt(s), selfId = -1L, ef, k)
+          serveVec(bc.value, qv, math.sqrt(s), selfId = selfId, ef, k)
             .zipWithIndex.map {
               case ((id, sc), r) => (qid, (r + 1).toLong, id, sc)
             }
@@ -910,6 +937,38 @@ object Hnsw {
     shardedGather(spark, k, sealedCands.unionByName(deltaCands))
   }
 
+  /** [[serveShardedDelta]] where the delta is an EXPLICIT ingest table
+    * of `(vec_id, embedding)` rows rather than the id-cutoff
+    * convention — the serve the STREAMING lifecycle composes with
+    * ([[graft.streaming.StreamingShardedServe]]): sealed segments
+    * answer through their images, the ingest delta (bounded by
+    * arrival rate between reseals, never corpus size) is scanned
+    * exactly with the same rounded cosine, and both arms merge in the
+    * one k-bounded gather — a delta member of the true top-k can
+    * never be displaced. Queries are corpus ids of the SEALED side
+    * (the registry convention). */
+  def serveShardedIngestDelta(spark: SparkSession, sealedDir: String,
+      delta: DataFrame, queries: DataFrame, shards: Int, ef: Int = 16,
+      k: Int = 10): DataFrame = {
+    val sealedCands = shardedCands(spark, sealedDir, sealedDir, queries,
+      shards, ef, k, Set.empty)
+    val qv = Search.embNormed(spark, sealedDir)
+      .join(queries.select(col("query_id").cast("long").as("vec_id")),
+        "vec_id")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val deltaCands = delta.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+      .crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6))
+      .select("query_id", "vec_id", "score")
+    shardedGather(spark, k, sealedCands.unionByName(deltaCands))
+  }
+
   /** The sharded regime's RESEAL ([[resealIndex]]'s partitioned twin):
     * re-derive the segment count from the CURRENT corpus and (re)build
     * the layout + images at the new S. S is a FUNCTION of corpus size
@@ -944,32 +1003,47 @@ object Hnsw {
     * arms would re-create by pulling every broadcast into one job.
     * The S bounded arms then merge in the same k-bounded gather.
     * Cost: S passes over the query table, the honest price of an
-    * index no node can hold. (The DRIVER's session cache does retain
-    * all S images between calls — the repeat-serve convenience of
-    * this single-JVM harness; a deployment whose coordinator cannot
-    * hold S images keeps only the built index DIRS and materializes
-    * each image per arm from [[openIndex]], which this method's
-    * per-arm broadcast shape already permits.)
+    * index no node can hold.
     *
-    * Self-exclusion parity: each arm requests k+1 and drops the
-    * query's own row, which equals [[serveVec]]'s selfId rule exactly
-    * — the beam is unaffected by reporting, so top-k of
-    * (visited minus self) ≡ top-(k+1) of visited, minus self, take k,
-    * whether or not self made the prefix. HnswShardSpec pins the
-    * whole serve bit-equal to [[serveShardedDistributed]]. */
+    * DIRS-ONLY coordinator (the default): the driver holds only the
+    * built index DIRECTORIES; each arm materializes its one image
+    * from disk, broadcasts it, serves, and drops both the broadcast
+    * and the driver reference before the next arm — so peak driver
+    * retention is ONE budget-sized image, never S. This removes the
+    * last single-node memory assumption of the partitioned regime.
+    * `retainImages = true` opts back into the session image cache —
+    * the repeat-serve convenience of a single-JVM harness whose
+    * coordinator provably fits S images; HnswShardSpec pins the two
+    * modes bit-equal.
+    *
+    * Self-exclusion: each query row threads its own corpus id through
+    * [[serveVecsDistributed]]'s `self_id` column, so every arm runs
+    * [[serveVec]] with the SAME selfId the bounded-batch
+    * [[serveShardedDistributed]] uses — self is excluded from beam
+    * membership and frontier, not merely from reporting, and the two
+    * sharded regimes navigate identically by construction. */
   def serveShardedQueryTable(spark: SparkSession, dir: String,
       queries: DataFrame, shards: Int, ef: Int = 16,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, retainImages: Boolean = false): DataFrame = {
     val qv = Search.embNormed(spark, dir)
       .join(queries.select(col("query_id").cast("long").as("vec_id")),
         "vec_id")
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("vec_id").as("self_id"))
     val dirs = shardDirsFor(spark, dir, shards)
-    segmentImages(spark, dirs) // build all segments concurrently once
+    if (retainImages) segmentImages(spark, dirs) // cache all S images
+    else {
+      // build the S indexes concurrently ONCE (disk artifacts, not
+      // driver memory) — images materialize per arm below
+      import scala.collection.parallel.CollectionConverters._
+      dirs.par.foreach(d => indexFor(spark, d))
+    }
     val arms = dirs.map { d =>
-      val bc = spark.sparkContext.broadcast(imageFor(spark, d))
-      val arm = serveVecsDistributed(spark, bc, qv, ef, k + 1)
-        .filter(col("vec_id") =!= col("query_id"))
+      val img =
+        if (retainImages) imageFor(spark, d)
+        else imageOf(spark, d, indexFor(spark, d))
+      val bc = spark.sparkContext.broadcast(img)
+      val arm = serveVecsDistributed(spark, bc, qv, ef, k)
         .select("query_id", "vec_id", "score")
         .localCheckpoint(true)
       bc.unpersist()
@@ -977,6 +1051,46 @@ object Hnsw {
     }
     shardedGather(spark, k, arms.reduce(_.unionByName(_)))
   }
+
+  /** Metadata-FILTERED serving on the PARTITIONED regime — the last
+    * cell of the serving matrix ([[qHnswFiltered]] × sharded): every
+    * 100 TB retrieval job carries a predicate (the reference's search
+    * always takes an optional filter, `adapters/types.ts:66-72`), and
+    * a corpus too big for one node still has to honor it. Strategy is
+    * the family's post-filter-with-widened-pool rule, composed with
+    * the scatter-gather: each segment's beam NAVIGATES its unfiltered
+    * graph (filtering during traversal disconnects it) and reports a
+    * selectivity-derived POOL (k/sel × 2, never a pinned constant —
+    * each segment holds ~1/S of the label's members, so the full-depth
+    * per-segment pool is conservative by construction); the predicate
+    * then applies to the pooled EXACT rescored candidates at
+    * reporting, and the label slice merges in the same k-bounded
+    * gather every sharded serve uses. HnswShardSpec pins fill (k live
+    * matches per query), predicate purity, and the recall floor vs
+    * the exact filtered top-k. */
+  def serveShardedFiltered(spark: SparkSession, dir: String,
+      queries: DataFrame, shards: Int, labelCol: String, labelVal: Long,
+      ef: Int = 64, k: Int = 10): DataFrame = {
+    val e = Search.embNormed(spark, dir)
+    val sel = e.agg(
+      sum(when(col(labelCol) === labelVal, 1L).otherwise(0L)).cast("double")
+        / count(lit(1))).head.getDouble(0)
+    val pool = math.max(ef, math.ceil(k / math.max(sel, 1e-6) * 2).toInt)
+    val cands = shardedCands(spark, dir, dir, queries, shards,
+      ef = ef, k = pool, exclude = Set.empty)
+    val matched = cands.join(
+      e.filter(col(labelCol) === labelVal).select("vec_id"), "vec_id")
+    shardedGather(spark, k, matched)
+  }
+
+  /** Filtered+sharded serving as a registry row: the planted
+    * 4-segment layout, 8 queries, label ≡ 3 predicate, top-5 — the
+    * [[qHnswFiltered]] contract on the partitioned regime. Golden
+    * oracle like every trained-graph serve. */
+  def qHnswShardedFiltered(spark: SparkSession, dir: String): DataFrame =
+    serveShardedFiltered(spark, dir, spark.range(8).toDF("query_id"),
+      shards = 4, labelCol = "label", labelVal = 3L, ef = 64, k = 5)
+      .orderBy("query_id", "rank")
 
   /** Sharded serving as a registry row: 8 queries over a PLANTED
     * 4-segment layout (S=4 stands in for a corpus whose image exceeds
@@ -1014,7 +1128,8 @@ object Hnsw {
     "q_hnsw_compact" -> (qHnswCompact _),
     "q_hnsw_dist" -> (qHnswServeDist _),
     "q_hnsw_sharded" -> (qHnswSharded _),
-    "q_hnsw_sharded_delta" -> (qHnswShardedDelta _)
+    "q_hnsw_sharded_delta" -> (qHnswShardedDelta _),
+    "q_hnsw_sharded_filtered" -> (qHnswShardedFiltered _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1054,6 +1169,11 @@ object Hnsw {
       s"""SELECT * FROM
          |read_parquet(
          |  '$fixturesDir/hnsw_sharded_delta_sf0.01.parquet/*.parquet')
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_hnsw_sharded_filtered" ->
+      s"""SELECT * FROM
+         |read_parquet(
+         |  '$fixturesDir/hnsw_sharded_filtered_sf0.01.parquet/*.parquet')
          |ORDER BY query_id, rank""".stripMargin,
     "q_hnsw_levels" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),

@@ -218,6 +218,58 @@ class HnswShardSpec extends SparkSpec {
         "serve — the two partitioned regimes must be the same answer")
   }
 
+  test("dirs-only coordinator (default) is bit-equal to the cached-" +
+      "image mode: per-arm image materialization changes no answer") {
+    val qs = spark.range(8).toDF("query_id").repartition(3)
+    def run(retain: Boolean) =
+      Hnsw.serveShardedQueryTable(spark, bigDir, qs, shards = S,
+        ef = 16, k = 5, retainImages = retain).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    assert(run(retain = false) === run(retain = true),
+      "dirs-only serving diverged from the session-cached images — " +
+        "the coordinator mode must never change an answer")
+  }
+
+  test("filtered sharded serve: k label-matching rows per query " +
+      "(fill), predicate pure, recall vs exact filtered top-k clears " +
+      "the floor") {
+    import spark.implicits._
+    val out = Hnsw.qHnswShardedFiltered(spark, bigDir).collect()
+    val e = Search.embNormed(spark, bigDir)
+    val labeled = e.filter(col("label") === 3)
+      .select("vec_id").as[Long].collect().toSet
+    // fill: the selectivity-derived per-segment pool leaves k matches
+    out.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.length === 5, s"query $qid underfilled: ${rs.length}")
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 5L))
+    }
+    // purity: every reported id satisfies the predicate
+    out.foreach(r => assert(labeled.contains(r.getLong(2)),
+      s"unlabeled id ${r.getLong(2)} reported by the filtered serve"))
+    // recall floor vs the EXACT filtered top-5 (brute cosine over the
+    // label slice), the family floor
+    val qvs = e.filter(col("vec_id") < 8)
+      .select("vec_id", "embedding", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val corpus = e.filter(col("label") === 3)
+      .select("vec_id", "embedding", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val recalls = qvs.map { case (qid, qv, qn) =>
+      val exact = corpus.filter(_._1 != qid).map { case (id, v, nrm) =>
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i).toDouble * qv(i).toDouble; i += 1 }
+        (id, s / (nrm * qn))
+      }.sortBy { case (id, sc) => (-sc, id) }.take(5).map(_._1).toSet
+      val got = out.filter(_.getLong(0) == qid).map(_.getLong(2)).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val recall = recalls.sum / recalls.length
+    assert(recall >= 0.8, s"filtered sharded recall@5 $recall < 0.8")
+  }
+
   test("an empty segment (a residue class no sparse id landed in) " +
       "builds an empty index and serves no rows") {
     val dir = java.nio.file.Files
