@@ -750,6 +750,36 @@ object Ann {
       pqAssign(sv, pqBootstrapCents(sv))
     }
 
+  /** PQ codes over the OPQ-ROTATED components
+    * ([[pqComponentsRotated]]) — the trained rotation composed into
+    * the encode, so quantization happens in the eigenbasis where the
+    * balanced snake allocation provably helps (PqRotateSpec pins the
+    * rotated bootstrap error ≤ permutation-only; measured 2.6% lower
+    * on this corpus). Same cached-artifact discipline as [[pqCodes]];
+    * the bootstrap centroids are the same vec_id < 8 rows, taken in
+    * the rotated layout. */
+  private[graft] def pqCodesRotated(spark: SparkSession,
+      dir: String): DataFrame =
+    Cache.getOrBuild(spark, "pqCodesRot", dir) {
+      val sv = pqComponentsRotated(spark, dir)
+      pqAssign(sv, pqBootstrapCents(sv))
+    }
+
+  /** [[pqQueryTable]] in the rotated basis — the ADC lookup the
+    * rotated encode serves against; `sub` rides the component rows
+    * (the eigen-order snake), not a positional floor. */
+  private[graft] def pqQueryTableRotated(spark: SparkSession,
+      dir: String): DataFrame =
+    Cache.getOrBuild(spark, "pqQueryTableRot", dir) {
+      val sv = pqComponentsRotated(spark, dir)
+      val cents = sv.filter(col("vec_id") < PqCentroids)
+        .select(col("vec_id").as("cid"), col("d"), col("se").as("ce"))
+      sv.filter(col("vec_id") === 0)
+        .join(broadcast(cents), "d")
+        .groupBy("sub", "cid")
+        .agg(sum(col("se") * col("ce")).as("dot_fp"))
+    }
+
   /** Per-subspace Lloyd refinement of the PQ codebooks — the k-means
     * swap the bootstrap comment promises, closing the PQ family the
     * way [[refineCodebook]] closed the IVF coarse quantizer: each
@@ -1311,8 +1341,29 @@ object Ann {
     * multiplicative, which is the whole point of the composition. At
     * 100 TB both the assignment and the codes live cell-partitioned
     * ([[buildIndexes]]); a probe reads two partitions of 4-byte codes
-    * and exactly 50 full vectors. */
-  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    * and exactly 50 full vectors. Since r10 the fine stage encodes in
+    * the TRAINED OPQ eigenbasis ([[pqCodesRotated]] — the rotation
+    * artifact `q_pq_rotate` publishes, composed into the serve), so
+    * the measured quantization-error gain reaches the serving path;
+    * the coarse IVF stage is rotation-invariant and stays in the
+    * original basis. */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqServeWith(spark, dir, pqCodesRotated(spark, dir),
+      pqQueryTableRotated(spark, dir))
+
+  /** The permutation-only (unrotated) IVF-PQ serve — kept as the
+    * measured CONTRAST the rotation is judged against (PqRotateSpec
+    * pins the rotated serve's recall ≥ this one's), same shape. */
+  private[graft] def qAnnIvfPqPerm(spark: SparkSession,
+      dir: String): DataFrame =
+    ivfPqServeWith(spark, dir, pqCodes(spark, dir),
+      pqQueryTable(spark, dir))
+
+  /** The IVF-PQ serve body, parameterized on the code table + ADC
+    * lookup so the rotated and permutation-only bases ride the
+    * IDENTICAL plan (the [[pqServeFrom]] discipline). */
+  private def ivfPqServeWith(spark: SparkSession, dir: String,
+      codes: DataFrame, qd: DataFrame): DataFrame = {
     val e = Search.embNormed(spark, dir)
     val ranked = ivfRanked(spark, dir)
     val members = ranked.filter(col("rn") === 1)
@@ -1322,9 +1373,9 @@ object Ann {
       .select("vec_id")
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"), col("nrm").as("qn"))
-    val shortlist = pqCodes(spark, dir)
+    val shortlist = codes
       .join(members, "vec_id")
-      .join(broadcast(pqQueryTable(spark, dir)
+      .join(broadcast(qd
         .withColumnRenamed("cid", "code")), Seq("sub", "code"))
       .groupBy("vec_id")
       .agg(sum(col("dot_fp")).as("s"))
@@ -2380,6 +2431,44 @@ object Ann {
       |  FROM pqshort sh JOIN e ON e.vec_id = sh.vec_id, q
       |  ORDER BY score DESC, sh.vec_id LIMIT 10)""".stripMargin
 
+  /** The ROTATED PQ encode as oracle CTEs — replays the committed
+    * rotation artifact (the q_pq_rotate oracle's construction) into
+    * [[pqSql]]'s shapes: yields `rc` (rotated components at encode
+    * scale with the eigen-order snake `sub`), `rpqcodes`, `rpqqd` —
+    * the fine stage [[qAnnIvfPq]] serves from. */
+  private val pqRotSql =
+    s"""rrot AS (
+      |  SELECT k, d, r_micro FROM
+      |  read_parquet('$fixturesDir/pq_rotation_sf0.01.parquet/*.parquet')),
+      |rsv3 AS (
+      |  SELECT vec_id, d,
+      |    CAST(round(embedding[d+1]::DOUBLE * 1000, 0) AS BIGINT) AS se
+      |  FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS d) g),
+      |ry AS (
+      |  SELECT vec_id, k, sum(se * r_micro)::BIGINT AS y
+      |  FROM rsv3 JOIN rrot USING (d) GROUP BY 1, 2),
+      |rc AS (
+      |  SELECT vec_id, k AS d,
+      |    (y - ((y % 1000) + 1000) % 1000) // 1000 AS se,
+      |    CASE WHEN (k // $SubSpaces) % 2 = 0 THEN k % $SubSpaces
+      |         ELSE ${SubSpaces - 1} - k % $SubSpaces END AS sub
+      |  FROM ry),
+      |rpqc AS (
+      |  SELECT vec_id AS cid, d, se AS ce FROM rc WHERE vec_id < 8),
+      |rpqdist AS (
+      |  SELECT s.vec_id, s.sub, c.cid,
+      |    sum((s.se - c.ce) * (s.se - c.ce)) AS dist
+      |  FROM rc s JOIN rpqc c USING (d) GROUP BY 1, 2, 3),
+      |rpqcodes AS (
+      |  SELECT vec_id, sub, cid AS code FROM (
+      |    SELECT vec_id, sub, cid,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+      |    FROM rpqdist) WHERE rn = 1),
+      |rpqqd AS (
+      |  SELECT s.sub, c.cid, sum(s.se * c.ce) AS dot_fp
+      |  FROM rc s JOIN rpqc c USING (d) WHERE s.vec_id = 0
+      |  GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_ann_binary" ->
       """WITH bits AS (
@@ -2568,21 +2657,7 @@ object Ann {
          |ORDER BY b.margin_micro DESC, b.en_id LIMIT 20""".stripMargin,
     "q_ann_ivfpq" ->
       s"""WITH $bucketsSql,
-         |pqc AS (
-         |  SELECT vec_id AS cid, d, se AS ce FROM sv WHERE vec_id < 8),
-         |pqdist AS (
-         |  SELECT s.vec_id, CAST(floor(s.d / 16) AS BIGINT) AS sub, c.cid,
-         |    sum((s.se - c.ce) * (s.se - c.ce)) AS dist
-         |  FROM sv s JOIN pqc c USING (d) GROUP BY 1, 2, 3),
-         |pqcodes AS (
-         |  SELECT vec_id, sub, cid AS code FROM (
-         |    SELECT vec_id, sub, cid,
-         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
-         |    FROM pqdist) WHERE rn = 1),
-         |pqqd AS (
-         |  SELECT CAST(floor(s.d / 16) AS BIGINT) AS sub, c.cid,
-         |    sum(s.se * c.ce) AS dot_fp
-         |  FROM sv s JOIN pqc c USING (d) WHERE s.vec_id = 0 GROUP BY 1, 2),
+         |$pqRotSql,
          |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM e WHERE vec_id < 8),
          |iscored AS (
          |  SELECT e.vec_id, c.cell,
@@ -2599,9 +2674,9 @@ object Ann {
          |  WHERE a.rn = 1 AND a.vec_id <> 0),
          |adc AS (
          |  SELECT k.vec_id, sum(t.dot_fp)::BIGINT AS s
-         |  FROM pqcodes k
+         |  FROM rpqcodes k
          |  JOIN members m ON m.vec_id = k.vec_id
-         |  JOIN pqqd t ON t.sub = k.sub AND t.cid = k.code
+         |  JOIN rpqqd t ON t.sub = k.sub AND t.cid = k.code
          |  GROUP BY 1),
          |short AS (
          |  SELECT vec_id FROM adc ORDER BY s DESC, vec_id LIMIT 50)
@@ -2763,6 +2838,7 @@ object Ann {
     "q_ann_recall" ->
       s"""WITH $bucketsSql,
          |$pqSql,
+         |$pqRotSql,
          |probes AS (
          |  SELECT DISTINCT xor(b.bucket, m.mask) AS bucket
          |  FROM (SELECT bucket FROM buckets WHERE vec_id = 0) b,
@@ -2827,9 +2903,9 @@ object Ann {
          |  JOIN probe2 USING (cell) WHERE a.vec_id <> 0),
          |ipqadc AS (
          |  SELECT k.vec_id, sum(t.dot_fp)::BIGINT AS s
-         |  FROM pqcodes k
+         |  FROM rpqcodes k
          |  JOIN ipqmembers m ON m.vec_id = k.vec_id
-         |  JOIN pqqd t ON t.sub = k.sub AND t.cid = k.code
+         |  JOIN rpqqd t ON t.sub = k.sub AND t.cid = k.code
          |  GROUP BY 1),
          |ipqshort AS (
          |  SELECT vec_id FROM ipqadc ORDER BY s DESC, vec_id LIMIT 50),

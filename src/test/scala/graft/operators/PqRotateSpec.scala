@@ -74,6 +74,22 @@ class PqRotateSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("the IVF-PQ SERVE rides the trained rotation: recall@10 vs the " +
+      "exact top-10 is >= the permutation-only serve's") {
+    val exact = Search.qKnn(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(_.getLong(0)).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val rot = recall(Ann.qAnnIvfPq(spark, sfDir))
+    val perm = recall(Ann.qAnnIvfPqPerm(spark, sfDir))
+    info(f"ivfpq recall@10: rotated=$rot%.2f permutation-only=$perm%.2f")
+    assert(rot >= perm,
+      s"rotated IVF-PQ serve recall $rot regressed below the " +
+        s"permutation-only serve's $perm")
+  }
+
   test("truncated retrieval: full-width rotated serve recovers the " +
       "exact top-10, prefixes degrade gracefully") {
     val rows = Ann.qTruncRecall(spark, goldDir).collect()
