@@ -85,6 +85,25 @@ object ScaleProbe {
       s"$work/embx"
     }
 
+    /** Sign-flip replicated embeddings WITH labels — the distinct-
+      * vector derived corpus the r10 serving probes share (dirs-only
+      * coordinator, filtered sharded serve, streaming loop). One
+      * build, three consumers; lazy like [[embxDir]]. */
+    lazy val hnswProbeDir: String = {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val nBase = emb.count()
+      emb.crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+        .withColumn("embedding", expr(
+          "transform(embedding, (x, i) -> CASE WHEN rep = 0 THEN x " +
+            "WHEN pmod(hash(rep, i), 2) = 0 THEN x ELSE -x END)"))
+        .withColumn("vec_id", col("vec_id") + col("rep") * nBase)
+        .drop("rep")
+        .withColumn("label", pmod(col("vec_id"), lit(8L)))
+        .write.mode("overwrite").parquet(s"$work/hm/embeddings.parquet")
+      s"$work/hm"
+    }
+
     val results = Seq(
       time("exact_dedup") {
         val g = operators.Dedup.qDedupExact(spark, work)
@@ -1306,6 +1325,151 @@ object ScaleProbe {
           s"delta_hits=$deltaHit/${deltaWanted.size} " +
           s"tombstones_clean=$tombClean " +
           s"qtable_queries=$servedQt qtable_qps=${f"${servedQt / tQt}%.1f"}"
+      },
+      time("hnsw_dirsonly") {
+        // The dirs-only coordinator at mult× / S=4 (r9 verdict item 2):
+        // the query-table serve's default must retain NO segment image
+        // on the driver between arms, vs retainImages=true which holds
+        // all S in the session cache. Gauges: answer checksums equal
+        // (the HnswShardSpec bit-equality, re-proven at mult×), both
+        // walls, and post-GC retained heap after each mode — the
+        // retained mode's delta is the S-image bill the default
+        // removes. MUST RUN BEFORE the other hm probes (they warm the
+        // session image cache and would pollute the retained gauge).
+        import operators.Hnsw
+        val gdir = hnswProbeDir
+        val n = spark.read.parquet(s"$gdir/embeddings.parquet").count()
+        val qs = spark.range(2000).toDF("query_id").repartition(32)
+        def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)),
+            sum(hash(col("query_id"), col("rank"), col("vec_id")))
+              .cast("long")).head
+          (r.getLong(0), r.getLong(1))
+        }
+        // the S index BUILDS are one-time disk artifacts shared by
+        // both coordinator modes — pay them up front (timed
+        // separately) so the two serve walls compare like for like
+        val tb0 = System.nanoTime()
+        val dirs = Hnsw.shardDirsFor(spark, gdir, 4)
+        locally {
+          import scala.collection.parallel.CollectionConverters._
+          dirs.par.foreach(d => Hnsw.indexFor(spark, d))
+        }
+        val tBuild = (System.nanoTime() - tb0) / 1e9
+        val t0 = System.nanoTime()
+        val dirsOnly = checksum(Hnsw.serveShardedQueryTable(spark, gdir,
+          qs, shards = 4, ef = 16, k = 10))
+        val tDirs = (System.nanoTime() - t0) / 1e9
+        // retention gauge: the session image cache itself — the claim
+        // is about what the coordinator HOLDS between calls, and the
+        // cache census measures exactly that (a shared local JVM's
+        // post-GC heap is noise: checkpoint blocks, G1 timing)
+        val (cDirs, bDirs) = Hnsw.cachedImageCensus(dirs)
+        val t1 = System.nanoTime()
+        val retained = checksum(Hnsw.serveShardedQueryTable(spark, gdir,
+          qs, shards = 4, ef = 16, k = 10, retainImages = true))
+        val tRet = (System.nanoTime() - t1) / 1e9
+        val (cRet, bRet) = Hnsw.cachedImageCensus(dirs)
+        s"n=$n shards=4 build=${f"$tBuild%.0f"}s " +
+          s"equal=${dirsOnly == retained} " +
+          s"rows=${dirsOnly._1} dirs_wall=${f"$tDirs%.0f"}s " +
+          s"retain_wall=${f"$tRet%.0f"}s " +
+          s"retained_images_dirs_mode=$cDirs (${bDirs / 1024}KB) " +
+          s"retained_images_retain_mode=$cRet (${bRet / 1024}KB)"
+      },
+      time("hnsw_sharded_filtered") {
+        // Filtered serving on the partitioned regime at mult× (r9
+        // verdict item 5): selectivity-derived per-segment pools,
+        // predicate at reporting, k-bounded gather. Gauges: fill (10
+        // label-matching rows per query), purity, recall@10 vs the
+        // exact filtered top-10, serve wall at the budget-derived S.
+        import operators.{Hnsw, Search}
+        import graft.functions.VectorFunctions.{cosinePrenormed, dot}
+        val gdir = hnswProbeDir
+        val e = Search.embNormed(spark, gdir)
+        val n = e.count()
+        val s = Hnsw.shardCountFor(n, 64, 1L << 20)
+        val qids = (0L until 40L)
+        val t0 = System.nanoTime()
+        val out = Hnsw.serveShardedFiltered(spark, gdir,
+          spark.range(40).toDF("query_id"), shards = s,
+          labelCol = "label", labelVal = 3L, ef = 64, k = 10).collect()
+        val tServe = (System.nanoTime() - t0) / 1e9
+        val labeled = e.filter(col("label") === 3)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val pure = out.forall(r => labeled.contains(r.getLong(2)))
+        val fill = out.groupBy(_.getLong(0)).values
+          .count(_.length == 10)
+        val qv = e.filter(col("vec_id") < 40)
+          .select(col("vec_id").as("qid"),
+            col("embedding").as("qv"), col("nrm").as("qn"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(desc("score"), col("vec_id"))
+        val exact: Map[Long, Set[Long]] = e.filter(col("label") === 3)
+          .crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("score", round(
+            cosinePrenormed(dot(col("embedding"), col("qv")),
+              col("nrm"), col("qn")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("qid", "vec_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val byQ = out.groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+        val recall = qids.map(q => byQ.getOrElse(q, Set.empty[Long])
+          .count(exact.getOrElse(q, Set.empty).contains) / 10.0)
+          .sum / qids.size
+        s"n=$n shards=$s filled=$fill/40 pure=$pure " +
+          s"recall10=${f"$recall%.2f"} wall=${f"$tServe%.0f"}s"
+      },
+      time("stream_shard_loop") {
+        // The composed streaming lifecycle at mult× (r9 verdict item
+        // 7): delta batches land → sealed-segments + exact-delta serve
+        // → measured-growth reseal at the re-derived S. Gauges: serve
+        // rows, reseal S growth, each stage's wall.
+        import operators.{Ann, Hnsw, Search}
+        val gdir = hnswProbeDir
+        val e = Search.embNormed(spark, gdir)
+        val cutoff = Ann.deltaCutoff(e).head.getLong(0)
+        val sealedDir = Hnsw.sealedDirFor(spark, gdir)
+        val swork = s"$work/ssl"
+        val ti0 = System.nanoTime()
+        val delta = e.filter(col("vec_id") >= cutoff)
+          .select("vec_id", "embedding")
+        delta.filter(pmod(col("vec_id"), lit(2L)) === 0)
+          .write.mode("overwrite").parquet(s"$swork/delta/batch=0")
+        delta.filter(pmod(col("vec_id"), lit(2L)) === 1)
+          .write.mode("overwrite").parquet(s"$swork/delta/batch=1")
+        val tIngest = (System.nanoTime() - ti0) / 1e9
+        val nSealed = Search.embNormed(spark, sealedDir).count()
+        // budget chosen so the 11% reseal growth crosses an S
+        // boundary: the sealed corpus derives S, the grown corpus
+        // must derive S+1 — the "more segments, never a bigger
+        // per-node image" rule made visible in the record
+        val budget = nSealed * Hnsw.imageBytesPerVec(64) / 4 + 1
+        val s = Hnsw.shardCountFor(nSealed, 64, budget)
+        val ts0 = System.nanoTime()
+        val served = streaming.StreamingShardedServe.serve(spark,
+          sealedDir, swork, spark.range(40).toDF("query_id"),
+          shards = s, ef = 16, k = 10)
+          .select(countDistinct("query_id")).head.getLong(0)
+        val tServe = (System.nanoTime() - ts0) / 1e9
+        val tr0 = System.nanoTime()
+        val (grown, s2) = streaming.StreamingShardedServe.maybeReseal(
+          spark, sealedDir, swork, budgetBytes = budget,
+          fraction = 20L).get
+        val tReseal = (System.nanoTime() - tr0) / 1e9
+        val tg0 = System.nanoTime()
+        val after = Hnsw.serveShardedDistributed(spark, grown,
+          spark.range(40).toDF("query_id"), shards = s2, ef = 16, k = 10)
+          .select(countDistinct("query_id")).head.getLong(0)
+        val tAfter = (System.nanoTime() - tg0) / 1e9
+        s"sealed=$nSealed shards=$s->$s2 " +
+          s"ingest=${f"$tIngest%.0f"}s serve=${f"$tServe%.0f"}s " +
+          s"(queries=$served) reseal=${f"$tReseal%.0f"}s " +
+          s"post_serve=${f"$tAfter%.0f"}s (queries=$after)"
       },
       time("pipeline_full") {
         // The composed curation lineage (quality → exact dedup →

@@ -300,6 +300,21 @@ object Hnsw {
     images.computeIfAbsent(dir,
       { d => imageOf(spark, d, indexFor(spark, d)) })
 
+  /** Census of the session image cache over `dirs`: (count, ≈bytes) —
+    * the retention gauge the dirs-only coordinator probe reports
+    * (ScaleProbe hnsw_dirsonly): the dirs-only mode must leave this at
+    * zero while retainImages holds all S. Byte estimate is the
+    * [[imageBytesPerVec]] budget formula over each cached image's
+    * actual vector count/width. */
+  private[graft] def cachedImageCensus(dirs: Seq[String]): (Int, Long) = {
+    val cached = dirs.flatMap(d => Option(images.get(d)))
+    val bytes = cached.map { img =>
+      val dim = img.vecs.headOption.map(_._2._1.length).getOrElse(0)
+      img.vecs.size.toLong * imageBytesPerVec(dim)
+    }.sum
+    (cached.size, bytes)
+  }
+
   /** [[imageFor]] over an ALREADY-BUILT index (compaction output and
     * other artifacts that carry their index beside the corpus) — same
     * cache, no redundant rebuild. */
