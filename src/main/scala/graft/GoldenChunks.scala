@@ -38,7 +38,7 @@ object GoldenChunks {
       args.lift(2).map(_.split(",").toSet).getOrElse(Set.empty)
     val sfTag = "sf[0-9.]+".r.findFirstIn(sfDir).getOrElse("sf")
     val spark = GraftSession.local(8)
-    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.setLogLevel(spark, "WARN")
     Queries.filter(q => only.isEmpty || only(q)).foreach { name =>
       val out = s"$outDir/${name.stripPrefix("q_")}_$sfTag.parquet"
       SparkEntry.queries(name)(spark, sfDir)

@@ -16,16 +16,26 @@ object GraftSession {
     * dims ≤ 64, language count, ≤ 4096 shard segments — bounds pinned
     * in PlanAuditSpec). WindowExec's "No Partition Defined" warning
     * cannot be silenced per-site (a literal partition key is
-    * constant-folded away), so the logger is raised to ERROR here —
-    * honestly: any NEW unpartitioned window a refactor introduces is
-    * caught by the PlanAudit bound pins, not by log noise. */
-  private lazy val silenceAuditedWindowWarning: Unit =
+    * constant-folded away), so the window-exec logger package is
+    * raised to ERROR — honestly: any NEW unpartitioned window a
+    * refactor introduces is caught by the PlanAudit bound pins, not
+    * by log noise. */
+  private def silenceAuditedWindowWarning(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
+      "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
 
+  /** Root log level for mains/tests. `sparkContext.setLogLevel`
+    * resets EVERY logger's level (log4j2 setAllLevels), which silently
+    * undid the targeted window-warning override when callers invoked
+    * it directly — route through here so the override survives. */
+  def setLogLevel(spark: SparkSession, level: String): Unit = {
+    spark.sparkContext.setLogLevel(level)
+    silenceAuditedWindowWarning()
+  }
+
   def builder(master: String, shufflePartitions: String): SparkSession.Builder = {
-    silenceAuditedWindowWarning
+    silenceAuditedWindowWarning()
     SparkSession.builder()
       .master(master)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
@@ -77,7 +87,7 @@ object GraftSession {
   /** Local session for tests. */
   def local(cores: Int = 4): SparkSession = {
     val s = builder(s"local[$cores]", cores.toString).getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    setLogLevel(s, "WARN")
     s
   }
 }

@@ -6,7 +6,7 @@ object HashBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(20000000L)
     val spark = GraftSession.builder("local[32]", "32").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.setLogLevel(spark, "ERROR")
     import org.apache.spark.sql.functions._
     val base = spark.range(n).select(concat(lit("doc:"), col("id")).as("s"))
     def time(label: String)(c: org.apache.spark.sql.Column): Unit = {

@@ -13,7 +13,7 @@ object Profile {
     val iters = if (args.length > 1) args(1).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.setLogLevel(spark, "WARN")
     val all = SparkEntry.queries
     val names =
       if (args.length > 2) args.drop(2).toSeq else all.keys.toSeq.sorted

@@ -23,7 +23,7 @@ object ScaleProbe {
       args.lift(3).map(_.split(",").toSet).getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.setLogLevel(spark, "WARN")
 
     // derived corpus: mult copies of every doc, ids shifted per replica
     val docs = Tables.documents(spark, sfDir)

@@ -26,7 +26,7 @@ object Sf1Probe {
       args.lift(3).map(_.split(",").toSet).getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.setLogLevel(spark, "WARN")
 
     def replicate(df: org.apache.spark.sql.DataFrame,
         shifts: (String, Long)*): org.apache.spark.sql.DataFrame = {
