@@ -1326,6 +1326,43 @@ object ScaleProbe {
           s"tombstones_clean=$tombClean " +
           s"qtable_queries=$servedQt qtable_qps=${f"${servedQt / tQt}%.1f"}"
       },
+      time("hnsw_ef_grid") {
+        // efSearch grid on the REAL (un-derived) corpus: the bake-off
+        // row reads hnsw recall@10 through qHnswSearch's family
+        // default, so the default should be the measured knee of this
+        // curve, not a guess — the graph_serve grid only covered the
+        // adversarial sign-flip corpus. 20 spread queries, recall@10
+        // vs exact brute force, driver-local beam (serve cost is
+        // microseconds either way — recall is the only axis here).
+        import operators.{Hnsw, Search}
+        import graft.functions.VectorFunctions.{cosinePrenormed, dot}
+        val e = Search.embNormed(spark, sfDir)
+        val img = Hnsw.imageFor(spark, sfDir)
+        val qids = (0L until 20L)
+        val qv = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"),
+            col("embedding").as("qv"), col("nrm").as("qn"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(desc("score"), col("vec_id"))
+        val exact: Map[Long, Set[Long]] = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("score", round(
+            cosinePrenormed(dot(col("embedding"), col("qv")),
+              col("nrm"), col("qn")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("qid", "vec_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val grid = Seq(8, 16, 32, 64, 128).map { ef =>
+          val r = qids.map { q =>
+            Hnsw.serveLocal(img, q, ef = ef, k = 10).map(_._1)
+              .count(exact(q).contains) / 10.0
+          }.sum / qids.size
+          s"ef$ef=${f"$r%.2f"}"
+        }
+        s"corpus=$sfDir n=${e.count()} " + grid.mkString(" ")
+      },
       time("hnsw_dirsonly") {
         // The dirs-only coordinator at mult× / S=4 (r9 verdict item 2):
         // the query-table serve's default must retain NO segment image

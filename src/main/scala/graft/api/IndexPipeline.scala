@@ -324,15 +324,21 @@ object IndexPipeline {
       _ => buildAnnArtifact(spark, storePath, nodeBudgetBytes, fp))
     if (cached.fingerprint == fp) cached
     else {
-      // mutated store: measure the unindexed tail + tombstones once
-      // (two anti-join counts over id columns only); reseal when the
-      // mutation outgrows half the sealed corpus, else keep serving
+      // mutated store: measure the unindexed tail + tombstones ONCE
+      // PER STORE STATE (two anti-join counts over id columns only,
+      // memoized by fingerprint so repeat serves between mutations
+      // don't re-pay the counting jobs); reseal when the mutation
+      // outgrows half the sealed corpus, else keep serving
       // sealed+delta off the existing images
-      val live = ChunkStore.read(spark, s"$storePath/chunks").select("id")
-      val sealed0 = spark.read.parquet(s"${cached.work}/ids.parquet")
-        .select("id")
-      val deltaN = live.join(sealed0, Seq("id"), "left_anti").count()
-      val deadN = sealed0.join(live, Seq("id"), "left_anti").count()
+      val (deltaN, deadN) = mutationCensus.computeIfAbsent(s"$key#$fp",
+        { _ =>
+          val live = ChunkStore.read(spark, s"$storePath/chunks")
+            .select("id")
+          val sealed0 = spark.read.parquet(s"${cached.work}/ids.parquet")
+            .select("id")
+          (live.join(sealed0, Seq("id"), "left_anti").count(),
+            sealed0.join(live, Seq("id"), "left_anti").count())
+        })
       if (2L * (deltaN + deadN) > math.max(cached.sealedCount, 1L)) {
         val fresh = buildAnnArtifact(spark, storePath, nodeBudgetBytes, fp)
         annIndexes.put(key, fresh)
@@ -340,6 +346,12 @@ object IndexPipeline {
       } else cached
     }
   }
+
+  /** Per-(store state) mutation census — (unindexed tail, deleted) —
+    * keyed by the fingerprint, so it self-invalidates on the next
+    * mutation. */
+  private val mutationCensus =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   /** Q1 at index speed: ANN-backed semantic search over the chunk
     * store — the analogue of the reference's HNSW index option on its

@@ -346,7 +346,11 @@ object Hnsw {
     * serving-tier call and rides the image like [[qHnswBatch]]. */
   def qHnswSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    serveLocal(imageFor(spark, dir), 0L, ef = 16)
+    // ef = 32 is the measured knee of the recall curve on the real
+    // corpus (ScaleProbe hnsw_ef_grid: 0.84 @ 16, 0.96 @ 32, 0.99 @
+    // 64 — recall@10 over 20 queries); serve cost is a driver-local
+    // beam either way, so the default sits at the knee, not below it
+    serveLocal(imageFor(spark, dir), 0L, ef = 32)
       .toDF("vec_id", "score")
       .orderBy(desc("score"), col("vec_id"))
   }
