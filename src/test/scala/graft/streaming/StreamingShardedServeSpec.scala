@@ -17,6 +17,27 @@ import graft.operators.{Ann, Hnsw, Search}
   * same rows. */
 class StreamingShardedServeSpec extends SparkSpec {
 
+  test("fresh state (no committed micro-batch yet) serves sealed-only " +
+      "— not an error, and exactly the sharded serve of the sealed " +
+      "corpus") {
+    val sealedDir = Hnsw.sealedDirFor(spark, sfDir)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_stream_shard_fresh").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val queries = spark.range(8).toDF("query_id")
+    val got = rows(StreamingShardedServe.serve(spark, sealedDir, work,
+      queries, shards = 4, ef = 16, k = 5))
+    val want = rows(Hnsw.serveShardedDistributed(spark, sealedDir,
+      queries, shards = 4, ef = 16, k = 5))
+    assert(got === want,
+      "fresh-state streamed serve must equal the pure sealed sharded " +
+        "serve")
+    assert(StreamingShardedServe.maybeReseal(spark, sealedDir, work)
+      .isEmpty, "reseal fired with an empty delta")
+  }
+
   test("streamed ingest + sharded serve ≡ the id-cutoff sealed+delta " +
       "serve, across micro-batches") {
     val spark2 = spark
