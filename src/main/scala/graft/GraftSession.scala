@@ -17,9 +17,11 @@ object GraftSession {
     * in PlanAuditSpec). WindowExec's "No Partition Defined" warning
     * cannot be silenced per-site (a literal partition key is
     * constant-folded away), so the window-exec logger package is
-    * raised to ERROR — honestly: any NEW unpartitioned window a
-    * refactor introduces is caught by the PlanAudit bound pins, not
-    * by log noise. */
+    * raised to ERROR — honestly: PlanAuditSpec's registry-wide audit
+    * FAILS on any unpartitioned WindowExec outside the allowlisted
+    * three, so a new keyless window a refactor introduces is caught
+    * by CI, not by log noise (a per-site bound pin alone could not
+    * see new windows; the audit scans every registry plan). */
   private def silenceAuditedWindowWarning(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",

@@ -263,17 +263,9 @@ object IndexPipeline {
     * identical. */
   private[api] def storeFingerprint(spark: SparkSession,
       path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return "absent"
-    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      parts += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
-    }
     val md = MessageDigest.getInstance("MD5")
-    parts.sorted.foreach(s => md.update(s.getBytes("UTF-8")))
+    ChunkStore.fileListing(spark, path)
+      .foreach(s => md.update(s.getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -283,11 +275,17 @@ object IndexPipeline {
         .createTempDirectory("graft_store_ann").toString
       val chunks = ChunkStore.read(spark, s"$storePath/chunks")
         .select(Embedder.hash60Col(col("id")).as("vec_id"),
-          col("id"), col("embedding"))
+          col("id"), col("embedding"), col("content"))
       chunks.select(col("vec_id"),
           col("embedding").cast("array<float>").as("embedding"))
         .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
-      chunks.select("vec_id", "id")
+      // ids carry a CONTENT hash beside the chunk id: the chunk id is
+      // md5(sourceId:index), NOT content-derived, so an S8 in-place
+      // rewrite keeps the id while changing the embedding — the
+      // mutation census must treat that as delta+tombstone, not as
+      // unchanged (the id alone cannot see it)
+      chunks.select(col("vec_id"), col("id"),
+          Embedder.hash60Col(col("content")).as("ch"))
         .write.mode("overwrite").parquet(s"$work/ids.parquet")
       val stats = spark.read.parquet(s"$work/embeddings.parquet")
         .agg(count(lit(1)), first(size(col("embedding")))).head
@@ -304,7 +302,8 @@ object IndexPipeline {
           Seq(graft.operators.Hnsw.imageOf(spark, work, idx,
             nodeBudgetBytes))
         } else graft.operators.Hnsw.segmentImages(spark,
-          graft.operators.Hnsw.shardDirsFor(spark, work, s))
+          graft.operators.Hnsw.shardDirsFor(spark, work, s),
+          nodeBudgetBytes)
       AnnArtifact(work, imgs, fingerprint, n)
   }
 
@@ -325,33 +324,56 @@ object IndexPipeline {
     if (cached.fingerprint == fp) cached
     else {
       // mutated store: measure the unindexed tail + tombstones ONCE
-      // PER STORE STATE (two anti-join counts over id columns only,
-      // memoized by fingerprint so repeat serves between mutations
-      // don't re-pay the counting jobs); reseal when the mutation
-      // outgrows half the sealed corpus, else keep serving
-      // sealed+delta off the existing images
-      val (deltaN, deadN) = mutationCensus.computeIfAbsent(s"$key#$fp",
-        { _ =>
-          val live = ChunkStore.read(spark, s"$storePath/chunks")
-            .select("id")
-          val sealed0 = spark.read.parquet(s"${cached.work}/ids.parquet")
-            .select("id")
-          (live.join(sealed0, Seq("id"), "left_anti").count(),
-            sealed0.join(live, Seq("id"), "left_anti").count())
+      // PER STORE STATE (two anti-join counts, memoized by fingerprint
+      // so repeat serves between mutations don't re-pay the counting
+      // jobs; one entry per store — a superseded fingerprint's census
+      // is replaced, never accumulated). The census keys on
+      // (id, content hash), not id alone: an in-place rewrite (S8)
+      // keeps the chunk id while changing the embedding, and must
+      // count as delta + tombstone. Reseal when the mutation outgrows
+      // half the sealed corpus, else keep serving sealed+delta off
+      // the existing images.
+      val (_, (deltaN, deadN)) = mutationCensus.compute(key,
+        { (_, prev) =>
+          if (prev != null && prev._1 == fp) prev
+          else {
+            val live = ChunkStore.read(spark, s"$storePath/chunks")
+              .select(col("id"),
+                Embedder.hash60Col(col("content")).as("ch"))
+            val sealed0 = spark.read
+              .parquet(s"${cached.work}/ids.parquet")
+              .select("id", "ch")
+            (fp,
+              (live.join(sealed0, Seq("id", "ch"), "left_anti").count(),
+                sealed0.join(live, Seq("id", "ch"), "left_anti").count()))
+          }
         })
       if (2L * (deltaN + deadN) > math.max(cached.sealedCount, 1L)) {
         val fresh = buildAnnArtifact(spark, storePath, nodeBudgetBytes, fp)
         annIndexes.put(key, fresh)
+        // best-effort removal of the superseded artifact's temp dir (a
+        // full corpus copy per reseal otherwise accumulates on disk);
+        // the single-session serve discipline means no caller still
+        // holds the old work path once the map entry is swapped
+        try {
+          def rm(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.list(p).forEach(c => rm(c))
+            java.nio.file.Files.deleteIfExists(p)
+          }
+          rm(java.nio.file.Paths.get(cached.work))
+        } catch { case _: Throwable => () }
         fresh
       } else cached
     }
   }
 
-  /** Per-(store state) mutation census — (unindexed tail, deleted) —
-    * keyed by the fingerprint, so it self-invalidates on the next
-    * mutation. */
-  private val mutationCensus =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  /** Per-store mutation census — fingerprint → (unindexed tail,
+    * deleted) — ONE entry per (store, budget): a new store state
+    * replaces the old census instead of accumulating one entry per
+    * fingerprint forever. */
+  private val mutationCensus = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Long, Long))]()
 
   /** Q1 at index speed: ANN-backed semantic search over the chunk
     * store — the analogue of the reference's HNSW index option on its
@@ -405,15 +427,21 @@ object IndexPipeline {
     val (excluded, deltaHits) =
       if (fresh) (Set.empty[Long], Seq.empty[(Long, Double)])
       else {
+        // mutation keyed on (id, content hash) — an S8 in-place
+        // rewrite keeps the id, so its OLD embedding must tombstone
+        // out of the sealed image while the NEW one rides the exact
+        // delta arm (same vec_id, fresher truth)
         val sealedIds = spark.read.parquet(s"${art.work}/ids.parquet")
         val liveIds = live.select(
           Embedder.hash60Col(col("id")).as("vec_id"),
-          col("id"), col("embedding"))
+          col("id"), col("embedding"),
+          Embedder.hash60Col(col("content")).as("ch"))
         val dead = sealedIds
-          .join(liveIds.select("id"), Seq("id"), "left_anti")
+          .join(liveIds.select("id", "ch"), Seq("id", "ch"), "left_anti")
           .select("vec_id").as[Long].collect().toSet
         val delta = liveIds
-          .join(sealedIds.select("id"), Seq("id"), "left_anti")
+          .join(sealedIds.select("id", "ch"), Seq("id", "ch"),
+            "left_anti")
           .withColumn("nrm", l2norm(col("embedding")))
           .withColumn("score", round(cosinePrenormed(
             dot(col("embedding"), lit(qv)), col("nrm"), lit(qn)), 6))

@@ -1734,11 +1734,15 @@ object Ann {
     * fixed-point (y carries 1e3·1e6; one exact integer division). */
   private[graft] def pqComponentsRotated(spark: SparkSession,
       dir: String): DataFrame =
-    qPqRotate(spark, dir)
-      .select(col("vec_id"), col("k").as("d"),
-        (col("y") - pmod(col("y"), lit(1000L))).divide(lit(1000L))
-          .cast("long").as("se"),
-        col("sub"))
+    // session-cached: the rotated encode AND its query table both
+    // consume this (and the rotation scan is the heavy stage), so the
+    // corpus pass runs once per session, not once per consumer
+    Cache.getOrBuild(spark, "rotComponentsSub", dir)(
+      qPqRotate(spark, dir)
+        .select(col("vec_id"), col("k").as("d"),
+          (col("y") - pmod(col("y"), lit(1000L))).divide(lit(1000L))
+            .cast("long").as("se"),
+          col("sub")))
 
   /** Truncation grid for [[qTruncRecall]]: prefix lengths in the
     * eigen-ordered rotated basis. */

@@ -296,9 +296,10 @@ object Hnsw {
   private val images =
     new java.util.concurrent.ConcurrentHashMap[String, IndexImage]()
 
-  private[graft] def imageFor(spark: SparkSession, dir: String): IndexImage =
+  private[graft] def imageFor(spark: SparkSession, dir: String,
+      budgetBytes: Long = DefaultNodeBudget): IndexImage =
     images.computeIfAbsent(dir,
-      { d => imageOf(spark, d, indexFor(spark, d)) })
+      { d => imageOf(spark, d, indexFor(spark, d), budgetBytes) })
 
   /** Census of the session image cache over `dirs`: (count, ≈bytes) —
     * the retention gauge the dirs-only coordinator probe reports
@@ -539,10 +540,19 @@ object Hnsw {
       .agg(count(lit(1)), first(size(col("embedding")))).head
     val n = stats.getLong(0)
     val d = if (stats.isNullAt(1)) 0 else stats.getInt(1)
-    require(n * imageBytesPerVec(d) <= budgetBytes,
+    // the gate carries imbalance headroom: shardCountFor sizes the
+    // AVERAGE segment to the budget, and a hash residue class
+    // fluctuates around n/S (multiplicatively ~±25% at production
+    // segment sizes, plus a small-n additive term that dominates on
+    // tiny test corpora) — the gate exists to stop order-of-magnitude
+    // accidents (imaging an unsharded 100 TB corpus), not to fail a
+    // segment a few vectors over its average
+    val gate = budgetBytes + budgetBytes / 4 + 64L * imageBytesPerVec(d)
+    require(n * imageBytesPerVec(d) <= gate,
       s"imageOf: corpus at $dir images at ${n * imageBytesPerVec(d)} " +
-        s"bytes > node budget $budgetBytes — serve it through the " +
-        "sharded regime (shardCountFor / serveShardedDistributed)")
+        s"bytes > node budget $budgetBytes (+headroom $gate) — serve " +
+        "it through the sharded regime (shardCountFor / " +
+        "serveShardedDistributed)")
     val vecs = Search.embNormed(spark, dir)
       .select("vec_id", "embedding", "nrm").collect()
       .map(r => r.getLong(0) -> (r.getSeq[Float](1).toArray, r.getDouble(2)))
@@ -850,9 +860,11 @@ object Hnsw {
     * commutative by construction. */
   def serveShardedDistributed(spark: SparkSession, dir: String,
       queries: DataFrame, shards: Int, ef: Int = 16,
-      k: Int = 10, exclude: Set[Long] = Set.empty): DataFrame =
+      k: Int = 10, exclude: Set[Long] = Set.empty,
+      budgetBytes: Long = DefaultNodeBudget): DataFrame =
     shardedGather(spark, k,
-      shardedCands(spark, dir, dir, queries, shards, ef, k, exclude))
+      shardedCands(spark, dir, dir, queries, shards, ef, k, exclude,
+        budgetBytes))
 
   /** The scatter half: per-segment beam answers as raw
     * `(query_id, vec_id, score)` candidate rows. `corpusDir` is the
@@ -869,17 +881,19 @@ object Hnsw {
     * build reads only its own segment dir and the image cache is
     * keyed per dir, so parallel submission cannot change any answer. */
   private[graft] def segmentImages(spark: SparkSession,
-      dirs: Seq[String]): Seq[IndexImage] = {
+      dirs: Seq[String],
+      budgetBytes: Long = DefaultNodeBudget): Seq[IndexImage] = {
     import scala.collection.parallel.CollectionConverters._
-    dirs.par.map(d => imageFor(spark, d)).seq
+    dirs.par.map(d => imageFor(spark, d, budgetBytes)).seq
   }
 
   private def shardedCands(spark: SparkSession, corpusDir: String,
       queryDir: String, queries: DataFrame, shards: Int, ef: Int,
-      k: Int, exclude: Set[Long]): DataFrame = {
+      k: Int, exclude: Set[Long],
+      budgetBytes: Long = DefaultNodeBudget): DataFrame = {
     import spark.implicits._
     val imgs = segmentImages(spark,
-      shardDirsFor(spark, corpusDir, shards))
+      shardDirsFor(spark, corpusDir, shards), budgetBytes)
     val qrows = Search.embNormed(spark, queryDir)
       .join(queries.select(col("query_id").cast("long").as("vec_id")),
         "vec_id")
@@ -930,7 +944,8 @@ object Hnsw {
     * from the delta scan, never reported. */
   def serveShardedDelta(spark: SparkSession, dir: String,
       queries: DataFrame, shards: Int, ef: Int = 16, k: Int = 10,
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None,
+      budgetBytes: Long = DefaultNodeBudget): DataFrame = {
     import spark.implicits._
     val e = Search.embNormed(spark, dir)
     val cut = Ann.deltaCutoff(e)
@@ -938,7 +953,7 @@ object Hnsw {
     val exclude: Set[Long] = tombstones.fold(Set.empty[Long])(
       _.as[Long].collect().toSet)
     val sealedCands = shardedCands(spark, sealedDir, dir, queries,
-      shards, ef, k, exclude)
+      shards, ef, k, exclude, budgetBytes)
     val qv = e.join(queries.select(
         col("query_id").cast("long").as("vec_id")), "vec_id")
       .select(col("vec_id").as("query_id"),
@@ -968,9 +983,16 @@ object Hnsw {
     * (the registry convention). */
   def serveShardedIngestDelta(spark: SparkSession, sealedDir: String,
       delta: DataFrame, queries: DataFrame, shards: Int, ef: Int = 16,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, budgetBytes: Long = DefaultNodeBudget): DataFrame = {
+    // a vec_id present in BOTH the sealed corpus and the ingest delta
+    // (a corrected/re-delivered vector) must rank ONCE, by its delta
+    // row — the fresher truth; the bounded TopK gather has no per-id
+    // dedup, so the sealed arm's candidate is dropped here (the delta
+    // is ingest-bounded, so the anti-join broadcasts)
     val sealedCands = shardedCands(spark, sealedDir, sealedDir, queries,
-      shards, ef, k, Set.empty)
+      shards, ef, k, Set.empty, budgetBytes)
+      .join(broadcast(delta.select("vec_id")), Seq("vec_id"),
+        "left_anti")
     val qv = Search.embNormed(spark, sealedDir)
       .join(queries.select(col("query_id").cast("long").as("vec_id")),
         "vec_id")
@@ -1005,7 +1027,7 @@ object Hnsw {
     val dim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
     val s = shardCountFor(n, dim, budgetBytes)
     val dirs = shardDirsFor(spark, dir, s)
-    segmentImages(spark, dirs)
+    segmentImages(spark, dirs, budgetBytes)
     (s, dirs)
   }
 
@@ -1043,14 +1065,15 @@ object Hnsw {
     * sharded regimes navigate identically by construction. */
   def serveShardedQueryTable(spark: SparkSession, dir: String,
       queries: DataFrame, shards: Int, ef: Int = 16,
-      k: Int = 10, retainImages: Boolean = false): DataFrame = {
+      k: Int = 10, retainImages: Boolean = false,
+      budgetBytes: Long = DefaultNodeBudget): DataFrame = {
     val qv = Search.embNormed(spark, dir)
       .join(queries.select(col("query_id").cast("long").as("vec_id")),
         "vec_id")
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("vec_id").as("self_id"))
     val dirs = shardDirsFor(spark, dir, shards)
-    if (retainImages) segmentImages(spark, dirs) // cache all S images
+    if (retainImages) segmentImages(spark, dirs, budgetBytes)
     else {
       // build the S indexes concurrently ONCE (disk artifacts, not
       // driver memory) — images materialize per arm below
@@ -1059,8 +1082,8 @@ object Hnsw {
     }
     val arms = dirs.map { d =>
       val img =
-        if (retainImages) imageFor(spark, d)
-        else imageOf(spark, d, indexFor(spark, d))
+        if (retainImages) imageFor(spark, d, budgetBytes)
+        else imageOf(spark, d, indexFor(spark, d), budgetBytes)
       val bc = spark.sparkContext.broadcast(img)
       val arm = serveVecsDistributed(spark, bc, qv, ef, k)
         .select("query_id", "vec_id", "score")
@@ -1089,14 +1112,27 @@ object Hnsw {
     * the exact filtered top-k. */
   def serveShardedFiltered(spark: SparkSession, dir: String,
       queries: DataFrame, shards: Int, labelCol: String, labelVal: Long,
-      ef: Int = 64, k: Int = 10): DataFrame = {
+      ef: Int = 64, k: Int = 10,
+      budgetBytes: Long = DefaultNodeBudget): DataFrame = {
     val e = Search.embNormed(spark, dir)
-    val sel = e.agg(
+    val selRow = e.agg(
       sum(when(col(labelCol) === labelVal, 1L).otherwise(0L)).cast("double")
-        / count(lit(1))).head.getDouble(0)
-    val pool = math.max(ef, math.ceil(k / math.max(sel, 1e-6) * 2).toInt)
+        / count(lit(1))).head
+    val sel = if (selRow.isNullAt(0)) 0.0 else selRow.getDouble(0)
+    // zero selectivity (empty corpus, or a label no row carries): no
+    // row can satisfy the predicate — serve empty like the other
+    // empty-input paths in this file, instead of deriving an absurd
+    // pool from the 1e-6 floor (or NPE-ing on the null aggregate)
+    if (sel == 0.0) {
+      import spark.implicits._
+      return shardedGather(spark, k,
+        Seq.empty[(Long, Long, Double)]
+          .toDF("query_id", "vec_id", "score"))
+    }
+    val pool = math.max(ef, math.ceil(k / sel * 2).toInt)
     val cands = shardedCands(spark, dir, dir, queries, shards,
-      ef = ef, k = pool, exclude = Set.empty)
+      ef = ef, k = pool, exclude = Set.empty,
+      budgetBytes = budgetBytes)
     val matched = cands.join(
       e.filter(col(labelCol) === labelVal).select("vec_id"), "vec_id")
     shardedGather(spark, k, matched)

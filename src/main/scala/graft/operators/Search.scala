@@ -390,14 +390,16 @@ object Search {
     * corpus; both candidate builds remain the single-scan plans of
     * their source queries. */
   def qSearchRrf(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("g").orderBy(desc("score"), col("doc_id"))
+    // both fusion arms are bounded top-N lists (limit(20) / the BM25
+    // top-k), so the global rank window is deliberate — PlanAuditSpec
+    // allowlists + pins the bound (a lit partition key would be
+    // constant-folded away, the r10 window-honesty rule)
+    val w = Window.orderBy(desc("score"), col("doc_id"))
     val sem = scoredDocs(spark, dir)
       .orderBy(desc("score"), col("doc_id")).limit(20)
-      .withColumn("g", lit(1))
       .withColumn("sem_rank", row_number().over(w).cast("long"))
       .select("doc_id", "sem_rank")
     val bm = qSearchBm25(spark, dir)
-      .withColumn("g", lit(1))
       .withColumn("bm25_rank", row_number().over(w).cast("long"))
       .select("doc_id", "bm25_rank")
     sem.join(bm, Seq("doc_id"), "full_outer")
@@ -425,14 +427,13 @@ object Search {
     * the residual divergence case is exactly [[qImpactTopk]]'s
     * documented below-rank-m-everywhere candidate). */
   def qSearchRrfIdx(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("g").orderBy(desc("score"), col("doc_id"))
+    // bounded arms, deliberate global rank window — see qSearchRrf
+    val w = Window.orderBy(desc("score"), col("doc_id"))
     val sem = scoredDocs(spark, dir)
       .orderBy(desc("score"), col("doc_id")).limit(20)
-      .withColumn("g", lit(1))
       .withColumn("sem_rank", row_number().over(w).cast("long"))
       .select("doc_id", "sem_rank")
     val bm = qImpactTopk(spark, dir)
-      .withColumn("g", lit(1))
       .withColumn("bm25_rank", row_number().over(w).cast("long"))
       .select("doc_id", "bm25_rank")
     sem.join(bm, Seq("doc_id"), "full_outer")

@@ -156,20 +156,31 @@ object ChunkStore {
     * and a republished sidecar (Artifacts swap) is picked up on the
     * next probe instead of serving stale membership. The sidecar is
     * 8 KB-scale by construction (shards × set bit positions). */
+  /** One sidecar entry per STORE (not per state): a republished
+    * sidecar REPLACES the superseded listing's bitmap instead of
+    * stranding it, so the cache is bounded by the number of distinct
+    * stores a session touches. */
   private val bloomSidecars = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[Long, Set[Long]]]()
+    String, (String, Map[Long, Set[Long]])]()
 
-  private def bloomListing(spark: SparkSession, dir: String): String = {
+  /** Recursive (path, length, mtime) listing of a store directory —
+    * the freshness primitive shared with
+    * [[graft.api.IndexPipeline.storeFingerprint]]: any append /
+    * delete / rewrite under the path changes it; at 100 TB a table
+    * format's snapshot id plays this role. Driver-side walk, no
+    * Spark job. */
+  private[graft] def fileListing(spark: SparkSession,
+      dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return "absent"
+    if (!fs.exists(p)) return Seq("absent")
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
       parts += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
     }
-    parts.sorted.mkString(",")
+    parts.sorted.toSeq
   }
 
   /** Point lookup through the Bloom sidecar: compute the probe key's k
@@ -185,11 +196,13 @@ object ChunkStore {
     val positions = (0 until graft.operators.Curation.BloomK)
       .map(i => hash60(s"$h:$i") % graft.operators.Curation.BloomBits)
       .toSet
-    val bitmap = bloomSidecars.computeIfAbsent(
-      s"$path#${bloomListing(spark, s"$path/_bloom")}",
-      _ => read(spark, s"$path/_bloom").collect()
+    val listing = fileListing(spark, s"$path/_bloom").mkString(",")
+    val bitmap = bloomSidecars.compute(path, { (_, prev) =>
+      if (prev != null && prev._1 == listing) prev
+      else (listing, read(spark, s"$path/_bloom").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toSet })
+    })._2
     val cands = bitmap.collect {
       case (s, ps) if positions.subsetOf(ps) => s
     }.toSeq

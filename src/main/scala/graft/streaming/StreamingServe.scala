@@ -86,7 +86,7 @@ object StreamingServe {
     // release the stream-lifetime broadcast when the stream ends — a
     // long-lived session starting many streams would otherwise leak
     // one image per stream on both driver and executors
-    spark.streams.addListener(
+    val listener =
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
             e: org.apache.spark.sql.streaming.StreamingQueryListener
@@ -101,7 +101,15 @@ object StreamingServe {
             bc.unpersist()
             spark.streams.removeListener(this)
           }
-      })
+      }
+    spark.streams.addListener(listener)
+    // a query that died in its first moments posts its terminated
+    // event BEFORE the listener registers — catch that race here
+    // (unpersist is idempotent, so double-release is harmless)
+    if (!q.isActive) {
+      bc.unpersist()
+      spark.streams.removeListener(listener)
+    }
     q
   }
 }

@@ -51,14 +51,23 @@ object StreamingShardedServe {
       .start()
 
   /** The streamed delta, tolerant of the fresh state (no committed
-    * micro-batch yet = sealed-only serving, not an error). */
+    * micro-batch yet = sealed-only serving, not an error). A vector
+    * RE-DELIVERED in a later micro-batch (a correction; per-batch
+    * overwrite only dedups same-batch retries) resolves
+    * latest-batch-wins, so the delta holds one row per vec_id and the
+    * serve can never rank one id twice. */
   def deltaRows(spark: SparkSession, work: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$work/delta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
+    if (fs.exists(p)) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("batch").desc)
       spark.read.option("basePath", s"$work/delta")
-        .parquet(s"$work/delta").select("vec_id", "embedding")
-    else
+        .parquet(s"$work/delta")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("vec_id", "embedding")
+    } else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -73,10 +82,10 @@ object StreamingShardedServe {
     * the streamed delta — [[Hnsw.serveShardedIngestDelta]] over
     * whatever has landed in `$work/delta` so far. */
   def serve(spark: SparkSession, sealedDir: String, work: String,
-      queries: DataFrame, shards: Int, ef: Int = 16,
-      k: Int = 10): DataFrame =
+      queries: DataFrame, shards: Int, ef: Int = 16, k: Int = 10,
+      budgetBytes: Long = Hnsw.DefaultNodeBudget): DataFrame =
     Hnsw.serveShardedIngestDelta(spark, sealedDir,
-      deltaRows(spark, work), queries, shards, ef, k)
+      deltaRows(spark, work), queries, shards, ef, k, budgetBytes)
 
   /** Fold the streamed delta into the corpus and reseal IF the delta
     * has outgrown `1/fraction` of the sealed corpus (growth measured,

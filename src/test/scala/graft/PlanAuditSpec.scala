@@ -57,13 +57,34 @@ class PlanAuditSpec extends SparkSpec {
   private val boundedFilterRe =
     """\(\w*(vec_id|doc_id|query_id|qid)#\d+L? (=|<|<=) \d{1,4}\)""".r
 
+  /** Registry rows allowed to carry an UNPARTITIONED window — each
+    * one's input is bounded by construction and pinned below; any
+    * other registry query planning a keyless window is a single-task
+    * corpus-wide sort and fails here. This is the tripwire that makes
+    * GraftSession's WindowExec-logger silencing honest: the warning is
+    * off JVM-wide, so a NEW unpartitioned window must be caught by
+    * THIS audit, not by log noise. */
+  private val boundedWindowQueries: Set[String] =
+    Set("q_pq_balance", "q_unimax_alloc", "q_shard_plan",
+      "q_search_rrf", "q_search_rrf_idx")
+
   test("registry-wide: no CartesianProduct; every nested-loop join " +
-      "broadcasts a provably bounded side") {
+      "broadcasts a provably bounded side; no unpartitioned window " +
+      "outside the audited bounded three") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val nodes = flatten(fn(spark, sfDir).queryExecution.executedPlan)
         val carts = nodes.filter(_.nodeName.contains("CartesianProduct"))
           .map(_ => s"$name: CartesianProduct")
+        val badWindows =
+          if (boundedWindowQueries.contains(name)) Nil
+          else nodes.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty =>
+              s"$name: unpartitioned WindowExec (single-task sort " +
+                "of the whole input — partition it or add the query " +
+                "to boundedWindowQueries with a pinned input bound)"
+          }
         val badBnlj =
           if (acceptedByName.contains(name)) Nil
           else nodes.collect {
@@ -78,7 +99,7 @@ class PlanAuditSpec extends SparkSpec {
               else Some(s"$name: BroadcastNestedLoopJoin over an " +
                 s"unproven build side:\n$s")
           }.flatten
-        carts ++ badBnlj
+        carts ++ badWindows ++ badBnlj
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
@@ -99,5 +120,12 @@ class PlanAuditSpec extends SparkSpec {
     // hash-range constant — 2^60 ids / ShardSegDiv residue classes
     assert((1L << 60) / operators.Curation.ShardSegDiv <= 4096L,
       "shard segment space outgrew the 4096-row carry-window bound")
+    // RRF fusion rank windows (Search.scala): each arm is a bounded
+    // top-N list — the semantic arm by an explicit limit(20), the
+    // lexical arm by the BM25/impact top-k row count
+    assert(operators.Search.qSearchBm25(spark, sfDir).count() <= 20,
+      "RRF lexical arm outgrew its bounded-window assumption")
+    assert(operators.Search.qImpactTopk(spark, sfDir).count() <= 20,
+      "RRF impact arm outgrew its bounded-window assumption")
   }
 }

@@ -280,6 +280,37 @@ class PipelineSpec extends SparkSpec {
     checkParity(q, 3)
     assert(annIds(q, 3).contains(bruteTop),
       "post-reseal serve lost the delta member it should have sealed in")
+    // S8 mutation: rewrite a chunk IN PLACE (same chunk id — the id is
+    // md5(sourceId:index), not content-derived, so only a census keyed
+    // on content can see this): the OLD embedding must tombstone out
+    // of the sealed image and the NEW one must serve via the delta arm
+    val qNew = "zephyr quill obsidian marble"
+    val victim = IndexPipeline.search(spark, store3,
+      "quartz document body", k = 1, rerank = false)
+      .head.getAs[String]("id")
+    val chunks2 = spark.read.parquet(s"$store3/chunks")
+    val newVec = graft.embed.Embedder
+      .withDim(graft.embed.Embedder.DefaultDim)
+      .embed(s"$qNew " * 30).map(_.toFloat)
+    val updates = chunks2.filter(col("id") === victim)
+      .withColumn("content", lit(s"$qNew " * 30))
+      .withColumn("embedding", lit(newVec))
+      .withColumn("createdAt",
+        lit(Timestamp.valueOf("2026-01-03 00:00:00")))
+    val staged2 = s"$root/store_mut_staged2"
+    graft.store.ChunkStore.upsertInto(spark, s"$store3/chunks", staged2,
+      updates, "id", "createdAt")
+    def rmTree2(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).forEach(c => rmTree2(c))
+      Files.deleteIfExists(p)
+    }
+    rmTree2(Paths.get(s"$store3/chunks"))
+    Files.move(Paths.get(staged2), Paths.get(s"$store3/chunks"))
+    assert(annIds(qNew, 1) === Seq(victim),
+      "searchAnn missed an in-place content rewrite — the census " +
+        "cannot key on chunk id alone")
+    checkParity(qNew, 3)
+    checkParity("quartz document body", 3)
   }
 
   test("S1 raw-text indexing round trips through the same store") {
