@@ -95,7 +95,15 @@ object StreamingShardedServe {
     * while the delta is still cheap to scan exactly. The new corpus
     * lands in a fresh directory (write-new + swap — the
     * [[graft.model.Artifacts]] discipline); the caller drops the
-    * delta directory with the old handle. */
+    * delta directory with the old handle.
+    *
+    * A delta row may CORRECT a sealed vec_id (re-delivered embedding);
+    * the serve path resolves those latest-wins
+    * ([[Hnsw.serveShardedIngestDelta]]'s left_anti rule), so the
+    * reseal must too — sealed rows shadowed by the delta are
+    * anti-joined out before the union, else the grown corpus would
+    * carry BOTH embeddings for that id and post-reseal answers could
+    * silently revert the correction. */
   def maybeReseal(spark: SparkSession, sealedDir: String, work: String,
       budgetBytes: Long = Hnsw.DefaultNodeBudget,
       fraction: Long = 4L): Option[(String, Int)] = {
@@ -108,6 +116,7 @@ object StreamingShardedServe {
         .createTempDirectory("graft_sharded_reseal").toString
       graft.Tables.embeddings(spark, sealedDir)
         .select("vec_id", "embedding")
+        .join(delta.select("vec_id"), Seq("vec_id"), "left_anti")
         .unionByName(delta.select("vec_id", "embedding"))
         .write.mode("overwrite").parquet(s"$grown/embeddings.parquet")
       val (s, _) = Hnsw.resealSharded(spark, grown, budgetBytes)

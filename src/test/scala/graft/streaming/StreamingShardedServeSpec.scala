@@ -96,4 +96,57 @@ class StreamingShardedServeSpec extends SparkSpec {
     assert(after === scratch,
       "post-reseal serving diverged from a from-scratch sharded corpus")
   }
+
+  test("a delta that CORRECTS a sealed vec_id survives the reseal — " +
+      "the grown corpus carries exactly the corrected embedding, " +
+      "never both") {
+    val spark2 = spark
+    import spark2.implicits._
+
+    val sealedDir = Hnsw.sealedDirFor(spark, sfDir)
+    val sealed0 = graft.Tables.embeddings(spark, sealedDir)
+      .select("vec_id", "embedding")
+    val sealedN = sealed0.count()
+    val victim = sealed0.orderBy("vec_id").head
+    val victimId = victim.getLong(0)
+    val corrected = victim.getSeq[Float](1).toArray.map(v => -v)
+
+    // Land the correction as a delta batch directly (the ingest
+    // discipline is pinned above; this case is about maybeReseal).
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_stream_shard_correct").toString
+    Seq((victimId, corrected)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$work/delta/batch=0")
+
+    // Force the trigger with a 1-row delta: fraction > sealedN.
+    val (grown, s) = StreamingShardedServe.maybeReseal(spark, sealedDir,
+      work, fraction = sealedN + 1).get
+    val grownRows = spark.read.parquet(s"$grown/embeddings.parquet")
+    assert(grownRows.count() === sealedN,
+      "reseal of a pure-correction delta must not change the corpus size")
+    val got = grownRows.filter(col("vec_id") === victimId).collect()
+    assert(got.length === 1,
+      s"grown corpus carries ${got.length} rows for the corrected id — " +
+        "the sealed embedding must be anti-joined out, not kept alongside")
+    assert(got.head.getSeq[Float](1).toArray.toSeq === corrected.toSeq,
+      "reseal reverted the correction to the sealed embedding")
+
+    // Serve-level: the grown corpus must answer exactly like a
+    // from-scratch corpus built over (sealed ∖ victim) ∪ correction.
+    val refDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_shard_correct_ref").toString
+    sealed0.filter(col("vec_id") =!= victimId)
+      .unionByName(Seq((victimId, corrected)).toDF("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(s"$refDir/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val queries = spark.range(8).toDF("query_id")
+    assert(rows(Hnsw.serveShardedDistributed(spark, grown, queries,
+        shards = s max 2)) ===
+      rows(Hnsw.serveShardedDistributed(spark, refDir, queries,
+        shards = s max 2)),
+      "post-reseal serve over the corrected corpus diverged from the " +
+        "from-scratch corrected corpus")
+  }
 }
