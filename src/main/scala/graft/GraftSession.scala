@@ -11,17 +11,20 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** The engine carries exactly three DELIBERATE unpartitioned
-    * windows, each over a table bounded by construction (embedding
-    * dims ≤ 64, language count, ≤ 4096 shard segments — bounds pinned
-    * in PlanAuditSpec). WindowExec's "No Partition Defined" warning
-    * cannot be silenced per-site (a literal partition key is
-    * constant-folded away), so the window-exec logger package is
-    * raised to ERROR — honestly: PlanAuditSpec's registry-wide audit
-    * FAILS on any unpartitioned WindowExec outside the allowlisted
-    * three, so a new keyless window a refactor introduces is caught
-    * by CI, not by log noise (a per-site bound pin alone could not
-    * see new windows; the audit scans every registry plan). */
+  /** The engine carries a small allowlist of DELIBERATE unpartitioned
+    * windows (five registry queries, PlanAuditSpec.boundedWindowQueries),
+    * each over a table bounded by construction (embedding dims ≤ 64,
+    * language count, ≤ 4096 shard segments, top-20 fusion arms —
+    * bounds pinned in PlanAuditSpec). WindowExec's "No Partition
+    * Defined" warning cannot be silenced per-site (a literal partition
+    * key is constant-folded away), so the window-exec logger package
+    * is raised to ERROR — honestly: PlanAuditSpec's registry-wide
+    * audit FAILS on any unpartitioned WindowExec outside the
+    * allowlist, and pins the exact keyless-WindowExec COUNT per
+    * allowlisted query, so a new keyless window a refactor introduces
+    * — even inside an allowlisted query — is caught by CI, not by log
+    * noise (a per-site bound pin alone could not see new windows; the
+    * audit scans every registry plan). */
   private def silenceAuditedWindowWarning(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",

@@ -140,6 +140,8 @@ object IndexPipeline {
     ChunkStore.write(
       sources.toDF().observe(sourceObs, count(lit(1)).as("n")),
       s"$storePath/sources", mode = SaveMode.Append)
+    // advance the store snapshot (O(1) freshness for searchAnn et al.)
+    ChunkStore.bumpSnapshot(spark, s"$storePath/chunks")
     IndexResult(
       sourceObs.get("n").asInstanceOf[Long],
       chunkObs.get("n").asInstanceOf[Long],
@@ -170,6 +172,7 @@ object IndexPipeline {
     ChunkStore.write(spark.createDataset(
       Seq(SourceRec(sourceId, text, Some(title), None, "text", createdAt))).toDF(),
       s"$storePath/sources", mode = SaveMode.Append)
+    ChunkStore.bumpSnapshot(spark, s"$storePath/chunks")
     IndexResult(1L, chunks.length.toLong)
   }
 
@@ -254,20 +257,25 @@ object IndexPipeline {
       imgs: Seq[graft.operators.Hnsw.IndexImage],
       fingerprint: String, sealedCount: Long)
 
-  /** Content fingerprint of a store directory: MD5 over the sorted
-    * recursive file listing (path, length, modification time) — a
-    * DRIVER-side filesystem walk, no Spark job, so the freshness check
-    * on every [[searchAnn]] call costs microseconds. Any append /
-    * delete / rewrite under the path changes the listing; at 100 TB a
-    * table format's snapshot id plays this role, the contract is
-    * identical. */
+  /** Content fingerprint of a store directory. Preferred path: the
+    * store's monotonic snapshot manifest
+    * ([[ChunkStore.snapshotOf]]) — ONE small-file read, the
+    * table-format snapshot-id contract, O(1) in store size; every
+    * store-API mutation bumps it (id + nonce), so even a same-length
+    * in-place rewrite inside the filesystem's mtime granularity is
+    * visible. Fallback for manifest-less stores: MD5 over the sorted
+    * recursive file listing (path, length, mtime) — a driver-side
+    * walk, O(files), with the documented 1 s-granularity blind spot. */
   private[api] def storeFingerprint(spark: SparkSession,
-      path: String): String = {
-    val md = MessageDigest.getInstance("MD5")
-    ChunkStore.fileListing(spark, path)
-      .foreach(s => md.update(s.getBytes("UTF-8")))
-    md.digest().map("%02x".format(_)).mkString
-  }
+      path: String): String =
+    ChunkStore.snapshotOf(spark, path) match {
+      case Some(snap) => s"snap:$snap"
+      case None =>
+        val md = MessageDigest.getInstance("MD5")
+        ChunkStore.fileListing(spark, path)
+          .foreach(s => md.update(s.getBytes("UTF-8")))
+        md.digest().map("%02x".format(_)).mkString
+    }
 
   private def buildAnnArtifact(spark: SparkSession, storePath: String,
       nodeBudgetBytes: Long, fingerprint: String): AnnArtifact = {
@@ -313,67 +321,167 @@ object IndexPipeline {
     * a rebuild: |delta| + |deleted| > sealed/2, the amortization rule
     * every sealed+delta lifecycle here uses. Between reseals a
     * mutated store serves sealed+delta (see [[searchAnn]]); the
-    * returned artifact's fingerprint tells the caller which case it
-    * is in. */
+    * second element carries the PERSISTED mutation state (delta rows,
+    * dead-id table, bounded exclusion filter) for that case — `None`
+    * means the artifact is fresh. */
   private def annIndexFor(spark: SparkSession, storePath: String,
-      nodeBudgetBytes: Long): AnnArtifact = {
+      nodeBudgetBytes: Long): (AnnArtifact, Option[MutationState]) = {
     val key = s"$storePath#$nodeBudgetBytes"
     val fp = storeFingerprint(spark, s"$storePath/chunks")
     val cached = annIndexes.computeIfAbsent(key,
       _ => buildAnnArtifact(spark, storePath, nodeBudgetBytes, fp))
-    if (cached.fingerprint == fp) cached
+    if (cached.fingerprint == fp) (cached, None)
     else {
-      // mutated store: measure the unindexed tail + tombstones ONCE
-      // PER STORE STATE (two anti-join counts, memoized by fingerprint
-      // so repeat serves between mutations don't re-pay the counting
-      // jobs; one entry per store — a superseded fingerprint's census
-      // is replaced, never accumulated). The census keys on
-      // (id, content hash), not id alone: an in-place rewrite (S8)
-      // keeps the chunk id while changing the embedding, and must
-      // count as delta + tombstone. Reseal when the mutation outgrows
-      // half the sealed corpus, else keep serving sealed+delta off
-      // the existing images.
-      val (_, (deltaN, deadN)) = mutationCensus.compute(key,
+      // mutated store: derive the unindexed tail + tombstones ONCE
+      // PER STORE STATE and PERSIST THE ROWS, not just their counts —
+      // the two corpus-scale anti-joins run when the fingerprint
+      // changes, never per query (repeat serves between mutations read
+      // the persisted delta/dead tables, whose size is the MUTATION,
+      // not the corpus). One entry per (store, budget) — a superseded
+      // fingerprint's state dir is deleted, never accumulated. The
+      // derivation keys on (id, content hash), not id alone: an
+      // in-place rewrite (S8) keeps the chunk id while changing the
+      // embedding, and must count as delta + tombstone. Reseal when
+      // the mutation outgrows half the sealed corpus, else keep
+      // serving sealed+delta off the existing images.
+      val st = mutationCensus.compute(key,
         { (_, prev) =>
-          if (prev != null && prev._1 == fp) prev
+          if (prev != null && prev.fp == fp) prev
           else {
-            val live = ChunkStore.read(spark, s"$storePath/chunks")
-              .select(col("id"),
-                Embedder.hash60Col(col("content")).as("ch"))
-            val sealed0 = spark.read
-              .parquet(s"${cached.work}/ids.parquet")
-              .select("id", "ch")
-            (fp,
-              (live.join(sealed0, Seq("id", "ch"), "left_anti").count(),
-                sealed0.join(live, Seq("id", "ch"), "left_anti").count()))
+            if (prev != null) rmTree(prev.dir)
+            deriveMutationState(spark, storePath, cached, fp)
           }
         })
-      if (2L * (deltaN + deadN) > math.max(cached.sealedCount, 1L)) {
+      if (2L * (st.deltaN + st.deadN) > math.max(cached.sealedCount, 1L)) {
         val fresh = buildAnnArtifact(spark, storePath, nodeBudgetBytes, fp)
         annIndexes.put(key, fresh)
+        mutationCensus.remove(key)
         // best-effort removal of the superseded artifact's temp dir (a
-        // full corpus copy per reseal otherwise accumulates on disk);
-        // the single-session serve discipline means no caller still
-        // holds the old work path once the map entry is swapped
-        try {
-          def rm(p: java.nio.file.Path): Unit = {
-            if (java.nio.file.Files.isDirectory(p))
-              java.nio.file.Files.list(p).forEach(c => rm(c))
-            java.nio.file.Files.deleteIfExists(p)
-          }
-          rm(java.nio.file.Paths.get(cached.work))
-        } catch { case _: Throwable => () }
-        fresh
-      } else cached
+        // full corpus copy per reseal otherwise accumulates on disk;
+        // the mutation-state dir lives inside it); the single-session
+        // serve discipline means no caller still holds the old work
+        // path once the map entry is swapped
+        rmTree(cached.work)
+        (fresh, None)
+      } else (cached, Some(st))
     }
   }
 
-  /** Per-store mutation census — fingerprint → (unindexed tail,
-    * deleted) — ONE entry per (store, budget): a new store state
-    * replaces the old census instead of accumulating one entry per
-    * fingerprint forever. */
+  private def rmTree(dir: String): Unit =
+    try {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(c => rm(c))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(java.nio.file.Paths.get(dir))
+    } catch { case _: Throwable => () }
+
+  /** Persisted per-store-state mutation artifacts: the delta rows
+    * (vec_id, embedding, nrm — the exact brute arm's input), the
+    * dead-id table (vec_id, SORTED so point verification prunes row
+    * groups), and the bounded in-memory exclusion filter. Everything a
+    * [[searchAnn]] call needs between mutations, derived once per
+    * store fingerprint. */
+  private[api] final case class MutationState(fp: String, dir: String,
+      deltaN: Long, deadN: Long, exclusion: DeadFilter)
+
+  /** Bounded dead-id exclusion — the [[graft.operators.Hnsw.imageOf]]
+    * gate discipline applied to tombstones: the driver never holds an
+    * unbounded id Set. */
+  private[api] sealed trait DeadFilter
+  /** ≤ [[DeadSetDriverCap]] ids: exact driver Set, excluded at report
+    * (the beam keeps them navigable — the family tombstone rule). */
+  private[api] final case class DeadSet(ids: Set[Long]) extends DeadFilter
+  /** Past the cap: a fixed-size broadcast-able Bloom bitmap over the
+    * dead ids. No false negatives, so candidates it clears are
+    * PROVABLY live; flagged candidates verify against the persisted
+    * dead table (pushdown point lookup) — exactness is never
+    * delegated to the filter. */
+  private[api] final case class DeadBloom(bits: Array[Long], nbits: Int,
+      hashes: Int) extends DeadFilter {
+    def mayContain(id: Long): Boolean = {
+      var i = 0
+      while (i < hashes) {
+        val p = (Embedder.hash60(s"$id:$i") % nbits).toInt
+        if ((bits(p >> 6) & (1L << (p & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Driver-Set cap for the dead-id exclusion (ids; one Long each).
+    * Overridable for specs via `spark.graft.ann.deadSetCap`. Past it
+    * the serve switches to the Bloom + verified-candidate path — the
+    * dead set is bounded only by the reseal rule at sealed/2, which at
+    * 10⁹+ chunks is gigabytes of driver Set if collected. */
+  private val DeadSetDriverCap = 4096L
+
+  private def deadSetCap(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.ann.deadSetCap")
+      .map(_.toLong).getOrElse(DeadSetDriverCap)
+
+  /** Count of mutation-state derivations this session — the spec's
+    * and probe's gauge that the corpus-scale anti-joins run once per
+    * store state, not once per query. */
+  private[graft] val mutationDerivations =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The once-per-store-state derivation: the two (id, content-hash)
+    * anti-joins between the live store and the sealed ids table —
+    * corpus-scale, paid HERE and only here — with their OUTPUTS
+    * persisted under the artifact's work dir. */
+  private def deriveMutationState(spark: SparkSession, storePath: String,
+      cached: AnnArtifact, fp: String): MutationState = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.l2norm
+    mutationDerivations.incrementAndGet()
+    val dir = s"${cached.work}/mut_${fp.take(16)}"
+    val live = ChunkStore.read(spark, s"$storePath/chunks")
+      .select(Embedder.hash60Col(col("id")).as("vec_id"), col("id"),
+        col("embedding"), Embedder.hash60Col(col("content")).as("ch"))
+    val sealed0 = spark.read.parquet(s"${cached.work}/ids.parquet")
+    live.join(sealed0.select("id", "ch"), Seq("id", "ch"), "left_anti")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+      .write.mode("overwrite").parquet(s"$dir/delta.parquet")
+    // dead ids sorted: the Bloom path's flagged-candidate verification
+    // is a point lookup, and sorted row groups make the pushdown prune
+    sealed0.join(live.select("id", "ch"), Seq("id", "ch"), "left_anti")
+      .select("vec_id").orderBy("vec_id")
+      .write.mode("overwrite").parquet(s"$dir/dead.parquet")
+    val deltaN = spark.read.parquet(s"$dir/delta.parquet").count()
+    val deadN = spark.read.parquet(s"$dir/dead.parquet").count()
+    val exclusion =
+      if (deadN <= deadSetCap(spark))
+        DeadSet(spark.read.parquet(s"$dir/dead.parquet")
+          .as[Long].collect().toSet)
+      else {
+        // bits ≈ 16 per id (k=8 → fpr ~4e-4), capped at 8 MB of
+        // driver/broadcast bitmap; the build collects DISTINCT BIT
+        // POSITIONS (bounded by nbits), never the ids themselves
+        val nbits = math.min(1L << 26,
+          math.max(1L << 13, deadN * 16L)).toInt / 64 * 64
+        val hashes = 8
+        val posCols = (0 until hashes).map(i =>
+          Embedder.hash60Col(concat(col("vec_id").cast("string"),
+            lit(s":$i"))) % nbits)
+        val positions = spark.read.parquet(s"$dir/dead.parquet")
+          .select(explode(array(posCols: _*)).as("p"))
+          .distinct().as[Long].collect()
+        val bits = new Array[Long](nbits / 64)
+        positions.foreach(p => bits((p >> 6).toInt) |= 1L << (p & 63))
+        DeadBloom(bits, nbits, hashes)
+      }
+    MutationState(fp, dir, deltaN, deadN, exclusion)
+  }
+
+  /** Per-(store, budget) mutation state — ONE entry, replaced (and its
+    * dir deleted) when the store fingerprint moves again. */
   private val mutationCensus = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, (Long, Long))]()
+    String, MutationState]()
 
   /** Q1 at index speed: ANN-backed semantic search over the chunk
     * store — the analogue of the reference's HNSW index option on its
@@ -398,24 +506,30 @@ object IndexPipeline {
     * unindexed tail, tombstones for deleted chunks — and reseals when
     * the mutation outgrows half the sealed corpus, so this path and
     * the brute [[search]] never diverge after mutation (PipelineSpec
-    * pins index→serve→mutate→serve parity). */
+    * pins index→serve→mutate→serve parity). SCALE: the delta rows and
+    * dead-id table are derived (two anti-joins) and PERSISTED once per
+    * store fingerprint — repeat serves against an unchanged mutated
+    * store scan only those tables, sized by the mutation, never the
+    * corpus — and the tombstone exclusion is bounded on the driver:
+    * an exact Set up to [[deadSetCap]], past that a Bloom bitmap with
+    * flagged-candidate verification against the persisted dead table
+    * (PipelineSpec pins parity on both branches and counts the
+    * derivations). */
   def searchAnn(spark: SparkSession, storePath: String, query: String,
       k: Int = 5, dim: Int = Embedder.DefaultDim,
       provider: Option[EmbeddingProvider] = None,
       nodeBudgetBytes: Long =
         graft.operators.Hnsw.DefaultNodeBudget): DataFrame = {
     import spark.implicits._
-    import graft.functions.VectorFunctions.{cosinePrenormed, l2norm}
+    import graft.functions.VectorFunctions.cosinePrenormed
     val prov = provider.getOrElse(Embedder.withDim(dim))
-    val art = annIndexFor(spark, storePath, nodeBudgetBytes)
+    val (art, mut) = annIndexFor(spark, storePath, nodeBudgetBytes)
     val qd = prov.embed(query)
     val qv = qd.map(_.toFloat)
     var s = 0.0
     var i = 0
     while (i < qv.length) { s += qv(i).toDouble * qv(i).toDouble; i += 1 }
     val qn = math.sqrt(s)
-    val fresh = art.fingerprint ==
-      storeFingerprint(spark, s"$storePath/chunks")
     val live = ChunkStore.read(spark, s"$storePath/chunks")
     // a store mutated since the seal serves sealed+delta — the
     // adapter-equivalence rule (the reference DB maintains its HNSW
@@ -424,40 +538,64 @@ object IndexPipeline {
     // become tombstones (navigable in the beam, never reported), and
     // both arms merge under the engine's (score desc, id asc) order —
     // so mutate-then-search agrees with the brute [[search]] path.
-    val (excluded, deltaHits) =
-      if (fresh) (Set.empty[Long], Seq.empty[(Long, Double)])
-      else {
-        // mutation keyed on (id, content hash) — an S8 in-place
-        // rewrite keeps the id, so its OLD embedding must tombstone
-        // out of the sealed image while the NEW one rides the exact
-        // delta arm (same vec_id, fresher truth)
-        val sealedIds = spark.read.parquet(s"${art.work}/ids.parquet")
-        val liveIds = live.select(
-          Embedder.hash60Col(col("id")).as("vec_id"),
-          col("id"), col("embedding"),
-          Embedder.hash60Col(col("content")).as("ch"))
-        val dead = sealedIds
-          .join(liveIds.select("id", "ch"), Seq("id", "ch"), "left_anti")
-          .select("vec_id").as[Long].collect().toSet
-        val delta = liveIds
-          .join(sealedIds.select("id", "ch"), Seq("id", "ch"),
-            "left_anti")
-          .withColumn("nrm", l2norm(col("embedding")))
+    // Both arms read the PERSISTED per-fingerprint mutation state
+    // (annIndexFor): per-query work scans the delta/dead tables —
+    // sized by the mutation, not the corpus — never the anti-joins
+    // that derived them.
+    val deltaHits: Seq[(Long, Double)] = mut match {
+      case Some(st) if st.deltaN > 0 =>
+        spark.read.parquet(s"${st.dir}/delta.parquet")
           .withColumn("score", round(cosinePrenormed(
             dot(col("embedding"), lit(qv)), col("nrm"), lit(qn)), 6))
           .orderBy(desc("score"), col("vec_id"))
           .limit(k)
           .select("vec_id", "score").as[(Long, Double)].collect().toSeq
-        (dead, delta)
-      }
+      case _ => Seq.empty
+    }
     // one beam per image; for the single-image regime this IS the old
     // serve, for the partitioned regime the driver merges k·S exact
     // rescored candidates under the engine's (score desc, id asc)
     // total order — the HnswShardSpec merge rule on a 1-query batch
-    val hits = (art.imgs
-      .flatMap(img => graft.operators.Hnsw.serveVec(img, qv, qn,
-        selfId = -1L, ef = math.max(32, 4 * k), k = k,
-        exclude = excluded)) ++ deltaHits)
+    val sealedHits: Seq[(Long, Double)] = mut.map(_.exclusion) match {
+      case None =>
+        art.imgs.flatMap(img => graft.operators.Hnsw.serveVec(img, qv,
+          qn, selfId = -1L, ef = math.max(32, 4 * k), k = k))
+      case Some(DeadSet(ids)) =>
+        art.imgs.flatMap(img => graft.operators.Hnsw.serveVec(img, qv,
+          qn, selfId = -1L, ef = math.max(32, 4 * k), k = k,
+          exclude = ids))
+      case Some(bloom: DeadBloom) =>
+        // tombstone set past the driver cap: serve UNEXCLUDED beams,
+        // clear candidates through the Bloom (no false negatives ⇒
+        // cleared = live), verify only the flagged few against the
+        // sorted dead table (pushdown point lookup), and widen the
+        // per-image pool until every image reports k live or exhausts
+        // — exact, with the driver never holding the dead set
+        val deadPath = s"${mut.get.dir}/dead.parquet"
+        var kk = k
+        var result: Seq[(Long, Double)] = null
+        while (result == null) {
+          val perImage = art.imgs.map(img =>
+            graft.operators.Hnsw.serveVec(img, qv, qn, selfId = -1L,
+              ef = math.max(32, 4 * kk), k = kk))
+          val flagged = perImage.flatten.map(_._1).distinct
+            .filter(bloom.mayContain)
+          val confirmedDead: Set[Long] =
+            if (flagged.isEmpty) Set.empty
+            else spark.read.parquet(deadPath)
+              .filter(col("vec_id").isin(flagged: _*))
+              .as[Long].collect().toSet
+          val livePer = perImage.map(c =>
+            (c.filterNot(x => confirmedDead(x._1)), c.size))
+          val satisfied = livePer.forall { case (lv, reported) =>
+            lv.size >= k || reported < kk }
+          if (satisfied || kk >= (1 << 20))
+            result = livePer.flatMap(_._1.take(k))
+          else kk *= 2
+        }
+        result
+    }
+    val hits = (sealedHits ++ deltaHits)
       .sortBy { case (id, sc) => (-sc, id) }.take(k)
     val hitDf = hits.toDF("vec_id", "score")
     // id bridge via the LIVE store (not the sealed ids table), so a

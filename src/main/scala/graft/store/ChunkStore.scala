@@ -163,12 +163,90 @@ object ChunkStore {
   private val bloomSidecars = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Map[Long, Set[Long]])]()
 
+  /** MONOTONIC SNAPSHOT MANIFEST — the O(1) freshness primitive the
+    * fingerprint caches key on (the table-format snapshot-id contract,
+    * filesystem edition): a single `_snapshot/manifest` file inside
+    * the data directory (underscore-prefixed, so Spark's reader never
+    * sees it as data) holding `v<id>:<nonce>`. Every mutation routed
+    * through the store API ([[bumpSnapshot]] after a write,
+    * [[commitSwap]] for staged rewrites) increments the id and rolls
+    * the nonce, so:
+    *  - freshness is ONE small-file read, not a recursive listing
+    *    walk — at 10⁸ files the walk is the cost of a LIST of the
+    *    whole store per query;
+    *  - a same-length in-place rewrite landing within the
+    *    filesystem's mtime granularity (1 s on many local/object
+    *    stores) is still visible — the nonce moves even when
+    *    (path, length, mtime) does not, closing the listing
+    *    fingerprint's blind spot.
+    * Contract: SINGLE WRITER (the manifest swap is
+    * delete-then-rename, not CAS) and all writers go through the
+    * store API — an external writer that bypasses [[bumpSnapshot]]
+    * is invisible once a manifest exists, exactly as a table
+    * format's side-written files are. Stores with no manifest fall
+    * back to the listing walk. */
+  def snapshotOf(spark: SparkSession, dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_snapshot/manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  private def writeManifest(spark: SparkSession, dir: String,
+      content: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_snapshot/.manifest.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/_snapshot/manifest")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  private def snapshotId(snap: Option[String]): Long =
+    snap.flatMap(s => s.stripPrefix("v").split(":").headOption)
+      .flatMap(_.toLongOption).getOrElse(0L)
+
+  /** Advance the snapshot after an in-place mutation (append write).
+    * Returns the new manifest content. */
+  def bumpSnapshot(spark: SparkSession, dir: String): String = {
+    val next = s"v${snapshotId(snapshotOf(spark, dir)) + 1}:" +
+      java.util.UUID.randomUUID.toString.take(8)
+    writeManifest(spark, dir, next)
+    next
+  }
+
+  /** Staged-rewrite commit: swap `staged` into `live` and advance the
+    * snapshot in one call — the pointer-flip every S8/S9 rewrite here
+    * stages through ([[deleteInto]]/[[upsertInto]] write to `staged`;
+    * this publishes it). The id survives the swap (read before the
+    * old directory is dropped), so a rewrite can never rewind the
+    * snapshot clock. */
+  def commitSwap(spark: SparkSession, staged: String,
+      live: String): Unit = {
+    val cur = snapshotId(snapshotOf(spark, live))
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(live), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(live))
+    writeManifest(spark, live, s"v${cur + 1}:" +
+      java.util.UUID.randomUUID.toString.take(8))
+  }
+
   /** Recursive (path, length, mtime) listing of a store directory —
-    * the freshness primitive shared with
-    * [[graft.api.IndexPipeline.storeFingerprint]]: any append /
-    * delete / rewrite under the path changes it; at 100 TB a table
-    * format's snapshot id plays this role. Driver-side walk, no
-    * Spark job. */
+    * the FALLBACK freshness primitive behind
+    * [[graft.api.IndexPipeline.storeFingerprint]] for stores with no
+    * snapshot manifest: any append / delete / rewrite under the path
+    * changes it. Driver-side walk, no Spark job. Blind spot
+    * (documented, closed by the manifest): a same-length in-place
+    * rewrite within the filesystem's mtime granularity (1 s on many
+    * local/object stores) leaves the listing unchanged. */
   private[graft] def fileListing(spark: SparkSession,
       dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)

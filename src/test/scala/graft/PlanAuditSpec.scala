@@ -63,28 +63,41 @@ class PlanAuditSpec extends SparkSpec {
     * corpus-wide sort and fails here. This is the tripwire that makes
     * GraftSession's WindowExec-logger silencing honest: the warning is
     * off JVM-wide, so a NEW unpartitioned window must be caught by
-    * THIS audit, not by log noise. */
-  private val boundedWindowQueries: Set[String] =
-    Set("q_pq_balance", "q_unimax_alloc", "q_shard_plan",
-      "q_search_rrf", "q_search_rrf_idx")
+    * THIS audit, not by log noise. The value is the EXACT expected
+    * keyless-WindowExec count in that query's physical plan — a
+    * refactor adding one MORE keyless window to an already-allowlisted
+    * query fails the audit too, instead of hiding behind the
+    * allowlist. */
+  private val boundedWindowQueries: Map[String, Int] =
+    Map("q_pq_balance" -> 1, "q_unimax_alloc" -> 2, "q_shard_plan" -> 1,
+      "q_search_rrf" -> 2, "q_search_rrf_idx" -> 2)
 
   test("registry-wide: no CartesianProduct; every nested-loop join " +
-      "broadcasts a provably bounded side; no unpartitioned window " +
-      "outside the audited bounded three") {
+      "broadcasts a provably bounded side; keyless WindowExec counts " +
+      "match the audited allowlist exactly, zero elsewhere") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val nodes = flatten(fn(spark, sfDir).queryExecution.executedPlan)
         val carts = nodes.filter(_.nodeName.contains("CartesianProduct"))
           .map(_ => s"$name: CartesianProduct")
-        val badWindows =
-          if (boundedWindowQueries.contains(name)) Nil
-          else nodes.collect {
-            case w: org.apache.spark.sql.execution.window.WindowExec
-                if w.partitionSpec.isEmpty =>
-              s"$name: unpartitioned WindowExec (single-task sort " +
-                "of the whole input — partition it or add the query " +
-                "to boundedWindowQueries with a pinned input bound)"
-          }
+        val keyless = nodes.count {
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            w.partitionSpec.isEmpty
+          case _ => false
+        }
+        val badWindows = boundedWindowQueries.get(name) match {
+          case Some(expected) if keyless == expected => Nil
+          case Some(expected) => Seq(
+            s"$name: $keyless unpartitioned WindowExec nodes, " +
+              s"allowlist pins exactly $expected — a new keyless " +
+              "window slipped into an allowlisted query (or one was " +
+              "removed; update the pin with its input bound)")
+          case None if keyless == 0 => Nil
+          case None => Seq(
+            s"$name: unpartitioned WindowExec (single-task sort " +
+              "of the whole input — partition it or add the query " +
+              "to boundedWindowQueries with a pinned input bound)")
+        }
         val badBnlj =
           if (acceptedByName.contains(name)) Nil
           else nodes.collect {
@@ -104,7 +117,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
-  test("the three deliberate unpartitioned windows run over tables " +
+  test("the deliberate unpartitioned windows run over tables " +
       "bounded by construction (the bound GraftSession's WindowExec " +
       "logger filter relies on)") {
     import org.apache.spark.sql.functions._

@@ -261,14 +261,9 @@ class PipelineSpec extends SparkSpec {
     graft.store.ChunkStore.write(
       chunks.filter(col("sourceId") =!= doomedSrc), staged,
       partitionCols = Seq("sourceType"))
-    // swap staged → live (the table-format atomic swap, fs edition)
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(c => rmTree(c))
-      Files.deleteIfExists(p)
-    }
-    rmTree(Paths.get(s"$store3/chunks"))
-    Files.move(Paths.get(staged), Paths.get(s"$store3/chunks"))
+    // publish staged → live through the snapshot-bumping commit
+    // (the table-format pointer flip; keeps O(1) freshness honest)
+    graft.store.ChunkStore.commitSwap(spark, staged, s"$store3/chunks")
     assert(!annIds(q2, 3).contains(doomed),
       "deleted sealed chunk resurfaced from the stale ANN image")
     checkParity(q2, 3)
@@ -300,17 +295,99 @@ class PipelineSpec extends SparkSpec {
     val staged2 = s"$root/store_mut_staged2"
     graft.store.ChunkStore.upsertInto(spark, s"$store3/chunks", staged2,
       updates, "id", "createdAt")
-    def rmTree2(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).forEach(c => rmTree2(c))
-      Files.deleteIfExists(p)
-    }
-    rmTree2(Paths.get(s"$store3/chunks"))
-    Files.move(Paths.get(staged2), Paths.get(s"$store3/chunks"))
+    graft.store.ChunkStore.commitSwap(spark, staged2, s"$store3/chunks")
     assert(annIds(qNew, 1) === Seq(victim),
       "searchAnn missed an in-place content rewrite — the census " +
         "cannot key on chunk id alone")
     checkParity(qNew, 3)
     checkParity("quartz document body", 3)
+  }
+
+  /** Adapter-equivalence check shared by the mutation-economics pins:
+    * every ANN hit belongs to a valid brute-force top-k under ties. */
+  private def checkAnnParity(storeP: String, q: String, k: Int): Unit = {
+    val ann = IndexPipeline.searchAnn(spark, storeP, q, k = k).collect()
+      .map(_.getAs[String]("id")).toSeq
+    val brute = IndexPipeline.search(spark, storeP, q, k = 50,
+      rerank = false).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Double]("score"))
+    val bruteScore = brute.toMap
+    val kth = brute(math.min(k, brute.length) - 1)._2
+    assert(ann.length === math.min(k, brute.length))
+    ann.foreach { id =>
+      assert(bruteScore.contains(id), s"ANN hit $id unknown to brute")
+      assert(bruteScore(id) >= kth - 1e-6,
+        s"ANN hit $id scores ${bruteScore(id)} below brute ${k}th $kth")
+    }
+  }
+
+  test("searchAnn derives the mutation state ONCE per store " +
+      "fingerprint — repeat serves between mutations re-read the " +
+      "persisted delta/dead tables, never the corpus anti-joins") {
+    val storeM = s"$root/store_memo"
+    val vocab = Seq("walnut", "ginger", "maple", "cedar", "basil",
+      "fennel", "clover", "aspen")
+    vocab.zipWithIndex.foreach { case (w, i) =>
+      IndexPipeline.indexText(spark, s"$w memo body " * 30, s"m$i",
+        storeM, t0)
+    }
+    val q = "cedar memo body"
+    checkAnnParity(storeM, q, 3) // seals the artifact
+    val d0 = IndexPipeline.mutationDerivations.get()
+    // S7 mutation → exactly ONE derivation across three serves
+    IndexPipeline.indexText(spark, s"$q fresh " * 30, "mw", storeM, t0)
+    checkAnnParity(storeM, q, 3)
+    checkAnnParity(storeM, "ginger memo body", 3)
+    checkAnnParity(storeM, q, 5)
+    assert(IndexPipeline.mutationDerivations.get() === d0 + 1,
+      "repeat serves on an unchanged mutated store re-derived the " +
+        "delta/dead state (the corpus-scale anti-joins ran per query)")
+    // a SECOND mutation moves the fingerprint → exactly one more
+    IndexPipeline.indexText(spark, s"maple grove extra " * 25, "mx",
+      storeM, t0)
+    checkAnnParity(storeM, q, 3)
+    checkAnnParity(storeM, "maple grove extra", 3)
+    assert(IndexPipeline.mutationDerivations.get() === d0 + 2,
+      "a new store state must re-derive exactly once")
+  }
+
+  test("past the driver cap the tombstone exclusion rides the Bloom + " +
+      "verified-candidate path: deleted members never resurface, " +
+      "parity holds, the dead set is never collected") {
+    spark.conf.set("spark.graft.ann.deadSetCap", "1")
+    try {
+      val storeB = s"$root/store_bloom"
+      val vocab = Seq("onyx", "jade", "topaz", "beryl", "agate",
+        "coral", "amber", "pearl", "opal", "flint")
+      vocab.zipWithIndex.foreach { case (w, i) =>
+        IndexPipeline.indexText(spark, s"$w gem body " * 30, s"b$i",
+          storeB, t0)
+      }
+      val q = "jade gem body"
+      checkAnnParity(storeB, q, 3) // seals
+      // S9: delete THREE sealed sources (> cap=1 → Bloom branch),
+      // among them the top hit for q — it must not resurface
+      val doomedTop = IndexPipeline.search(spark, storeB, q, k = 1,
+        rerank = false).head.getAs[String]("id")
+      val chunks = spark.read.parquet(s"$storeB/chunks")
+      val doomedSrcs = chunks
+        .filter(col("id") === doomedTop).select("sourceId")
+        .unionByName(chunks.filter(
+          col("metadata.title").isin("b7", "b8")).select("sourceId"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val staged = s"$root/store_bloom_staged"
+      graft.store.ChunkStore.write(
+        chunks.filter(!col("sourceId").isin(doomedSrcs: _*)), staged,
+        partitionCols = Seq("sourceType"))
+      graft.store.ChunkStore.commitSwap(spark, staged,
+        s"$storeB/chunks")
+      val ann = IndexPipeline.searchAnn(spark, storeB, q, k = 3)
+        .collect().map(_.getAs[String]("id")).toSeq
+      assert(!ann.contains(doomedTop),
+        "deleted sealed chunk resurfaced through the Bloom branch")
+      checkAnnParity(storeB, q, 3)
+      checkAnnParity(storeB, "onyx gem body", 3)
+    } finally spark.conf.unset("spark.graft.ann.deadSetCap")
   }
 
   test("S1 raw-text indexing round trips through the same store") {

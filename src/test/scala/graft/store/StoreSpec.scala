@@ -177,6 +177,33 @@ class StoreSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("snapshot manifest: every API mutation bumps the monotonic id " +
+      "and rolls the nonce; commitSwap survives the directory swap; " +
+      "a fresh store has no manifest (listing fallback)") {
+    val dir = s"$tmp/snap/data"
+    assert(ChunkStore.snapshotOf(spark, dir).isEmpty,
+      "a never-written store must have no manifest")
+    ChunkStore.write(docs, dir)
+    val s1 = ChunkStore.bumpSnapshot(spark, dir)
+    assert(s1.startsWith("v1:"), s"first bump must be v1: got $s1")
+    val s2 = ChunkStore.bumpSnapshot(spark, dir)
+    assert(s2.startsWith("v2:") && s2 != s1,
+      "a second mutation must advance the id and roll the nonce")
+    assert(ChunkStore.snapshotOf(spark, dir) === Some(s2))
+    // staged rewrite: content identical (same lengths, possibly the
+    // same mtime second — the listing fingerprint's blind spot), yet
+    // the swap MUST be visible: id advances past the old manifest
+    // even though the staged dir carried none
+    val staged = s"$tmp/snap/staged"
+    ChunkStore.write(ChunkStore.read(spark, dir), staged)
+    ChunkStore.commitSwap(spark, staged, dir)
+    val s3 = ChunkStore.snapshotOf(spark, dir).get
+    assert(s3.startsWith("v3:") && s3 != s2,
+      "commitSwap must advance the pre-swap id, never rewind it")
+    assert(ChunkStore.read(spark, dir).count() === 4,
+      "the swapped data must read back (manifest invisible to Spark)")
+  }
+
   test("point get pushes the predicate down") {
     val p = s"$tmp/t4"
     ChunkStore.write(docs, p)
