@@ -287,39 +287,99 @@ object Dedup {
     * neighbor id asc). The all-pairs report is intrinsically
     * output-bound — a templated corpus HAS quadratically many near
     * pairs (222M measured at 10× sf0.1) — so the serving path bounds
-    * output per doc instead: same banded equi-join candidates, but the
-    * per-doc top-k comes from [[graft.functions.TopKAggregator]]
-    * (bounded map-side buffer, ≤k rows per doc per partition into the
-    * shuffle; no window, no corpus-sized sort), making output — and
-    * the ranking shuffle — LINEAR in corpus size at any duplication
-    * level. The audit twin stays for exhaustive reports. */
+    * output per doc; since round 11 it ALSO bounds candidate volume:
+    * the banded join runs at REPRESENTATIVE level ([[qSimhashRep]]'s
+    * exact-first collapse — byte-identical texts carry one signature),
+    * so the pairwise stage is sized by the DEDUPLICATED corpus at any
+    * replication level, where the previous formulation fed
+    * all-replica-pairs into the aggregate (119.5 s vs the audit
+    * twin's 64.5 s at the 10× sweep — "capped" output, uncapped
+    * input).
+    *
+    * Per-doc answers reconstruct EXACTLY (DedupSpec reconciles against
+    * the direct per-doc formulation):
+    *  - a doc's candidates are the members of every group whose rep is
+    *    Hamming-≤3 from its own rep — same-group members arrive via an
+    *    explicit (rep, rep, 0) self-arm, equal-signature DISTINCT
+    *    texts via the band join (identical nibbles collide);
+    *  - ranking is (hamming asc, id asc), and per-doc exclusion
+    *    removes at most ONE candidate (the doc itself), so each
+    *    neighbor group contributes at most its k+1 smallest member
+    *    ids, and each rep keeps only its k+1 best candidates — both
+    *    bounded aggregates ([[graft.functions.TopKAggregator]], no
+    *    window, no corpus-sized sort);
+    *  - the k+1-per-rep shortlist then fans out to members through
+    *    two linear equi-joins (membership is a hash-key shuffle),
+    *    each doc drops itself and keeps 5.
+    *
+    * 100 TB shape: one md5 groupBy collapses replicas map-side, the
+    * quadratic-risk stage sees distinct texts only, and everything
+    * per-doc is a bounded array op — output AND candidate volume
+    * linear in corpus size. The audit twin stays for exhaustive
+    * reports. */
   def qSimhashTopk(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val k = 5
-    val bands = simhashSigs(spark, dir)
-      .select(col("doc_id"), col("simhash"),
+    val topKUdaf = graft.functions.TopKAggregator.topKUdaf _
+    // doc → representative (min doc_id per byte-identical text group);
+    // cached like the rep signature table it composes with
+    val membership = Cache.getOrBuild(spark, "simhashMembership", dir) {
+      val docFp = Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      docFp.join(
+        docFp.groupBy("fp").agg(min("doc_id").as("rep_id")), "fp")
+        .select("doc_id", "rep_id")
+    }
+    // rep-level signatures — the SAME cached table qSimhashRep serves
+    // from (one signature per distinct text)
+    val sigs = repSigs(spark, dir)
+    val bands = sigs
+      .select(col("rep_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bv", expr("shiftright(simhash, cast(band * 4 as int)) & 15"))
-    val a = bands.select(col("doc_id").as("doc_id"),
+      .withColumn("bv",
+        expr("shiftright(simhash, cast(band * 4 as int)) & 15"))
+    val a = bands.select(col("rep_id").as("rep_a"),
       col("simhash").as("sig_a"), col("band"), col("bv"))
-    val b = bands.select(col("doc_id").as("neighbor_id"),
+    val b = bands.select(col("rep_id").as("rep_b"),
       col("simhash").as("sig_b"), col("band"), col("bv"))
-    a.join(b, Seq("band", "bv"))
-      .filter(col("doc_id") =!= col("neighbor_id"))
-      // filter-then-dedup, as in [[qSimhashNear]]: the distinct sees
-      // only surviving narrow triples
-      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+    // BOTH directions (per-doc reports are asymmetric), plus the
+    // self-arm: same-group members are Hamming-0 neighbors of each
+    // other whenever the group has ≥ 2 docs
+    val cross = a.join(b, Seq("band", "bv"))
+      .filter(col("rep_a") =!= col("rep_b"))
+      .withColumn("hamming",
+        expr("bit_count(sig_a ^ sig_b)").cast("long"))
       .filter(col("hamming") <= 3)
-      .select("doc_id", "neighbor_id", "hamming")
-      .distinct() // a pair may collide in several bands — rank it once
-      // TopK ranks by score desc with id-asc tie-break; score :=
-      // -hamming gives exactly (hamming asc, neighbor_id asc)
-      .groupBy("doc_id")
-      .agg(graft.functions.TopKAggregator.topKUdaf(k)(
-        col("neighbor_id"), -col("hamming").cast("double")).as("top"))
-      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select("rep_a", "rep_b", "hamming")
+      .distinct() // a pair may collide in several bands — once
+    val self = sigs.filter(col("n_docs") >= 2)
+      .select(col("rep_id").as("rep_a"), col("rep_id").as("rep_b"),
+        lit(0L).as("hamming"))
+    // each group's k+1 smallest member ids (score := -id ⇒ id asc;
+    // monotone under long→double rounding, ties broken item-asc)
+    val bottom = membership.groupBy("rep_id")
+      .agg(topKUdaf(k + 1)(col("doc_id"),
+        -col("doc_id").cast("double")).as("bot"))
+      .select(col("rep_id").as("rep_b"), col("bot"))
+    val cands = cross.unionByName(self)
+      .join(bottom, "rep_b")
+      .select(col("rep_a"), col("hamming"),
+        explode(col("bot")).as("m"))
+      .select(col("rep_a"), col("m._1").as("neighbor_id"),
+        col("hamming"))
+    // per rep: the k+1 best candidates under (hamming asc, id asc) —
+    // enough for any member doc after excluding itself
+    val perRep = cands.groupBy("rep_a")
+      .agg(topKUdaf(k + 1)(col("neighbor_id"),
+        -col("hamming").cast("double")).as("top"))
+    membership.join(perRep, col("rep_id") === col("rep_a"))
+      .select(col("doc_id"),
+        slice(filter(col("top"),
+          x => x.getField("_1") =!= col("doc_id")), 1, k).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "p")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("p._1").as("neighbor_id"), (-col("p._2")).cast("long").as("hamming"))
+        col("p._1").as("neighbor_id"),
+        (-col("p._2")).cast("long").as("hamming"))
       .orderBy("doc_id", "rank")
   }
 
@@ -343,10 +403,12 @@ object Dedup {
     * input partition before the shuffle, so a 100×-templated corpus
     * shuffles ~1% of its text bytes; everything downstream (signature
     * scan, band join) runs at distinct-text scale. */
-  def qSimhashRep(spark: SparkSession, dir: String): DataFrame = {
-    // session-cached like simhashSigs: the rep signature table is the
-    // shared upstream a warm session reuses across serving queries
-    val sigs = Cache.getOrBuild(spark, "simhashRepSigs", dir) {
+  /** Representative-level signature table `(rep_id, simhash, n_docs)`
+    * — one signature per DISTINCT text, rep = min doc_id of its
+    * byte-identical group. Session-cached: the shared upstream of
+    * [[qSimhashRep]] AND the rep-first serving twin [[qSimhashTopk]]. */
+  private def repSigs(spark: SparkSession, dir: String): DataFrame =
+    Cache.getOrBuild(spark, "simhashRepSigs", dir) {
       val groups = Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
         .groupBy("fp")
@@ -356,6 +418,9 @@ object Dedup {
         .select(col("doc_id").as("rep_id"), col("simhash"))
         .join(groups.select("rep_id", "n_docs"), "rep_id")
     }
+
+  def qSimhashRep(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = repSigs(spark, dir)
     val bands = sigs
       .select(col("rep_id"), col("simhash"), col("n_docs"),
         explode(sequence(lit(0), lit(3))).as("band"))

@@ -201,6 +201,34 @@ class DedupSpec extends SparkSpec {
     m.unpersist(); audit.unpersist()
   }
 
+  test("simhash topk: the rep-first serving twin reconstructs the " +
+      "direct per-doc top-5 exactly (candidate volume bounded by the " +
+      "deduplicated corpus, answers unchanged)") {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = Dedup.simhashSigs(spark, sfDir).cache()
+    // direct formulation (the pre-r11 serve): per-doc candidates from
+    // the full signature table, ranked (hamming asc, id asc), top-5 —
+    // brute-forced here on the tiny spec corpus
+    val a = sigs.select(col("doc_id"), col("simhash").as("sa"))
+    val b = sigs.select(col("doc_id").as("neighbor_id"),
+      col("simhash").as("sb"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val direct = a.crossJoin(b)
+      .filter(col("doc_id") =!= col("neighbor_id"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "rank", "neighbor_id", "hamming")
+    val served = Dedup.qSimhashTopk(spark, sfDir)
+      .select("doc_id", "rank", "neighbor_id", "hamming")
+    assert(served.exceptAll(direct).isEmpty &&
+      direct.exceptAll(served).isEmpty,
+      "rep-first top-k diverged from the direct per-doc formulation")
+    sigs.unpersist()
+  }
+
   test("lsh tune: nested bands make candidate counts monotone in rows-per-band") {
     val rows = Dedup.qLshTune(spark, sfDir).collect()
       .sortBy(_.getAs[Long]("rows_per_band"))
