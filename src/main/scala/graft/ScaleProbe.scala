@@ -1461,6 +1461,128 @@ object ScaleProbe {
         s"n=$n shards=$s filled=$fill/40 pure=$pure " +
           s"recall10=${f"$recall%.2f"} wall=${f"$tServe%.0f"}s"
       },
+      time("hnsw_onepass") {
+        // One-pass segment-pinned serving vs the sequential
+        // broadcast-in-turn arms (r10 verdict item 3): with ≥S tasks
+        // available, all S segments must serve CONCURRENTLY — the
+        // sequential mode's wall is Σ arms, the one-pass wall the
+        // slowest arm plus the fan-out shuffle. Gauges: checksum
+        // equality at S=4 and S=10, both walls, executor blob-cache
+        // census (≤ S images in the shared local JVM; 1 per executor
+        // on a pinned cluster).
+        import operators.Hnsw
+        val gdir = hnswProbeDir
+        val n = spark.read.parquet(s"$gdir/embeddings.parquet").count()
+        val qs = spark.range(2000).toDF("query_id").repartition(32)
+        def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)),
+            sum(hash(col("query_id"), col("rank"), col("vec_id")))
+              .cast("long")).head
+          (r.getLong(0), r.getLong(1))
+        }
+        val rows = Seq(4, 10).map { s =>
+          val dirs = Hnsw.shardDirsFor(spark, gdir, s)
+          locally {
+            import scala.collection.parallel.CollectionConverters._
+            dirs.par.foreach(d => Hnsw.indexFor(spark, d))
+          }
+          val t0 = System.nanoTime()
+          val seqC = checksum(Hnsw.serveShardedQueryTable(spark, gdir,
+            qs, shards = s))
+          val tSeq = (System.nanoTime() - t0) / 1e9
+          Hnsw.ImageBlobCache.clear()
+          val t1 = System.nanoTime()
+          val oneC = checksum(Hnsw.serveShardedQueryTableOnePass(spark,
+            gdir, qs, shards = s))
+          val tOne = (System.nanoTime() - t1) / 1e9
+          val (execImgs, _) = Hnsw.ImageBlobCache.census
+          Hnsw.ImageBlobCache.clear()
+          s"S=$s equal=${seqC == oneC} rows=${seqC._1} " +
+            s"seq_wall=${f"$tSeq%.0f"}s onepass_wall=${f"$tOne%.0f"}s " +
+            s"ratio=${f"${tSeq / math.max(tOne, 0.001)}%.1f"} " +
+            s"exec_imgs=$execImgs"
+        }
+        s"n=$n " + rows.mkString(" ")
+      },
+      time("hnsw_spill") {
+        // The Searcher's size-gate spill path, deliberately tripped
+        // (cacheGate=0 — no upper-layer driver cache at all) vs the
+        // cached default, after the r11 per-hop BATCHING: a spilled
+        // descent now runs one adjacency probe + one vector fetch per
+        // fixpoint step instead of one job per candidate. Gauges:
+        // answers equal, per-query serve wall on both paths.
+        import operators.Hnsw
+        val gdir = hnswProbeDir
+        val n = spark.read.parquet(s"$gdir/embeddings.parquet").count()
+        val idx = Hnsw.indexFor(spark, gdir)
+        val qids = (1 to 20).map(i => 2L + (i.toLong * 131L) % (n - 2))
+        val cached = new Hnsw.Searcher(spark, gdir, idx)
+        val spilled = new Hnsw.Searcher(spark, gdir, idx, cacheGate = 0L)
+        try {
+          val t0 = System.nanoTime()
+          val a = qids.map(q => cached.serve(q, ef = 32))
+          val tCached = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val b = qids.map(q => spilled.serve(q, ef = 32))
+          val tSpill = (System.nanoTime() - t1) / 1e9
+          s"n=$n levels=${idx.maxLevel} queries=${qids.size} " +
+            s"equal=${a == b} cached_wall=${f"$tCached%.1f"}s " +
+            s"spilled_wall=${f"$tSpill%.1f"}s " +
+            s"spilled_per_query=${f"${tSpill / qids.size}%.2f"}s"
+        } finally { cached.close(); spilled.close() }
+      },
+      time("searchann_mutated") {
+        // Repeat searchAnn serves against an UNCHANGED mutated store
+        // (r10 verdict item 1): the delta/dead derivation (two
+        // corpus-scale anti-joins) must run ONCE per store state and
+        // persist its outputs — every later call scans only the
+        // mutation-sized tables. Gauges: derivation counter across 6
+        // mutated serves (must be exactly 1), first-mutated vs repeat
+        // walls.
+        import api.IndexPipeline
+        val sp = s"$work/annstore"
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val base = docs.join(emb, col("doc_id") === col("vec_id"))
+        val nBase = base.count()
+        base.crossJoin(spark.range(mult).withColumnRenamed("id", "rep"))
+          .withColumn("cid", col("doc_id") + col("rep") * nBase * 10L)
+          .select(concat(lit("c"), col("cid")).as("id"),
+            concat(lit("s"), col("cid")).as("sourceId"),
+            lit(0).as("chunkIndex"), col("text").as("content"),
+            col("embedding").cast("array<float>").as("embedding"),
+            lit("docs").as("sourceType"))
+          .write.mode("overwrite").parquet(s"$sp/chunks")
+        val q = "quartz telescope meridian"
+        def serveOnce(): Double = {
+          val t = System.nanoTime()
+          IndexPipeline.searchAnn(spark, sp, q, k = 5).collect()
+          (System.nanoTime() - t) / 1e9
+        }
+        val tSeal = serveOnce() // builds + seals the artifact
+        // mutate: append a ~0.1% delta of NEW texts (no API manifest —
+        // the probe exercises the listing-fallback fingerprint too)
+        docs.limit(math.max(1, (nBase / 1000).toInt))
+          .join(emb, col("doc_id") === col("vec_id"))
+          .select(concat(lit("cx"), col("doc_id")).as("id"),
+            concat(lit("sx"), col("doc_id")).as("sourceId"),
+            lit(0).as("chunkIndex"),
+            concat(col("text"), lit(" zephyr-delta")).as("content"),
+            col("embedding").cast("array<float>").as("embedding"),
+            lit("docs").as("sourceType"))
+          .write.mode("append").parquet(s"$sp/chunks")
+        val d0 = IndexPipeline.mutationDerivations.get()
+        val tFirst = serveOnce() // pays the one-time derivation
+        val reps = (1 to 5).map(_ => serveOnce())
+        val derivations = IndexPipeline.mutationDerivations.get() - d0
+        s"chunks=${nBase * mult} delta=${math.max(1, nBase / 1000)} " +
+          s"seal_serve=${f"$tSeal%.0f"}s first_mutated=${f"$tFirst%.1f"}s " +
+          s"repeat_min=${f"${reps.min}%.1f"}s " +
+          s"repeat_median=${f"${Bench.median(reps)}%.1f"}s " +
+          s"derivations=$derivations"
+      },
       time("stream_shard_loop") {
         // The composed streaming lifecycle at mult× (r9 verdict item
         // 7): delta batches land → sealed-segments + exact-delta serve

@@ -1915,7 +1915,7 @@ object Ann {
     * aggregator → `(vec_id, rank, neighbor_id, score)`. Shared by the
     * registry round and the iterated trainer so tie-breaks can never
     * drift between them. */
-  private def rankGraphCandidates(spark: SparkSession, dir: String,
+  private[graft] def rankGraphCandidates(spark: SparkSession, dir: String,
       cand: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
     val e = Search.embNormed(spark, dir)

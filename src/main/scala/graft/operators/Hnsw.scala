@@ -94,6 +94,80 @@ object Hnsw {
     * entry/cap handle. */
   final case class HnswIndex(path: String, maxLevel: Int, entry: Long)
 
+  /** Malkov & Yashunin 2016 Algorithm 4 — heuristic neighbor
+    * selection, the pure per-node core: from candidates
+    * `(simToU, id, embedding, nrm)` pick ≤ m edges preferring DIVERSE
+    * directions over mutually-close ones. Walk candidates closest-
+    * first ((sim desc, id asc) — deterministic under score ties); keep
+    * a candidate iff it is closer to u than to every already-kept
+    * neighbor (`sim(c,u) > sim(c,s)`), else prune it; then fill back
+    * from the pruned list in walk order up to m (the paper's
+    * keepPrunedConnections, so degree — and with it beam fan-out —
+    * matches the plain top-k build). This is what makes the layer
+    * graphs navigable on clustered/adversarial corpora: plain top-k
+    * spends the whole degree budget on one tight cluster's siblings;
+    * the heuristic spends it on distinct approach directions. */
+  private[graft] def selectDiverse(
+      cands: Seq[(Double, Long, Array[Float], Double)],
+      m: Int): Seq[Long] = {
+    val ordered = cands.sortBy { case (s, id, _, _) => (-s, id) }
+    val selected =
+      scala.collection.mutable.ArrayBuffer
+        .empty[(Double, Long, Array[Float], Double)]
+    val pruned = scala.collection.mutable.ArrayBuffer.empty[Long]
+    ordered.foreach { c =>
+      if (selected.size < m) {
+        val closerToU = selected.forall { s =>
+          var d = 0.0
+          var i = 0
+          val n = math.min(c._3.length, s._3.length)
+          while (i < n) { d += c._3(i).toDouble * s._3(i).toDouble; i += 1 }
+          val simCS =
+            if (c._4 == 0 || s._4 == 0) -1.0 else d / (c._4 * s._4)
+          c._1 > simCS
+        }
+        if (closerToU) selected += c else pruned += c._2
+      }
+    }
+    (selected.map(_._2) ++ pruned.take(m - selected.size)).toSeq
+  }
+
+  private val selectDiverseUdf = udf(
+    (cs: Seq[org.apache.spark.sql.Row], m: Int) =>
+      selectDiverse(cs.map(r => (r.getDouble(0), r.getLong(1),
+        r.getSeq[Float](2).toArray, r.getDouble(3))), m))
+
+  /** Heuristic-selected layer edges: widen each node's candidate pool
+    * beyond its own top-k (the refined kNN edges ∪ their REVERSE ∪
+    * the random seed sample — the reverse arm is what carries
+    * cross-cluster links NN-Descent found from the other side), score
+    * the pool exactly (bounded TopK, ≤ 3m per node), then run
+    * [[selectDiverse]] per node. Per-node state is a ≤ 3m struct
+    * array — a bounded map-side aggregate, no window, no corpus-scale
+    * driver state; this is BUILD-time machinery (one-time artifact),
+    * not the serve path. */
+  private[graft] def heuristicEdges(spark: SparkSession, dir: String,
+      refined: DataFrame, m: Int): DataFrame = {
+    val fwd = refined.select(col("vec_id").as("qid"),
+      col("neighbor_id").as("nid"))
+    val rev = refined.select(col("neighbor_id").as("qid"),
+      col("vec_id").as("nid"))
+    val seeds = Ann.seedEdges(spark, dir, LongRangeEdges)
+      .select(col("u").as("qid"), col("v").as("nid"))
+    val cand = fwd.union(rev).union(seeds)
+      .filter(col("qid") =!= col("nid")).distinct()
+    val pool = Ann.rankGraphCandidates(spark, dir, cand, 3 * m)
+    val e = Search.embNormed(spark, dir)
+    pool
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), col("nrm").as("nn")), "neighbor_id")
+      .groupBy("vec_id")
+      .agg(collect_list(struct(col("score"), col("neighbor_id"),
+        col("nv"), col("nn"))).as("cs"))
+      .select(col("vec_id").as("u"),
+        explode(selectDiverseUdf(col("cs"), lit(m))).as("v"))
+  }
+
   /** Build the layered index under `indexPath`. Layer 0 reuses the
     * trained full-corpus graph; each upper layer writes its vector
     * subset (≤ N/8^l rows) and trains the same way at its own
@@ -127,14 +201,21 @@ object Hnsw {
             sub
           }
         val subN = Tables.embeddings(spark, ldir).count()
-        val g = Ann.refineKnnGraph(spark, ldir, AnnGeometry.forCorpus(subN), k)
-          .select(col("vec_id").as("u"), col("neighbor_id").as("v"))
-        // navigability needs BOTH edge kinds: the refined kNN edges
-        // (short-range, the precision half) and a capped random quota
-        // ([[Ann.seedEdges]], the small-world half). Pure kNN layers
-        // go cluster-closed on clustered corpora — every top-k edge is
-        // an intra-cluster sibling, and with near-orthogonal clusters
-        // greedy descent has no gradient between them (the
+        // round 11: the layer graph is HEURISTIC-selected
+        // ([[heuristicEdges]] — Algorithm 4 over the NN-Descent pool ∪
+        // reverse ∪ seeds), not the plain top-k NN-Descent edges: at
+        // equal degree, diverse approach directions beat mutually-
+        // close siblings on clustered/sign-flip corpora (the r10
+        // probes read 0.58/0.79 at ef 32/64 on sign-flip with top-k
+        // edges; the verdict's item 4)
+        val g = heuristicEdges(spark, ldir,
+          Ann.refineKnnGraph(spark, ldir, AnnGeometry.forCorpus(subN), k),
+          k)
+        // navigability still needs the random quota beside the kNN
+        // half ([[Ann.seedEdges]], the small-world arm): pure kNN
+        // layers go cluster-closed on clustered corpora — every top-k
+        // edge is an intra-cluster sibling, and with near-orthogonal
+        // clusters greedy descent has no gradient between them (the
         // graph_serve_clustered probe measured recall capped at 0.40
         // before this union; the beam absorbs the extra degree).
         val e = g.union(
@@ -213,12 +294,42 @@ object Hnsw {
           .map(r => (r.getSeq[Float](0).toArray, r.getDouble(1)))
           .getOrElse((Array.empty[Float], 0.0)))
 
-    private def neighborsOf(l: Int, id: Long): Array[Long] =
+    /** BATCHED spill-path vector fetch: load every id not yet in
+      * [[vecCache]] in ONE isin-pushdown job (round 11 — the spilled
+      * descent previously paid one Spark job PER candidate via
+      * [[vecOf]]; a width-4 frontier scoring ~width·degree candidates
+      * per fixpoint step multiplied jobs by the candidate count). A
+      * miss after the batch (an id with no corpus row) caches the
+      * empty sentinel so it is never re-fetched. No-op when all ids
+      * are cached — the gated fast path pays nothing. */
+    private def prefetchVecs(ids: Iterable[Long]): Unit = {
+      val missing = ids.toSeq.distinct.filterNot(vecCache.contains)
+      if (missing.nonEmpty) {
+        e.filter(col("vec_id").isin(missing: _*))
+          .select(col("vec_id"), col("embedding"), col("nrm"))
+          .collect()
+          .foreach(r => vecCache(r.getLong(0)) =
+            (r.getSeq[Float](1).toArray, r.getDouble(2)))
+        missing.foreach(id =>
+          vecCache.putIfAbsent(id, (Array.empty[Float], 0.0)))
+      }
+    }
+
+    /** BATCHED spill-path adjacency: the whole frontier's neighbor
+      * lists in ONE isin-pushdown probe of the layer's edge table per
+      * fixpoint step (round 11; cached layers answer from the driver
+      * map as before). One descent now costs O(hops) jobs with the
+      * gate tripped, not O(hops × frontier × degree). */
+    private def neighborsOfBatch(l: Int,
+        ids: Seq[Long]): Map[Long, Array[Long]] =
       adjCache.get(l) match {
-        case Some(m) => m.getOrElse(id, Array.empty[Long])
+        case Some(m) =>
+          ids.map(id => id -> m.getOrElse(id, Array.empty[Long])).toMap
         case None =>
           spark.read.parquet(s"${idx.path}/edges$l.parquet")
-            .filter(col("u") === id).select("v").as[Long].collect()
+            .filter(col("u").isin(ids: _*))
+            .select("u", "v").as[(Long, Long)].collect()
+            .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
       }
 
     /** Left-to-right double dot — same associativity as the engine's
@@ -263,14 +374,22 @@ object Hnsw {
       def top(ids: Iterable[Long]): Seq[Long] = ids.toSeq.distinct
         .filter(_ != queryId)
         .sortBy(id => (-sc(id), id)).take(width)
+      prefetchVecs(topIds)
       var frontier: Seq[Long] =
         top(if (topIds.nonEmpty) topIds else Seq(idx.entry))
       var l = idx.maxLevel
       while (l >= 1) {
         var moved = true
         while (moved) {
-          val expanded =
-            top(frontier ++ frontier.flatMap(neighborsOf(l, _)))
+          // batched per fixpoint step: one adjacency probe for the
+          // whole frontier, one vector fetch for every fresh
+          // candidate — the spilled path runs O(hops) jobs per
+          // descent, the cached path touches no Spark at all
+          val nb = neighborsOfBatch(l, frontier)
+          val out = frontier.flatMap(id =>
+            nb.getOrElse(id, Array.empty[Long]))
+          prefetchVecs(out)
+          val expanded = top(frontier ++ out)
           moved = expanded != frontier
           frontier = expanded
         }
@@ -291,15 +410,21 @@ object Hnsw {
   private val builtIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** One materialized serving image per (session, corpus) — the
-    * driver-held handle [[qHnswBatch]] serves from. */
+  /** One materialized serving image per (session, corpus, BUDGET) —
+    * the driver-held handle [[qHnswBatch]] serves from. Keyed like
+    * [[shardLayouts]]/IndexPipeline.annIndexes on `dir#budget`: the
+    * image CONTENT is budget-independent, but the over-budget gate in
+    * [[imageOf]] is not — a dir-only key would let a second caller
+    * with a SMALLER budget receive an image built (and gate-checked)
+    * under the first caller's larger one, silently bypassing its own
+    * gate. */
   private val images =
     new java.util.concurrent.ConcurrentHashMap[String, IndexImage]()
 
   private[graft] def imageFor(spark: SparkSession, dir: String,
       budgetBytes: Long = DefaultNodeBudget): IndexImage =
-    images.computeIfAbsent(dir,
-      { d => imageOf(spark, d, indexFor(spark, d), budgetBytes) })
+    images.computeIfAbsent(s"$dir#$budgetBytes",
+      { _ => imageOf(spark, dir, indexFor(spark, dir), budgetBytes) })
 
   /** Census of the session image cache over `dirs`: (count, ≈bytes) —
     * the retention gauge the dirs-only coordinator probe reports
@@ -307,8 +432,9 @@ object Hnsw {
     * zero while retainImages holds all S. Byte estimate is the
     * [[imageBytesPerVec]] budget formula over each cached image's
     * actual vector count/width. */
-  private[graft] def cachedImageCensus(dirs: Seq[String]): (Int, Long) = {
-    val cached = dirs.flatMap(d => Option(images.get(d)))
+  private[graft] def cachedImageCensus(dirs: Seq[String],
+      budgetBytes: Long = DefaultNodeBudget): (Int, Long) = {
+    val cached = dirs.flatMap(d => Option(images.get(s"$d#$budgetBytes")))
     val bytes = cached.map { img =>
       val dim = img.vecs.headOption.map(_._2._1.length).getOrElse(0)
       img.vecs.size.toLong * imageBytesPerVec(dim)
@@ -321,7 +447,8 @@ object Hnsw {
     * cache, no redundant rebuild. */
   private[graft] def imageFor(spark: SparkSession, dir: String,
       idx: HnswIndex): IndexImage =
-    images.computeIfAbsent(dir, { d => imageOf(spark, d, idx) })
+    images.computeIfAbsent(s"$dir#$DefaultNodeBudget",
+      { _ => imageOf(spark, dir, idx) })
 
   private[graft] def indexFor(spark: SparkSession, dir: String): HnswIndex = {
     val path = builtIndexes.computeIfAbsent(dir, { d =>
@@ -1092,6 +1219,119 @@ object Hnsw {
       arm
     }
     shardedGather(spark, k, arms.reduce(_.unionByName(_)))
+  }
+
+  /** Session registry of SERIALIZED segment images on disk
+    * (`dir#budget` → blob path): the artifact the ONE-PASS partitioned
+    * serve ships to executors by PATH instead of broadcast. Written by
+    * the driver ONE image at a time (materialize → serialize → drop —
+    * the dirs-only retention discipline; nothing enters the session
+    * image cache), so peak driver memory stays one budget-sized image
+    * regardless of S. */
+  private val imageBlobs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def imageBlobFor(spark: SparkSession, dir: String,
+      budgetBytes: Long = DefaultNodeBudget): String =
+    imageBlobs.computeIfAbsent(s"$dir#$budgetBytes", { _ =>
+      val img = imageOf(spark, dir, indexFor(spark, dir), budgetBytes)
+      val p = new org.apache.hadoop.fs.Path(s"$dir/image.blob")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = new java.io.ObjectOutputStream(
+        new java.io.BufferedOutputStream(fs.create(p, true)))
+      try out.writeObject(img) finally out.close()
+      p.toString
+    })
+
+  /** EXECUTOR-side image cache for the one-pass serve: each task
+    * deserializes ITS segment's blob once per JVM (per-partition init
+    * — the mapPartitions-with-heavy-setup pattern, not a broadcast of
+    * all S images to every node). Residency per executor = the
+    * DISTINCT segments that executor serves — with segment-pinned
+    * groups and ≥S executors that is one image; a shared local-mode
+    * JVM holds up to S (probes census and [[clear]] it). */
+  private[graft] object ImageBlobCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, IndexImage]()
+    def get(path: String): IndexImage =
+      cache.computeIfAbsent(path, { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        val in = new java.io.ObjectInputStream(
+          new java.io.BufferedInputStream(fs.open(hp))) {
+          override def resolveClass(
+              d: java.io.ObjectStreamClass): Class[_] =
+            try Class.forName(d.getName, false,
+              Thread.currentThread.getContextClassLoader)
+            catch { case _: ClassNotFoundException => super.resolveClass(d) }
+        }
+        try in.readObject().asInstanceOf[IndexImage] finally in.close()
+      })
+    def census: (Int, Long) = {
+      import scala.jdk.CollectionConverters._
+      val imgs = cache.values.asScala.toSeq
+      (imgs.size, imgs.map { img =>
+        val dim = img.vecs.headOption.map(_._2._1.length).getOrElse(0)
+        img.vecs.size.toLong * imageBytesPerVec(dim)
+      }.sum)
+    }
+    def clear(): Unit = cache.clear()
+  }
+
+  /** ONE-PASS partitioned serving for an unbounded query table —
+    * [[serveShardedQueryTable]]'s cluster-shaped twin (round 11): the
+    * sequential mode serves the S arms one broadcast at a time, which
+    * is correct for a ONE-executor memory budget but leaves (S−1)/S of
+    * a ≥S-executor cluster idle per arm. Here the roles pin instead of
+    * rotate: queries fan out ×S with a segment key, `groupByKey(seg)`
+    * lands each segment's full query stream in one task, and that task
+    * loads ITS segment's image from the prebuilt blob inside the group
+    * handler (per-partition init via [[ImageBlobCache]] — never a
+    * broadcast of all S), so all S segments serve CONCURRENTLY with
+    * per-executor residency still budget-bounded. Same per-candidate
+    * math as the sequential arms ([[serveVec]], same ef/k, same qn
+    * derivation) into the same k-bounded gather — HnswShardSpec pins
+    * the two modes bit-equal; the scale probe measures the wall ratio.
+    * Shuffle cost: |Q|·S embedding rows — the same bytes the S
+    * broadcast-scan passes stream, paid once as a shuffle instead of S
+    * scans. */
+  def serveShardedQueryTableOnePass(spark: SparkSession, dir: String,
+      queries: DataFrame, shards: Int, ef: Int = 16, k: Int = 10,
+      budgetBytes: Long = DefaultNodeBudget): DataFrame = {
+    import spark.implicits._
+    val dirs = shardDirsFor(spark, dir, shards)
+    locally {
+      import scala.collection.parallel.CollectionConverters._
+      dirs.par.foreach(d => indexFor(spark, d))
+    }
+    val blobs = dirs.map(d => imageBlobFor(spark, d, budgetBytes))
+    val qv = Search.embNormed(spark, dir)
+      .join(queries.select(col("query_id").cast("long").as("vec_id")),
+        "vec_id")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<float>").as("qv"),
+        col("vec_id").as("self_id"))
+      .as[(Long, Array[Float], Long)]
+    val cands = qv
+      .flatMap { case (qid, emb, self) =>
+        (0 until shards).iterator.map(s => (s, qid, emb, self))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (seg, it) =>
+        val img = ImageBlobCache.get(blobs(seg))
+        it.flatMap { case (_, qid, emb, self) =>
+          var s = 0.0
+          var i = 0
+          while (i < emb.length) {
+            s += emb(i).toDouble * emb(i).toDouble; i += 1
+          }
+          serveVec(img, emb, math.sqrt(s), selfId = self, ef = ef, k = k)
+            .map { case (id, sc) => (qid, id, sc) }
+        }
+      }
+      .toDF("query_id", "vec_id", "score")
+    shardedGather(spark, k, cands)
   }
 
   /** Metadata-FILTERED serving on the PARTITIONED regime — the last

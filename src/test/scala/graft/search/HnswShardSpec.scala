@@ -232,6 +232,37 @@ class HnswShardSpec extends SparkSpec {
         "the coordinator mode must never change an answer")
   }
 
+  test("one-pass segment-pinned serve is bit-equal to the sequential " +
+      "arms; the driver session image cache stays empty (blobs, not " +
+      "broadcasts) and the executor cache holds ≤ S images") {
+    val qs = spark.range(8).toDF("query_id").repartition(3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val sequential = rows(Hnsw.serveShardedQueryTable(spark, bigDir,
+      qs, shards = S, ef = 16, k = 5))
+    Hnsw.ImageBlobCache.clear()
+    val dirs = Hnsw.shardDirsFor(spark, bigDir, S)
+    val before = Hnsw.cachedImageCensus(dirs)._1
+    val onePass = rows(Hnsw.serveShardedQueryTableOnePass(spark,
+      bigDir, qs, shards = S, ef = 16, k = 5))
+    assert(onePass === sequential,
+      "one-pass segment-pinned serving diverged from the sequential " +
+        "broadcast-in-turn arms")
+    // retention gauges: the one-pass driver adds NO session images
+    // (the dirs-only discipline — blobs ship by path), and the shared
+    // local-JVM executor cache holds at most the S segment images it
+    // deserialized
+    assert(Hnsw.cachedImageCensus(dirs)._1 === before,
+      "the one-pass serve leaked segment images into the driver cache")
+    val (execImgs, _) = Hnsw.ImageBlobCache.census
+    assert(execImgs > 0 && execImgs <= S,
+      s"executor blob cache holds $execImgs images, expected 1..$S")
+    Hnsw.ImageBlobCache.clear()
+    assert(Hnsw.ImageBlobCache.census._1 === 0)
+  }
+
   test("filtered sharded serve: k label-matching rows per query " +
       "(fill), predicate pure, recall vs exact filtered top-k clears " +
       "the floor") {

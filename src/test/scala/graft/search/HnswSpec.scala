@@ -114,6 +114,33 @@ class HnswSpec extends SparkSpec {
     } finally searcher.close()
   }
 
+  test("heuristic neighbor selection (Alg. 4): a diverse direction " +
+      "beats a mutually-close sibling at equal degree; pruned edges " +
+      "fill back in walk order") {
+    // u along (1,0); candidates at +25°, +30°, −40°: c2 is c1's
+    // near-clone (5° apart — closer to c1 than to u, prune), c3
+    // approaches from the other side (65° from c1 but only 40° from
+    // u — diverse, keep). Plain top-2 would pick (c1, c2); the
+    // heuristic must pick (c1, c3).
+    def at(deg: Double): (Double, Array[Float], Double) = {
+      val r = math.toRadians(deg)
+      ((math.cos(r) * 1e6).round / 1e6,
+        Array(math.cos(r).toFloat, math.sin(r).toFloat), 1.0)
+    }
+    val (s1, v1, n1) = at(25)
+    val (s2, v2, n2) = at(30)
+    val (s3, v3, n3) = at(-40)
+    val cands = Seq((s1, 11L, v1, n1), (s2, 12L, v2, n2),
+      (s3, 13L, v3, n3))
+    assert(Hnsw.selectDiverse(cands, 2) === Seq(11L, 13L),
+      "the near-clone must be pruned in favor of the diverse direction")
+    // keepPrunedConnections: at m=3 the pruned near-clone fills back
+    assert(Hnsw.selectDiverse(cands, 3) === Seq(11L, 13L, 12L))
+    // determinism under a score tie: walk order is (sim desc, id asc)
+    val tied = Seq((0.5, 21L, v3, n3), (0.5, 20L, v3, n3))
+    assert(Hnsw.selectDiverse(tied, 1) === Seq(20L))
+  }
+
   test("delta serve: segments split at the cutoff, delta arm is exact " +
       "(true top-10 delta members can never be displaced), deterministic") {
     val out = Hnsw.qHnswDelta(spark, bigDir).collect()
