@@ -570,30 +570,47 @@ object IndexPipeline {
         // cleared = live), verify only the flagged few against the
         // sorted dead table (pushdown point lookup), and widen the
         // per-image pool until every image reports k live or exhausts
-        // — exact, with the driver never holding the dead set
+        // — exact, with the driver never holding the dead set. Each
+        // widening round re-serves ONLY the still-unsatisfied images
+        // and verifies only NEVER-SEEN flagged ids (one verdict map
+        // across rounds), so an image that already reported k live —
+        // the common case, tombstones being a minority of any corpus
+        // the reseal rule admits — pays exactly one beam, and the
+        // dead-table point lookup runs at most once per distinct
+        // flagged id per query.
         val deadPath = s"${mut.get.dir}/dead.parquet"
-        var kk = k
-        var result: Seq[(Long, Double)] = null
-        while (result == null) {
-          val perImage = art.imgs.map(img =>
-            graft.operators.Hnsw.serveVec(img, qv, qn, selfId = -1L,
-              ef = math.max(32, 4 * kk), k = kk))
-          val flagged = perImage.flatten.map(_._1).distinct
-            .filter(bloom.mayContain)
-          val confirmedDead: Set[Long] =
-            if (flagged.isEmpty) Set.empty
-            else spark.read.parquet(deadPath)
-              .filter(col("vec_id").isin(flagged: _*))
+        val verdicts = scala.collection.mutable.Map.empty[Long, Boolean]
+        def verify(ids: Seq[Long]): Unit = {
+          val unseen = ids.filterNot(verdicts.contains)
+          if (unseen.nonEmpty) {
+            val dead = spark.read.parquet(deadPath)
+              .filter(col("vec_id").isin(unseen: _*))
               .as[Long].collect().toSet
-          val livePer = perImage.map(c =>
-            (c.filterNot(x => confirmedDead(x._1)), c.size))
-          val satisfied = livePer.forall { case (lv, reported) =>
-            lv.size >= k || reported < kk }
-          if (satisfied || kk >= (1 << 20))
-            result = livePer.flatMap(_._1.take(k))
-          else kk *= 2
+            unseen.foreach(id => verdicts(id) = dead(id))
+          }
         }
-        result
+        def isDead(id: Long): Boolean =
+          bloom.mayContain(id) && verdicts(id)
+        val done = Array.fill(art.imgs.size)(
+          Seq.empty[(Long, Double)])
+        var pending: Seq[Int] = art.imgs.indices.toSeq
+        var kk = k
+        while (pending.nonEmpty) {
+          val served = pending.map(i => i ->
+            graft.operators.Hnsw.serveVec(art.imgs(i), qv, qn,
+              selfId = -1L, ef = math.max(32, 4 * kk), k = kk))
+          verify(served.flatMap(_._2.map(_._1))
+            .distinct.filter(bloom.mayContain))
+          pending = served.flatMap { case (i, cands) =>
+            val live = cands.filterNot(c => isDead(c._1))
+            if (live.size >= k || cands.size < kk || kk >= (1 << 20)) {
+              done(i) = live.take(k)
+              None
+            } else Some(i)
+          }
+          kk *= 2
+        }
+        done.toSeq.flatten
     }
     val hits = (sealedHits ++ deltaHits)
       .sortBy { case (id, sc) => (-sc, id) }.take(k)

@@ -1298,7 +1298,19 @@ object Hnsw {
     * scans. */
   def serveShardedQueryTableOnePass(spark: SparkSession, dir: String,
       queries: DataFrame, shards: Int, ef: Int = 16, k: Int = 10,
-      budgetBytes: Long = DefaultNodeBudget): DataFrame = {
+      budgetBytes: Long = DefaultNodeBudget): DataFrame =
+    shardedGather(spark, k,
+      onePassCands(spark, dir, queries, shards, ef, k, budgetBytes))
+
+  /** The one-pass fan-out's candidate stage, shared by the plain and
+    * FILTERED one-pass serves: queries ×S with a segment key, each
+    * segment's query stream lands in one task, per-partition image
+    * init from the blob. `perSegK` is the per-segment report depth —
+    * k for the plain serve, the selectivity-derived pool for the
+    * filtered one. */
+  private def onePassCands(spark: SparkSession, dir: String,
+      queries: DataFrame, shards: Int, ef: Int, perSegK: Int,
+      budgetBytes: Long): DataFrame = {
     import spark.implicits._
     val dirs = shardDirsFor(spark, dir, shards)
     locally {
@@ -1313,7 +1325,7 @@ object Hnsw {
         col("embedding").cast("array<float>").as("qv"),
         col("vec_id").as("self_id"))
       .as[(Long, Array[Float], Long)]
-    val cands = qv
+    qv
       .flatMap { case (qid, emb, self) =>
         (0 until shards).iterator.map(s => (s, qid, emb, self))
       }
@@ -1326,12 +1338,44 @@ object Hnsw {
           while (i < emb.length) {
             s += emb(i).toDouble * emb(i).toDouble; i += 1
           }
-          serveVec(img, emb, math.sqrt(s), selfId = self, ef = ef, k = k)
+          serveVec(img, emb, math.sqrt(s), selfId = self, ef = ef,
+            k = perSegK)
             .map { case (id, sc) => (qid, id, sc) }
         }
       }
       .toDF("query_id", "vec_id", "score")
-    shardedGather(spark, k, cands)
+  }
+
+  /** FILTERED serving × unbounded query table × one-pass fan-out —
+    * the concurrency story composed onto the predicate cell of the
+    * serving matrix: [[serveShardedFiltered]]'s strategy (unfiltered
+    * navigation, selectivity-derived per-segment pool, predicate at
+    * reporting) with [[serveShardedQueryTableOnePass]]'s execution
+    * shape (segment-pinned groups, per-partition blob init, all S
+    * segments serving concurrently). Same answers as running
+    * [[serveShardedFiltered]] over the same queries — HnswShardSpec
+    * pins the equality — at the one-pass wall instead of S passes. */
+  def serveShardedQueryTableOnePassFiltered(spark: SparkSession,
+      dir: String, queries: DataFrame, shards: Int, labelCol: String,
+      labelVal: Long, ef: Int = 64, k: Int = 10,
+      budgetBytes: Long = DefaultNodeBudget): DataFrame = {
+    val e = Search.embNormed(spark, dir)
+    val selRow = e.agg(
+      sum(when(col(labelCol) === labelVal, 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).head
+    val sel = if (selRow.isNullAt(0)) 0.0 else selRow.getDouble(0)
+    if (sel == 0.0) {
+      import spark.implicits._
+      return shardedGather(spark, k,
+        Seq.empty[(Long, Long, Double)]
+          .toDF("query_id", "vec_id", "score"))
+    }
+    val pool = math.max(ef, math.ceil(k / sel * 2).toInt)
+    val cands = onePassCands(spark, dir, queries, shards, ef, pool,
+      budgetBytes)
+    val matched = cands.join(
+      e.filter(col(labelCol) === labelVal).select("vec_id"), "vec_id")
+    shardedGather(spark, k, matched)
   }
 
   /** Metadata-FILTERED serving on the PARTITIONED regime — the last

@@ -69,6 +69,27 @@ object ChunkStore {
     write(keep, dst)
   }
 
+  /** S9 delete, published: stage the anti-join rewrite beside the
+    * store and [[commitSwap]] it in — the one-call form of the
+    * staged-rewrite + snapshot-bump contract, so a caller cannot
+    * mutate the store while forgetting the freshness clock. */
+  def deleteAndCommit(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Unit = {
+    val staged = s"$path.__staged_${java.util.UUID.randomUUID}"
+    deleteInto(spark, path, staged, ids, idCol)
+    commitSwap(spark, staged, path)
+  }
+
+  /** S8 upsert, published: [[upsertInto]] staged beside the store,
+    * then [[commitSwap]]. Same one-call contract as
+    * [[deleteAndCommit]]. */
+  def upsertAndCommit(spark: SparkSession, path: String,
+      updates: DataFrame, idCol: String, versionCol: String): Unit = {
+    val staged = s"$path.__staged_${java.util.UUID.randomUUID}"
+    upsertInto(spark, path, staged, updates, idCol, versionCol)
+    commitSwap(spark, staged, path)
+  }
+
   /** Compaction: rewrite a store into `files` evenly-sized parquet
     * files (repartition, not coalesce — coalesce skews when upstream
     * partitioning is uneven). Streaming appends (foreachBatch) create

@@ -263,6 +263,26 @@ class HnswShardSpec extends SparkSpec {
     assert(Hnsw.ImageBlobCache.census._1 === 0)
   }
 
+  test("one-pass filtered serve equals the sequential filtered serve " +
+      "row for row — the predicate cell composed onto the one-pass " +
+      "fan-out") {
+    val qs = spark.range(8).toDF("query_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val sequential = rows(Hnsw.serveShardedFiltered(spark, bigDir, qs,
+      shards = S, labelCol = "label", labelVal = 3L, ef = 64, k = 5))
+    Hnsw.ImageBlobCache.clear()
+    val onePass = rows(Hnsw.serveShardedQueryTableOnePassFiltered(
+      spark, bigDir, qs, shards = S, labelCol = "label", labelVal = 3L,
+      ef = 64, k = 5))
+    Hnsw.ImageBlobCache.clear()
+    assert(onePass === sequential,
+      "the one-pass filtered serve diverged from the sequential " +
+        "filtered serve")
+  }
+
   test("filtered sharded serve: k label-matching rows per query " +
       "(fill), predicate pure, recall vs exact filtered top-k clears " +
       "the floor") {

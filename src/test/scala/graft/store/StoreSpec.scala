@@ -133,6 +133,34 @@ class StoreSpec extends SparkSpec {
       === "beta-v2")
   }
 
+  test("deleteAndCommit / upsertAndCommit publish the staged rewrite " +
+      "in place and advance the snapshot — the one-call S8/S9 form") {
+    val spark2 = spark
+    import spark2.implicits._
+    val p = s"$tmp/t_commit"
+    ChunkStore.write(docs, p)
+    ChunkStore.deleteAndCommit(spark, p, Seq(3L).toDF("doc_id"),
+      "doc_id")
+    assert(ChunkStore.read(spark, p).select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L, 4L))
+    val s1 = ChunkStore.snapshotOf(spark, p)
+    assert(s1.exists(_.startsWith("v1:")),
+      s"delete must publish snapshot v1, got $s1")
+    ChunkStore.upsertAndCommit(spark, p,
+      Seq((2L, "beta-v2", "en", 2L))
+        .toDF("doc_id", "text", "lang", "version"),
+      "doc_id", "version")
+    assert(ChunkStore.read(spark, p).filter(col("doc_id") === 2L)
+      .select("text").head.getString(0) === "beta-v2")
+    val s2 = ChunkStore.snapshotOf(spark, p)
+    assert(s2.exists(_.startsWith("v2:")) && s2 != s1,
+      s"upsert must advance the snapshot, got $s2 after $s1")
+    // no staged debris left beside the store
+    assert(!new java.io.File(s"$tmp").listFiles()
+      .exists(_.getName.contains("__staged_")),
+      "a committed staged rewrite must not leave its directory behind")
+  }
+
   test("compaction rewrites many small files into the target count") {
     val p = s"$tmp/t6"
     // 4 appends → ≥4 files
