@@ -1531,6 +1531,86 @@ object ScaleProbe {
             s"spilled_per_query=${f"${tSpill / qids.size}%.2f"}s"
         } finally { cached.close(); spilled.close() }
       },
+      time("hnsw_hetero") {
+        // Heuristic neighbor selection A/B on the corpus shape
+        // Algorithm 4 actually targets: HETEROGENEOUS cluster mass.
+        // Half the corpus is one jittered mass-attractor cluster
+        // (500× any truth cluster), the other half is uniform truth
+        // clusters — plain top-k layer edges inside and near the
+        // attractor are all intra-attractor siblings, so greedy
+        // descent entering it (the entry point is mass-biased) has
+        // only the 2/node random seeds as escape routes; the
+        // heuristic prunes mutually-close siblings in favor of
+        // diverse directions at equal degree. Both builds share the
+        // same corpus, levels, NN-Descent graph and seed quota — the
+        // ONLY difference is the selection rule
+        // (spark.graft.hnsw.heuristicEdges).
+        import operators.{Hnsw, Search}
+        import graft.functions.VectorFunctions.{cosinePrenormed, dot}
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val nBase = emb.count()
+        val cMult = math.max(2, mult / 2)
+        val attrN = nBase * cMult // attractor = half the total mass
+        val gdir = s"$work/hh"
+        val clusters = emb
+          .crossJoin(spark.range(cMult).withColumnRenamed("id", "rep"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CASE WHEN rep = 0 THEN x " +
+              "ELSE CAST(x + (pmod(hash(rep, i, vec_id), 21) - 10) " +
+              "* 0.005 AS FLOAT) END)"))
+          .withColumn("vec_id", col("vec_id") + col("rep") * nBase)
+          .drop("rep")
+        val attractor = emb.orderBy("vec_id").limit(1)
+          .crossJoin(spark.range(attrN).withColumnRenamed("id", "rep"))
+          .withColumn("embedding", expr(
+            "transform(embedding, (x, i) -> CAST(x + " +
+              "(pmod(hash(rep, i), 21) - 10) * 0.005 AS FLOAT))"))
+          .withColumn("vec_id", lit(nBase * cMult.toLong) + col("rep"))
+          .drop("rep")
+        clusters.unionByName(attractor)
+          .write.mode("overwrite").parquet(s"$gdir/embeddings.parquet")
+        val n = spark.read.parquet(s"$gdir/embeddings.parquet").count()
+        // queries from TRUTH clusters (never the attractor center's)
+        val qids: Seq[Long] = (1 to 10).map(i =>
+          1L + (i.toLong * 7919L) % (nBase - 1))
+        val e = Search.embNormed(spark, gdir)
+        val qv = e.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("qid"),
+            col("embedding").as("qv"), col("nrm").as("qn"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+        val exact: Map[Long, Set[Long]] = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("score", round(
+            cosinePrenormed(dot(col("embedding"), col("qv")),
+              col("nrm"), col("qn")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("qid", "vec_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        def build(flag: Boolean, path: String): Hnsw.HnswIndex = {
+          spark.conf.set("spark.graft.hnsw.heuristicEdges",
+            flag.toString)
+          try Hnsw.buildIndex(spark, gdir, path)
+          finally spark.conf.unset("spark.graft.hnsw.heuristicEdges")
+        }
+        def recall(idx: Hnsw.HnswIndex, ef: Int): Double = {
+          val searcher = new Hnsw.Searcher(spark, gdir, idx)
+          try qids.map { qid =>
+            searcher.serve(qid, ef = ef).map(_._1)
+              .count(exact(qid).contains) / 10.0
+          }.sum / qids.size finally searcher.close()
+        }
+        val idxPlain = build(flag = false, s"$work/hh_plain")
+        val idxHeur = build(flag = true, s"$work/hh_heur")
+        val (p16, p32) = (recall(idxPlain, 16), recall(idxPlain, 32))
+        val (h16, h32) = (recall(idxHeur, 16), recall(idxHeur, 32))
+        s"n=$n attractor=$attrN cluster_size=$cMult " +
+          s"plain_recall10=${f"$p16%.2f"}@ef16/${f"$p32%.2f"}@ef32 " +
+          s"heuristic_recall10=${f"$h16%.2f"}@ef16/${f"$h32%.2f"}@ef32"
+      },
       time("searchann_mutated") {
         // Repeat searchAnn serves against an UNCHANGED mutated store
         // (r10 verdict item 1): the delta/dead derivation (two

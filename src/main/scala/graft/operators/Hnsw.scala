@@ -205,12 +205,19 @@ object Hnsw {
         // ([[heuristicEdges]] — Algorithm 4 over the NN-Descent pool ∪
         // reverse ∪ seeds), not the plain top-k NN-Descent edges: at
         // equal degree, diverse approach directions beat mutually-
-        // close siblings on clustered/sign-flip corpora (the r10
-        // probes read 0.58/0.79 at ef 32/64 on sign-flip with top-k
-        // edges; the verdict's item 4)
-        val g = heuristicEdges(spark, ldir,
-          Ann.refineKnnGraph(spark, ldir, AnnGeometry.forCorpus(subN), k),
-          k)
+        // close siblings where cluster MASS is heterogeneous (the
+        // hnsw_hetero probe A/Bs the two builds; the uniform-cluster
+        // and sign-flip grids are selection-neutral by construction —
+        // SCALE.md round 11). `spark.graft.hnsw.heuristicEdges=false`
+        // opts a build back to plain top-k — the probe's A/B arm.
+        val refined =
+          Ann.refineKnnGraph(spark, ldir, AnnGeometry.forCorpus(subN), k)
+        val g =
+          if (spark.conf.getOption("spark.graft.hnsw.heuristicEdges")
+              .forall(_.toBoolean))
+            heuristicEdges(spark, ldir, refined, k)
+          else refined
+            .select(col("vec_id").as("u"), col("neighbor_id").as("v"))
         // navigability still needs the random quota beside the kNN
         // half ([[Ann.seedEdges]], the small-world arm): pure kNN
         // layers go cluster-closed on clustered corpora — every top-k
