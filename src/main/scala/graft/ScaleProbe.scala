@@ -1458,8 +1458,23 @@ object ScaleProbe {
         val recall = qids.map(q => byQ.getOrElse(q, Set.empty[Long])
           .count(exact.getOrElse(q, Set.empty).contains) / 10.0)
           .sum / qids.size
+        // the ONE-PASS filtered arm (round 11): same strategy, the
+        // segment-pinned concurrent fan-out — answers must match the
+        // sequential filtered serve row for row, at a one-pass wall
+        Hnsw.ImageBlobCache.clear()
+        val t1 = System.nanoTime()
+        val outOne = Hnsw.serveShardedQueryTableOnePassFiltered(spark,
+          gdir, spark.range(40).toDF("query_id"), shards = s,
+          labelCol = "label", labelVal = 3L, ef = 64, k = 10).collect()
+        val tOne = (System.nanoTime() - t1) / 1e9
+        Hnsw.ImageBlobCache.clear()
+        def keyed(rs: Array[org.apache.spark.sql.Row]) = rs
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(identity).toSeq
+        val onePassEq = keyed(outOne) == keyed(out)
         s"n=$n shards=$s filled=$fill/40 pure=$pure " +
-          s"recall10=${f"$recall%.2f"} wall=${f"$tServe%.0f"}s"
+          s"recall10=${f"$recall%.2f"} wall=${f"$tServe%.0f"}s " +
+          s"onepass_equal=$onePassEq onepass_wall=${f"$tOne%.0f"}s"
       },
       time("hnsw_onepass") {
         // One-pass segment-pinned serving vs the sequential

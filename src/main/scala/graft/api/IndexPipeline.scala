@@ -460,19 +460,25 @@ object IndexPipeline {
           .as[Long].collect().toSet)
       else {
         // bits ≈ 16 per id (k=8 → fpr ~4e-4), capped at 8 MB of
-        // driver/broadcast bitmap; the build collects DISTINCT BIT
-        // POSITIONS (bounded by nbits), never the ids themselves
+        // driver/broadcast bitmap; the build aggregates PER-WORD
+        // bitmasks in Spark (group by word index, bit_or of the set
+        // bits) and collects at most nbits/64 (word, mask) rows — the
+        // driver materialization is bounded by the BITMAP size, never
+        // by the dead-id count or the raw position count (a distinct-
+        // positions collect is up to 64× the bitmap at the cap)
         val nbits = math.min(1L << 26,
           math.max(1L << 13, deadN * 16L)).toInt / 64 * 64
         val hashes = 8
         val posCols = (0 until hashes).map(i =>
           Embedder.hash60Col(concat(col("vec_id").cast("string"),
             lit(s":$i"))) % nbits)
-        val positions = spark.read.parquet(s"$dir/dead.parquet")
+        val words = spark.read.parquet(s"$dir/dead.parquet")
           .select(explode(array(posCols: _*)).as("p"))
-          .distinct().as[Long].collect()
+          .groupBy(expr("p div 64").as("w"))
+          .agg(expr("bit_or(shiftleft(1L, int(p % 64)))").as("mask"))
+          .as[(Long, Long)].collect()
         val bits = new Array[Long](nbits / 64)
-        positions.foreach(p => bits((p >> 6).toInt) |= 1L << (p & 63))
+        words.foreach { case (w, mask) => bits(w.toInt) = mask }
         DeadBloom(bits, nbits, hashes)
       }
     MutationState(fp, dir, deltaN, deadN, exclusion)
