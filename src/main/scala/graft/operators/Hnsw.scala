@@ -1055,7 +1055,7 @@ object Hnsw {
   /** The gather half: one bounded TopK aggregate over candidate rows
     * — k·(arms) rows per query into the shuffle, never a corpus-scale
     * window; commutative, so arms union freely before it. */
-  private def shardedGather(spark: SparkSession, k: Int,
+  private[graft] def shardedGather(spark: SparkSession, k: Int,
       cands: DataFrame): DataFrame =
     cands.groupBy("query_id")
       .agg(graft.functions.TopKAggregator.topKUdaf(k)(
@@ -1438,6 +1438,151 @@ object Hnsw {
       shards = 4, labelCol = "label", labelVal = 3L, ef = 64, k = 5)
       .orderBy("query_id", "rank")
 
+  // ───────────────── centroid-ROUTED clustered sharding ─────────────────
+
+  /** One CLUSTERED corpus layout per (session, dir, S, iters): segment
+    * i is coarse spherical-k-means CELL i ([[Ann.refineCodebook]] —
+    * deterministic `vec_id < S` bootstrap, exact fixed-point means,
+    * `iters` Lloyd rounds) instead of the `vec_id mod S` residue class
+    * [[shardDirsFor]] lays out. A hash layout makes every segment an
+    * interchangeable random sample of the corpus — ideal for load
+    * balance, but it forces EVERY query to fan out to ALL S segments
+    * because no segment is more likely than another to hold the
+    * answer. A clustered layout gives each segment a geometric
+    * identity (its centroid), so a query can be ROUTED to the R cells
+    * most aligned with it and skip the rest — coarse quantization at
+    * SEGMENT granularity (the IVF idea one level up, the design of the
+    * published memory–disk hybrid ANN systems), and the difference
+    * between per-query serve cost O(S) and O(R): at 100 TB under the
+    * 4 GiB image budget S is in the THOUSANDS while R stays 2–8, so
+    * full fan-out wastes >99% of the scatter.
+    *
+    * Layout cost: the codebook refinement's `iters` corpus scans plus
+    * ONE partitioned write (the [[shardDirsFor]] single-pass
+    * discipline — never S filter-scans); the per-cell dirs are
+    * driver-side renames of the partition dirs. Returns the per-cell
+    * dirs (index-aligned: `dirs(i)` holds cell i, possibly empty —
+    * k-means keeps an empty cell's previous centroid) and the
+    * collected centroid table (S·d doubles — segment-count-sized,
+    * never corpus-sized). */
+  private val clusterLayouts = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[String], Array[(Long, Array[Double], Double)])]()
+
+  private[graft] def clusterLayoutFor(spark: SparkSession, dir: String,
+      s: Int, iters: Int = 4)
+      : (Seq[String], Array[(Long, Array[Double], Double)]) =
+    clusterLayouts.computeIfAbsent(s"$dir#$s#$iters", { _ =>
+      val cents = Ann.refineCodebook(spark, dir, iters, cells = s)
+      val assign = Ann.cellAssign(Search.embNormed(spark, dir), cents)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_hnsw_cells").toString
+      Tables.embeddings(spark, dir)
+        .join(assign, "vec_id")
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$base/all")
+      val dirs = (0 until s).map { i =>
+        val p = s"$base/cell$i"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(p))
+        val part = java.nio.file.Paths.get(s"$base/all", s"cell=$i")
+        if (java.nio.file.Files.exists(part))
+          java.nio.file.Files.move(part,
+            java.nio.file.Paths.get(p, "embeddings.parquet"))
+        else // an empty cell still needs a readable (empty) table
+          Tables.embeddings(spark, dir).filter(lit(false))
+            .write.parquet(s"$p/embeddings.parquet")
+        p
+      }
+      val centArr = cents.select("cell", "cv", "cn").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      (dirs, centArr)
+    })
+
+  /** Top-R cells for a query vector: the same left-to-right double
+    * dot, prenormed cosine, and HALF_UP 6-decimal rounding
+    * [[Ann.cellAssign]] scores with, under the same
+    * (csim desc, cell asc) order — so routing AGREES with assignment
+    * by construction: a corpus vector's own cell is always its top-1
+    * route, which is what makes R=1 routing well-defined. Driver-side
+    * S·d work per query over the collected centroid table. */
+  private[graft] def routeCells(
+      cents: Array[(Long, Array[Double], Double)], qv: Array[Float],
+      qn: Double, routes: Int): Seq[Long] =
+    cents.map { case (cell, cv, cn) =>
+      val csim =
+        if (cn == 0 || qn == 0 || cv.isEmpty || qv.isEmpty) -1.0
+        else {
+          var s = 0.0
+          var i = 0
+          val n = math.min(cv.length, qv.length)
+          while (i < n) { s += qv(i).toDouble * cv(i); i += 1 }
+          BigDecimal(s / (qn * cn))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      (cell, csim)
+    }.sortBy { case (c, cs) => (-cs, c) }.take(routes).map(_._1).toSeq
+
+  /** ROUTED scatter-gather over the clustered layout — the bounded
+    * query batch fans out to its top-R cells ONLY, never all S:
+    * [[serveShardedDistributed]]'s execution shape (one task per
+    * served image, broadcast query batch, the exact k-bounded gather)
+    * with the scatter trimmed to the union of the batch's routes, so
+    * a bounded batch touches ≤ |Q|·R segment images no matter how
+    * large S grows — the serve an S-in-the-thousands deployment
+    * actually runs. `routes = S` degenerates to full fan-out over the
+    * clustered layout (HnswRouteSpec pins the bit-equality); small R
+    * trades the recall the probe measures for an S/R scatter saving.
+    * Tombstones follow the family rule: navigable in every routed
+    * beam, filtered from the report. */
+  def serveShardedRouted(spark: SparkSession, dir: String,
+      queries: DataFrame, shards: Int, routes: Int, ef: Int = 16,
+      k: Int = 10, iters: Int = 4, exclude: Set[Long] = Set.empty,
+      budgetBytes: Long = DefaultNodeBudget): DataFrame = {
+    import spark.implicits._
+    val (dirs, cents) = clusterLayoutFor(spark, dir, shards, iters)
+    val qrows = Search.embNormed(spark, dir)
+      .join(queries.select(col("query_id").cast("long").as("vec_id")),
+        "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getDouble(2)))
+    val routedQ: Map[Long, Array[(Long, Array[Float], Double)]] =
+      qrows.flatMap { case (qid, qv, qn) =>
+        routeCells(cents, qv, qn, routes).map(c => (c, (qid, qv, qn)))
+      }.groupBy(_._1).map { case (c, qs) => c -> qs.map(_._2) }
+    // images materialize ONLY for cells some query routed to — the
+    // batch's working set, never the full layout
+    val served = routedQ.keys.toSeq.sorted
+    val imgs = segmentImages(spark,
+      served.map(c => dirs(c.toInt)), budgetBytes)
+    val qbc = spark.sparkContext.broadcast(routedQ)
+    val cands = spark.sparkContext
+      .parallelize(served.zip(imgs), math.max(served.size, 1))
+      .flatMap { case (cell, img) =>
+        qbc.value.getOrElse(cell, Array.empty[(Long, Array[Float], Double)])
+          .iterator.flatMap { case (qid, qv, qn) =>
+            serveVec(img, qv, qn, selfId = qid, ef = ef, k = k,
+              exclude = exclude).map { case (id, sc) => (qid, id, sc) }
+          }
+      }.toDF("query_id", "vec_id", "score")
+    shardedGather(spark, k, cands)
+  }
+
+  /** Routed serving as a registry row: the planted 4-cell clustered
+    * layout (trained by the deterministic codebook refinement), 8
+    * queries routed to their top-2 cells, top-5 through the k-bounded
+    * gather. Golden oracle like every trained-graph serve;
+    * HnswRouteSpec pins layout completeness, routing/assignment
+    * agreement, R=S ≡ full fan-out, report purity, and the planted
+    * R=1 recall. */
+  def qHnswRouted(spark: SparkSession, dir: String): DataFrame =
+    serveShardedRouted(spark, dir, spark.range(8).toDF("query_id"),
+      shards = 4, routes = 2, ef = 16, k = 5)
+      .orderBy("query_id", "rank")
+
   /** Sharded serving as a registry row: 8 queries over a PLANTED
     * 4-segment layout (S=4 stands in for a corpus whose image exceeds
     * one node — the planted-tombstone convention; production derives S
@@ -1475,7 +1620,8 @@ object Hnsw {
     "q_hnsw_dist" -> (qHnswServeDist _),
     "q_hnsw_sharded" -> (qHnswSharded _),
     "q_hnsw_sharded_delta" -> (qHnswShardedDelta _),
-    "q_hnsw_sharded_filtered" -> (qHnswShardedFiltered _)
+    "q_hnsw_sharded_filtered" -> (qHnswShardedFiltered _),
+    "q_hnsw_routed" -> (qHnswRouted _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1520,6 +1666,10 @@ object Hnsw {
       s"""SELECT * FROM
          |read_parquet(
          |  '$fixturesDir/hnsw_sharded_filtered_sf0.01.parquet/*.parquet')
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_hnsw_routed" ->
+      s"""SELECT * FROM
+         |read_parquet('$fixturesDir/hnsw_routed_sf0.01.parquet/*.parquet')
          |ORDER BY query_id, rank""".stripMargin,
     "q_hnsw_levels" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),

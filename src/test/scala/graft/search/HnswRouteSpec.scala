@@ -1,0 +1,154 @@
+package graft
+package search
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Hnsw, Search}
+
+/** Centroid-ROUTED clustered sharding ([[Hnsw.serveShardedRouted]]):
+  * segments are k-means cells instead of hash residues, so a query
+  * routes to its top-R cells and skips the rest — per-query scatter
+  * O(R), not O(S). Pins the five load-bearing claims: the clustered
+  * layout PARTITIONS the corpus; routing AGREES with assignment (a
+  * corpus vector's top-1 route is the cell that holds it); routes=S
+  * degenerates to the exact full fan-out (driver-side reference
+  * merge); a routed report only ever contains vectors from the
+  * query's routed cells; and on planted clustered geometry R=1
+  * routing loses nothing vs brute force.
+  */
+class HnswRouteSpec extends SparkSpec {
+
+  private val bigDir = "/root/testdata/sf0.01"
+  private val S = 4
+
+  /** id → cell membership map from the layout's own dirs. */
+  private def cellOf(dirs: Seq[String]): Map[Long, Long] =
+    dirs.zipWithIndex.flatMap { case (d, i) =>
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .select("vec_id").collect().map(_.getLong(0) -> i.toLong)
+    }.toMap
+
+  test("clustered layout partitions the corpus: disjoint, covering, " +
+      "one centroid per cell") {
+    import spark.implicits._
+    val (dirs, cents) = Hnsw.clusterLayoutFor(spark, bigDir, S)
+    assert(dirs.size === S)
+    assert(cents.map(_._1).toSeq === (0L until S.toLong))
+    val all = Search.embNormed(spark, bigDir)
+      .select("vec_id").as[Long].collect().toSet
+    val parts = dirs.map(d => spark.read
+      .parquet(s"$d/embeddings.parquet")
+      .select("vec_id").as[Long].collect().toSet)
+    assert(parts.map(_.size).sum === all.size, "cells overlap or drop rows")
+    assert(parts.reduce(_ ++ _) === all, "cell union must be the corpus")
+  }
+
+  test("routing agrees with assignment: every corpus vector's top-1 " +
+      "route is the cell the layout placed it in") {
+    val (dirs, cents) = Hnsw.clusterLayoutFor(spark, bigDir, S)
+    val member = cellOf(dirs)
+    val sample = Search.embNormed(spark, bigDir)
+      .select("vec_id", "embedding", "nrm")
+      .filter(col("vec_id") % 17 === 0) // ~6% systematic sample
+      .collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val qid = r.getLong(0)
+      val route = Hnsw.routeCells(cents, r.getSeq[Float](1).toArray,
+        r.getDouble(2), routes = 1).head
+      assert(route === member(qid),
+        s"vector $qid routes to cell $route but lives in ${member(qid)}")
+    }
+  }
+
+  test("routes = S is the exact full fan-out: distributed routed serve " +
+      "equals the driver-side all-cells reference merge") {
+    val (dirs, _) = Hnsw.clusterLayoutFor(spark, bigDir, S)
+    val out = Hnsw.serveShardedRouted(spark, bigDir,
+      spark.range(8).toDF("query_id"), shards = S, routes = S,
+      ef = 16, k = 5).collect()
+    val imgs = dirs.map(d => Hnsw.imageFor(spark, d))
+    val qvs = Search.embNormed(spark, bigDir)
+      .filter(col("vec_id") < 8)
+      .select("vec_id", "embedding", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    qvs.foreach { case (qid, qv, qn) =>
+      val ref = imgs
+        .flatMap(img => Hnsw.serveVec(img, qv, qn, selfId = qid,
+          ef = 16, k = 5))
+        .sortBy { case (id, sc) => (-sc, id) }.take(5)
+      val got = out.filter(_.getLong(0) == qid).sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      assert(got === ref, s"query $qid diverged from the reference merge")
+    }
+  }
+
+  test("report purity: a routed answer only contains vectors from the " +
+      "query's own routed cells") {
+    val (dirs, cents) = Hnsw.clusterLayoutFor(spark, bigDir, S)
+    val member = cellOf(dirs)
+    val out = Hnsw.qHnswRouted(spark, bigDir).collect()
+    assert(out.map(_.getLong(0)).toSet === (0L until 8L).toSet)
+    out.groupBy(_.getLong(0)).values.foreach(rs => assert(rs.length === 5))
+    val qvs = Search.embNormed(spark, bigDir)
+      .filter(col("vec_id") < 8)
+      .select("vec_id", "embedding", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .map { case (qid, qv, qn) =>
+        qid -> Hnsw.routeCells(cents, qv, qn, routes = 2).toSet
+      }.toMap
+    out.foreach { r =>
+      val (qid, vid) = (r.getLong(0), r.getLong(2))
+      assert(qvs(qid).contains(member(vid)),
+        s"query $qid reported $vid from unrouted cell ${member(vid)}")
+    }
+  }
+
+  test("planted clustered geometry: R=1 routing reaches the exact " +
+      "brute-force top-k — the cell that holds the query holds its " +
+      "neighbors") {
+    import spark.implicits._
+    // 4 tight clusters around orthogonal axes of R^8, ids interleaved
+    // so vec_id % 4 = cluster and the k-means bootstrap (vec_id < 4)
+    // starts one seed per cluster; deterministic integer jitter
+    val dim = 8
+    val rows = (0 until 200).map { id =>
+      val c = id % 4
+      val v = Array.tabulate(dim) { j =>
+        val base = if (j == c * 2) 1.0f else 0.0f
+        base + 0.05f * (((id * 31 + j * 7) % 7) - 3)
+      }
+      (id.toLong, v)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_route_plant").toString
+    rows.toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val (dirs, cents) = Hnsw.clusterLayoutFor(spark, dir, 4)
+    val member = cellOf(dirs)
+    // the layout must re-discover the planted clusters exactly
+    (0 until 200).foreach { id =>
+      assert(member(id.toLong) === member((id % 4).toLong),
+        s"id $id landed outside its planted cluster's cell")
+    }
+    val out = Hnsw.serveShardedRouted(spark, dir,
+      Seq(0L, 1L, 2L, 3L, 40L, 41L).toDF("query_id"),
+      shards = 4, routes = 1, ef = 16, k = 5).collect()
+    val e = rows.map { case (id, v) =>
+      (id, v, math.sqrt(v.map(x => x.toDouble * x).sum))
+    }
+    Seq(0L, 1L, 2L, 3L, 40L, 41L).foreach { qid =>
+      val (_, qv, qn) = e(qid.toInt)
+      val exact = e.filter(_._1 != qid).map { case (id, v, nrm) =>
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += v(i).toDouble * qv(i).toDouble; i += 1 }
+        (id, BigDecimal(s / (nrm * qn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, sc) => (-sc, id) }.take(5).map(_._1).toSet
+      val got = out.filter(_.getLong(0) == qid).map(_.getLong(2)).toSet
+      assert(got === exact,
+        s"planted query $qid: routed answer $got != brute top-5 $exact")
+    }
+  }
+}
