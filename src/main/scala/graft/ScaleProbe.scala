@@ -1519,6 +1519,142 @@ object ScaleProbe {
         }
         s"n=$n " + rows.mkString(" ")
       },
+      time("hnsw_routed") {
+        // Centroid-routed clustered sharding at mult× (round 11 ext):
+        // the claim is the R/S scatter saving with measured recall —
+        // on the sign-flip corpus (no cluster structure, the WORST
+        // case for routing: k-means cells are arbitrary) recall must
+        // degrade gracefully toward R=S, and on a genuinely clustered
+        // corpus R=1 must hold near-full recall. Gauges: recall@10 vs
+        // the exact brute top-10 at R ∈ {1,2,4,S}, serve walls, the
+        // one-time layout wall, and the clustered-corpus R=1 row.
+        import operators.{Hnsw, Search}
+        import graft.functions.VectorFunctions.{cosinePrenormed, dot}
+        def bruteTop10(dir: String): Map[Long, Set[Long]] = {
+          val e = Search.embNormed(spark, dir)
+          val qv = e.filter(col("vec_id") < 40)
+            .select(col("vec_id").as("qid"),
+              col("embedding").as("qv"), col("nrm").as("qn"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+          e.crossJoin(broadcast(qv))
+            .filter(col("vec_id") =!= col("qid"))
+            .withColumn("score", round(
+              cosinePrenormed(dot(col("embedding"), col("qv")),
+                col("nrm"), col("qn")), 6))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 10)
+            .select("qid", "vec_id").collect()
+            .groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        }
+        def routedRecall(dir: String, s: Int, r: Int,
+            exact: Map[Long, Set[Long]]): (Double, Double) = {
+          val t0 = System.nanoTime()
+          val out = Hnsw.serveShardedRouted(spark, dir,
+            spark.range(40).toDF("query_id"), shards = s, routes = r,
+            ef = 16, k = 10).collect()
+          val wall = (System.nanoTime() - t0) / 1e9
+          val byQ = out.groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+          val rec = (0L until 40L).map(q =>
+            byQ.getOrElse(q, Set.empty[Long])
+              .count(exact.getOrElse(q, Set.empty).contains) / 10.0)
+            .sum / 40.0
+          (rec, wall)
+        }
+        val gdir = hnswProbeDir
+        val n = spark.read.parquet(s"$gdir/embeddings.parquet").count()
+        val S = 8
+        val tl0 = System.nanoTime()
+        Hnsw.clusterLayoutFor(spark, gdir, S)
+        val tLayout = (System.nanoTime() - tl0) / 1e9
+        val exactG = bruteTop10(gdir)
+        val flat = Seq(1, 2, 4, S).map { r =>
+          val (rec, wall) = routedRecall(gdir, S, r, exactG)
+          s"R=$r recall10=${f"$rec%.2f"} wall=${f"$wall%.0f"}s"
+        }
+        // clustered corpus: 16 planted clusters on one-hot axes of
+        // R^64 with deterministic jitter — the shape routing exists for
+        val cdir = s"$work/routed_clustered"
+        spark.range(n).select(col("id").as("vec_id"), expr(
+          "transform(sequence(0, 63), j -> CAST((CASE WHEN j = " +
+            "(id % 16) * 4 THEN 1.0 ELSE 0.0 END) + " +
+            "0.05 * (pmod(hash(id, j), 7) - 3) AS FLOAT))")
+          .as("embedding"))
+          .write.mode("overwrite").parquet(s"$cdir/embeddings.parquet")
+        val exactC = bruteTop10(cdir)
+        val tc16 = System.nanoTime()
+        Hnsw.clusterLayoutFor(spark, cdir, 16)
+        val tLayoutC = (System.nanoTime() - tc16) / 1e9
+        val (recC1, wallC1) = routedRecall(cdir, 16, 1, exactC)
+        val (recC16, _) = routedRecall(cdir, 16, 16, exactC)
+        s"n=$n S=$S layout=${f"$tLayout%.0f"}s ${flat.mkString(" ")} " +
+          s"| clustered S=16 layout=${f"$tLayoutC%.0f"}s " +
+          s"R=1 recall10=${f"$recC1%.2f"} wall=${f"$wallC1%.0f"}s " +
+          s"R=16 recall10=${f"$recC16%.2f"}"
+      },
+      time("hnsw_incr") {
+        // The LSM lifecycle's cost claim at mult×: sealing a 5% delta
+        // builds ONE delta-sized index, where the reseal alternative
+        // re-lays-out and re-indexes the whole grown corpus — the
+        // walls must separate by roughly the corpus/delta ratio.
+        // Gauges: init/seal/reseal walls, post-seal clone findability
+        // (each delta row is a half-scaled clone of a base vector:
+        // querying the base id must report its clone at rank 1 with
+        // score 1.0 through the shadow-aware scatter-gather), and one
+        // compaction step's wall + segment arithmetic.
+        import operators.{Hnsw, IncrementalIndex => II, Search}
+        val gdir = hnswProbeDir
+        val e = Search.embNormed(spark, gdir)
+        val n = e.count()
+        val dim = e.select(size(col("embedding"))).head.getInt(0)
+        val bpv = Hnsw.imageBytesPerVec(dim)
+        val budget = math.max(1L, n * bpv / 6)
+        val iw = s"$work/incr_work"
+        val ti0 = System.nanoTime()
+        val segs0 = II.initSegments(spark, gdir, iw, budget)
+        locally {
+          import scala.collection.parallel.CollectionConverters._
+          segs0.par.foreach(s0 => Hnsw.indexFor(spark, s0.dir))
+        }
+        val tInit = (System.nanoTime() - ti0) / 1e9
+        val dN = n / 20
+        val delta = e.filter(col("vec_id") < dN)
+          .select((col("vec_id") + 1000000000L).as("vec_id"),
+            expr("transform(embedding, x -> x * CAST(0.5 AS FLOAT))")
+              .as("embedding"))
+        val ts0 = System.nanoTime()
+        II.sealDelta(spark, iw, delta)
+        val tSeal = (System.nanoTime() - ts0) / 1e9
+        val out = II.serve(spark, iw,
+          spark.range(40).toDF("query_id"), ef = 16, k = 10).collect()
+        val found = (0L until 40L).count { q =>
+          out.exists(r => r.getLong(0) == q && r.getLong(1) == 1L &&
+            r.getLong(2) == q + 1000000000L && r.getDouble(3) == 1.0)
+        }
+        // the contrast arm: the full reseal over the same grown corpus
+        val udir = s"$work/incr_union"
+        spark.read.parquet(s"$gdir/embeddings.parquet")
+          .select("vec_id", "embedding")
+          .unionByName(delta)
+          .write.mode("overwrite").parquet(s"$udir/embeddings.parquet")
+        val tr0 = System.nanoTime()
+        val (sReseal, _) = Hnsw.resealSharded(spark, udir, budget)
+        val tReseal = (System.nanoTime() - tr0) / 1e9
+        // one size-tiered step under a 2×-budget compaction window:
+        // the delta segment folds into its neighbor, count drops by 1
+        val before = II.segs(spark, iw).size
+        val tc0 = System.nanoTime()
+        val step = II.compactOnce(spark, iw, budget * 2)
+        val tCompact = (System.nanoTime() - tc0) / 1e9
+        val after = II.segs(spark, iw).size
+        s"n=$n delta=$dN init=${f"$tInit%.0f"}s " +
+          s"seal=${f"$tSeal%.0f"}s reseal(S=$sReseal)=${f"$tReseal%.0f"}s " +
+          s"seal_vs_reseal=${f"${tReseal / math.max(tSeal, 0.001)}%.1f"}x " +
+          s"clone_found=$found/40 compact=$step " +
+          s"segs=$before->$after compact_wall=${f"$tCompact%.0f"}s"
+      },
       time("hnsw_spill") {
         // The Searcher's size-gate spill path, deliberately tripped
         // (cacheGate=0 — no upper-layer driver cache at all) vs the

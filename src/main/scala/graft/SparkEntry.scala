@@ -24,7 +24,7 @@ object SparkEntry {
       operators.ResultAnalytics.queries ++ operators.Media.queries ++
       operators.Ci.queries ++ operators.Events.queries ++
       operators.Curation.queries ++ operators.Quality.queries ++
-      operators.Hnsw.queries
+      operators.Hnsw.queries ++ operators.IncrementalIndex.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
       operators.ResultAnalytics.oracles ++ operators.Media.oracles ++
       operators.Ci.oracles ++ operators.Events.oracles ++
       operators.Curation.oracles ++ operators.Quality.oracles ++
-      operators.Hnsw.oracles
+      operators.Hnsw.oracles ++ operators.IncrementalIndex.oracles
 }

@@ -1571,6 +1571,57 @@ object Hnsw {
     shardedGather(spark, k, cands)
   }
 
+  /** ROUTED serving × UNBOUNDED query table — the routing win carried
+    * onto the one-pass axis: [[serveShardedQueryTableOnePass]] fans
+    * every query out ×S because its residue layout gives it no better
+    * choice; over the CLUSTERED layout each query row routes itself
+    * to its top-R cells ON THE EXECUTORS (the S·d centroid table is
+    * the broadcast — segment-count-sized, never an image) and only
+    * then shuffles, so the fan-out is |Q|·R rows instead of |Q|·S and
+    * each segment task serves only the queries that routed to it.
+    * Same per-candidate math as every serve in the family
+    * ([[serveVec]], per-partition [[ImageBlobCache]] init, k-bounded
+    * gather); `routes = S` is full fan-out — HnswRouteSpec pins it
+    * bit-equal to the bounded-batch routed serve at every (R, S)
+    * grid point it checks. Per-executor residency is unchanged (the
+    * DISTINCT segments that executor serves); the scatter saving is
+    * multiplicative with the one-pass concurrency. */
+  def serveShardedRoutedQueryTable(spark: SparkSession, dir: String,
+      queries: DataFrame, shards: Int, routes: Int, ef: Int = 16,
+      k: Int = 10, iters: Int = 4,
+      budgetBytes: Long = DefaultNodeBudget): DataFrame = {
+    import spark.implicits._
+    val (dirs, cents) = clusterLayoutFor(spark, dir, shards, iters)
+    locally {
+      import scala.collection.parallel.CollectionConverters._
+      dirs.par.foreach(d => indexFor(spark, d))
+    }
+    val blobs = dirs.map(d => imageBlobFor(spark, d, budgetBytes))
+    val centsBc = spark.sparkContext.broadcast(cents)
+    val qv = Search.embNormed(spark, dir)
+      .join(queries.select(col("query_id").cast("long").as("vec_id")),
+        "vec_id")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<float>").as("qv"),
+        col("nrm").as("qn"), col("vec_id").as("self_id"))
+      .as[(Long, Array[Float], Double, Long)]
+    val cands = qv
+      .flatMap { case (qid, emb, qn, self) =>
+        routeCells(centsBc.value, emb, qn, routes).iterator
+          .map(c => (c.toInt, qid, emb, qn, self))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (seg, it) =>
+        val img = ImageBlobCache.get(blobs(seg))
+        it.flatMap { case (_, qid, emb, qn, self) =>
+          serveVec(img, emb, qn, selfId = self, ef = ef, k = k)
+            .map { case (id, sc) => (qid, id, sc) }
+        }
+      }
+      .toDF("query_id", "vec_id", "score")
+    shardedGather(spark, k, cands)
+  }
+
   /** Routed serving as a registry row: the planted 4-cell clustered
     * layout (trained by the deterministic codebook refinement), 8
     * queries routed to their top-2 cells, top-5 through the k-bounded

@@ -59,7 +59,12 @@ object StreamingShardedServe {
   def deltaRows(spark: SparkSession, work: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$work/delta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
+    // an existing-but-batchless delta root is the fresh state too —
+    // the incremental seal CONSUMES batch dirs, leaving the root
+    // behind, and a schema-less parquet read would throw
+    val hasBatches = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+    if (hasBatches) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("batch").desc)
       spark.read.option("basePath", s"$work/delta")

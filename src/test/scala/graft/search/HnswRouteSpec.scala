@@ -104,6 +104,27 @@ class HnswRouteSpec extends SparkSpec {
     }
   }
 
+  test("routed query-table serve (executor-side routing, one-pass " +
+      "fan-out) is bit-equal to the bounded-batch routed serve at " +
+      "every R") {
+    Hnsw.clusterLayoutFor(spark, bigDir, S)
+    Seq(1, 2, S).foreach { r =>
+      val batch = Hnsw.serveShardedRouted(spark, bigDir,
+        spark.range(8).toDF("query_id"), shards = S, routes = r,
+        ef = 16, k = 5).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getDouble(3))).sortBy(t => (t._1, t._2))
+      val table = Hnsw.serveShardedRoutedQueryTable(spark, bigDir,
+        spark.range(8).toDF("query_id"), shards = S, routes = r,
+        ef = 16, k = 5).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getDouble(3))).sortBy(t => (t._1, t._2))
+      assert(table.toSeq === batch.toSeq,
+        s"query-table routing diverged from the batch serve at R=$r")
+    }
+    Hnsw.ImageBlobCache.clear()
+  }
+
   test("planted clustered geometry: R=1 routing reaches the exact " +
       "brute-force top-k — the cell that holds the query holds its " +
       "neighbors") {
