@@ -1457,42 +1457,71 @@ object Hnsw {
     * 4 GiB image budget S is in the THOUSANDS while R stays 2–8, so
     * full fan-out wastes >99% of the scatter.
     *
-    * Layout cost: the codebook refinement's `iters` corpus scans plus
-    * ONE partitioned write (the [[shardDirsFor]] single-pass
-    * discipline — never S filter-scans); the per-cell dirs are
-    * driver-side renames of the partition dirs. Returns the per-cell
-    * dirs (index-aligned: `dirs(i)` holds cell i, possibly empty —
-    * k-means keeps an empty cell's previous centroid) and the
-    * collected centroid table (S·d doubles — segment-count-sized,
-    * never corpus-sized). */
+    * Layout cost: the codebook refinement's `iters` corpus scans, one
+    * cell-count aggregate, and ONE partitioned write (the
+    * [[shardDirsFor]] single-pass discipline — never S filter-scans);
+    * the per-cell dirs are driver-side renames of the partition dirs.
+    *
+    * BALANCE: k-means cells have no size guarantee — real corpora have
+    * hot regions, and a cell whose image exceeds the node budget would
+    * trip [[imageOf]]'s gate as a hard failure. A cell past the
+    * per-segment vector cap therefore SPLITS into residue-class
+    * sub-segments that share the cell's centroid and geometric
+    * identity: routing is unchanged (a routed cell serves ALL its
+    * sub-segments — they are interchangeable samples of the same
+    * region, the [[shardDirsFor]] argument one level down), and every
+    * sub-segment's image is budget-true by construction. Returns the
+    * cell → sub-segment-dirs map (every cell present, possibly with
+    * one empty dir — k-means keeps an empty cell's previous centroid)
+    * and the collected centroid table (S·d doubles —
+    * segment-count-sized, never corpus-sized). */
   private val clusterLayouts = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[String], Array[(Long, Array[Double], Double)])]()
+    String,
+    (Map[Long, Seq[String]], Array[(Long, Array[Double], Double)])]()
 
   private[graft] def clusterLayoutFor(spark: SparkSession, dir: String,
-      s: Int, iters: Int = 4)
-      : (Seq[String], Array[(Long, Array[Double], Double)]) =
-    clusterLayouts.computeIfAbsent(s"$dir#$s#$iters", { _ =>
+      s: Int, iters: Int = 4,
+      budgetBytes: Long = DefaultNodeBudget)
+      : (Map[Long, Seq[String]], Array[(Long, Array[Double], Double)]) =
+    clusterLayouts.computeIfAbsent(s"$dir#$s#$iters#$budgetBytes", { _ =>
+      import spark.implicits._
       val cents = Ann.refineCodebook(spark, dir, iters, cells = s)
-      val assign = Ann.cellAssign(Search.embNormed(spark, dir), cents)
+      val e = Search.embNormed(spark, dir)
+      val assign = Ann.cellAssign(e, cents)
+      val dimRow = e.select(size(col("embedding"))).head(1)
+      val dim = dimRow.headOption.map(_.getInt(0)).getOrElse(0)
+      val cap = math.max(1L, budgetBytes / imageBytesPerVec(dim))
+      val parts: Map[Long, Int] = assign.groupBy("cell").count()
+        .as[(Long, Long)].collect()
+        .map { case (c, n) =>
+          c -> math.max(1L, (n + cap - 1L) / cap).toInt
+        }.toMap.withDefaultValue(1)
+      val partsDf = parts.toSeq.toDF("cell", "parts")
       val base = java.nio.file.Files
         .createTempDirectory("graft_hnsw_cells").toString
       Tables.embeddings(spark, dir)
         .join(assign, "vec_id")
-        .write.partitionBy("cell").mode("overwrite")
+        .join(broadcast(partsDf), "cell")
+        .withColumn("sub", pmod(col("vec_id"), col("parts").cast("long")))
+        .drop("parts")
+        .write.partitionBy("cell", "sub").mode("overwrite")
         .parquet(s"$base/all")
-      val dirs = (0 until s).map { i =>
-        val p = s"$base/cell$i"
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(p))
-        val part = java.nio.file.Paths.get(s"$base/all", s"cell=$i")
-        if (java.nio.file.Files.exists(part))
-          java.nio.file.Files.move(part,
-            java.nio.file.Paths.get(p, "embeddings.parquet"))
-        else // an empty cell still needs a readable (empty) table
-          Tables.embeddings(spark, dir).filter(lit(false))
-            .write.parquet(s"$p/embeddings.parquet")
-        p
-      }
+      val dirs: Map[Long, Seq[String]] = (0 until s).map { i =>
+        i.toLong -> (0 until parts(i.toLong)).map { j =>
+          val p = s"$base/cell${i}_$j"
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(p))
+          val part =
+            java.nio.file.Paths.get(s"$base/all", s"cell=$i", s"sub=$j")
+          if (java.nio.file.Files.exists(part))
+            java.nio.file.Files.move(part,
+              java.nio.file.Paths.get(p, "embeddings.parquet"))
+          else // an empty (sub-)cell still needs a readable table
+            Tables.embeddings(spark, dir).filter(lit(false))
+              .write.parquet(s"$p/embeddings.parquet")
+          p
+        }
+      }.toMap
       val centArr = cents.select("cell", "cv", "cn").collect()
         .map(r => (r.getLong(0),
           r.getSeq[Double](1).toArray, r.getDouble(2)))
@@ -1541,7 +1570,8 @@ object Hnsw {
       k: Int = 10, iters: Int = 4, exclude: Set[Long] = Set.empty,
       budgetBytes: Long = DefaultNodeBudget): DataFrame = {
     import spark.implicits._
-    val (dirs, cents) = clusterLayoutFor(spark, dir, shards, iters)
+    val (dirs, cents) =
+      clusterLayoutFor(spark, dir, shards, iters, budgetBytes)
     val qrows = Search.embNormed(spark, dir)
       .join(queries.select(col("query_id").cast("long").as("vec_id")),
         "vec_id")
@@ -1554,13 +1584,15 @@ object Hnsw {
         routeCells(cents, qv, qn, routes).map(c => (c, (qid, qv, qn)))
       }.groupBy(_._1).map { case (c, qs) => c -> qs.map(_._2) }
     // images materialize ONLY for cells some query routed to — the
-    // batch's working set, never the full layout
+    // batch's working set, never the full layout; a routed cell
+    // serves ALL its budget-split sub-segments
     val served = routedQ.keys.toSeq.sorted
-    val imgs = segmentImages(spark,
-      served.map(c => dirs(c.toInt)), budgetBytes)
+      .flatMap(c => dirs(c).map(d => (c, d)))
+    val imgs = segmentImages(spark, served.map(_._2), budgetBytes)
     val qbc = spark.sparkContext.broadcast(routedQ)
     val cands = spark.sparkContext
-      .parallelize(served.zip(imgs), math.max(served.size, 1))
+      .parallelize(served.map(_._1).zip(imgs),
+        math.max(served.size, 1))
       .flatMap { case (cell, img) =>
         qbc.value.getOrElse(cell, Array.empty[(Long, Array[Float], Double)])
           .iterator.flatMap { case (qid, qv, qn) =>
@@ -1591,13 +1623,23 @@ object Hnsw {
       k: Int = 10, iters: Int = 4,
       budgetBytes: Long = DefaultNodeBudget): DataFrame = {
     import spark.implicits._
-    val (dirs, cents) = clusterLayoutFor(spark, dir, shards, iters)
+    val (dirs, cents) =
+      clusterLayoutFor(spark, dir, shards, iters, budgetBytes)
+    // flattened sub-segment list: a routed cell fans out to ALL its
+    // budget-split sub-segments; the blob index is the shuffle key
+    val flat: Seq[(Long, String)] =
+      dirs.toSeq.sortBy(_._1).flatMap { case (c, ds) => ds.map(c -> _) }
     locally {
       import scala.collection.parallel.CollectionConverters._
-      dirs.par.foreach(d => indexFor(spark, d))
+      flat.par.foreach { case (_, d) => indexFor(spark, d) }
     }
-    val blobs = dirs.map(d => imageBlobFor(spark, d, budgetBytes))
+    val blobs = flat.map { case (_, d) =>
+      imageBlobFor(spark, d, budgetBytes) }
+    val cellToIdx: Map[Long, Seq[Int]] = flat.zipWithIndex
+      .groupBy(_._1._1)
+      .map { case (c, xs) => c -> xs.map(_._2) }
     val centsBc = spark.sparkContext.broadcast(cents)
+    val idxBc = spark.sparkContext.broadcast(cellToIdx)
     val qv = Search.embNormed(spark, dir)
       .join(queries.select(col("query_id").cast("long").as("vec_id")),
         "vec_id")
@@ -1608,7 +1650,8 @@ object Hnsw {
     val cands = qv
       .flatMap { case (qid, emb, qn, self) =>
         routeCells(centsBc.value, emb, qn, routes).iterator
-          .map(c => (c.toInt, qid, emb, qn, self))
+          .flatMap(c => idxBc.value.getOrElse(c, Nil))
+          .map(i => (i, qid, emb, qn, self))
       }
       .groupByKey(_._1)
       .flatMapGroups { (seg, it) =>

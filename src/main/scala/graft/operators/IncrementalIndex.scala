@@ -296,9 +296,14 @@ object IncrementalIndex {
         .filter(_.ord > newer.ord)
         .map(s0 => shadowOf(spark, work, s0.ord))
         .reduceOption(_.unionByName(_))
+      // schemas may differ across the pair: init segments carry the
+      // full embeddings-table row (metadata columns included), sealed
+      // delta segments carry the (vec_id, embedding) ingest contract —
+      // missing columns null-fill (the serve reads only the contract
+      // columns; metadata survives where it existed)
       val merged0 = oldRows
         .join(newRows.select("vec_id"), Seq("vec_id"), "left_anti")
-        .unionByName(newRows)
+        .unionByName(newRows, allowMissingColumns = true)
       val merged = newerShadows.fold(merged0)(sh =>
         merged0.join(broadcast(sh.distinct()), Seq("vec_id"), "left_anti"))
       val staged = s"$work/_staged_compact_${newer.ord}"

@@ -22,25 +22,95 @@ class HnswRouteSpec extends SparkSpec {
   private val S = 4
 
   /** id → cell membership map from the layout's own dirs. */
-  private def cellOf(dirs: Seq[String]): Map[Long, Long] =
-    dirs.zipWithIndex.flatMap { case (d, i) =>
-      spark.read.parquet(s"$d/embeddings.parquet")
-        .select("vec_id").collect().map(_.getLong(0) -> i.toLong)
+  private def cellOf(dirs: Map[Long, Seq[String]]): Map[Long, Long] =
+    dirs.toSeq.flatMap { case (c, ds) =>
+      ds.flatMap(d => spark.read.parquet(s"$d/embeddings.parquet")
+        .select("vec_id").collect().map(_.getLong(0) -> c))
     }.toMap
 
   test("clustered layout partitions the corpus: disjoint, covering, " +
       "one centroid per cell") {
     import spark.implicits._
     val (dirs, cents) = Hnsw.clusterLayoutFor(spark, bigDir, S)
-    assert(dirs.size === S)
+    assert(dirs.keySet === (0L until S.toLong).toSet)
     assert(cents.map(_._1).toSeq === (0L until S.toLong))
     val all = Search.embNormed(spark, bigDir)
       .select("vec_id").as[Long].collect().toSet
-    val parts = dirs.map(d => spark.read
+    val parts = dirs.toSeq.flatMap(_._2).map(d => spark.read
       .parquet(s"$d/embeddings.parquet")
       .select("vec_id").as[Long].collect().toSet)
     assert(parts.map(_.size).sum === all.size, "cells overlap or drop rows")
     assert(parts.reduce(_ ++ _) === all, "cell union must be the corpus")
+  }
+
+  test("a hot cell past the node budget SPLITS into budget-true " +
+      "sub-segments that share its routing identity — the gate never " +
+      "trips and R=1 routing still reaches the exact top-k") {
+    import spark.implicits._
+    // planted skew: ~70% of the corpus in cluster 0, the rest split
+    // across clusters 1-3; ids 0-3 are one seed per cluster so the
+    // k-means bootstrap starts aligned
+    val dim = 8
+    def clusterOf(id: Int): Int =
+      if (id < 4) id
+      else if (id % 10 < 7) 0
+      else (id % 10) - 6
+    val rows = (0 until 500).map { id =>
+      val c = clusterOf(id)
+      val v = Array.tabulate(dim) { j =>
+        val base = if (j == c * 2) 1.0f else 0.0f
+        base + 0.05f * (((id * 31 + j * 7) % 7) - 3)
+      }
+      (id.toLong, v)
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_route_skew").toString
+    rows.toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // cap ~120 vectors per segment: the ~350-member hot cell must
+    // split into 3 sub-segments; the cold cells stay whole
+    val budget = 120L * Hnsw.imageBytesPerVec(dim)
+    val (dirs, cents) = Hnsw.clusterLayoutFor(spark, dir, 4,
+      budgetBytes = budget)
+    val hot = dirs.maxBy(_._2.size)
+    assert(hot._2.size >= 3, s"hot cell did not split: $dirs")
+    // every sub-segment is budget-true — imageFor's gate must accept
+    dirs.values.flatten.foreach { d =>
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+      assert(n * Hnsw.imageBytesPerVec(dim) <= budget,
+        s"sub-segment $d exceeds the cap")
+      Hnsw.imageFor(spark, d, budget)
+    }
+    // a split cell's sub-segments hold only that cell's members:
+    // every id lands in the same CELL as its planted cluster's seed
+    val member = cellOf(dirs)
+    (0 until 500).foreach { id =>
+      assert(member(id.toLong) === member(clusterOf(id).toLong),
+        s"id $id landed outside its planted cluster's cell")
+    }
+    // R=1 routed serve across the split: exact top-5 on the planted
+    // geometry, served through >1 sub-segment images (one hot-cell
+    // query per sub-segment regime + the three cold seeds)
+    val qids = Seq(0L, 1L, 2L, 3L, 17L, 28L)
+    val out = Hnsw.serveShardedRouted(spark, dir,
+      qids.toDF("query_id"), shards = 4, routes = 1, ef = 32, k = 5,
+      budgetBytes = budget).collect()
+    val e = rows.map { case (id, v) =>
+      (id, v, math.sqrt(v.map(x => x.toDouble * x).sum))
+    }
+    qids.foreach { qid =>
+      val (_, qv, qn) = e(qid.toInt)
+      val exact = e.filter(_._1 != qid).map { case (id, v, nrm) =>
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += v(i).toDouble * qv(i).toDouble; i += 1 }
+        (id, BigDecimal(s / (nrm * qn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, sc) => (-sc, id) }.take(5).map(_._1).toSet
+      val got = out.filter(_.getLong(0) == qid).map(_.getLong(2)).toSet
+      assert(got === exact,
+        s"skew query $qid: routed answer $got != brute top-5 $exact")
+    }
   }
 
   test("routing agrees with assignment: every corpus vector's top-1 " +
@@ -67,7 +137,8 @@ class HnswRouteSpec extends SparkSpec {
     val out = Hnsw.serveShardedRouted(spark, bigDir,
       spark.range(8).toDF("query_id"), shards = S, routes = S,
       ef = 16, k = 5).collect()
-    val imgs = dirs.map(d => Hnsw.imageFor(spark, d))
+    val imgs = dirs.toSeq.sortBy(_._1).flatMap(_._2)
+      .map(d => Hnsw.imageFor(spark, d))
     val qvs = Search.embNormed(spark, bigDir)
       .filter(col("vec_id") < 8)
       .select("vec_id", "embedding", "nrm").collect()

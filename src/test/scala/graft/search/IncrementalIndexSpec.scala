@@ -251,6 +251,18 @@ class IncrementalIndexSpec extends SparkSpec {
         budget + budget / 4 + 64L * Hnsw.imageBytesPerVec(dim))
     }
     assertServeMatchesReference(work, Seq(0L, 3L, 7L))
+    // MIXED-SCHEMA merge: a base segment carries the full embeddings
+    // row (label column), a sealed segment only the ingest contract —
+    // the pair must still compact (missing columns null-fill). Under
+    // the doubled window the tier sequence reaches a base+seal pair.
+    val idsBefore = latestWins(work)
+    val more = II.compactUntil(spark, work, maxSegs = 3,
+      budgetBytes = budget * 2)
+    assert(more.size === 2)
+    assert(II.segs(spark, work).size === 3)
+    assert(latestWins(work) === idsBefore,
+      "mixed-schema compaction changed the latest-wins corpus")
+    assertServeMatchesReference(work, Seq(0L, 3L, 7L))
   }
 
   test("serveWithDelta: the live (un-sealed) delta arm wins over every " +
