@@ -1536,9 +1536,9 @@ object Hnsw {
     * by construction: a corpus vector's own cell is always its top-1
     * route, which is what makes R=1 routing well-defined. Driver-side
     * S·d work per query over the collected centroid table. */
-  private[graft] def routeCells(
+  private def cellScores(
       cents: Array[(Long, Array[Double], Double)], qv: Array[Float],
-      qn: Double, routes: Int): Seq[Long] =
+      qn: Double): Seq[(Long, Double)] =
     cents.map { case (cell, cv, cn) =>
       val csim =
         if (cn == 0 || qn == 0 || cv.isEmpty || qv.isEmpty) -1.0
@@ -1551,7 +1551,46 @@ object Hnsw {
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
       (cell, csim)
-    }.sortBy { case (c, cs) => (-cs, c) }.take(routes).map(_._1).toSeq
+    }.sortBy { case (c, cs) => (-cs, c) }.toSeq
+
+  private[graft] def routeCells(
+      cents: Array[(Long, Array[Double], Double)], qv: Array[Float],
+      qn: Double, routes: Int): Seq[Long] =
+    cellScores(cents, qv, qn).take(routes).map(_._1)
+
+  /** ADAPTIVE routing — the answer to the fixed-R tradeoff the scale
+    * probe measures: on clustered corpora the top-1 cell dominates and
+    * R=1 is free, on unstructured corpora the centroid scores bunch
+    * together and a fixed small R silently sheds recall. Keep every
+    * cell whose similarity is within `margin` of the best (at least
+    * the top-1, at most `maxRoutes`) — a confident query serves one
+    * cell, an ambiguous one widens itself, and the WORST case is the
+    * fixed-R serve at R = maxRoutes. Same scoring and tie order as
+    * [[routeCells]]; margin ≥ 2 (the cosine range) degenerates to
+    * fixed maxRoutes, margin = 0 to confident-only top-1 (plus exact
+    * ties). HnswRouteSpec pins the envelope and both degenerations. */
+  private[graft] def routeCellsAdaptive(
+      cents: Array[(Long, Array[Double], Double)], qv: Array[Float],
+      qn: Double, maxRoutes: Int, margin: Double): Seq[Long] = {
+    val ranked = cellScores(cents, qv, qn)
+    if (ranked.isEmpty) return Seq.empty
+    val best = ranked.head._2
+    ranked.takeWhile(_._2 >= best - margin).take(maxRoutes).map(_._1)
+  }
+
+  /** [[serveShardedRouted]] with ADAPTIVE per-query routing: each
+    * query serves every cell within `margin` of its best centroid,
+    * capped at `maxRoutes` — the per-query scatter becomes
+    * confidence-derived instead of pinned. */
+  def serveShardedRoutedAdaptive(spark: SparkSession, dir: String,
+      queries: DataFrame, shards: Int, maxRoutes: Int,
+      margin: Double, ef: Int = 16, k: Int = 10, iters: Int = 4,
+      exclude: Set[Long] = Set.empty,
+      budgetBytes: Long = DefaultNodeBudget): DataFrame =
+    routedBatchServe(spark, dir, queries, shards,
+      (cents, qv, qn) =>
+        routeCellsAdaptive(cents, qv, qn, maxRoutes, margin),
+      ef, k, iters, exclude, budgetBytes)
 
   /** ROUTED scatter-gather over the clustered layout — the bounded
     * query batch fans out to its top-R cells ONLY, never all S:
@@ -1568,7 +1607,22 @@ object Hnsw {
   def serveShardedRouted(spark: SparkSession, dir: String,
       queries: DataFrame, shards: Int, routes: Int, ef: Int = 16,
       k: Int = 10, iters: Int = 4, exclude: Set[Long] = Set.empty,
-      budgetBytes: Long = DefaultNodeBudget): DataFrame = {
+      budgetBytes: Long = DefaultNodeBudget): DataFrame =
+    routedBatchServe(spark, dir, queries, shards,
+      (cents, qv, qn) => routeCells(cents, qv, qn, routes),
+      ef, k, iters, exclude, budgetBytes)
+
+  /** The shared bounded-batch routed scatter-gather: `route` maps a
+    * query vector to the cells it serves (fixed-R or adaptive) over
+    * the centroid table; images materialize ONLY for cells some query
+    * routed to — the batch's working set, never the full layout — and
+    * a routed cell serves ALL its budget-split sub-segments. */
+  private def routedBatchServe(spark: SparkSession, dir: String,
+      queries: DataFrame, shards: Int,
+      route: (Array[(Long, Array[Double], Double)], Array[Float],
+        Double) => Seq[Long],
+      ef: Int, k: Int, iters: Int, exclude: Set[Long],
+      budgetBytes: Long): DataFrame = {
     import spark.implicits._
     val (dirs, cents) =
       clusterLayoutFor(spark, dir, shards, iters, budgetBytes)
@@ -1581,11 +1635,8 @@ object Hnsw {
         r.getDouble(2)))
     val routedQ: Map[Long, Array[(Long, Array[Float], Double)]] =
       qrows.flatMap { case (qid, qv, qn) =>
-        routeCells(cents, qv, qn, routes).map(c => (c, (qid, qv, qn)))
+        route(cents, qv, qn).map(c => (c, (qid, qv, qn)))
       }.groupBy(_._1).map { case (c, qs) => c -> qs.map(_._2) }
-    // images materialize ONLY for cells some query routed to — the
-    // batch's working set, never the full layout; a routed cell
-    // serves ALL its budget-split sub-segments
     val served = routedQ.keys.toSeq.sorted
       .flatMap(c => dirs(c).map(d => (c, d)))
     val imgs = segmentImages(spark, served.map(_._2), budgetBytes)

@@ -196,6 +196,70 @@ class HnswRouteSpec extends SparkSpec {
     Hnsw.ImageBlobCache.clear()
   }
 
+  test("adaptive routing: margin envelope between top-1 and fixed " +
+      "maxRoutes, confident queries stay narrow, ambiguous queries " +
+      "widen themselves, and the wide-margin serve is bit-equal to " +
+      "the fixed serve") {
+    import spark.implicits._
+    // planted 4 tight clusters + one deliberately AMBIGUOUS vector
+    // (id 200: the midpoint direction of clusters 0 and 1)
+    val dim = 8
+    val rows = (0 until 200).map { id =>
+      val c = id % 4
+      val v = Array.tabulate(dim) { j =>
+        val base = if (j == c * 2) 1.0f else 0.0f
+        base + 0.05f * (((id * 31 + j * 7) % 7) - 3)
+      }
+      (id.toLong, v)
+    } :+ (200L, Array.tabulate(dim)(j =>
+      if (j == 0 || j == 2) 0.7071f else 0.0f))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_route_adapt").toString
+    rows.toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val (_, cents) = Hnsw.clusterLayoutFor(spark, dir, 4)
+    val e = rows.map { case (id, v) =>
+      (id, v, math.sqrt(v.map(x => x.toDouble * x).sum))
+    }
+    // degenerations: margin covering the cosine range = fixed R;
+    // margin 0 = top-1 (no exact centroid ties in this geometry)
+    e.foreach { case (id, qv, qn) =>
+      assert(Hnsw.routeCellsAdaptive(cents, qv, qn, 3, 2.0) ===
+        Hnsw.routeCells(cents, qv, qn, 3))
+      // margin-0 = top-1 plus exact ties; the midpoint is excluded
+      // because its two cells may tie at the 6-decimal rounding
+      if (id != 200L)
+        assert(Hnsw.routeCellsAdaptive(cents, qv, qn, 4, 0.0) ===
+          Hnsw.routeCells(cents, qv, qn, 1))
+      // envelope: ⊆ fixed maxRoutes, ⊇ top-1, rank-prefix order
+      val a = Hnsw.routeCellsAdaptive(cents, qv, qn, 4, 0.3)
+      val fixed = Hnsw.routeCells(cents, qv, qn, 4)
+      assert(a === fixed.take(a.size))
+    }
+    // cluster members are CONFIDENT (their centroid dominates); the
+    // planted midpoint is AMBIGUOUS (clusters 0 and 1 within margin)
+    val margin = 0.3
+    (0 until 200 by 17).foreach { id =>
+      val (_, qv, qn) = e(id)
+      assert(Hnsw.routeCellsAdaptive(cents, qv, qn, 4, margin).size === 1,
+        s"interior vector $id widened at margin $margin")
+    }
+    val (_, mv, mn) = e(200)
+    assert(Hnsw.routeCellsAdaptive(cents, mv, mn, 4, margin).size === 2,
+      "the planted midpoint must widen to its two near-equal cells")
+    // serve-level: wide-margin adaptive ≡ fixed full fan-out
+    def keyed(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val qs = Seq(0L, 1L, 200L).toDF("query_id")
+    val wide = keyed(Hnsw.serveShardedRoutedAdaptive(spark, dir, qs,
+      shards = 4, maxRoutes = 4, margin = 2.0, ef = 16, k = 5).collect())
+    val fixed = keyed(Hnsw.serveShardedRouted(spark, dir, qs,
+      shards = 4, routes = 4, ef = 16, k = 5).collect())
+    assert(wide === fixed,
+      "wide-margin adaptive serve diverged from the fixed full fan-out")
+  }
+
   test("planted clustered geometry: R=1 routing reaches the exact " +
       "brute-force top-k — the cell that holds the query holds its " +
       "neighbors") {
