@@ -104,6 +104,45 @@ object ScaleProbe {
       s"$work/hm"
     }
 
+    /** Clustered corpus: 16 planted clusters on one-hot axes of R^64
+      * with deterministic jitter — the shape routing exists for. One
+      * build, shared by the routed, margin-grid, hot-cell, and
+      * routed-LSM probes; lazy like [[embxDir]]. */
+    lazy val routedClusteredDir: String = {
+      val n = spark.read.parquet(s"$hnswProbeDir/embeddings.parquet")
+        .count()
+      val cdir = s"$work/routed_clustered"
+      spark.range(n).select(col("id").as("vec_id"), expr(
+        "transform(sequence(0, 63), j -> CAST((CASE WHEN j = " +
+          "(id % 16) * 4 THEN 1.0 ELSE 0.0 END) + " +
+          "0.05 * (pmod(hash(id, j), 7) - 3) AS FLOAT))")
+        .as("embedding"))
+        .write.mode("overwrite").parquet(s"$cdir/embeddings.parquet")
+      cdir
+    }
+
+    /** Exact brute-force top-10 for queries `vec_id < 40` of `dir` —
+      * the recall denominator every routed/serving probe shares. */
+    def bruteTop10(dir: String): Map[Long, Set[Long]] = {
+      import graft.functions.VectorFunctions.{cosinePrenormed, dot}
+      val e = operators.Search.embNormed(spark, dir)
+      val qv = e.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("qid"),
+          col("embedding").as("qv"), col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+      e.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("score", round(
+          cosinePrenormed(dot(col("embedding"), col("qv")),
+            col("nrm"), col("qn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    }
+
     val results = Seq(
       time("exact_dedup") {
         val g = operators.Dedup.qDedupExact(spark, work)
@@ -1528,26 +1567,7 @@ object ScaleProbe {
         // corpus R=1 must hold near-full recall. Gauges: recall@10 vs
         // the exact brute top-10 at R ∈ {1,2,4,S}, serve walls, the
         // one-time layout wall, and the clustered-corpus R=1 row.
-        import operators.{Hnsw, Search}
-        import graft.functions.VectorFunctions.{cosinePrenormed, dot}
-        def bruteTop10(dir: String): Map[Long, Set[Long]] = {
-          val e = Search.embNormed(spark, dir)
-          val qv = e.filter(col("vec_id") < 40)
-            .select(col("vec_id").as("qid"),
-              col("embedding").as("qv"), col("nrm").as("qn"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
-          e.crossJoin(broadcast(qv))
-            .filter(col("vec_id") =!= col("qid"))
-            .withColumn("score", round(
-              cosinePrenormed(dot(col("embedding"), col("qv")),
-                col("nrm"), col("qn")), 6))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") <= 10)
-            .select("qid", "vec_id").collect()
-            .groupBy(_.getLong(0))
-            .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-        }
+        import operators.Hnsw
         def routedRecall(dir: String, s: Int, r: Int,
             exact: Map[Long, Set[Long]]): (Double, Double) = {
           val t0 = System.nanoTime()
@@ -1574,15 +1594,7 @@ object ScaleProbe {
           val (rec, wall) = routedRecall(gdir, S, r, exactG)
           s"R=$r recall10=${f"$rec%.2f"} wall=${f"$wall%.0f"}s"
         }
-        // clustered corpus: 16 planted clusters on one-hot axes of
-        // R^64 with deterministic jitter — the shape routing exists for
-        val cdir = s"$work/routed_clustered"
-        spark.range(n).select(col("id").as("vec_id"), expr(
-          "transform(sequence(0, 63), j -> CAST((CASE WHEN j = " +
-            "(id % 16) * 4 THEN 1.0 ELSE 0.0 END) + " +
-            "0.05 * (pmod(hash(id, j), 7) - 3) AS FLOAT))")
-          .as("embedding"))
-          .write.mode("overwrite").parquet(s"$cdir/embeddings.parquet")
+        val cdir = routedClusteredDir
         val exactC = bruteTop10(cdir)
         val tc16 = System.nanoTime()
         Hnsw.clusterLayoutFor(spark, cdir, 16)
@@ -1654,6 +1666,249 @@ object ScaleProbe {
           s"seal_vs_reseal=${f"${tReseal / math.max(tSeal, 0.001)}%.1f"}x " +
           s"clone_found=$found/40 compact=$step " +
           s"segs=$before->$after compact_wall=${f"$tCompact%.0f"}s"
+      },
+      time("hnsw_routed_margin") {
+        // The margin GRID for adaptive routing (round 12): recall@10
+        // vs mean cells served per query, on BOTH corpus shapes, so
+        // the default margin is a measured knee, not a guess. maxRoutes
+        // = S (the margin alone decides width): a clustered corpus
+        // should hold near-full recall at ~1 cell across small
+        // margins; the sign-flip corpus should buy recall roughly
+        // linearly in cells served.
+        import operators.Hnsw
+        def grid(dir: String, s: Int): String = {
+          val (_, cents) = Hnsw.clusterLayoutFor(spark, dir, s)
+          val exact = bruteTop10(dir)
+          val qrows = operators.Search.embNormed(spark, dir)
+            .filter(col("vec_id") < 40)
+            .select("vec_id", "embedding", "nrm").collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+              r.getDouble(2)))
+          Seq(0.0, 0.02, 0.05, 0.1, 0.2, 0.5).map { m =>
+            val cells = qrows.map { case (_, qv, qn) =>
+              Hnsw.routeCellsAdaptive(cents, qv, qn, s, m).size
+            }.sum.toDouble / qrows.length
+            val out = Hnsw.serveShardedRoutedAdaptive(spark, dir,
+              spark.range(40).toDF("query_id"), shards = s,
+              maxRoutes = s, margin = m, ef = 16, k = 10).collect()
+            val byQ = out.groupBy(_.getLong(0))
+              .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+            val rec = (0L until 40L).map(q =>
+              byQ.getOrElse(q, Set.empty[Long])
+                .count(exact.getOrElse(q, Set.empty).contains) / 10.0)
+              .sum / 40.0
+            s"m=$m cells=${f"$cells%.1f"} recall10=${f"$rec%.2f"}"
+          }.mkString(" ")
+        }
+        s"clustered(S=16): ${grid(routedClusteredDir, 16)} | " +
+          s"signflip(S=8): ${grid(hnswProbeDir, 8)}"
+      },
+      time("hnsw_hotcell") {
+        // The routed query-table straggler wall (round 12): a query
+        // batch CONCENTRATED on one cell lands, pre-fix, in a single
+        // task (group key = segment alone); the (segment, qhash mod P)
+        // key splits it. Gauges: walls at qParts=1 (the old mode) vs
+        // qParts=8 on a 2000-query hot batch, answers bit-equal on a
+        // sample.
+        import operators.Hnsw
+        val cdir = routedClusteredDir
+        Hnsw.clusterLayoutFor(spark, cdir, 16)
+        // every query from cluster 3 → (near-)every route hits cell 3
+        val hotQ = spark.read.parquet(s"$cdir/embeddings.parquet")
+          .filter(pmod(col("vec_id"), lit(16L)) === 3L)
+          .select(col("vec_id").as("query_id")).limit(2000)
+        hotQ.cache(); val nq = hotQ.count()
+        def run(p: Int): (Double, Array[(Long, Long, Long, Double)]) = {
+          Hnsw.ImageBlobCache.clear()
+          val t0 = System.nanoTime()
+          val out = Hnsw.serveShardedRoutedQueryTable(spark, cdir,
+            hotQ, shards = 16, routes = 1, ef = 16, k = 10,
+            qParts = p).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getDouble(3)))
+          ((System.nanoTime() - t0) / 1e9, out.sortBy(t => (t._1, t._2)))
+        }
+        val (w1, o1) = run(1)
+        val (w8, o8) = run(8)
+        hotQ.unpersist()
+        val equal = o1.toSeq == o8.toSeq
+        s"hot_queries=$nq wall_p1=${f"$w1%.1f"}s wall_p8=${f"$w8%.1f"}s " +
+          s"speedup=${f"${w1 / math.max(w8, 0.001)}%.1f"}x equal=$equal"
+      },
+      time("hnsw_incr_updates") {
+        // The UPDATE-HEAVY LSM stream (round 12): corrections
+        // accumulate across seals with lazy compaction, past the
+        // driver cap — the serve must hold the bounded-exclusion
+        // contract (one Bloom bitmap in task closures, never a
+        // correction-sized Set), derive its exclusion state ONCE, and
+        // keep repeat-serve walls flat. Cap planted at 512 so the 20×
+        // point also exercises the Bloom branch (the 50× stream
+        // crosses the production 4096 cap on its own).
+        import operators.{Hnsw, IncrementalIndex => II, Search}
+        val gdir = hnswProbeDir
+        val e = Search.embNormed(spark, gdir)
+        val n = e.count()
+        val dim = e.select(size(col("embedding"))).head.getInt(0)
+        val budget = math.max(1L, n * Hnsw.imageBytesPerVec(dim) / 6)
+        val uw = s"$work/incr_updates"
+        II.initSegments(spark, gdir, uw, budget)
+        // 6 update-heavy seals: each RE-DELIVERS a disjoint n/50 slice
+        // of existing ids with rescaled embeddings — all corrections
+        val slice = n / 50
+        val tSeals = (0 until 6).map { b =>
+          val d = e.filter(col("vec_id") >= b * slice &&
+              col("vec_id") < (b + 1) * slice)
+            .select(col("vec_id"), expr(
+              s"transform(embedding, x -> x * CAST(0.9 AS FLOAT))")
+              .as("embedding"))
+          val t0 = System.nanoTime()
+          II.sealDelta(spark, uw, d)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val corrections = II.segs(spark, uw).map(s0 =>
+          II.shadowOf(spark, uw, s0.ord).count()).sum
+        spark.conf.set("spark.graft.ann.deadSetCap", "512")
+        try {
+          val walls = (0 until 3).map { _ =>
+            val t0 = System.nanoTime()
+            val out = II.serve(spark, uw,
+              spark.range(40).toDF("query_id"), ef = 16, k = 10)
+              .count()
+            ((System.nanoTime() - t0) / 1e9, out)
+          }
+          val d0 = II.shadowDerivations.get
+          II.serve(spark, uw, spark.range(40).toDF("query_id"),
+            ef = 16, k = 10).count()
+          val extraDerivs = II.shadowDerivations.get - d0
+          s"n=$n corrections=$corrections cap=512 " +
+            s"seals=${tSeals.map(t => f"$t%.0f").mkString("/")}s " +
+            s"serve_walls=${walls.map(t => f"${t._1}%.1f").mkString("/")}s " +
+            s"rows=${walls.head._2} repeat_derivations=$extraDerivs"
+        } finally spark.conf.unset("spark.graft.ann.deadSetCap")
+      },
+      time("hnsw_incr_seal_scale") {
+        // Seal-cost independence from corpus id volume (round 12): the
+        // sidecar-probed shadow derivation reads S Bloom bitmaps +
+        // flagged point lookups; the legacy derivation scans every
+        // older segment's id column. Two work dirs over the SAME
+        // corpus — one with `_idbloom` sidecars stripped — seal the
+        // same 200-row correction delta; the walls separate by the
+        // full-id-scan tax, and the derived shadows must be identical.
+        import operators.{Hnsw, IncrementalIndex => II, Search}
+        val gdir = hnswProbeDir
+        val e = Search.embNormed(spark, gdir)
+        val n = e.count()
+        val dim = e.select(size(col("embedding"))).head.getInt(0)
+        val budget = math.max(1L, n * Hnsw.imageBytesPerVec(dim) / 6)
+        val delta = e.filter(col("vec_id") < 200)
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> x * CAST(0.8 AS FLOAT))")
+            .as("embedding"))
+        def sealWall(w: String, strip: Boolean): (Double, Set[Long]) = {
+          II.initSegments(spark, gdir, w, budget)
+          if (strip) II.segs(spark, w).foreach { s0 =>
+            val p = new org.apache.hadoop.fs.Path(s"${s0.dir}/_idbloom")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          }
+          val t0 = System.nanoTime()
+          val seg = II.sealDelta(spark, w, delta)
+          val wall = (System.nanoTime() - t0) / 1e9
+          (wall, II.shadowOf(spark, w, seg.get.ord)
+            .collect().map(_.getLong(0)).toSet)
+        }
+        val (wSide, shSide) = sealWall(s"$work/seal_side", strip = false)
+        val (wScan, shScan) = sealWall(s"$work/seal_scan", strip = true)
+        s"n=$n delta=200 seal_sidecar=${f"$wSide%.1f"}s " +
+          s"seal_fullscan=${f"$wScan%.1f"}s " +
+          s"tax=${f"${wScan / math.max(wSide, 0.001)}%.1f"}x " +
+          s"shadow_parity=${shSide == shScan} corrections=${shSide.size}"
+      },
+      time("hnsw_incr_routed") {
+        // Routing × the LSM lifecycle (round 12): a BURSTY ingest
+        // stream — init segments hold clusters 0-3 mixed, then four
+        // topical seals (clusters 4-7) — serves burst queries through
+        // the adaptive route plan at R ≪ S with full-fan-out recall,
+        // because each sealed segment's `_centroid` sidecar gives it a
+        // real geometric identity. Gauges: routed-vs-full overlap@10,
+        // recall@10 vs brute for both, mean segments served vs S.
+        import operators.{IncrementalIndex => II}
+        val cdir = routedClusteredDir
+        val all = spark.read.parquet(s"$cdir/embeddings.parquet")
+        val baseDir = s"$work/incr_routed_base"
+        all.filter(pmod(col("vec_id"), lit(16L)) < 4L)
+          .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+        val rw = s"$work/incr_routed_work"
+        val nb = spark.read
+          .parquet(s"$baseDir/embeddings.parquet").count()
+        val dim = 64
+        val budget = math.max(1L,
+          nb * operators.Hnsw.imageBytesPerVec(dim) / 4)
+        II.initSegments(spark, baseDir, rw, budget)
+        (4L to 7L).foreach { c =>
+          II.sealDelta(spark, rw,
+            all.filter(pmod(col("vec_id"), lit(16L)) === c)
+              .select("vec_id", "embedding"))
+        }
+        val S = II.segs(spark, rw).size
+        // 40 burst queries: ten each from clusters 4-7
+        val qids = (4L to 7L).flatMap(c =>
+          (0 until 10).map(i => c + 16L * i))
+        import spark.implicits._
+        val qdf = qids.toDF("query_id")
+        val exact = {
+          import graft.functions.VectorFunctions.{cosinePrenormed, dot}
+          // the brute denominator covers the LSM's corpus (clusters
+          // 0-7), not the unreached clusters 8-15
+          val e = operators.Search.embNormed(spark, cdir)
+            .filter(pmod(col("vec_id"), lit(16L)) < 8L)
+          val qv = e.filter(col("vec_id").isin(qids: _*))
+            .select(col("vec_id").as("qid"),
+              col("embedding").as("qv"), col("nrm").as("qn"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+          e.crossJoin(broadcast(qv))
+            .filter(col("vec_id") =!= col("qid"))
+            .withColumn("score", round(
+              cosinePrenormed(dot(col("embedding"), col("qv")),
+                col("nrm"), col("qn")), 6))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 10)
+            .select("qid", "vec_id").collect()
+            .groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        }
+        def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+          val byQ = rows.groupBy(_.getLong(0))
+            .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+          qids.map(q => byQ.getOrElse(q, Set.empty[Long])
+            .count(exact.getOrElse(q, Set.empty).contains) / 10.0)
+            .sum / qids.size
+        }
+        val t0 = System.nanoTime()
+        val full = II.serve(spark, rw, qdf, ef = 16, k = 10).collect()
+        val wFull = (System.nanoTime() - t0) / 1e9
+        val plan = II.routePlan(spark, rw, qdf, maxRoutes = 2,
+          margin = 0.05)
+        val meanSegs = plan.values.map(_.size).sum.toDouble /
+          math.max(plan.size, 1)
+        val t1 = System.nanoTime()
+        val routed = II.serveRouted(spark, rw, qdf, maxRoutes = 2,
+          margin = 0.05, ef = 16, k = 10).collect()
+        val wRouted = (System.nanoTime() - t1) / 1e9
+        val fullByQ = full.groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+        val overlap = qids.map { q =>
+          val r = routed.filter(_.getLong(0) == q).map(_.getLong(2)).toSet
+          if (fullByQ.getOrElse(q, Set.empty).isEmpty) 1.0
+          else r.intersect(fullByQ(q)).size.toDouble /
+            math.max(fullByQ(q).size, 1)
+        }.sum / qids.size
+        s"S=$S mean_segs_routed=${f"$meanSegs%.1f"} " +
+          s"recall_full=${f"${recall(full)}%.2f"} " +
+          s"recall_routed=${f"${recall(routed)}%.2f"} " +
+          s"overlap=${f"$overlap%.2f"} " +
+          s"wall_full=${f"$wFull%.1f"}s wall_routed=${f"$wRouted%.1f"}s"
       },
       time("hnsw_spill") {
         // The Searcher's size-gate spill path, deliberately tripped

@@ -384,43 +384,8 @@ object IndexPipeline {
     * [[searchAnn]] call needs between mutations, derived once per
     * store fingerprint. */
   private[api] final case class MutationState(fp: String, dir: String,
-      deltaN: Long, deadN: Long, exclusion: DeadFilter)
-
-  /** Bounded dead-id exclusion — the [[graft.operators.Hnsw.imageOf]]
-    * gate discipline applied to tombstones: the driver never holds an
-    * unbounded id Set. */
-  private[api] sealed trait DeadFilter
-  /** ≤ [[DeadSetDriverCap]] ids: exact driver Set, excluded at report
-    * (the beam keeps them navigable — the family tombstone rule). */
-  private[api] final case class DeadSet(ids: Set[Long]) extends DeadFilter
-  /** Past the cap: a fixed-size broadcast-able Bloom bitmap over the
-    * dead ids. No false negatives, so candidates it clears are
-    * PROVABLY live; flagged candidates verify against the persisted
-    * dead table (pushdown point lookup) — exactness is never
-    * delegated to the filter. */
-  private[api] final case class DeadBloom(bits: Array[Long], nbits: Int,
-      hashes: Int) extends DeadFilter {
-    def mayContain(id: Long): Boolean = {
-      var i = 0
-      while (i < hashes) {
-        val p = (Embedder.hash60(s"$id:$i") % nbits).toInt
-        if ((bits(p >> 6) & (1L << (p & 63))) == 0L) return false
-        i += 1
-      }
-      true
-    }
-  }
-
-  /** Driver-Set cap for the dead-id exclusion (ids; one Long each).
-    * Overridable for specs via `spark.graft.ann.deadSetCap`. Past it
-    * the serve switches to the Bloom + verified-candidate path — the
-    * dead set is bounded only by the reseal rule at sealed/2, which at
-    * 10⁹+ chunks is gigabytes of driver Set if collected. */
-  private val DeadSetDriverCap = 4096L
-
-  private def deadSetCap(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.ann.deadSetCap")
-      .map(_.toLong).getOrElse(DeadSetDriverCap)
+      deltaN: Long, deadN: Long,
+      exclusion: graft.model.IdFilters.IdFilter)
 
   /** Count of mutation-state derivations this session — the spec's
     * and probe's gauge that the corpus-scale anti-joins run once per
@@ -454,33 +419,12 @@ object IndexPipeline {
       .write.mode("overwrite").parquet(s"$dir/dead.parquet")
     val deltaN = spark.read.parquet(s"$dir/delta.parquet").count()
     val deadN = spark.read.parquet(s"$dir/dead.parquet").count()
-    val exclusion =
-      if (deadN <= deadSetCap(spark))
-        DeadSet(spark.read.parquet(s"$dir/dead.parquet")
-          .as[Long].collect().toSet)
-      else {
-        // bits ≈ 16 per id (k=8 → fpr ~4e-4), capped at 8 MB of
-        // driver/broadcast bitmap; the build aggregates PER-WORD
-        // bitmasks in Spark (group by word index, bit_or of the set
-        // bits) and collects at most nbits/64 (word, mask) rows — the
-        // driver materialization is bounded by the BITMAP size, never
-        // by the dead-id count or the raw position count (a distinct-
-        // positions collect is up to 64× the bitmap at the cap)
-        val nbits = math.min(1L << 26,
-          math.max(1L << 13, deadN * 16L)).toInt / 64 * 64
-        val hashes = 8
-        val posCols = (0 until hashes).map(i =>
-          Embedder.hash60Col(concat(col("vec_id").cast("string"),
-            lit(s":$i"))) % nbits)
-        val words = spark.read.parquet(s"$dir/dead.parquet")
-          .select(explode(array(posCols: _*)).as("p"))
-          .groupBy(expr("p div 64").as("w"))
-          .agg(expr("bit_or(shiftleft(1L, int(p % 64)))").as("mask"))
-          .as[(Long, Long)].collect()
-        val bits = new Array[Long](nbits / 64)
-        words.foreach { case (w, mask) => bits(w.toInt) = mask }
-        DeadBloom(bits, nbits, hashes)
-      }
+    // bounded exclusion ([[graft.model.IdFilters]]): exact Set up to
+    // the driver cap, past it the 8 MB-capped Bloom bitmap whose build
+    // collects at most nbits/64 (word, mask) rows
+    val exclusion = graft.model.IdFilters.build(spark,
+      spark.read.parquet(s"$dir/dead.parquet"), "vec_id", deadN,
+      graft.model.IdFilters.driverCap(spark))
     MutationState(fp, dir, deltaN, deadN, exclusion)
   }
 
@@ -517,7 +461,8 @@ object IndexPipeline {
     * store fingerprint — repeat serves against an unchanged mutated
     * store scan only those tables, sized by the mutation, never the
     * corpus — and the tombstone exclusion is bounded on the driver:
-    * an exact Set up to [[deadSetCap]], past that a Bloom bitmap with
+    * an exact Set up to [[graft.model.IdFilters.driverCap]], past
+    * that a Bloom bitmap with
     * flagged-candidate verification against the persisted dead table
     * (PipelineSpec pins parity on both branches and counts the
     * derivations). */
@@ -566,11 +511,11 @@ object IndexPipeline {
       case None =>
         art.imgs.flatMap(img => graft.operators.Hnsw.serveVec(img, qv,
           qn, selfId = -1L, ef = math.max(32, 4 * k), k = k))
-      case Some(DeadSet(ids)) =>
+      case Some(graft.model.IdFilters.IdSet(ids)) =>
         art.imgs.flatMap(img => graft.operators.Hnsw.serveVec(img, qv,
           qn, selfId = -1L, ef = math.max(32, 4 * k), k = k,
           exclude = ids))
-      case Some(bloom: DeadBloom) =>
+      case Some(bloom: graft.model.IdFilters.IdBloom) =>
         // tombstone set past the driver cap: serve UNEXCLUDED beams,
         // clear candidates through the Bloom (no false negatives ⇒
         // cleared = live), verify only the flagged few against the

@@ -1291,12 +1291,14 @@ object Hnsw {
     * sequential mode serves the S arms one broadcast at a time, which
     * is correct for a ONE-executor memory budget but leaves (S−1)/S of
     * a ≥S-executor cluster idle per arm. Here the roles pin instead of
-    * rotate: queries fan out ×S with a segment key, `groupByKey(seg)`
-    * lands each segment's full query stream in one task, and that task
-    * loads ITS segment's image from the prebuilt blob inside the group
-    * handler (per-partition init via [[ImageBlobCache]] — never a
-    * broadcast of all S), so all S segments serve CONCURRENTLY with
-    * per-executor residency still budget-bounded. Same per-candidate
+    * rotate: queries fan out ×S with a `(segment, query-hash mod P)`
+    * key ([[qPartsFor]] — the query dimension parallelizes across P
+    * tasks per segment, never serializing the unbounded axis behind
+    * one task), and each task loads ITS segment's image from the
+    * prebuilt blob inside the group handler (per-partition init via
+    * [[ImageBlobCache]], which de-duplicates the image per executor —
+    * never a broadcast of all S), so all S segments serve CONCURRENTLY
+    * with per-executor residency still budget-bounded. Same per-candidate
     * math as the sequential arms ([[serveVec]], same ef/k, same qn
     * derivation) into the same k-bounded gather — HnswShardSpec pins
     * the two modes bit-equal; the scale probe measures the wall ratio.
@@ -1305,9 +1307,33 @@ object Hnsw {
     * scans. */
   def serveShardedQueryTableOnePass(spark: SparkSession, dir: String,
       queries: DataFrame, shards: Int, ef: Int = 16, k: Int = 10,
-      budgetBytes: Long = DefaultNodeBudget): DataFrame =
+      budgetBytes: Long = DefaultNodeBudget, qParts: Int = 0): DataFrame =
     shardedGather(spark, k,
-      onePassCands(spark, dir, queries, shards, ef, k, budgetBytes))
+      onePassCands(spark, dir, queries, shards, ef, k, budgetBytes,
+        qParts))
+
+  /** Sub-partition count for the QUERY dimension of an unbounded
+    * query-table serve: grouping on segment alone pins each segment's
+    * ENTIRE query stream into one task (per-task work O(|Q|·ef·logN),
+    * parallelism capped at S — and a straggler wall when routing
+    * concentrates a batch into a hot cell), so the group key is
+    * `(segment, hash(query_id) mod P)` instead. [[ImageBlobCache]]
+    * already de-duplicates the per-executor image load, so P tasks of
+    * one segment on one executor share a single image — the memory
+    * story is unchanged. 0 = derive from the cluster:
+    * `defaultParallelism / S`, floored at 1. */
+  private def qPartsFor(spark: SparkSession, shards: Int,
+      qParts: Int): Int =
+    if (qParts > 0) qParts
+    else math.max(1, spark.sparkContext.defaultParallelism /
+      math.max(shards, 1))
+
+  /** The query-dimension sub-key: a mixed hash of the query id, NOT
+    * `qid mod P` — sequential id ranges would land whole strides in
+    * one sub-task. Deterministic (pure function of the id), so the
+    * grouping never changes any answer — only task granularity. */
+  private def qSub(qid: Long, p: Int): Int =
+    (((qid * 0x9E3779B97F4A7C15L) >>> 33) % p).toInt
 
   /** The one-pass fan-out's candidate stage, shared by the plain and
     * FILTERED one-pass serves: queries ×S with a segment key, each
@@ -1317,7 +1343,7 @@ object Hnsw {
     * filtered one. */
   private def onePassCands(spark: SparkSession, dir: String,
       queries: DataFrame, shards: Int, ef: Int, perSegK: Int,
-      budgetBytes: Long): DataFrame = {
+      budgetBytes: Long, qParts: Int = 0): DataFrame = {
     import spark.implicits._
     val dirs = shardDirsFor(spark, dir, shards)
     locally {
@@ -1325,6 +1351,7 @@ object Hnsw {
       dirs.par.foreach(d => indexFor(spark, d))
     }
     val blobs = dirs.map(d => imageBlobFor(spark, d, budgetBytes))
+    val p = qPartsFor(spark, shards, qParts)
     val qv = Search.embNormed(spark, dir)
       .join(queries.select(col("query_id").cast("long").as("vec_id")),
         "vec_id")
@@ -1336,9 +1363,11 @@ object Hnsw {
       .flatMap { case (qid, emb, self) =>
         (0 until shards).iterator.map(s => (s, qid, emb, self))
       }
-      .groupByKey(_._1)
-      .flatMapGroups { (seg, it) =>
-        val img = ImageBlobCache.get(blobs(seg))
+      // (segment, query-hash sub-key): the query dimension splits
+      // across P tasks per segment instead of serializing behind one
+      .groupByKey(t => (t._1, qSub(t._2, p)))
+      .flatMapGroups { (key, it) =>
+        val img = ImageBlobCache.get(blobs(key._1))
         it.flatMap { case (_, qid, emb, self) =>
           var s = 0.0
           var i = 0
@@ -1365,7 +1394,7 @@ object Hnsw {
   def serveShardedQueryTableOnePassFiltered(spark: SparkSession,
       dir: String, queries: DataFrame, shards: Int, labelCol: String,
       labelVal: Long, ef: Int = 64, k: Int = 10,
-      budgetBytes: Long = DefaultNodeBudget): DataFrame = {
+      budgetBytes: Long = DefaultNodeBudget, qParts: Int = 0): DataFrame = {
     val e = Search.embNormed(spark, dir)
     val selRow = e.agg(
       sum(when(col(labelCol) === labelVal, 1L).otherwise(0L))
@@ -1379,7 +1408,7 @@ object Hnsw {
     }
     val pool = math.max(ef, math.ceil(k / sel * 2).toInt)
     val cands = onePassCands(spark, dir, queries, shards, ef, pool,
-      budgetBytes)
+      budgetBytes, qParts)
     val matched = cands.join(
       e.filter(col(labelCol) === labelVal).select("vec_id"), "vec_id")
     shardedGather(spark, k, matched)
@@ -1465,11 +1494,14 @@ object Hnsw {
     * BALANCE: k-means cells have no size guarantee — real corpora have
     * hot regions, and a cell whose image exceeds the node budget would
     * trip [[imageOf]]'s gate as a hard failure. A cell past the
-    * per-segment vector cap therefore SPLITS into residue-class
+    * per-segment vector cap therefore SPLITS into round-robin
     * sub-segments that share the cell's centroid and geometric
     * identity: routing is unchanged (a routed cell serves ALL its
     * sub-segments — they are interchangeable samples of the same
-    * region, the [[shardDirsFor]] argument one level down), and every
+    * region, the [[shardDirsFor]] argument one level down), and the
+    * round-robin split is EXACTLY balanced (±1 row) independent of
+    * the id distribution — a residue split is not (strided or
+    * per-source id ranges correlate with geometry) — so every
     * sub-segment's image is budget-true by construction. Returns the
     * cell → sub-segment-dirs map (every cell present, possibly with
     * one empty dir — k-means keeps an empty cell's previous centroid)
@@ -1502,7 +1534,21 @@ object Hnsw {
       Tables.embeddings(spark, dir)
         .join(assign, "vec_id")
         .join(broadcast(partsDf), "cell")
-        .withColumn("sub", pmod(col("vec_id"), col("parts").cast("long")))
+        // sub-segment by round-robin over the cell's id-ordered rows,
+        // NOT by id residue: residues are not uniform within a k-means
+        // cell (strided ids, per-source id ranges correlate with
+        // geometry), and a skewed residue split could push one
+        // sub-segment past the node cap and trip the image budget
+        // gate as a hard failure. Round-robin is deterministic (pure
+        // function of the cell's id order) and EXACTLY balanced (±1),
+        // so every sub-image is budget-true by construction — a hash
+        // split would be distribution-independent only up to binomial
+        // variance. The per-cell window runs once at layout time,
+        // inside the same shuffle the partitioned write needs.
+        .withColumn("sub",
+          pmod(row_number().over(org.apache.spark.sql.expressions
+            .Window.partitionBy("cell").orderBy("vec_id")) - 1,
+            col("parts")).cast("long"))
         .drop("parts")
         .write.partitionBy("cell", "sub").mode("overwrite")
         .parquet(s"$base/all")
@@ -1672,7 +1718,7 @@ object Hnsw {
   def serveShardedRoutedQueryTable(spark: SparkSession, dir: String,
       queries: DataFrame, shards: Int, routes: Int, ef: Int = 16,
       k: Int = 10, iters: Int = 4,
-      budgetBytes: Long = DefaultNodeBudget): DataFrame = {
+      budgetBytes: Long = DefaultNodeBudget, qParts: Int = 0): DataFrame = {
     import spark.implicits._
     val (dirs, cents) =
       clusterLayoutFor(spark, dir, shards, iters, budgetBytes)
@@ -1698,15 +1744,20 @@ object Hnsw {
         col("embedding").cast("array<float>").as("qv"),
         col("nrm").as("qn"), col("vec_id").as("self_id"))
       .as[(Long, Array[Float], Double, Long)]
+    // routing CONCENTRATES queries (a popular cell receives most of
+    // the batch), so the query-dimension sub-key matters MORE here
+    // than in the full fan-out: without it the hot cell's one task is
+    // the straggler wall
+    val p = qPartsFor(spark, shards, qParts)
     val cands = qv
       .flatMap { case (qid, emb, qn, self) =>
         routeCells(centsBc.value, emb, qn, routes).iterator
           .flatMap(c => idxBc.value.getOrElse(c, Nil))
           .map(i => (i, qid, emb, qn, self))
       }
-      .groupByKey(_._1)
-      .flatMapGroups { (seg, it) =>
-        val img = ImageBlobCache.get(blobs(seg))
+      .groupByKey(t => (t._1, qSub(t._2, p)))
+      .flatMapGroups { (key, it) =>
+        val img = ImageBlobCache.get(blobs(key._1))
         it.flatMap { case (_, qid, emb, qn, self) =>
           serveVec(img, emb, qn, selfId = self, ef = ef, k = k)
             .map { case (id, sc) => (qid, id, sc) }
@@ -1726,6 +1777,20 @@ object Hnsw {
   def qHnswRouted(spark: SparkSession, dir: String): DataFrame =
     serveShardedRouted(spark, dir, spark.range(8).toDF("query_id"),
       shards = 4, routes = 2, ef = 16, k = 5)
+      .orderBy("query_id", "rank")
+
+  /** ADAPTIVE routing as a registry row — the production answer to
+    * the fixed-R tradeoff [[qHnswRouted]] pins: every query keeps the
+    * cells within margin 0.05 of its best centroid (≥ top-1,
+    * ≤ maxRoutes 3), so confident queries serve one cell and
+    * ambiguous ones widen themselves. The margin default is the
+    * measured knee of the recall-vs-cells-served grid the scale probe
+    * commits to SCALE.md. Golden oracle like every trained-graph
+    * serve; HnswRouteSpec pins the envelope and both degenerations. */
+  def qHnswRoutedAdaptive(spark: SparkSession, dir: String): DataFrame =
+    serveShardedRoutedAdaptive(spark, dir,
+      spark.range(8).toDF("query_id"), shards = 4, maxRoutes = 3,
+      margin = 0.05, ef = 16, k = 5)
       .orderBy("query_id", "rank")
 
   /** Sharded serving as a registry row: 8 queries over a PLANTED
@@ -1766,7 +1831,8 @@ object Hnsw {
     "q_hnsw_sharded" -> (qHnswSharded _),
     "q_hnsw_sharded_delta" -> (qHnswShardedDelta _),
     "q_hnsw_sharded_filtered" -> (qHnswShardedFiltered _),
-    "q_hnsw_routed" -> (qHnswRouted _)
+    "q_hnsw_routed" -> (qHnswRouted _),
+    "q_hnsw_routed_adaptive" -> (qHnswRoutedAdaptive _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1815,6 +1881,11 @@ object Hnsw {
     "q_hnsw_routed" ->
       s"""SELECT * FROM
          |read_parquet('$fixturesDir/hnsw_routed_sf0.01.parquet/*.parquet')
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_hnsw_routed_adaptive" ->
+      s"""SELECT * FROM
+         |read_parquet(
+         |  '$fixturesDir/hnsw_routed_adaptive_sf0.01.parquet/*.parquet')
          |ORDER BY query_id, rank""".stripMargin,
     "q_hnsw_levels" ->
       """WITH nn AS (SELECT count(*) AS n FROM embeddings),

@@ -56,6 +56,36 @@ object IncrementalIndex {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Layout mutations are write-new-then-rename; a rename that FAILS
+    * (Hadoop signals failure by returning false, not by throwing) must
+    * abort the publish, never fall through to the cleanup deletes — a
+    * deleted-source-without-published-destination is exactly the data
+    * loss the staging discipline exists to prevent. */
+  private def renameOrDie(f: org.apache.hadoop.fs.FileSystem,
+      src: String, dst: String): Unit = {
+    if (!f.rename(new org.apache.hadoop.fs.Path(src),
+        new org.apache.hadoop.fs.Path(dst)))
+      throw new java.io.IOException(
+        s"publish rename failed: $src -> $dst (staged data left intact)")
+  }
+
+  /** `seg_<ord>_g<gen>` basename → (ord, gen); None for anything else
+    * (staged dirs, stray files). Parses the BASENAME only — a work
+    * path that itself contains `_g` must not leak into the parse. */
+  private def parseSegName(name: String): Option[(Int, Int)] =
+    if (!name.startsWith("seg_")) None
+    else {
+      val parts = name.stripPrefix("seg_").split("_g")
+      try Some((parts(0).toInt, parts.lift(1).fold(0)(_.toInt)))
+      catch { case _: NumberFormatException => None }
+    }
+
+  /** `seg_<ord>[_g<gen>].parquet` shadow basename → (ord, gen);
+    * unsuffixed legacy names read as generation 0. */
+  private def parseShadowName(name: String): Option[(Int, Int)] =
+    if (!name.endsWith(".parquet")) None
+    else parseSegName(name.stripSuffix(".parquet"))
+
   /** The work dir's segment list, ordinal-sorted — the manifest IS
     * the `seg_<ord>_g<gen>` listing (rename-published, so a reader
     * never sees a half-written segment). The GENERATION suffix exists
@@ -71,11 +101,14 @@ object IncrementalIndex {
     if (!f.exists(root)) Seq.empty
     else
       f.listStatus(root).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("seg_"))
-        .map { n =>
-          val parts = n.stripPrefix("seg_").split("_g")
-          (parts(0).toInt, parts.lift(1).fold(0)(_.toInt), n)
-        }
+        .flatMap(n => parseSegName(n).map { case (ord, gen) =>
+          (ord, gen, n)
+        })
+        // equal ordinals dedupe to the MAX generation: [[compactOnce]]
+        // publishes the merged segment under gen+1 BEFORE deleting the
+        // superseded paths, so a crash between publish and cleanup
+        // leaves both on disk — the listing must serve the newer one
+        .groupBy(_._1).values.map(_.maxBy(_._2)).toSeq
         .sortBy(t => (t._1, t._2))
         .map { case (ord, _, name) =>
           Seg(ord, s"$work/segments/$name")
@@ -107,73 +140,251 @@ object IncrementalIndex {
       else
         Tables.embeddings(spark, corpusDir).filter(lit(false))
           .write.parquet(s"$d/embeddings.parquet")
+      writeSidecars(spark, d)
       Seg(i, d)
     }
     f.delete(new org.apache.hadoop.fs.Path(staged), true)
     out
   }
 
+  /** Shadow tables carry the SAME generation suffix as their segment
+    * (`shadow/seg_<ord>_g<gen>.parquet`) for the same reason: a
+    * compaction publishes the merged shadow under a FRESH path and
+    * deletes the superseded files last, so a crash at any point leaves
+    * a resolvable (max-generation) shadow on disk instead of a
+    * half-swapped one. Unsuffixed legacy names read as generation 0. */
+  private[graft] def shadowPathOf(spark: SparkSession, work: String,
+      ord: Int): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$work/shadow")
+    val f = fs(spark, work)
+    if (!f.exists(root)) None
+    else f.listStatus(root).toSeq.map(_.getPath.getName)
+      .flatMap(n => parseShadowName(n).collect {
+        case (o, g) if o == ord => (g, n)
+      })
+      .sortBy(-_._1).headOption.map(t => s"$work/shadow/${t._2}")
+  }
+
   /** `(vec_id)` rows segment `ord` SUPERSEDES in older segments —
     * empty (and absent on disk) for an append-only seal. */
   private[graft] def shadowOf(spark: SparkSession, work: String,
-      ord: Int): DataFrame = {
-    val p = s"$work/shadow/seg_$ord.parquet"
-    if (fs(spark, work).exists(new org.apache.hadoop.fs.Path(p)))
-      spark.read.parquet(p)
-    else {
+      ord: Int): DataFrame =
+    shadowPathOf(spark, work, ord).map(spark.read.parquet(_)).getOrElse {
       import spark.implicits._
       Seq.empty[Long].toDF("vec_id")
     }
+
+  /** Per-segment SIDECARS, written inside the segment dir at staging
+    * time so they ride the atomic publish rename:
+    *   - `_idbloom` — the member-id Bloom words table
+    *     ([[graft.model.IdFilters.bloomWordsDf]]): seal-time shadow
+    *     derivation probes these instead of scanning every older
+    *     segment's id column, making seal cost independent of total
+    *     corpus id volume (the [[graft.store.ChunkStore.getViaBloom]]
+    *     skip-index pattern applied to the LSM);
+    *   - `_centroid` — the member mean vector (cv, cn, n): the
+    *     segment's geometric identity for ROUTED serving
+    *     ([[serveRouted]] — the [[Hnsw.routeCellsAdaptive]] machinery
+    *     over the LSM segment list).
+    * Both are (re)derived from the segment's OWN rows — delta-sized at
+    * seal, pair-sized at compaction, never a corpus touch. */
+  private def writeSidecars(spark: SparkSession, segDir: String): Unit = {
+    import spark.implicits._
+    import graft.model.IdFilters
+    val ids = spark.read.parquet(s"$segDir/embeddings.parquet")
+      .select("vec_id")
+    val n = ids.count()
+    val (nbits, hashes) = IdFilters.bloomParams(n)
+    IdFilters.bloomWordsDf(ids, "vec_id", nbits, hashes)
+      .coalesce(1).write.mode("overwrite").parquet(s"$segDir/_idbloom")
+    val cv: Array[Double] =
+      if (n == 0) Array.empty
+      else spark.read.parquet(s"$segDir/embeddings.parquet")
+        .select(posexplode(col("embedding").cast("array<double>")))
+        .groupBy("pos").agg(avg("col").as("v"))
+        .orderBy("pos").select("v").as[Double].collect()
+    val cn = math.sqrt(cv.map(x => x * x).sum)
+    Seq((cv.toSeq, cn, n)).toDF("cv", "cn", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$segDir/_centroid")
   }
+
+  /** Session cache of per-segment id Blooms, keyed by segment PATH —
+    * segment content is immutable per path (the generation-suffix
+    * discipline), so an entry never goes stale; bounded by bitmap
+    * size × distinct segments touched. */
+  private val idSidecars = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.model.IdFilters.IdBloom]()
+
+  private def idBloomFor(spark: SparkSession,
+      segDir: String): Option[graft.model.IdFilters.IdBloom] = {
+    val p = s"$segDir/_idbloom"
+    if (idSidecars.containsKey(segDir)) Some(idSidecars.get(segDir))
+    else if (!fs(spark, segDir).exists(new org.apache.hadoop.fs.Path(p)))
+      None // legacy segment without a sidecar — caller falls back
+    else Some(idSidecars.computeIfAbsent(segDir, { _ =>
+      graft.model.IdFilters.bloomFromSidecar(spark, p)
+    }))
+  }
+
+  /** Past this many flagged ids a per-segment verification switches
+    * from an isin-pushdown point lookup to a broadcast semi-join. */
+  private val IsinPushdownCap = 1 << 14
 
   /** Freeze `delta` (one row per vec_id — [[graft.streaming
     * .StreamingShardedServe.deltaRows]]'s latest-wins contract) as the
     * next segment: ONE index build over delta-sized data, plus the
-    * seal-time shadow derivation — `delta ids ∩ older member ids`, a
-    * column-pruned id scan whose OUTPUT is correction-bounded. Returns
-    * None on an empty delta. */
+    * seal-time shadow derivation. The delta is MATERIALIZED first
+    * (staged segment write) and everything else — the emptiness check,
+    * the shadow, the sidecars — derives from reading that snapshot
+    * back, so a non-deterministic source cannot make the shadow
+    * disagree with the rows actually sealed. Shadow derivation is
+    * SIDECAR-probed: each older segment's `_idbloom` filters the delta
+    * ids map-side (delta-sized work per segment, no corpus id scan);
+    * only flagged ids — correction-bounded plus the bitmap's ~4e-4
+    * false-positive slice — verify against the segment by point
+    * lookup. A legacy segment without a sidecar falls back to the
+    * direct semi-join for that segment only. Returns None on an empty
+    * delta. */
   def sealDelta(spark: SparkSession, work: String,
       delta: DataFrame): Option[Seg] = {
-    val rows = delta.select(col("vec_id"),
-      col("embedding").cast("array<float>").as("embedding"))
-    if (rows.isEmpty) return None
+    import spark.implicits._
     val existing = segs(spark, work)
     val ord = existing.map(_.ord).maxOption.fold(0)(_ + 1)
     val d = s"$work/segments/seg_${ord}_g0"
     val stagedSeg = s"$work/_staged_seg_$ord"
-    rows.write.mode("overwrite").parquet(s"$stagedSeg/embeddings.parquet")
-    // corrections: delta ids already members of an older segment
-    val olderIds = existing.map(s0 => spark.read
-        .parquet(s"${s0.dir}/embeddings.parquet").select("vec_id"))
-      .reduceOption(_.unionByName(_))
-    olderIds.foreach { ids =>
-      rows.select("vec_id").join(ids, Seq("vec_id"), "left_semi")
-        .distinct()
-        .write.mode("overwrite")
-        .parquet(s"$work/shadow/seg_$ord.parquet")
+    delta.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .write.mode("overwrite").parquet(s"$stagedSeg/embeddings.parquet")
+    val sealedRows = spark.read.parquet(s"$stagedSeg/embeddings.parquet")
+    if (sealedRows.isEmpty) {
+      fs(spark, work).delete(new org.apache.hadoop.fs.Path(stagedSeg),
+        true)
+      return None
     }
-    fs(spark, work).rename(new org.apache.hadoop.fs.Path(stagedSeg),
-      new org.apache.hadoop.fs.Path(d))
+    writeSidecars(spark, stagedSeg)
+    // corrections: sealed ids already members of an older segment —
+    // derived from the materialized snapshot, sidecar-probed
+    val stagedIds = sealedRows.select("vec_id")
+    val shadow = existing.flatMap { s0 =>
+      val flagged: DataFrame = idBloomFor(spark, s0.dir) match {
+        case Some(bloom) =>
+          stagedIds.as[Long].mapPartitions(
+            _.filter(bloom.mayContain)).toDF("vec_id")
+        case None => stagedIds // legacy: every delta id "flagged"
+      }
+      val nf = flagged.count()
+      if (nf == 0) None
+      else if (nf <= IsinPushdownCap) {
+        val ids = flagged.as[Long].collect()
+        Some(spark.read.parquet(s"${s0.dir}/embeddings.parquet")
+          .select("vec_id").filter(col("vec_id").isin(ids: _*)))
+      } else
+        Some(spark.read.parquet(s"${s0.dir}/embeddings.parquet")
+          .select("vec_id")
+          .join(broadcast(flagged), Seq("vec_id"), "left_semi"))
+    }.reduceOption(_.unionByName(_))
+    // shadow publishes BEFORE the segment: a correction visible
+    // without its shadow would double-report; an orphan shadow for a
+    // never-published ordinal is inert (excludes read only live ords)
+    shadow.foreach {
+      _.distinct().write.mode("overwrite")
+        .parquet(s"$work/shadow/seg_${ord}_g0.parquet")
+    }
+    renameOrDie(fs(spark, work), stagedSeg, d)
     Hnsw.indexFor(spark, d) // the delta-sized build, eagerly
     Some(Seg(ord, d))
   }
 
-  /** Per-segment report excludes: segment i must not report a member
-    * a NEWER segment superseded — the union of shadows of ords > i
-    * (correction-bounded by construction; [[compactOnce]] physically
-    * clears what it merges away), plus the caller's extra exclusions
-    * (the live-delta arm's ids). */
-  private[graft] def excludesFor(spark: SparkSession, work: String,
-      ss: Seq[Seg], extra: Set[Long]): Map[Int, Set[Long]] = {
-    import spark.implicits._
-    val shadows: Seq[(Int, Set[Long])] = ss.map(s0 =>
-      s0.ord -> shadowOf(spark, work, s0.ord)
-        .select("vec_id").as[Long].collect().toSet)
-    ss.map { s0 =>
-      s0.ord -> (shadows.filter(_._1 > s0.ord)
-        .map(_._2).fold(Set.empty[Long])(_ ++ _) ++ extra)
-    }.toMap
+  /** Derivation counters — the spec's and probe's gauges (the
+    * [[graft.api.IndexPipeline.mutationDerivations]] pattern) that
+    * repeat serves against an UNCHANGED work dir re-run zero shadow
+    * collects, zero segment query-vector scans, and zero segment
+    * metadata jobs. */
+  private[graft] val shadowDerivations =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val queryVecDerivations =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val segMetaJobs =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The work dir's state identity: segment + shadow basenames. Every
+    * layout mutation moves it — a seal adds a segment (and possibly a
+    * shadow), a compaction publishes FRESH generation paths for both —
+    * so caches keyed on it can never serve a stale state; cost is two
+    * directory listings, never a data read. */
+  private def stateKey(spark: SparkSession, work: String): String = {
+    val f = fs(spark, work)
+    def ls(p: String): Seq[String] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (!f.exists(hp)) Seq.empty
+      else f.listStatus(hp).toSeq.map(_.getPath.getName).sorted
+    }
+    (ls(s"$work/segments") ++ Seq("|") ++ ls(s"$work/shadow"))
+      .mkString(",")
   }
+
+  /** Per-work-state exclusion state, derived ONCE per state key —
+    * never re-collected per serve call, and bounded by the
+    * [[graft.model.IdFilters]] discipline (the fix the `searchAnn`
+    * dead-id path graduated to): up to the driver cap the per-segment
+    * filters are exact cumulative Sets; past it ONE Bloom bitmap over
+    * ALL shadow ids stands in for every segment (a superset per ord —
+    * sound because flagged candidates verify against the ord's actual
+    * newer-shadow tables via `verifyPaths`, and cleared candidates are
+    * provably in no shadow at all). */
+  private final case class ExcludeState(key: String,
+      exact: Option[Map[Int, Set[Long]]],
+      bloom: Option[graft.model.IdFilters.IdBloom],
+      verifyPaths: Map[Int, Seq[String]])
+
+  private val excludeStates = new java.util.concurrent.ConcurrentHashMap[
+    String, ExcludeState]()
+
+  private def excludeStateFor(spark: SparkSession, work: String,
+      ss: Seq[Seg], key: String): ExcludeState =
+    excludeStates.compute(work, { (_, prev) =>
+      if (prev != null && prev.key == key) prev
+      else {
+        import spark.implicits._
+        shadowDerivations.incrementAndGet()
+        val cap = graft.model.IdFilters.driverCap(spark)
+        val shadows: Seq[(Int, Option[String], Long)] = ss.map { s0 =>
+          val p = shadowPathOf(spark, work, s0.ord)
+          (s0.ord, p, p.fold(0L)(spark.read.parquet(_).count()))
+        }
+        val total = shadows.map(_._3).sum
+        if (total <= cap) {
+          val sets: Seq[(Int, Set[Long])] = shadows.map {
+            case (ord, p, _) => ord -> p.fold(Set.empty[Long])(
+              spark.read.parquet(_).select("vec_id")
+                .as[Long].collect().toSet)
+          }
+          val perOrd = ss.map { s0 =>
+            s0.ord -> sets.filter(_._1 > s0.ord).map(_._2)
+              .fold(Set.empty[Long])(_ ++ _)
+          }.toMap
+          ExcludeState(key, Some(perOrd), None, Map.empty)
+        } else {
+          val allShadows = shadows.flatMap(_._2)
+            .map(spark.read.parquet(_).select("vec_id"))
+            .reduce(_.unionByName(_))
+          val bloom = graft.model.IdFilters
+            .build(spark, allShadows, "vec_id", total, cap)
+            .asInstanceOf[graft.model.IdFilters.IdBloom]
+          val verify = ss.map { s0 =>
+            s0.ord -> shadows
+              .filter(t => t._1 > s0.ord && t._3 > 0).flatMap(_._2)
+          }.toMap
+          ExcludeState(key, None, Some(bloom), verify)
+        }
+      }
+    })
+
+  /** Per-(work state, query batch) resolved query vectors — the
+    * segment point-lookup scans run once per state per batch, not per
+    * serve call. Bounded by batch size × batches a session serves. */
+  private val qvecCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Array[Float], Double)]]()
 
   /** Query-id vectors resolved latest-wins across the segments: the
     * newest segment holding the id supplies the row (point lookups —
@@ -200,6 +411,43 @@ object IncrementalIndex {
     }
   }
 
+  private def queryVecsCached(spark: SparkSession, work: String,
+      ss: Seq[Seg], queries: DataFrame,
+      key: String): Array[(Long, Array[Float], Double)] = {
+    import spark.implicits._
+    val qids = queries.select(col("query_id").cast("long"))
+      .as[Long].collect().sorted
+    qvecCache.computeIfAbsent(
+      s"$work#$key#${qids.mkString(",")}", { _ =>
+        queryVecDerivations.incrementAndGet()
+        queryVecs(spark, ss,
+          qids.toSeq.toDF("query_id"))
+      })
+  }
+
+  /** Per-segment (rows, dim) — read from the `_centroid` sidecar (one
+    * small-file read) when present, a count/dim scan otherwise; cached
+    * per PATH (segment content is immutable per path), so repeated
+    * compaction planning re-counts nothing. */
+  private val segMetas = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Int)]()
+
+  private def segMeta(spark: SparkSession,
+      segDir: String): (Long, Int) =
+    segMetas.computeIfAbsent(segDir, { _ =>
+      segMetaJobs.incrementAndGet()
+      val cp = s"$segDir/_centroid"
+      if (fs(spark, segDir).exists(new org.apache.hadoop.fs.Path(cp))) {
+        val r = spark.read.parquet(cp).select("n", "cv").head
+        (r.getLong(0), r.getSeq[Double](1).size)
+      } else {
+        val e = spark.read.parquet(s"$segDir/embeddings.parquet")
+        val st = e.agg(count(lit(1)),
+          first(size(col("embedding")))).head
+        (st.getLong(0), if (st.isNullAt(1)) 0 else st.getInt(1))
+      }
+    })
+
   /** Scatter-gather over the CURRENT segments: one image per segment
     * task (the [[Hnsw.serveShardedDistributed]] shape), per-segment
     * beam with that segment's shadow exclude — shadowed ids stay
@@ -212,24 +460,133 @@ object IncrementalIndex {
     Hnsw.shardedGather(spark, k,
       segCands(spark, work, queries, ef, k, Set.empty, budgetBytes))
 
+  /** The per-segment beam candidates, `.distinct()`-ed: in normal
+    * operation no two segments report the same (query, id, score) row
+    * (latest-wins + shadows), but a crash between [[compactOnce]]'s
+    * publish and cleanup can leave the merged segment AND its older
+    * member both live — their shared rows duplicate byte-for-byte,
+    * and the distinct collapses them so even that window serves
+    * exactly. Candidate volume is |Q|·S·k — batch-bounded. */
   private def segCands(spark: SparkSession, work: String,
       queries: DataFrame, ef: Int, k: Int, extraExclude: Set[Long],
-      budgetBytes: Long): DataFrame = {
+      budgetBytes: Long,
+      routedFor: Option[Map[Int, Set[Long]]] = None): DataFrame = {
     import spark.implicits._
     val ss = segs(spark, work)
-    val excl = excludesFor(spark, work, ss, extraExclude)
-    val qrows = queryVecs(spark, ss, queries)
-    val imgs = Hnsw.segmentImages(spark, ss.map(_.dir), budgetBytes)
+    val key = stateKey(spark, work)
+    val st = excludeStateFor(spark, work, ss, key)
+    val qrows = queryVecsCached(spark, work, ss, queries, key)
+    // a ROUTED serve materializes images only for the batch's working
+    // set — segments some query routed to — never the full list
+    val served = routedFor.fold(ss)(m =>
+      ss.filter(s0 => m.getOrElse(s0.ord, Set.empty).nonEmpty))
+    val imgs = Hnsw.segmentImages(spark, served.map(_.dir), budgetBytes)
     val qbc = spark.sparkContext.broadcast(qrows)
-    spark.sparkContext
-      .parallelize(ss.map(_.ord).zip(imgs), math.max(ss.size, 1))
-      .flatMap { case (ord, img) =>
-        val ex = excl.getOrElse(ord, Set.empty)
-        qbc.value.iterator.flatMap { case (qid, qv, qn) =>
-          Hnsw.serveVec(img, qv, qn, selfId = qid, ef = ef, k = k,
-            exclude = ex).map { case (id, sc) => (qid, id, sc) }
+    val cands: DataFrame = st.exact match {
+      case Some(perOrd) =>
+        spark.sparkContext
+          .parallelize(served.map(_.ord).zip(imgs),
+            math.max(served.size, 1))
+          .flatMap { case (ord, img) =>
+            val ex = perOrd.getOrElse(ord, Set.empty) ++ extraExclude
+            val want = routedFor.map(_.getOrElse(ord, Set.empty[Long]))
+            qbc.value.iterator
+              .filter(q => want.forall(_.contains(q._1)))
+              .flatMap { case (qid, qv, qn) =>
+                Hnsw.serveVec(img, qv, qn, selfId = qid, ef = ef, k = k,
+                  exclude = ex).map { case (id, sc) => (qid, id, sc) }
+              }
+          }.toDF("query_id", "vec_id", "score")
+      case None =>
+        bloomCands(spark, served, imgs, qrows, st, ef, k, extraExclude,
+          routedFor)
+    }
+    cands.distinct()
+  }
+
+  /** The PAST-THE-CAP serve: shadow ids exceed the driver cap, so no
+    * task closure carries them as a Set. Beams serve UNEXCLUDED (plus
+    * the caller's exact extra set), every candidate is classified
+    * through the broadcast Bloom map-side, the driver verifies only
+    * flagged ids — per ord, against that ord's actual newer-shadow
+    * tables, pushdown point lookups, one verdict map across rounds —
+    * and widening rounds re-serve only the (segment, query) pairs
+    * still short of k live answers (the `searchAnn` DeadBloom loop,
+    * segment-parallel). Driver candidate residency is |Q|·S·k' rows
+    * per round — batch-bounded, never shadow-bounded. */
+  private def bloomCands(spark: SparkSession, ss: Seq[Seg],
+      imgs: Seq[Hnsw.IndexImage],
+      qrows: Array[(Long, Array[Float], Double)], st: ExcludeState,
+      ef: Int, k: Int, extraExclude: Set[Long],
+      routedFor: Option[Map[Int, Set[Long]]] = None): DataFrame = {
+    import spark.implicits._
+    val bloom = st.bloom.get
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val qbc = spark.sparkContext.broadcast(qrows)
+    // (ord, id) verdicts: dead-for-ord iff id ∈ a shadow NEWER than ord
+    val verdicts =
+      scala.collection.mutable.Map.empty[(Int, Long), Boolean]
+    def verify(ord: Int, ids: Seq[Long]): Unit = {
+      val unseen = ids.filterNot(id => verdicts.contains((ord, id)))
+      if (unseen.nonEmpty) {
+        val paths = st.verifyPaths.getOrElse(ord, Seq.empty)
+        val dead =
+          if (paths.isEmpty) Set.empty[Long]
+          else spark.read.parquet(paths: _*)
+            .filter(col("vec_id").isin(unseen: _*))
+            .select("vec_id").as[Long].collect().toSet
+        unseen.foreach(id => verdicts((ord, id)) = dead(id))
+      }
+    }
+    val ordIdx = ss.map(_.ord).zipWithIndex.toMap
+    val done = scala.collection.mutable.Map
+      .empty[(Int, Long), Seq[(Long, Double)]]
+    var pending: Seq[(Int, Set[Long])] =
+      ss.map(s0 => s0.ord -> routedFor.fold(qrows.map(_._1).toSet)(
+        _.getOrElse(s0.ord, Set.empty)))
+        .filter(_._2.nonEmpty)
+    var kk = k
+    while (pending.nonEmpty) {
+      val kNow = kk
+      val pendBc = spark.sparkContext.broadcast(pending.toMap)
+      val served = spark.sparkContext
+        .parallelize(
+          pending.map { case (ord, _) => (ord, imgs(ordIdx(ord))) },
+          math.max(pending.size, 1))
+        .flatMap { case (ord, img) =>
+          val want = pendBc.value(ord)
+          qbc.value.iterator.filter(q => want(q._1)).flatMap {
+            case (qid, qv, qn) =>
+              Hnsw.serveVec(img, qv, qn, selfId = qid, ef = ef,
+                k = kNow, exclude = extraExclude).map {
+                case (id, sc) =>
+                  (ord, qid, id, sc, bloomBc.value.mayContain(id))
+              }
+          }
+        }.collect()
+      served.groupBy(_._1).foreach { case (ord, rows) =>
+        verify(ord, rows.filter(_._5).map(_._3).distinct.toSeq)
+      }
+      val byPair = served.groupBy(t => (t._1, t._2))
+      pending = pending.flatMap { case (ord, qids) =>
+        val still = qids.filter { qid =>
+          val rows = byPair.getOrElse((ord, qid),
+            Array.empty[(Int, Long, Long, Double, Boolean)]).toSeq
+          val live = rows.sortBy(t => (-t._4, t._3))
+            .filterNot(t => t._5 && verdicts((ord, t._3)))
+            .map(t => (t._3, t._4))
+          if (live.size >= k || rows.size < kNow || kNow >= (1 << 20)) {
+            done((ord, qid)) = live.take(k)
+            false
+          } else true
         }
-      }.toDF("query_id", "vec_id", "score")
+        if (still.isEmpty) None else Some(ord -> still)
+      }
+      kk *= 2
+    }
+    done.toSeq.flatMap { case ((_, qid), hits) =>
+      hits.map { case (id, sc) => (qid, id, sc) }
+    }.toDF("query_id", "vec_id", "score")
   }
 
   /** [[serve]] with the UN-SEALED live delta composed in: the delta
@@ -245,7 +602,8 @@ object IncrementalIndex {
     val deltaIds = delta.select(col("vec_id")).as[Long].collect().toSet
     val sealedCands = segCands(spark, work, queries, ef, k, deltaIds,
       budgetBytes)
-    val qrows = queryVecs(spark, segs(spark, work), queries)
+    val qrows = queryVecsCached(spark, work, segs(spark, work), queries,
+      stateKey(spark, work))
     val qv = qrows.toSeq
       .toDF("query_id", "qv", "qn")
     val deltaCands = delta.select(col("vec_id"),
@@ -258,6 +616,82 @@ object IncrementalIndex {
           col("nrm"), col("qn")), 6))
       .select("query_id", "vec_id", "score")
     Hnsw.shardedGather(spark, k, sealedCands.unionByName(deltaCands))
+  }
+
+  /** Per-work-state segment centroids — (ord, cv, cn) from the
+    * `_centroid` sidecars, segment-count-sized, memoized per state
+    * key; a legacy segment without a sidecar derives its centroid
+    * once (its own rows, never a corpus pass). */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Array[Double], Double)]]()
+
+  private def centroidsFor(spark: SparkSession, work: String,
+      ss: Seq[Seg], key: String): Array[(Long, Array[Double], Double)] =
+    centroidCache.computeIfAbsent(s"$work#$key", { _ =>
+      import spark.implicits._
+      ss.map { s0 =>
+        val cp = s"${s0.dir}/_centroid"
+        val (cv, cn) =
+          if (fs(spark, work).exists(new org.apache.hadoop.fs.Path(cp))) {
+            val r = spark.read.parquet(cp).select("cv", "cn").head
+            (r.getSeq[Double](0).toArray, r.getDouble(1))
+          } else {
+            val rows = spark.read
+              .parquet(s"${s0.dir}/embeddings.parquet")
+              .select(posexplode(col("embedding").cast("array<double>")))
+              .groupBy("pos").agg(avg("col").as("v"))
+              .orderBy("pos").select("v").as[Double].collect()
+            (rows, math.sqrt(rows.map(x => x * x).sum))
+          }
+        (s0.ord.toLong, cv, cn)
+      }.toArray
+    })
+
+  /** ROUTED LSM serving — [[Hnsw.routeCellsAdaptive]]'s
+    * confidence-derived scatter composed onto the segment lifecycle:
+    * each query serves only the segments whose centroid similarity is
+    * within `margin` of its best (at least the top-1, at most
+    * `maxRoutes`), and the rest of the serve — shadow excludes,
+    * k-bounded gather, image budget — is [[serve]] unchanged. On a
+    * CLUSTERED ingest stream (each seal a topical burst, the shape
+    * real corpora arrive in) a confident query touches R ≪ S segment
+    * images; on an unstructured stream (residue-split init segments
+    * whose centroids all sit near the global mean) the scores bunch
+    * within the margin and the query WIDENS ITSELF back toward full
+    * fan-out — low centroid confidence degrades to [[serve]]
+    * automatically, per query, not by a mode switch. `maxRoutes ≥ S`
+    * with `margin ≥ 2` (the cosine range) is exactly [[serve]]
+    * (spec-pinned). Staleness note: skipping a segment can only cost
+    * RECALL, never freshness — the shadow rule excludes superseded
+    * ids from any served segment's report regardless of which
+    * segments the query reached. Images materialize only for the
+    * batch's routed working set. */
+  /** The adaptive route plan: query id → the segment ords it serves.
+    * Exposed for probes (mean-segments-served gauges); [[serveRouted]]
+    * consumes it verbatim. */
+  private[graft] def routePlan(spark: SparkSession, work: String,
+      queries: DataFrame, maxRoutes: Int,
+      margin: Double): Map[Long, Seq[Int]] = {
+    val ss = segs(spark, work)
+    val key = stateKey(spark, work)
+    val cents = centroidsFor(spark, work, ss, key)
+    val qrows = queryVecsCached(spark, work, ss, queries, key)
+    qrows.map { case (qid, qv, qn) =>
+      qid -> Hnsw.routeCellsAdaptive(cents, qv, qn, maxRoutes, margin)
+        .map(_.toInt)
+    }.toMap
+  }
+
+  def serveRouted(spark: SparkSession, work: String, queries: DataFrame,
+      maxRoutes: Int, margin: Double, ef: Int = 16, k: Int = 10,
+      budgetBytes: Long = Hnsw.DefaultNodeBudget): DataFrame = {
+    val routed: Map[Int, Set[Long]] =
+      routePlan(spark, work, queries, maxRoutes, margin).toSeq
+        .flatMap { case (qid, ords) => ords.map(o => (o, qid)) }
+        .groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).toSet }
+    Hnsw.shardedGather(spark, k,
+      segCands(spark, work, queries, ef, k, Set.empty, budgetBytes,
+        Some(routed)))
   }
 
   /** ONE size-tiered compaction step: merge the ADJACENT segment pair
@@ -275,13 +709,13 @@ object IncrementalIndex {
       budgetBytes: Long = Hnsw.DefaultNodeBudget): Option[(Int, Int)] = {
     val ss = segs(spark, work)
     if (ss.size < 2) return None
-    val counts = ss.map(s0 => s0.ord ->
-      spark.read.parquet(s"${s0.dir}/embeddings.parquet").count()).toMap
-    val dim = ss.iterator.map(s0 =>
-        spark.read.parquet(s"${s0.dir}/embeddings.parquet")
-          .select(size(col("embedding"))).head(1))
-      .collectFirst { case rs if rs.nonEmpty => rs.head.getInt(0) }
-      .getOrElse(0)
+    // (rows, dim) from the per-path [[segMeta]] cache (sidecar-read or
+    // one scan, ever, per immutable segment path) — repeated
+    // compaction planning over an unchanged tier re-counts nothing
+    val metas = ss.map(s0 => s0.ord -> segMeta(spark, s0.dir)).toMap
+    val counts = metas.view.mapValues(_._1).toMap
+    val dim = ss.iterator.map(s0 => metas(s0.ord)._2)
+      .collectFirst { case d if d > 0 => d }.getOrElse(0)
     val bpv = Hnsw.imageBytesPerVec(dim)
     val pair = ss.zip(ss.tail)
       .filter { case (a, b) => (counts(a.ord) + counts(b.ord)) * bpv <=
@@ -308,27 +742,47 @@ object IncrementalIndex {
         merged0.join(broadcast(sh.distinct()), Seq("vec_id"), "left_anti"))
       val staged = s"$work/_staged_compact_${newer.ord}"
       merged.write.mode("overwrite").parquet(s"$staged/embeddings.parquet")
+      writeSidecars(spark, staged)
       val mergedShadow = shadowOf(spark, work, older.ord)
         .unionByName(shadowOf(spark, work, newer.ord)).distinct()
       val stagedShadow = s"$work/_staged_shadow_${newer.ord}.parquet"
       mergedShadow.write.mode("overwrite").parquet(stagedShadow)
-      // publish under a FRESH path (gen+1): the per-dir index/image
-      // caches must never see new bytes behind an old identity
-      val gen = newer.dir.split("_g").lift(1).fold(0)(_.toInt)
+      // PUBLISH FIRST, DELETE LAST — every intermediate state is
+      // servable. Fresh paths (gen+1 on BOTH the segment and its
+      // shadow): the per-dir index/image caches must never see new
+      // bytes behind an old identity, and rename-to-fresh never
+      // collides with the superseded file. Generation parses from the
+      // BASENAME (a work path containing "_g" must not leak in).
+      // Crash windows, in order: after the segment publish the old
+      // newer-gen dir is hidden by [[segs]]'s max-generation dedupe
+      // and the still-live older segment's rows duplicate the merged
+      // copy byte-for-byte — the serve's candidate distinct collapses
+      // them; after the shadow publish the merged (union) shadow
+      // over-excludes only ids the merged segment itself re-reports;
+      // the trailing deletes only remove paths nothing resolves
+      // anymore.
+      val gen = parseSegName(
+        new org.apache.hadoop.fs.Path(newer.dir).getName)
+        .map(_._2).getOrElse(0)
       val mergedDir =
         s"$work/segments/seg_${newer.ord}_g${gen + 1}"
       val f = fs(spark, work)
+      renameOrDie(f, staged, mergedDir)
+      renameOrDie(f, stagedShadow,
+        s"$work/shadow/seg_${newer.ord}_g${gen + 1}.parquet")
       f.delete(new org.apache.hadoop.fs.Path(older.dir), true)
       f.delete(new org.apache.hadoop.fs.Path(newer.dir), true)
-      f.rename(new org.apache.hadoop.fs.Path(staged),
-        new org.apache.hadoop.fs.Path(mergedDir))
-      f.delete(new org.apache.hadoop.fs.Path(
-        s"$work/shadow/seg_${older.ord}.parquet"), true)
-      f.delete(new org.apache.hadoop.fs.Path(
-        s"$work/shadow/seg_${newer.ord}.parquet"), true)
-      f.rename(new org.apache.hadoop.fs.Path(stagedShadow),
-        new org.apache.hadoop.fs.Path(
-          s"$work/shadow/seg_${newer.ord}.parquet"))
+      // superseded shadows: every generation of the older ordinal,
+      // and the newer ordinal's files BELOW the published generation
+      val shadowRoot = new org.apache.hadoop.fs.Path(s"$work/shadow")
+      if (f.exists(shadowRoot))
+        f.listStatus(shadowRoot).map(_.getPath.getName).foreach { n =>
+          parseShadowName(n).foreach { case (o, g) =>
+            if (o == older.ord || (o == newer.ord && g <= gen))
+              f.delete(
+                new org.apache.hadoop.fs.Path(s"$work/shadow/$n"), true)
+          }
+        }
       Hnsw.indexFor(spark, mergedDir)
       (older.ord, newer.ord)
     }
@@ -362,8 +816,8 @@ object IncrementalIndex {
   private val workDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def qHnswIncr(spark: SparkSession, dir: String): DataFrame = {
-    val work = workDirs.computeIfAbsent(dir, { _ =>
+  private def workDirFor(spark: SparkSession, dir: String): String =
+    workDirs.computeIfAbsent(dir, { _ =>
       val w = java.nio.file.Files
         .createTempDirectory("graft_incr_idx").toString
       val e = Tables.embeddings(spark, dir)
@@ -382,18 +836,38 @@ object IncrementalIndex {
       sealDelta(spark, w, delta)
       w
     })
-    serve(spark, work, spark.range(8).toDF("query_id"), ef = 16, k = 5)
+
+  def qHnswIncr(spark: SparkSession, dir: String): DataFrame =
+    serve(spark, workDirFor(spark, dir),
+      spark.range(8).toDF("query_id"), ef = 16, k = 5)
       .orderBy("query_id", "rank")
-  }
+
+  /** The ROUTED serve over the same lifecycle as a registry row:
+    * adaptive margin 0.05, maxRoutes 2 — each query keeps only the
+    * segments its centroid confidence admits (widening itself where
+    * the scores bunch). Golden oracle like every trained-graph
+    * serve; IncrementalIndexSpec pins the full-fan-out degeneration
+    * and the planted clustered-stream routing behavior. */
+  def qHnswIncrRouted(spark: SparkSession, dir: String): DataFrame =
+    serveRouted(spark, workDirFor(spark, dir),
+      spark.range(8).toDF("query_id"), maxRoutes = 2, margin = 0.05,
+      ef = 16, k = 5)
+      .orderBy("query_id", "rank")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_hnsw_incr" -> (qHnswIncr _)
+    "q_hnsw_incr" -> (qHnswIncr _),
+    "q_hnsw_incr_routed" -> (qHnswIncrRouted _)
   )
 
   val oracles: Map[String, String] = Map(
     "q_hnsw_incr" ->
       s"""SELECT * FROM
          |read_parquet('$fixturesDir/hnsw_incr_sf0.01.parquet/*.parquet')
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_hnsw_incr_routed" ->
+      s"""SELECT * FROM
+         |read_parquet(
+         |  '$fixturesDir/hnsw_incr_routed_sf0.01.parquet/*.parquet')
          |ORDER BY query_id, rank""".stripMargin
   )
 }

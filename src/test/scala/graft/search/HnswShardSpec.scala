@@ -283,6 +283,36 @@ class HnswShardSpec extends SparkSpec {
         "filtered serve")
   }
 
+  test("query-dimension sub-partitioning (qParts) never changes an " +
+      "answer: P=1 (the old single-task-per-segment mode), P=4, and " +
+      "the derived default are bit-equal — only task granularity " +
+      "moves") {
+    val qs = spark.range(8).toDF("query_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val p1 = rows(Hnsw.serveShardedQueryTableOnePass(spark, bigDir,
+      qs, shards = S, ef = 16, k = 5, qParts = 1))
+    val p4 = rows(Hnsw.serveShardedQueryTableOnePass(spark, bigDir,
+      qs, shards = S, ef = 16, k = 5, qParts = 4))
+    val pd = rows(Hnsw.serveShardedQueryTableOnePass(spark, bigDir,
+      qs, shards = S, ef = 16, k = 5))
+    assert(p4 === p1,
+      "query-dimension split at P=4 diverged from the single-task mode")
+    assert(pd === p1,
+      "the derived default qParts diverged from the single-task mode")
+    val f1 = rows(Hnsw.serveShardedQueryTableOnePassFiltered(spark,
+      bigDir, qs, shards = S, labelCol = "label", labelVal = 3L,
+      ef = 64, k = 5, qParts = 1))
+    val f4 = rows(Hnsw.serveShardedQueryTableOnePassFiltered(spark,
+      bigDir, qs, shards = S, labelCol = "label", labelVal = 3L,
+      ef = 64, k = 5, qParts = 4))
+    assert(f4 === f1,
+      "the filtered one-pass serve diverged under the query split")
+    Hnsw.ImageBlobCache.clear()
+  }
+
   test("filtered sharded serve: k label-matching rows per query " +
       "(fill), predicate pure, recall vs exact filtered top-k clears " +
       "the floor") {

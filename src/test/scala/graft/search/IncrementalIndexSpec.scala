@@ -22,8 +22,17 @@ class IncrementalIndexSpec extends SparkSpec {
     * equal bit-for-bit. */
   private def referenceServe(work: String, qids: Seq[Long], ef: Int,
       k: Int): Map[Long, Seq[(Long, Double)]] = {
+    import spark.implicits._
     val ss = II.segs(spark, work)
-    val excl = II.excludesFor(spark, work, ss, Set.empty)
+    // excludes derived here INDEPENDENTLY of the production path
+    // (direct shadow-file collects — the exact semantics), so the
+    // memoized/capped/Bloom serve is checked against first principles
+    val shadows: Seq[(Int, Set[Long])] = ss.map(s0 =>
+      s0.ord -> II.shadowOf(spark, work, s0.ord)
+        .select("vec_id").as[Long].collect().toSet)
+    val excl: Map[Int, Set[Long]] = ss.map(s0 =>
+      s0.ord -> shadows.filter(_._1 > s0.ord).map(_._2)
+        .fold(Set.empty[Long])(_ ++ _)).toMap
     val imgs = ss.map(s0 => (s0.ord, Hnsw.imageFor(spark, s0.dir)))
     val qvs = II.queryVecs(spark, ss,
       spark.createDataFrame(
@@ -263,6 +272,221 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(latestWins(work) === idsBefore,
       "mixed-schema compaction changed the latest-wins corpus")
     assertServeMatchesReference(work, Seq(0L, 3L, 7L))
+  }
+
+  test("shadow excludes past the driver cap: the Bloom + verified-" +
+      "report serve equals the exact reference bit-for-bit, and a " +
+      "repeat serve derives NOTHING — no shadow collects, no query " +
+      "re-scans, no segment metadata jobs") {
+    import spark.implicits._
+    val (work, _) = freshWork()
+    val v0 = Search.embNormed(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    // six corrections → a 6-id shadow, past the planted cap of 2
+    val delta = (3L to 8L).map(id => (id, v0.map(_ * (0.05f * id))))
+      .toDF("vec_id", "embedding")
+    II.sealDelta(spark, work, delta)
+    spark.conf.set("spark.graft.ann.deadSetCap", "2")
+    try {
+      // bit-parity with the exact-exclude reference: serveVec's
+      // exclusion is REPORT-only (the pool is ef-driven), so the
+      // widened Bloom rounds report exactly the top-k live of the
+      // same visited pool
+      assertServeMatchesReference(work, Seq(0L, 5L, 9L))
+      val qids = Seq(0L, 5L, 9L)
+      val first = II.serve(spark, work, qids.toDF("query_id"),
+        ef = 16, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+      val d0 = II.shadowDerivations.get
+      val q0 = II.queryVecDerivations.get
+      val m0 = II.segMetaJobs.get
+      val again = II.serve(spark, work, qids.toDF("query_id"),
+        ef = 16, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+      assert(again === first, "repeat serve diverged")
+      assert(II.shadowDerivations.get === d0,
+        "a repeat serve against an unchanged work dir re-collected " +
+          "shadow tables")
+      assert(II.queryVecDerivations.get === q0,
+        "a repeat serve re-scanned segments for query vectors")
+      assert(II.segMetaJobs.get === m0,
+        "a repeat serve ran segment metadata jobs")
+    } finally spark.conf.unset("spark.graft.ann.deadSetCap")
+  }
+
+  test("sidecar-probed shadow derivation equals the first-principles " +
+      "intersection: corrections verified, fresh ids cleared") {
+    import spark.implicits._
+    val (work, _) = freshWork()
+    val v0 = Search.embNormed(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    val deltaIds = Seq(2L, 4L, 6L, 400000L, 400001L)
+    val delta = deltaIds.map(id => (id, v0.map(_ * 0.5f)))
+      .toDF("vec_id", "embedding")
+    val seg = II.sealDelta(spark, work, delta)
+    assert(seg.nonEmpty)
+    val got = II.shadowOf(spark, work, seg.get.ord)
+      .as[Long].collect().toSet
+    val olderIds = II.segs(spark, work).filter(_.ord < seg.get.ord)
+      .map(s0 => spark.read.parquet(s"${s0.dir}/embeddings.parquet")
+        .select("vec_id"))
+      .reduce(_.unionByName(_)).as[Long].collect().toSet
+    assert(got === deltaIds.toSet.intersect(olderIds))
+    assert(got === Set(2L, 4L, 6L),
+      "sidecar derivation must flag exactly the corrections")
+  }
+
+  test("a crash between compaction publish and cleanup leaves a " +
+      "SERVABLE state: the max-generation dedupe hides the old " +
+      "generation, duplicate candidates collapse, and corrections " +
+      "still serve fresh and once") {
+    import spark.implicits._
+    val (work, budget) = freshWork()
+    val v0 = Search.embNormed(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    // the first seal carries a row that SURVIVES the merge (300000) —
+    // in the crash state the resurrected older segment and the merged
+    // segment both hold it, so the duplicate-collapse is load-bearing
+    II.sealDelta(spark, work,
+      Seq((5L, v0.map(_ * 0.25f)), (300000L, v0.map(_ * 0.5f)))
+        .toDF("vec_id", "embedding"))
+    II.sealDelta(spark, work,
+      Seq((5L, v0.map(_ * -0.25f)), (200000L, v0.map(_ * 0.125f)))
+        .toDF("vec_id", "embedding"))
+    val ssBefore = II.segs(spark, work)
+    val pair = Seq(ssBefore(ssBefore.size - 2), ssBefore.last)
+    // snapshot the paths compaction will delete
+    val backup = java.nio.file.Files
+      .createTempDirectory("graft_crash_backup")
+    def cp(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    val savedDirs = pair.map { s0 =>
+      val src = java.nio.file.Paths.get(s0.dir)
+      val dst = backup.resolve(src.getFileName)
+      cp(src, dst)
+      (dst, src)
+    }
+    val savedShadows = pair.flatMap(s0 =>
+      II.shadowPathOf(spark, work, s0.ord)).map { sp =>
+      val src = java.nio.file.Paths.get(sp)
+      val dst = backup.resolve(src.getFileName)
+      cp(src, dst)
+      (dst, src)
+    }
+    val merged = II.compactOnce(spark, work, budget)
+    assert(merged.nonEmpty)
+    val cleanSegs = II.segs(spark, work)
+    // resurrect the deleted paths: this IS the publish-done,
+    // cleanup-missed crash state
+    (savedDirs ++ savedShadows).foreach { case (dst, src) =>
+      if (!java.nio.file.Files.exists(src)) cp(dst, src)
+    }
+    val crashSegs = II.segs(spark, work)
+    assert(crashSegs.size === cleanSegs.size + 1,
+      "the resurrected OLDER ordinal must be visible again")
+    assert(crashSegs.find(_.ord == merged.get._2).get.dir ===
+      cleanSegs.find(_.ord == merged.get._2).get.dir,
+      "the old generation of the merged ordinal must stay hidden " +
+        "behind the published one")
+    val out = II.serve(spark, work, Seq(0L, 7L).toDF("query_id"),
+      ef = 16, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    Seq(0L, 7L).foreach { qid =>
+      val mine = out.filter(_._1 == qid)
+      assert(mine.map(_._3).distinct.length === mine.length,
+        s"crash-state serve reported a duplicate id for query $qid")
+      assert(mine.length === 5)
+    }
+    // the correction still serves once, from the NEWEST row
+    val for0 = out.filter(_._1 == 0L)
+    assert(for0.count(_._3 == 5L) <= 1)
+    for0.filter(_._3 == 5L).foreach(t => assert(t._4 === -1.0 ||
+      t._4 < 0, "corrected id 5 must score from the newest (negated) " +
+        "embedding"))
+    // the survivor held by BOTH the merged and the resurrected older
+    // segment reports exactly once, at its exact score
+    assert(for0.count(_._3 == 300000L) === 1,
+      "the doubly-held survivor must collapse to one report")
+    assert(for0.find(_._3 == 300000L).get._4 === 1.0)
+    // clean up the resurrection so later reads see the clean state
+    (savedDirs ++ savedShadows).foreach { case (_, src) =>
+      if (!cleanSegs.exists(_.dir == src.toString)) fs0(work).delete(
+        new org.apache.hadoop.fs.Path(src.toString), true)
+    }
+  }
+
+  test("serveRouted: wide margin at full maxRoutes is bit-equal to " +
+      "the full scatter; a clustered ingest burst routes narrow and " +
+      "still finds its planted clone") {
+    import spark.implicits._
+    val (work, _) = freshWork()
+    // a topical burst: 20 clones along vec 0's direction, fresh ids —
+    // its sealed segment's centroid points at v0, while the
+    // residue-split init segments' centroids sit near the global mean
+    val v0 = Search.embNormed(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    val burst = (0 until 20).map(i =>
+      (500000L + i, v0.map(_ * (0.5f + 0.01f * i))))
+      .toDF("vec_id", "embedding")
+    II.sealDelta(spark, work, burst)
+    val qids = Seq(0L, 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val full = rows(II.serve(spark, work, qids.toDF("query_id"),
+      ef = 16, k = 5))
+    val wide = rows(II.serveRouted(spark, work, qids.toDF("query_id"),
+      maxRoutes = II.segs(spark, work).size, margin = 2.0,
+      ef = 16, k = 5))
+    assert(wide === full,
+      "wide-margin routed serve must degenerate to the full scatter")
+    // query 0 (v0's own direction) at margin 0: top-1 route is the
+    // burst segment, and the clone family fills the report
+    val narrow = rows(II.serveRouted(spark, work,
+      Seq(0L).toDF("query_id"), maxRoutes = 1, margin = 0.0,
+      ef = 16, k = 5))
+    assert(narrow.nonEmpty)
+    assert(narrow.head._3 >= 500000L,
+      "the narrow route must reach the burst segment's clones")
+    assert(narrow.head._4 === 1.0)
+  }
+
+  test("generation parsing is basename-only: a work path containing " +
+      "\"_g\" seals and compacts without mis-parsing") {
+    import spark.implicits._
+    // createTempDirectory("graft_gdir") yields a path containing "_g"
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_gdir").toString
+    assert(work.contains("_g"))
+    val stats = Search.embNormed(spark, sfDir)
+      .agg(count(lit(1)), first(size(col("embedding")))).head
+    val budget = math.max(1L,
+      stats.getLong(0) * Hnsw.imageBytesPerVec(stats.getInt(1)) / 3)
+    II.initSegments(spark, sfDir, work, budget)
+    val v0 = Search.embNormed(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    II.sealDelta(spark, work,
+      Seq((5L, v0.map(_ * 0.25f))).toDF("vec_id", "embedding"))
+    II.sealDelta(spark, work,
+      Seq((6L, v0.map(_ * 0.2f))).toDF("vec_id", "embedding"))
+    val merged = II.compactOnce(spark, work, budget)
+    assert(merged.nonEmpty,
+      "compaction must succeed under a \"_g\" work path")
+    assertServeMatchesReference(work, Seq(0L, 3L))
   }
 
   test("serveWithDelta: the live (un-sealed) delta arm wins over every " +
