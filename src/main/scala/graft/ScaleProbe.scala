@@ -1787,40 +1787,48 @@ object ScaleProbe {
         } finally spark.conf.unset("spark.graft.ann.deadSetCap")
       },
       time("hnsw_incr_seal_scale") {
-        // Seal-cost independence from corpus id volume (round 12): the
-        // sidecar-probed shadow derivation reads S Bloom bitmaps +
-        // flagged point lookups; the legacy derivation scans every
-        // older segment's id column. Two work dirs over the SAME
-        // corpus — one with `_idbloom` sidecars stripped — seal the
-        // same 200-row correction delta; the walls separate by the
-        // full-id-scan tax, and the derived shadows must be identical.
+        // Seal-time shadow-DERIVATION cost vs corpus id volume (round
+        // 12), measured in isolation — the end-to-end seal wall is
+        // delta-index-build dominated at toy scale and would mask it.
+        // The sidecar path probes S Bloom bitmaps over the DELTA ids
+        // (delta-sized work) + flagged point lookups; the full-scan
+        // path unions every older segment's id column and semi-joins.
+        // The derived correction sets must be identical; the walls
+        // separate by the full-id-scan tax, which grows with the
+        // corpus while the sidecar arm does not.
         import operators.{Hnsw, IncrementalIndex => II, Search}
         val gdir = hnswProbeDir
         val e = Search.embNormed(spark, gdir)
         val n = e.count()
         val dim = e.select(size(col("embedding"))).head.getInt(0)
         val budget = math.max(1L, n * Hnsw.imageBytesPerVec(dim) / 6)
-        val delta = e.filter(col("vec_id") < 200)
-          .select(col("vec_id"), expr(
-            "transform(embedding, x -> x * CAST(0.8 AS FLOAT))")
-            .as("embedding"))
-        def sealWall(w: String, strip: Boolean): (Double, Set[Long]) = {
-          II.initSegments(spark, gdir, w, budget)
-          if (strip) II.segs(spark, w).foreach { s0 =>
-            val p = new org.apache.hadoop.fs.Path(s"${s0.dir}/_idbloom")
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .delete(p, true)
-          }
+        val w = s"$work/seal_scale"
+        II.initSegments(spark, gdir, w, budget)
+        val segsNow = II.segs(spark, w)
+        // 200 corrections staged as the seal would stage them
+        val deltaIds = e.filter(col("vec_id") < 200).select("vec_id")
+        deltaIds.write.mode("overwrite").parquet(s"$w/staged_ids")
+        val staged = spark.read.parquet(s"$w/staged_ids")
+        def timed[A](f: => A): (Double, A) = {
           val t0 = System.nanoTime()
-          val seg = II.sealDelta(spark, w, delta)
-          val wall = (System.nanoTime() - t0) / 1e9
-          (wall, II.shadowOf(spark, w, seg.get.ord)
-            .collect().map(_.getLong(0)).toSet)
+          val r = f
+          ((System.nanoTime() - t0) / 1e9, r)
         }
-        val (wSide, shSide) = sealWall(s"$work/seal_side", strip = false)
-        val (wScan, shScan) = sealWall(s"$work/seal_scan", strip = true)
-        s"n=$n delta=200 seal_sidecar=${f"$wSide%.1f"}s " +
-          s"seal_fullscan=${f"$wScan%.1f"}s " +
+        val (wSide, shSide) = timed {
+          II.deriveShadowIdsSidecar(spark, segsNow, staged)
+            .map(_.distinct().collect().map(_.getLong(0)).toSet)
+            .getOrElse(Set.empty[Long])
+        }
+        val (wScan, shScan) = timed {
+          val all = segsNow.map(s0 => spark.read
+              .parquet(s"${s0.dir}/embeddings.parquet").select("vec_id"))
+            .reduce(_.unionByName(_))
+          staged.join(all, Seq("vec_id"), "left_semi").distinct()
+            .collect().map(_.getLong(0)).toSet
+        }
+        s"n=$n segs=${segsNow.size} delta=200 " +
+          s"derive_sidecar=${f"$wSide%.2f"}s " +
+          s"derive_fullscan=${f"$wScan%.2f"}s " +
           s"tax=${f"${wScan / math.max(wSide, 0.001)}%.1f"}x " +
           s"shadow_parity=${shSide == shScan} corrections=${shSide.size}"
       },
@@ -1885,9 +1893,9 @@ object ScaleProbe {
             .count(exact.getOrElse(q, Set.empty).contains) / 10.0)
             .sum / qids.size
         }
-        val t0 = System.nanoTime()
-        val full = II.serve(spark, rw, qdf, ef = 16, k = 10).collect()
-        val wFull = (System.nanoTime() - t0) / 1e9
+        // routed runs FIRST (cold): it builds/loads images only for
+        // the batch's routed working set — the scatter saving includes
+        // the build bill; the full serve then pays the rest
         val plan = II.routePlan(spark, rw, qdf, maxRoutes = 2,
           margin = 0.05)
         val meanSegs = plan.values.map(_.size).sum.toDouble /
@@ -1896,6 +1904,9 @@ object ScaleProbe {
         val routed = II.serveRouted(spark, rw, qdf, maxRoutes = 2,
           margin = 0.05, ef = 16, k = 10).collect()
         val wRouted = (System.nanoTime() - t1) / 1e9
+        val t0 = System.nanoTime()
+        val full = II.serve(spark, rw, qdf, ef = 16, k = 10).collect()
+        val wFull = (System.nanoTime() - t0) / 1e9
         val fullByQ = full.groupBy(_.getLong(0))
           .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
         val overlap = qids.map { q =>

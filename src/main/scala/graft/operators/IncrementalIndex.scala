@@ -230,6 +230,69 @@ object IncrementalIndex {
     * from an isin-pushdown point lookup to a broadcast semi-join. */
   private val IsinPushdownCap = 1 << 14
 
+  /** Below this ratio of older-corpus ids to delta ids the seal's
+    * shadow derivation uses the one-job full-scan semi-join; above it
+    * the per-segment sidecar probing. The 20× probe measured the
+    * crossover's existence directly: at n=10⁴ the full scan (ONE job
+    * over all ids) beats the sidecar arm (3 small jobs per segment,
+    * 0.8 s vs 2.8 s), while at corpus scale the full scan reads every
+    * id ever sealed per seal — the sidecar arm's work stays
+    * delta-bounded. 64 ≈ the job-overhead-to-scan-rate ratio the probe
+    * implies, biased toward the scan (it is exact-cost, the constant
+    * only wastes small time when wrong). */
+  private val FullScanBias = 64L
+
+  /** Seal-time correction derivation — `ids ∩ older member ids`,
+    * route-selected by [[FullScanBias]]:
+    *   - FULL-SCAN arm (small corpora): union of the older segments'
+    *     id columns, one semi-join job;
+    *   - SIDECAR arm (the 100 TB shape): each older segment's
+    *     `_idbloom` filters the delta ids map-side (delta-sized work,
+    *     NO segment id scan); only flagged ids — correction-bounded
+    *     plus the bitmap's ~4e-4 false-positive slice — verify against
+    *     the segment by point lookup. A legacy segment without a
+    *     sidecar falls back to the semi-join for that segment only.
+    * Both arms derive the identical set (spec-pinned); the probe times
+    * them in isolation. */
+  private[graft] def deriveShadowIds(spark: SparkSession,
+      existing: Seq[Seg], ids: DataFrame): Option[DataFrame] = {
+    if (existing.isEmpty) return None
+    val olderRows = existing.map(s0 => segMeta(spark, s0.dir)._1).sum
+    val deltaN = ids.count()
+    if (olderRows <= FullScanBias * math.max(deltaN, 1L))
+      Some(ids.join(
+        existing.map(s0 => spark.read
+            .parquet(s"${s0.dir}/embeddings.parquet").select("vec_id"))
+          .reduce(_.unionByName(_)),
+        Seq("vec_id"), "left_semi"))
+    else deriveShadowIdsSidecar(spark, existing, ids)
+  }
+
+  /** The sidecar arm of [[deriveShadowIds]], exposed separately for
+    * the scale probe's isolation timing. */
+  private[graft] def deriveShadowIdsSidecar(spark: SparkSession,
+      existing: Seq[Seg], ids: DataFrame): Option[DataFrame] = {
+    import spark.implicits._
+    existing.flatMap { s0 =>
+      val flagged: DataFrame = idBloomFor(spark, s0.dir) match {
+        case Some(bloom) =>
+          ids.as[Long].mapPartitions(
+            _.filter(bloom.mayContain)).toDF("vec_id")
+        case None => ids // legacy: every delta id "flagged"
+      }
+      val nf = flagged.count()
+      if (nf == 0) None
+      else if (nf <= IsinPushdownCap) {
+        val flaggedIds = flagged.as[Long].collect()
+        Some(spark.read.parquet(s"${s0.dir}/embeddings.parquet")
+          .select("vec_id").filter(col("vec_id").isin(flaggedIds: _*)))
+      } else
+        Some(spark.read.parquet(s"${s0.dir}/embeddings.parquet")
+          .select("vec_id")
+          .join(broadcast(flagged), Seq("vec_id"), "left_semi"))
+    }.reduceOption(_.unionByName(_))
+  }
+
   /** Freeze `delta` (one row per vec_id — [[graft.streaming
     * .StreamingShardedServe.deltaRows]]'s latest-wins contract) as the
     * next segment: ONE index build over delta-sized data, plus the
@@ -264,25 +327,8 @@ object IncrementalIndex {
     writeSidecars(spark, stagedSeg)
     // corrections: sealed ids already members of an older segment —
     // derived from the materialized snapshot, sidecar-probed
-    val stagedIds = sealedRows.select("vec_id")
-    val shadow = existing.flatMap { s0 =>
-      val flagged: DataFrame = idBloomFor(spark, s0.dir) match {
-        case Some(bloom) =>
-          stagedIds.as[Long].mapPartitions(
-            _.filter(bloom.mayContain)).toDF("vec_id")
-        case None => stagedIds // legacy: every delta id "flagged"
-      }
-      val nf = flagged.count()
-      if (nf == 0) None
-      else if (nf <= IsinPushdownCap) {
-        val ids = flagged.as[Long].collect()
-        Some(spark.read.parquet(s"${s0.dir}/embeddings.parquet")
-          .select("vec_id").filter(col("vec_id").isin(ids: _*)))
-      } else
-        Some(spark.read.parquet(s"${s0.dir}/embeddings.parquet")
-          .select("vec_id")
-          .join(broadcast(flagged), Seq("vec_id"), "left_semi"))
-    }.reduceOption(_.unionByName(_))
+    val shadow = deriveShadowIds(spark, existing,
+      sealedRows.select("vec_id"))
     // shadow publishes BEFORE the segment: a correction visible
     // without its shadow would double-report; an orphan shadow for a
     // never-published ordinal is inert (excludes read only live ords)
@@ -332,7 +378,7 @@ object IncrementalIndex {
     * sound because flagged candidates verify against the ord's actual
     * newer-shadow tables via `verifyPaths`, and cleared candidates are
     * provably in no shadow at all). */
-  private final case class ExcludeState(key: String,
+  private final case class ExcludeState(key: String, cap: Long,
       exact: Option[Map[Int, Set[Long]]],
       bloom: Option[graft.model.IdFilters.IdBloom],
       verifyPaths: Map[Int, Seq[String]])
@@ -341,13 +387,14 @@ object IncrementalIndex {
     String, ExcludeState]()
 
   private def excludeStateFor(spark: SparkSession, work: String,
-      ss: Seq[Seg], key: String): ExcludeState =
+      ss: Seq[Seg], key: String): ExcludeState = {
+    val capNow = graft.model.IdFilters.driverCap(spark)
     excludeStates.compute(work, { (_, prev) =>
-      if (prev != null && prev.key == key) prev
+      if (prev != null && prev.key == key && prev.cap == capNow) prev
       else {
         import spark.implicits._
         shadowDerivations.incrementAndGet()
-        val cap = graft.model.IdFilters.driverCap(spark)
+        val cap = capNow
         val shadows: Seq[(Int, Option[String], Long)] = ss.map { s0 =>
           val p = shadowPathOf(spark, work, s0.ord)
           (s0.ord, p, p.fold(0L)(spark.read.parquet(_).count()))
@@ -363,7 +410,7 @@ object IncrementalIndex {
             s0.ord -> sets.filter(_._1 > s0.ord).map(_._2)
               .fold(Set.empty[Long])(_ ++ _)
           }.toMap
-          ExcludeState(key, Some(perOrd), None, Map.empty)
+          ExcludeState(key, cap, Some(perOrd), None, Map.empty)
         } else {
           val allShadows = shadows.flatMap(_._2)
             .map(spark.read.parquet(_).select("vec_id"))
@@ -375,10 +422,11 @@ object IncrementalIndex {
             s0.ord -> shadows
               .filter(t => t._1 > s0.ord && t._3 > 0).flatMap(_._2)
           }.toMap
-          ExcludeState(key, None, Some(bloom), verify)
+          ExcludeState(key, cap, None, Some(bloom), verify)
         }
       }
     })
+  }
 
   /** Per-(work state, query batch) resolved query vectors — the
     * segment point-lookup scans run once per state per batch, not per
@@ -432,7 +480,7 @@ object IncrementalIndex {
   private val segMetas = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Int)]()
 
-  private def segMeta(spark: SparkSession,
+  private[graft] def segMeta(spark: SparkSession,
       segDir: String): (Long, Int) =
     segMetas.computeIfAbsent(segDir, { _ =>
       segMetaJobs.incrementAndGet()
@@ -587,6 +635,159 @@ object IncrementalIndex {
     done.toSeq.flatMap { case ((_, qid), hits) =>
       hits.map { case (id, sc) => (qid, id, sc) }
     }.toDF("query_id", "vec_id", "score")
+  }
+
+  /** The LSM lifecycle × an UNBOUNDED query table — the serving-
+    * matrix cell [[Hnsw.serveShardedQueryTableOnePass]] fills for the
+    * residue layout, composed with shadows: all segments serve
+    * CONCURRENTLY from blob-cached images, the query table fans out
+    * on a `(segment, hash(query_id) mod P)` key (the query dimension
+    * parallelizes; a hot segment never serializes its stream behind
+    * one task), and NOTHING query-scale ever lands on the driver:
+    *
+    *   - query vectors resolve latest-wins IN-PLAN (segment union →
+    *     keyed window), not via a driver collect;
+    *   - shadow deadness is an equi-join against the correction-
+    *     bounded `(vec_id, max shadow ord)` table — a candidate from
+    *     segment i is dead iff a NEWER segment's shadow holds its id;
+    *   - when the shadow total fits the driver cap the per-segment
+    *     exact Sets ride the task closures and each beam backfills
+    *     past them in ONE pass (no loop); past the cap the serve runs
+    *     WIDENING ROUNDS with the pending (segment, query) keys kept
+    *     as a DataFrame — per round the driver sees one scalar count,
+    *     and only still-short pairs re-serve at doubled depth (the
+    *     `searchAnn` exactness loop, re-expressed relationally).
+    *
+    * Bit-equal to [[serve]] on any bounded batch (spec-pinned);
+    * returns the same k-bounded gather shape as every serve in the
+    * family. */
+  def serveQueryTable(spark: SparkSession, work: String,
+      queries: DataFrame, ef: Int = 16, k: Int = 10,
+      budgetBytes: Long = Hnsw.DefaultNodeBudget,
+      qParts: Int = 0): DataFrame = {
+    import spark.implicits._
+    val ss = segs(spark, work)
+    val key = stateKey(spark, work)
+    val st = excludeStateFor(spark, work, ss, key)
+    if (ss.isEmpty)
+      return Hnsw.shardedGather(spark, k,
+        Seq.empty[(Long, Long, Double)]
+          .toDF("query_id", "vec_id", "score"))
+    locally {
+      import scala.collection.parallel.CollectionConverters._
+      ss.par.foreach(s0 => Hnsw.indexFor(spark, s0.dir))
+    }
+    val blobs = ss.map(s0 => Hnsw.imageBlobFor(spark, s0.dir,
+      budgetBytes))
+    val ords = ss.map(_.ord)
+    val p = math.max(1,
+      if (qParts > 0) qParts
+      else spark.sparkContext.defaultParallelism / math.max(ss.size, 1))
+    // latest-wins query vectors, in-plan: newest segment holding the
+    // id supplies the row
+    val qids = queries.select(col("query_id").cast("long").as("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("__ord").desc)
+    val qv = ss.map(s0 =>
+        spark.read.parquet(s"${s0.dir}/embeddings.parquet")
+          .join(qids, "vec_id")
+          .select(col("vec_id"), col("embedding"),
+            lit(s0.ord).as("__ord")))
+      .reduce(_.unionByName(_))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<float>").as("qv"))
+      .as[(Long, Array[Float])]
+    def fanned = qv.flatMap { case (qid, emb) =>
+      var s = 0.0
+      var i = 0
+      while (i < emb.length) {
+        s += emb(i).toDouble * emb(i).toDouble; i += 1
+      }
+      val qn = math.sqrt(s)
+      ords.indices.iterator.map(si => (si, qid, emb, qn))
+    }
+    val ordsArr = ords.toArray
+    val blobsArr = blobs.toArray
+    def serveRound(fan: org.apache.spark.sql.Dataset[
+        (Int, Long, Array[Float], Double)], kk: Int,
+        exact: Option[Map[Int, Set[Long]]]): DataFrame = {
+      fan.groupByKey(t =>
+          (t._1, (((t._2 * 0x9E3779B97F4A7C15L) >>> 33) % p).toInt))
+        .flatMapGroups { (gk, it) =>
+          val img = Hnsw.ImageBlobCache.get(blobsArr(gk._1))
+          val ord = ordsArr(gk._1)
+          val ex = exact.fold(Set.empty[Long])(_.getOrElse(ord,
+            Set.empty))
+          it.flatMap { case (_, qid, emb, qn) =>
+            val hits = Hnsw.serveVec(img, emb, qn, selfId = qid,
+              ef = ef, k = kk, exclude = ex)
+            val n = hits.size
+            hits.map { case (id, sc) => (gk._1, ord, qid, id, sc, n) }
+          }
+        }.toDF("__segidx", "__segord", "query_id", "vec_id", "score",
+          "__nrep")
+    }
+    val cands: DataFrame = st.exact match {
+      case Some(perOrd) =>
+        // one pass: beams backfill past the bounded exact excludes
+        serveRound(fanned, k, Some(perOrd))
+          .select("query_id", "vec_id", "score")
+      case None =>
+        // correction-bounded deadness table: id → newest shadow ord;
+        // a candidate from segment i is dead iff that ord exceeds i
+        val maxShadow = ss.flatMap(s0 =>
+            shadowPathOf(spark, work, s0.ord).map(pp =>
+              spark.read.parquet(pp).select(col("vec_id"),
+                lit(s0.ord).as("__sord"))))
+          .reduce(_.unionByName(_))
+          .groupBy("vec_id").agg(max("__sord").as("__maxsord"))
+        var pendingFan = fanned
+        var kk = k
+        var acc: DataFrame = Seq.empty[(Long, Long, Double)]
+          .toDF("query_id", "vec_id", "score")
+        var exhausted = false
+        while (!exhausted) {
+          val atCap = kk >= (1 << 20)
+          val served = serveRound(pendingFan, kk, None)
+            .join(maxShadow, Seq("vec_id"), "left_outer")
+            .withColumn("__dead", coalesce(
+              col("__maxsord") > col("__segord"), lit(false)))
+            .localCheckpoint()
+          val pairW = org.apache.spark.sql.expressions.Window
+            .partitionBy("__segidx", "query_id")
+          val ranked = served
+            .withColumn("__nlive", sum(when(col("__dead"), 0L)
+              .otherwise(1L)).over(pairW))
+            .withColumn("__pairdone",
+              col("__nlive") >= k || col("__nrep") < kk || lit(atCap))
+          val liveW = org.apache.spark.sql.expressions.Window
+            .partitionBy("__segidx", "query_id")
+            .orderBy(desc("score"), col("vec_id"))
+          acc = acc.unionByName(ranked
+            .filter(col("__pairdone") && !col("__dead"))
+            .withColumn("__rk", row_number().over(liveW))
+            .filter(col("__rk") <= k)
+            .select("query_id", "vec_id", "score"))
+            .localCheckpoint()
+          val pendingKeys = ranked.filter(!col("__pairdone"))
+            .select(col("__segidx").as("__psi"),
+              col("query_id").as("__pqid"))
+            .distinct().localCheckpoint()
+          if (pendingKeys.isEmpty) exhausted = true
+          else {
+            val pfDf = pendingFan.toDF() // _1.._4
+            pendingFan = pfDf.join(pendingKeys,
+                pfDf("_1") === pendingKeys("__psi") &&
+                  pfDf("_2") === pendingKeys("__pqid"), "left_semi")
+              .as[(Int, Long, Array[Float], Double)]
+            kk *= 2
+          }
+        }
+        acc
+    }
+    Hnsw.shardedGather(spark, k, cands.distinct())
   }
 
   /** [[serve]] with the UN-SEALED live delta composed in: the delta
@@ -854,9 +1055,21 @@ object IncrementalIndex {
       ef = 16, k = 5)
       .orderBy("query_id", "rank")
 
+  /** The unbounded-query-table serve over the same lifecycle as a
+    * registry row: the 8-query batch runs through the fully in-plan
+    * path (fan-out key, join-verified shadows, k-bounded gather) —
+    * IncrementalIndexSpec pins it bit-equal to [[serve]] on any batch,
+    * in both the exact and the past-the-cap widening mode. Golden
+    * oracle like every trained-graph serve. */
+  def qHnswIncrTable(spark: SparkSession, dir: String): DataFrame =
+    serveQueryTable(spark, workDirFor(spark, dir),
+      spark.range(8).toDF("query_id"), ef = 16, k = 5)
+      .orderBy("query_id", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hnsw_incr" -> (qHnswIncr _),
-    "q_hnsw_incr_routed" -> (qHnswIncrRouted _)
+    "q_hnsw_incr_routed" -> (qHnswIncrRouted _),
+    "q_hnsw_incr_table" -> (qHnswIncrTable _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -868,6 +1081,11 @@ object IncrementalIndex {
       s"""SELECT * FROM
          |read_parquet(
          |  '$fixturesDir/hnsw_incr_routed_sf0.01.parquet/*.parquet')
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_hnsw_incr_table" ->
+      s"""SELECT * FROM
+         |read_parquet(
+         |  '$fixturesDir/hnsw_incr_table_sf0.01.parquet/*.parquet')
          |ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -74,9 +74,10 @@ object StreamingIncrementalServe {
       .select("vec_id", "embedding")
     val deltaN = snapshot.count()
     if (deltaN == 0) return None
+    // per-path cached (rows, dim) — sidecar-read, so the trigger check
+    // never re-scans a sealed segment however often it polls
     val minSeg = II.segs(spark, segWork)
-      .map(s0 => spark.read
-        .parquet(s"${s0.dir}/embeddings.parquet").count())
+      .map(s0 => II.segMeta(spark, s0.dir)._1)
       .minOption.getOrElse(0L)
     if (deltaN * fraction <= minSeg) None
     else {

@@ -317,8 +317,9 @@ class IncrementalIndexSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ann.deadSetCap")
   }
 
-  test("sidecar-probed shadow derivation equals the first-principles " +
-      "intersection: corrections verified, fresh ids cleared") {
+  test("shadow derivation equals the first-principles intersection on " +
+      "BOTH arms (full-scan and sidecar-probed): corrections " +
+      "verified, fresh ids cleared") {
     import spark.implicits._
     val (work, _) = freshWork()
     val v0 = Search.embNormed(spark, sfDir)
@@ -329,15 +330,24 @@ class IncrementalIndexSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val seg = II.sealDelta(spark, work, delta)
     assert(seg.nonEmpty)
+    // whatever arm the crossover rule picked at seal time
     val got = II.shadowOf(spark, work, seg.get.ord)
       .as[Long].collect().toSet
-    val olderIds = II.segs(spark, work).filter(_.ord < seg.get.ord)
+    val older = II.segs(spark, work).filter(_.ord < seg.get.ord)
+    val olderIds = older
       .map(s0 => spark.read.parquet(s"${s0.dir}/embeddings.parquet")
         .select("vec_id"))
       .reduce(_.unionByName(_)).as[Long].collect().toSet
     assert(got === deltaIds.toSet.intersect(olderIds))
     assert(got === Set(2L, 4L, 6L),
-      "sidecar derivation must flag exactly the corrections")
+      "shadow derivation must flag exactly the corrections")
+    // the sidecar arm, forced, must agree with the sealed shadow
+    val sidecar = II.deriveShadowIdsSidecar(spark, older,
+      deltaIds.toDF("vec_id"))
+      .map(_.distinct().as[Long].collect().toSet)
+      .getOrElse(Set.empty[Long])
+    assert(sidecar === got,
+      "the sidecar arm diverged from the sealed shadow")
   }
 
   test("a crash between compaction publish and cleanup leaves a " +
@@ -462,6 +472,46 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(narrow.head._3 >= 500000L,
       "the narrow route must reach the burst segment's clones")
     assert(narrow.head._4 === 1.0)
+  }
+
+  test("serveQueryTable (the in-plan unbounded-query-table serve) is " +
+      "bit-equal to the bounded-batch serve — in the exact-exclude " +
+      "mode, the past-the-cap widening mode, and at every qParts") {
+    import spark.implicits._
+    val (work, _) = freshWork()
+    val v0 = Search.embNormed(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    // six corrections (shadow of 6) + two fresh ids
+    val delta = ((3L to 8L).map(id => (id, v0.map(_ * (0.05f * id)))) ++
+      Seq((600000L, v0.map(_ * 0.5f)), (600001L, v0.map(_ * 0.45f))))
+      .toDF("vec_id", "embedding")
+    II.sealDelta(spark, work, delta)
+    val qids = Seq(0L, 5L, 9L, 11L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val batch = rows(II.serve(spark, work, qids.toDF("query_id"),
+      ef = 16, k = 5))
+    val tableExact = rows(II.serveQueryTable(spark, work,
+      qids.toDF("query_id"), ef = 16, k = 5))
+    assert(tableExact === batch,
+      "in-plan query-table serve diverged (exact-exclude mode)")
+    val tableP3 = rows(II.serveQueryTable(spark, work,
+      qids.toDF("query_id"), ef = 16, k = 5, qParts = 3))
+    assert(tableP3 === batch,
+      "query-dimension split changed a query-table answer")
+    spark.conf.set("spark.graft.ann.deadSetCap", "2")
+    try {
+      val batchBloom = rows(II.serve(spark, work,
+        qids.toDF("query_id"), ef = 16, k = 5))
+      assert(batchBloom === batch,
+        "the cap must not change the bounded-batch answer")
+      val tableWiden = rows(II.serveQueryTable(spark, work,
+        qids.toDF("query_id"), ef = 16, k = 5))
+      assert(tableWiden === batch,
+        "in-plan query-table serve diverged (widening mode)")
+    } finally spark.conf.unset("spark.graft.ann.deadSetCap")
   }
 
   test("generation parsing is basename-only: a work path containing " +
