@@ -230,17 +230,20 @@ object IncrementalIndex {
     * from an isin-pushdown point lookup to a broadcast semi-join. */
   private val IsinPushdownCap = 1 << 14
 
-  /** Below this ratio of older-corpus ids to delta ids the seal's
-    * shadow derivation uses the one-job full-scan semi-join; above it
-    * the per-segment sidecar probing. The 20× probe measured the
-    * crossover's existence directly: at n=10⁴ the full scan (ONE job
-    * over all ids) beats the sidecar arm (3 small jobs per segment,
-    * 0.8 s vs 2.8 s), while at corpus scale the full scan reads every
-    * id ever sealed per seal — the sidecar arm's work stays
-    * delta-bounded. 64 ≈ the job-overhead-to-scan-rate ratio the probe
-    * implies, biased toward the scan (it is exact-cost, the constant
-    * only wastes small time when wrong). */
+  /** Route selection for the seal-time shadow derivation: the one-job
+    * full-scan semi-join wins while the older id volume is small —
+    * the 20×/50× probes measured it directly (0.8 s vs 2.8 s at
+    * n=10⁴, 0.9 s vs 3.2 s at n=2.5·10⁴: one job over ALL ids barely
+    * moves with n at toy scale, while the sidecar arm pays ~3 small
+    * jobs per segment) — and loses when the scan itself is the cost:
+    * at 10⁹-10¹⁰ ids (the 100 TB shape) re-reading every id ever
+    * sealed per seal is the standing tax the sidecar probing exists
+    * to remove. The rule keeps the scan while older ids ≤
+    * max(64 × delta, 2²⁷ ≈ 134M — a few seconds of one columnar scan
+    * at cluster rates, far above every measured point where the scan
+    * still won) and probes sidecars beyond. */
   private val FullScanBias = 64L
+  private val FullScanFloor = 1L << 27
 
   /** Seal-time correction derivation — `ids ∩ older member ids`,
     * route-selected by [[FullScanBias]]:
@@ -259,7 +262,8 @@ object IncrementalIndex {
     if (existing.isEmpty) return None
     val olderRows = existing.map(s0 => segMeta(spark, s0.dir)._1).sum
     val deltaN = ids.count()
-    if (olderRows <= FullScanBias * math.max(deltaN, 1L))
+    if (olderRows <= math.max(FullScanBias * math.max(deltaN, 1L),
+        FullScanFloor))
       Some(ids.join(
         existing.map(s0 => spark.read
             .parquet(s"${s0.dir}/embeddings.parquet").select("vec_id"))
@@ -893,6 +897,42 @@ object IncrementalIndex {
     Hnsw.shardedGather(spark, k,
       segCands(spark, work, queries, ef, k, Set.empty, budgetBytes,
         Some(routed)))
+  }
+
+  /** [[serveRouted]] with the UN-SEALED live delta composed in — the
+    * streaming loop's routed serve: the sealed arm scatters only to
+    * each query's routed segments (adaptive margin), the delta arm is
+    * scanned exactly (ingest-bounded — a live correction or arrival
+    * can never be missed by routing, because it never rides a routed
+    * image at all), delta ids shadow every routed report, and both
+    * arms merge in the one k-bounded gather. Wide margin at full
+    * maxRoutes degenerates to [[serveWithDelta]] (spec-pinned). */
+  def serveRoutedWithDelta(spark: SparkSession, work: String,
+      delta: DataFrame, queries: DataFrame, maxRoutes: Int,
+      margin: Double, ef: Int = 16, k: Int = 10,
+      budgetBytes: Long = Hnsw.DefaultNodeBudget): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val deltaIds = delta.select(col("vec_id")).as[Long].collect().toSet
+    val routed: Map[Int, Set[Long]] =
+      routePlan(spark, work, queries, maxRoutes, margin).toSeq
+        .flatMap { case (qid, ords) => ords.map(o => (o, qid)) }
+        .groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).toSet }
+    val sealedCands = segCands(spark, work, queries, ef, k, deltaIds,
+      budgetBytes, Some(routed))
+    val qrows = queryVecsCached(spark, work, segs(spark, work), queries,
+      stateKey(spark, work))
+    val qv = qrows.toSeq.toDF("query_id", "qv", "qn")
+    val deltaCands = delta.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .withColumn("nrm", l2norm(col("embedding")))
+      .crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(cosinePrenormed(dot(col("embedding"), col("qv")),
+          col("nrm"), col("qn")), 6))
+      .select("query_id", "vec_id", "score")
+    Hnsw.shardedGather(spark, k, sealedCands.unionByName(deltaCands))
   }
 
   /** ONE size-tiered compaction step: merge the ADJACENT segment pair

@@ -47,6 +47,21 @@ object StreamingIncrementalServe {
       StreamingShardedServe.deltaRows(spark, deltaWork), queries,
       ef, k, budgetBytes)
 
+  /** [[serve]] through the ADAPTIVE route plan: sealed segments
+    * scatter only where each query's centroid confidence points (the
+    * `_centroid` sidecars every seal/compaction writes), the live
+    * delta still scans exactly — a burst-heavy stream serves R ≪ S
+    * segment images per query with the full-fan-out answer wherever
+    * the corpus has structure, and widens itself where it doesn't.
+    * Wide margin at full maxRoutes ≡ [[serve]] (spec-pinned). */
+  def serveRouted(spark: SparkSession, segWork: String,
+      deltaWork: String, queries: DataFrame, maxRoutes: Int,
+      margin: Double, ef: Int = 16, k: Int = 10,
+      budgetBytes: Long = Hnsw.DefaultNodeBudget): DataFrame =
+    II.serveRoutedWithDelta(spark, segWork,
+      StreamingShardedServe.deltaRows(spark, deltaWork), queries,
+      maxRoutes, margin, ef, k, budgetBytes)
+
   /** Seal the streamed delta as the next segment IF it has outgrown
     * `1/fraction` of the SMALLEST sealed segment (growth measured,
     * never assumed). Seals a SNAPSHOT: only the batch directories

@@ -76,6 +76,24 @@ class StreamingIncrementalSpec extends SparkSpec {
     // 0.25×v0 row (2.0×v0 would score the same 1.0 — pin the id once)
     val for0 = got.filter(_._1 == 0L)
     assert(for0.count(_._3 == 5L) === 1)
+
+    // ROUTED streamed serve: wide margin at full maxRoutes must be
+    // bit-equal to the full streamed serve (the degeneration pin),
+    // and a narrow margin still reports the live-delta correction —
+    // the delta arm never rides a routed image, so routing can only
+    // trim SEALED scatter, never freshness
+    val S = II.segs(spark, segWork).size
+    val routedWide = rows(StreamingIncrementalServe.serveRouted(spark,
+      segWork, deltaWork, queries, maxRoutes = S, margin = 2.0,
+      ef = 16, k = 5))
+    assert(routedWide === got,
+      "wide-margin routed streamed serve diverged from the full serve")
+    val routedNarrow = rows(StreamingIncrementalServe.serveRouted(spark,
+      segWork, deltaWork, queries, maxRoutes = 1, margin = 0.0,
+      ef = 16, k = 5))
+    val narrow0 = routedNarrow.filter(_._1 == 0L)
+    assert(narrow0.count(_._3 == 5L) === 1,
+      "narrow routing must still serve the live-delta correction")
   }
 
   test("maybeSeal: measured trigger, snapshot cleanup, delta-sized " +
