@@ -29,5 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (the harness box carries 128 GiB): local[32] is a
+  // whole 32-executor cluster in one JVM, and an 8g heap leaves
+  // <1 GiB of eviction-protected storage for the session caches a
+  // warm serving tier lives on — concurrent heavy jobs then evict
+  // the persisted lineages later queries reuse (Cache.rewarm is the
+  // repair; headroom is the prevention). SPARK_DRIVER_MEM overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -19,6 +19,29 @@ import org.apache.spark.sql.SparkSession
   * count of iterations that diverged >5× (and >1 s) from their
   * query's median, so a contaminated run is self-identifying instead
   * of silently inflated.
+  *
+  * Wall-clock hardening (round 13 — BENCH_r12 timed out at rc=124
+  * with nothing parseable): the warmup and cold passes run
+  * CONCURRENTLY (a bounded pool of SPARK_GRAFT_BENCH_COLD_PAR
+  * queries, default 4). Those passes exist to pay one-time artifact
+  * builds (index trains, layouts, session caches) up front; each
+  * build is a chain of small Spark jobs whose wall is scheduler
+  * latency, not CPU, so running a few queries' builds concurrently
+  * overlaps that latency exactly the way a FAIR-scheduled cluster
+  * would — and every artifact cache is a ConcurrentHashMap keyed per
+  * path, so concurrent first-builds of a SHARED artifact serialize on
+  * the cache entry and nothing builds twice or diverges. The TIMED
+  * pass is unchanged: sequential, per-query, median of N consecutive
+  * iterations — the protocol r11/r12 numbers were measured under.
+  * The per-query `cold` numbers in bench_full.json are each row's
+  * wall inside the concurrent pass (cold_par records the pool width).
+  *
+  * Crash-tail hardening (same artifact): the compact JSON line is
+  * RE-EMITTED after every timed query with the results so far, so a
+  * driver-side timeout mid-run leaves a parseable (partial,
+  * honestly-smaller) line in the stdout tail instead of rc=124 /
+  * parsed=null. The driver machine-parses the LAST line in its tail
+  * window; the final, complete line is printed after spark.stop().
   */
 object Bench {
   /** Even-length inputs average the two middle values; shared with
@@ -30,19 +53,71 @@ object Bench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
   }
 
+  /** Run `f` over `xs` on a bounded pool, preserving input order in
+    * the result. Used ONLY for the untimed artifact passes. */
+  private def mapConcurrent[A, B](xs: Seq[A], par: Int)(f: A => B): Seq[B] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(par, 1))
+    try {
+      val futs = xs.map { x =>
+        pool.submit(new java.util.concurrent.Callable[B] {
+          def call(): B = f(x)
+        })
+      }
+      futs.map(_.get())
+    } finally pool.shutdown()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    // FAIR job scheduling for the CONCURRENT artifact passes: under
+    // the default FIFO a long build stage from one pool thread queues
+    // every other thread's small stages behind it, inflating each
+    // query's wall by its neighbors'. Scheduling-only — no plan or
+    // answer changes; the timed pass is sequential either way.
+    val spark = GraftSession.builder(s"local[$cpus]", cpus)
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
     GraftSession.setLogLevel(spark, "WARN")
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Artifact-pass submission order + pool width are convoy defenses:
+    // artifact-SHARING families (the four q_hnsw_incr* rows behind one
+    // work-dir build; the sharded/filtered pair behind one layout)
+    // park all-but-one of their threads on the shared cache entry — a
+    // small pool filled by ALPHABETICALLY-ADJACENT family members
+    // degrades to ~1 effective runner for that build's duration (the
+    // r13 first-cut convoy). Blocked threads cost nothing, so the pool
+    // is wide (12), and submission order is a deterministic name-hash
+    // spread so family members don't claim contiguous slots. The
+    // TIMED pass stays alphabetical and sequential — unchanged
+    // protocol, run-to-run comparability.
+    val spread = names.sortBy { case (n, _) =>
+      scala.util.hashing.MurmurHash3.stringHash(n)
+    }
+    // 8, not wider: the cold pass's PEAK memory scales with the slot
+    // count, and storage-evicting the persisted lineages the timed
+    // pass reuses trades a smaller cold wall for inflated medians
+    // (measured: 12 slots moved q_pipeline_full 6.3 → 13.4 s median)
+    val coldPar =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD_PAR", "8").toInt
 
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (new java.io.File(warmDir).exists())
-      names.foreach { case (_, fn) =>
+    // No separate small-sf warmup pass (dropped round 13): its JIT/
+    // codegen/classloading role is subsumed by the recorded cold pass
+    // at the TARGET sf below — which always runs before anything is
+    // timed — while its sf0.001 artifacts and persisted lineages
+    // squatted in storage memory for the whole run (evicting the
+    // sf0.1 lineages the timed pass reuses) and cost ~275 s of wall
+    // at the 194-query registry. SPARK_GRAFT_WARM_DIR re-enables it.
+    val t0Run = System.nanoTime()
+    sys.env.get("SPARK_GRAFT_WARM_DIR").filter(d =>
+      new java.io.File(d).exists()).foreach { warmDir =>
+      mapConcurrent(spread, coldPar) { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    }
+    val tWarmup = (System.nanoTime() - t0Run) / 1e9
 
     // steady-state latency: one recorded COLD pass over the WHOLE
     // registry at the target sf first (pays every session-cache /
@@ -61,16 +136,25 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val colds = names.map { case (name, fn) => name -> once(fn) }.toMap
-    val raw = names.map { case (name, fn) =>
-      (name, colds(name), (1 to iters).map(_ => once(fn)))
-    }
-    val results = raw.map { case (name, _, ts) => name -> median(ts) }
-    val minTotal = raw.map(_._3.min).sum
-    val stallIters = raw.map { case (_, _, ts) =>
-      val m = median(ts)
-      ts.count(t => t > 5 * m && t - m > 1.0)
-    }.sum
+    val t0Cold = System.nanoTime()
+    val colds = mapConcurrent(spread, coldPar) { case (name, fn) =>
+      name -> once(fn)
+    }.toMap
+    val tColdWall = (System.nanoTime() - t0Cold) / 1e9
+    // phase marker (pre-timed, so it can never pollute the parseable
+    // tail): lets a wall regression be attributed without rerunning
+    println(f"[bench] warmup_wall=$tWarmup%.0fs cold_wall=$tColdWall%.0fs")
+    System.out.flush()
+    // settle before timing: re-materialize the session cache (the
+    // cold pass's concurrent execution pressure evicts persisted
+    // intermediates — measured as q_pipeline_full's warm median
+    // jumping 6.3 → 12-30 s when its upstream caches lost blocks),
+    // then drop the pass's GC debt (observed as monotonically-
+    // decreasing iters on mid-pass queries)
+    Cache.rewarm(spark)
+    System.gc()
+    Thread.sleep(2000)
+
     // The driver machine-parses ONE JSON line from the tail of stdout
     // (last ~2000 chars), so the line must be short: 2-decimal seconds
     // with trailing zeros stripped, numeric sf. Full precision goes to
@@ -78,35 +162,58 @@ object Bench {
     def fmt(v: Double): String =
       BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
         .underlying.stripTrailingZeros.toPlainString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    def mkLine(queries: String) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","min_total":${
-        fmt(minTotal)},"stall_iters":$stallIters,"queries":$queries,"sf":$sfNum}"""
-    // Headroom guard: the registry grows every round; if the per-query
-    // map ever pushes the line past the driver's ~2000-char tail
-    // window, keep only the slowest queries (they're the informative
-    // ones) rather than risk an unparseable line.
-    val line = {
-      val all = mkLine(qs)
-      if (all.length <= 1800) all
-      else {
-        val top = results.sortBy(-_._2).take(40)
-          .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-          .mkString("{", ",", "}")
-        mkLine(top)
+    def lineOf(results: Seq[(String, Double)], minTotal: Double,
+        stallIters: Int): String = {
+      def mk(queries: String) = {
+        val total = results.map(_._2).sum
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","min_total":${
+          fmt(minTotal)},"stall_iters":$stallIters,"queries":$queries,"sf":$sfNum}"""
       }
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val all = mk(qs)
+      // Headroom guard: the registry grows every round; if the
+      // per-query map ever pushes the line past the driver's ~2000-char
+      // tail window, keep only the slowest queries (they're the
+      // informative ones) rather than risk an unparseable line.
+      if (all.length <= 1800) all
+      else mk(results.sortBy(-_._2).take(40)
+        .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}"))
     }
+
+    val raw = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Seq[Double])]
+    names.foreach { case (name, fn) =>
+      raw += ((name, colds(name), (1 to iters).map(_ => once(fn))))
+      // refresh the parseable tail after EVERY query: a timeout leaves
+      // the last refresh — a correct line over the prefix timed so far
+      val sofar = raw.toSeq
+      val res = sofar.map { case (k, _, ts) => k -> median(ts) }
+      val minT = sofar.map(_._3.min).sum
+      val stalls = sofar.map { case (_, _, ts) =>
+        val m = median(ts)
+        ts.count(t => t > 5 * m && t - m > 1.0)
+      }.sum
+      println(lineOf(res, minT, stalls))
+      System.out.flush()
+    }
+    val results = raw.toSeq.map { case (name, _, ts) => name -> median(ts) }
+    val minTotal = raw.map(_._3.min).sum
+    val stallIters = raw.map { case (_, _, ts) =>
+      val m = median(ts)
+      ts.count(t => t > 5 * m && t - m > 1.0)
+    }.sum
+    val line = lineOf(results, minTotal, stallIters)
     val full = raw.map { case (k, cold, ts) =>
       s"\"" + k + "\":{\"median\":" + median(ts) + ",\"min\":" + ts.min +
         ",\"cold\":" + cold + ",\"iters\":" + ts.mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"stall_iters":$stallIters,"queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":${results.map(_._2).sum},"unit":"sec","min_total":$minTotal,"stall_iters":$stallIters,"cold_par":$coldPar,"warmup_wall":${f"$tWarmup%.1f"},"cold_wall":${f"$tColdWall%.1f"},"queries":$full,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
     println(line)

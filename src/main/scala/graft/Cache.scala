@@ -22,13 +22,50 @@ object Cache {
 
   private val store = mutable.Map.empty[(Int, String, String), DataFrame]
 
+  /** The `build` thunk runs OUTSIDE the monitor: build paths reach the
+    * HNSW artifact caches (ConcurrentHashMap bins held across long
+    * index builds), whose mapping functions call back into
+    * [[getOrBuild]] — holding this monitor across a build closed a
+    * 3-way cycle (Cache monitor → image-cache bin → index-cache bin →
+    * Cache monitor) the moment a bench/serving session ran queries
+    * concurrently (jstack-confirmed deadlock, round 13). The monitor
+    * now only guards map reads/writes — a leaf lock by construction.
+    * A concurrent first-build may run the (deterministic) thunk twice;
+    * the loser's DataFrame is discarded un-persisted and the winner is
+    * shared — never two live persisted copies. */
   def getOrBuild(spark: SparkSession, key: String, dir: String)(
-      build: => DataFrame): DataFrame = synchronized {
-    store.getOrElseUpdate((System.identityHashCode(spark), key, dir), {
-      val df = build
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-      df
-    })
+      build: => DataFrame): DataFrame = {
+    val k = (System.identityHashCode(spark), key, dir)
+    synchronized {
+      store.get(k) match {
+        case Some(df) => return df
+        case None =>
+      }
+    }
+    val df = build
+    synchronized {
+      store.get(k) match {
+        case Some(winner) => winner
+        case None =>
+          df.persist(StorageLevel.MEMORY_AND_DISK)
+          store(k) = df
+          df
+      }
+    }
+  }
+
+  /** Re-materialize every cached intermediate owned by `spark`: one
+    * count per entry re-caches the partitions a memory-pressure burst
+    * (the bench's concurrent cold pass; any heavy concurrent job)
+    * evicted, so subsequent serving measures operators over the warm
+    * session cache the design intends — not eviction roulette. Cost
+    * is one cached-read (or one recompute, once) per entry. */
+  def rewarm(spark: SparkSession): Unit = {
+    val mine = synchronized {
+      val id = System.identityHashCode(spark)
+      store.collect { case ((s, _, _), df) if s == id => df }.toSeq
+    }
+    mine.foreach(df => try df.count() catch { case _: Throwable => () })
   }
 
   private val sideCaches = mutable.Buffer.empty[Int => Unit]

@@ -31,7 +31,7 @@ object GoldenChunks {
       "q_hnsw_dist", "q_hnsw_sharded", "q_hnsw_sharded_delta",
       "q_hnsw_sharded_filtered", "q_hnsw_routed",
       "q_hnsw_routed_adaptive", "q_hnsw_incr", "q_hnsw_incr_routed",
-      "q_hnsw_incr_table")
+      "q_hnsw_incr_table", "q_hnsw_incr_table_routed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

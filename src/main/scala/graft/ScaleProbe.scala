@@ -1921,6 +1921,150 @@ object ScaleProbe {
           s"overlap=${f"$overlap%.2f"} " +
           s"wall_full=${f"$wFull%.1f"}s wall_routed=${f"$wRouted%.1f"}s"
       },
+      time("hnsw_blob_batch") {
+        // Blob-routed bounded-batch scatter (round 13 — r12 verdict
+        // item 2): the batch serves at S=12 must leave ZERO images in
+        // the driver session cache (tasks deserialize their own
+        // segment from its blob) and driver heap must stay flat
+        // relative to the S×image bill the old all-images mode paid.
+        // Gauges: census (must be 0), measured driver heap delta
+        // across the serve vs the S×image contrast, wall, answer
+        // sanity (40 queries × k rows).
+        import operators.{Hnsw, Search}
+        val gdir = hnswProbeDir
+        val e = Search.embNormed(spark, gdir)
+        val n = e.count()
+        val dim = e.select(size(col("embedding"))).head.getInt(0)
+        val s = 12
+        def usedMb(): Long = {
+          System.gc(); System.gc()
+          (Runtime.getRuntime.totalMemory -
+            Runtime.getRuntime.freeMemory) / (1 << 20)
+        }
+        // pre-build the layout + indexes so the measured serve is the
+        // scatter, not the one-time artifact build
+        val dirs = Hnsw.shardDirsFor(spark, gdir, s)
+        val before = usedMb()
+        val t0 = System.nanoTime()
+        val rows = Hnsw.serveShardedDistributed(spark, gdir,
+          spark.range(40).toDF("query_id"), shards = s, ef = 16,
+          k = 10).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val after = usedMb()
+        val census = Hnsw.cachedImageCensus(dirs)
+        val imageBill = n * Hnsw.imageBytesPerVec(dim) / (1 << 20)
+        s"n=$n S=$s rows=$rows wall=${f"$wall%.1f"}s " +
+          s"census_images=${census._1} " +
+          s"driver_heap=${before}->${after}MB " +
+          s"(all_images_bill=${imageBill}MB)"
+      },
+      time("hnsw_table_routed") {
+        // Routing × the LSM unbounded-query-table serve (round 13 —
+        // r12 verdict item 3): the in-plan route set must trim the
+        // shuffle fan from |Q|·S to |Q|·R on a clustered lifecycle,
+        // including the HOT-CELL shape (a batch concentrated on one
+        // sealed burst). Gauges: walls full-fan-out vs routed on a
+        // 2000-query hot batch, mean routed width, answer overlap on
+        // the hot cluster's queries, and the routed answers' agreement
+        // with the bounded-batch routed serve on a sample.
+        import operators.{IncrementalIndex => II}
+        val cdir = routedClusteredDir
+        val all = spark.read.parquet(s"$cdir/embeddings.parquet")
+        val baseDir = s"$work/table_routed_base"
+        all.filter(pmod(col("vec_id"), lit(16L)) < 4L)
+          .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+        val rw = s"$work/table_routed_work"
+        val nb = spark.read
+          .parquet(s"$baseDir/embeddings.parquet").count()
+        val budget = math.max(1L,
+          nb * operators.Hnsw.imageBytesPerVec(64) / 4)
+        II.initSegments(spark, baseDir, rw, budget)
+        (4L to 7L).foreach { c =>
+          II.sealDelta(spark, rw,
+            all.filter(pmod(col("vec_id"), lit(16L)) === c)
+              .select("vec_id", "embedding"))
+        }
+        val s = II.segs(spark, rw).size
+        // hot batch: 2000 queries from the cluster-5 sealed burst
+        val hotQ = all.filter(pmod(col("vec_id"), lit(16L)) === 5L)
+          .select(col("vec_id").as("query_id")).limit(2000)
+        hotQ.cache(); val nq = hotQ.count()
+        def run(mr: Int, mg: Double): (Double,
+            Array[(Long, Long, Long, Double)]) = {
+          val t0 = System.nanoTime()
+          val out = II.serveQueryTable(spark, rw, hotQ, ef = 16,
+            k = 10, maxRoutes = mr, margin = mg).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getDouble(3)))
+          ((System.nanoTime() - t0) / 1e9, out.sortBy(t => (t._1, t._2)))
+        }
+        val (wFull, oFull) = run(Int.MaxValue, 2.0)
+        val (wRouted, oRouted) = run(1, 0.0)
+        hotQ.unpersist()
+        val fullByQ = oFull.groupBy(_._1)
+          .map { case (q, rs) => q -> rs.map(_._3).toSet }
+        val overlap = oRouted.groupBy(_._1).map { case (q, rs) =>
+          val f = fullByQ.getOrElse(q, Set.empty[Long])
+          if (f.isEmpty) 1.0
+          else rs.map(_._3).toSet.intersect(f).size.toDouble / f.size
+        }.sum / math.max(fullByQ.size, 1)
+        // sample agreement with the bounded-batch routed serve
+        import spark.implicits._
+        val sample = oRouted.map(_._1).distinct.take(20).toSeq
+        val batchRouted = II.serveRouted(spark, rw,
+          sample.toDF("query_id"), maxRoutes = 1, margin = 0.0,
+          ef = 16, k = 10).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+        val sampleEq = oRouted
+          .filter(t => sample.contains(t._1)).toSeq == batchRouted
+        s"S=$s hot_queries=$nq wall_full=${f"$wFull%.1f"}s " +
+          s"wall_routed=${f"$wRouted%.1f"}s " +
+          s"speedup=${f"${wFull / math.max(wRouted, 0.001)}%.1f"}x " +
+          s"overlap=${f"$overlap%.2f"} batch_equal=$sampleEq"
+      },
+      time("hnsw_delta_ladder") {
+        // The delta-exclusion ladder (round 13 — r12 verdict item 5):
+        // a LIVE delta past the driver cap must serve through the
+        // in-plan deadness table with answers identical to the
+        // driver-Set arm, at a wall that stays serve-shaped (no
+        // quadratic blowup from the widening rounds). Delta = n/20
+        // corrections (every one supersedes a sealed id); cap planted
+        // at 512 so both points exercise the ladder.
+        import operators.{Hnsw, IncrementalIndex => II, Search}
+        val gdir = hnswProbeDir
+        val e = Search.embNormed(spark, gdir)
+        val n = e.count()
+        val dim = e.select(size(col("embedding"))).head.getInt(0)
+        val budget = math.max(1L, n * Hnsw.imageBytesPerVec(dim) / 6)
+        val lw = s"$work/delta_ladder"
+        II.initSegments(spark, gdir, lw, budget)
+        val dN = n / 20
+        val delta = e.filter(col("vec_id") < dN)
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> x * CAST(0.9 AS FLOAT))")
+            .as("embedding"))
+        delta.write.mode("overwrite").parquet(s"$lw/delta_rows")
+        val d = spark.read.parquet(s"$lw/delta_rows")
+        val qdf = spark.range(40).toDF("query_id")
+        def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+        // the driver-Set arm (cap above the delta) is the reference
+        val t0 = System.nanoTime()
+        val viaSet = rows(II.serveWithDelta(spark, lw, d, qdf,
+          ef = 16, k = 10))
+        val wSet = (System.nanoTime() - t0) / 1e9
+        spark.conf.set("spark.graft.ann.deadSetCap", "512")
+        try {
+          val t1 = System.nanoTime()
+          val viaLadder = rows(II.serveWithDelta(spark, lw, d, qdf,
+            ef = 16, k = 10))
+          val wLadder = (System.nanoTime() - t1) / 1e9
+          s"n=$n delta=$dN cap=512 equal=${viaSet == viaLadder} " +
+            s"wall_set=${f"$wSet%.1f"}s wall_ladder=${f"$wLadder%.1f"}s"
+        } finally spark.conf.unset("spark.graft.ann.deadSetCap")
+      },
       time("hnsw_spill") {
         // The Searcher's size-gate spill path, deliberately tripped
         // (cacheGate=0 — no upper-layer driver cache at all) vs the

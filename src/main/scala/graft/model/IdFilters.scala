@@ -45,12 +45,62 @@ object IdFilters {
     def mayContain(id: Long): Boolean = {
       var i = 0
       while (i < hashes) {
-        val p = (Embedder.hash60(s"$id:$i") % nbits).toInt
+        val p = (idHash60(id, i) % nbits).toInt
         if ((bits(p >> 6) & (1L << (p & 63))) == 0L) return false
         i += 1
       }
       true
     }
+  }
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val bufLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](32)
+  }
+
+  /** Allocation-lean twin of `Embedder.hash60(s"$id:$i")` — the
+    * per-candidate probe hash (r12 verdict item 7): the SAME md5 over
+    * the SAME ASCII bytes, so it is bit-equal to the SQL-side
+    * `hash60Col` the sidecar words tables were built with
+    * (differential-spec-pinned), but with a thread-local digest and a
+    * reusable byte buffer instead of 2 strings + a hex parse per
+    * probe (8 probes per candidate dead-check in every beam report).
+    * The 60-bit value is read straight off the digest bytes — the
+    * first 15 hex chars of the md5 are bytes 0-6 plus byte 7's high
+    * nibble. */
+  private[graft] def idHash60(id: Long, i: Int): Long = {
+    val b = bufLocal.get()
+    var pos = 0
+    def writeLong(v0: Long): Unit = {
+      if (v0 == 0) { b(pos) = '0'; pos += 1 }
+      else {
+        var v = v0
+        if (v < 0) { b(pos) = '-'; pos += 1 } else v = -v
+        // digits from the NEGATIVE magnitude (safe at Long.MinValue)
+        val start = pos
+        while (v != 0) { b(pos) = ('0' - (v % 10)).toByte; v /= 10; pos += 1 }
+        // reverse in place
+        var lo = start
+        var hi = pos - 1
+        while (lo < hi) {
+          val t = b(lo); b(lo) = b(hi); b(hi) = t; lo += 1; hi -= 1
+        }
+      }
+    }
+    writeLong(id)
+    b(pos) = ':'; pos += 1
+    writeLong(i.toLong)
+    val d = mdLocal.get()
+    d.reset()
+    d.update(b, 0, pos)
+    val dg = d.digest()
+    ((dg(0) & 0xFFL) << 52) | ((dg(1) & 0xFFL) << 44) |
+      ((dg(2) & 0xFFL) << 36) | ((dg(3) & 0xFFL) << 28) |
+      ((dg(4) & 0xFFL) << 20) | ((dg(5) & 0xFFL) << 12) |
+      ((dg(6) & 0xFFL) << 4) | ((dg(7) & 0xF0L) >> 4)
   }
 
   /** Driver-Set cap (ids; one Long each). Overridable for specs via

@@ -467,6 +467,21 @@ object Hnsw {
     openIndex(spark, path)
   }
 
+  /** Register `dir` as serving from `srcDir`'s built hierarchy — the
+    * caller GUARANTEES the two corpora are row-identical (the LSM
+    * registry head reuses the sealed residue layout's segments
+    * verbatim, same `vec_id mod S` split of the same sealed rows).
+    * The index artifacts are content-derived and id-layout-free, so a
+    * row-identical corpus under a different path serves bit-identically
+    * from the same levels/edges tables; sharing collapses duplicate
+    * NN-Descent builds over identical rows into one (the r12
+    * bench-wall item: six overlapping HNSW-family cold builds). */
+  private[graft] def shareIndex(spark: SparkSession, dir: String,
+      srcDir: String): Unit = {
+    indexFor(spark, srcDir) // ensure the source hierarchy is built
+    builtIndexes.putIfAbsent(dir, builtIndexes.get(srcDir))
+  }
+
   /** HNSW SERVING as a registry row: greedy descent + beam for the
     * pinned query (vec_id 0), top-10 — the hierarchy's answer to
     * `q_graph_search`'s flat serve. Not SQL-expressible (multi-layer
@@ -1026,8 +1041,22 @@ object Hnsw {
       k: Int, exclude: Set[Long],
       budgetBytes: Long = DefaultNodeBudget): DataFrame = {
     import spark.implicits._
-    val imgs = segmentImages(spark,
-      shardDirsFor(spark, corpusDir, shards), budgetBytes)
+    // blob discipline (r12 verdict item 2 — formerly
+    // [[segmentImages]], which held ALL S images on the driver at once
+    // and serialized them from it into the closure): the S indexes
+    // build concurrently as DISK artifacts, the driver then stages one
+    // image at a time ([[imageBlobFor]]: materialize → serialize →
+    // drop) and ships blob PATHS; each task deserializes its own
+    // segment via [[ImageBlobCache]]. Peak driver residency is one
+    // budget-sized image regardless of S — the same discipline the
+    // query-table serves already run.
+    val dirs = shardDirsFor(spark, corpusDir, shards)
+    locally { // first-call concurrency only: staged blobs skip it
+      import scala.collection.parallel.CollectionConverters._
+      val toBuild = dirs.filterNot(hasImageBlob(_, budgetBytes))
+      if (toBuild.nonEmpty) toBuild.par.foreach(d => indexFor(spark, d))
+    }
+    val blobs = dirs.map(d => imageBlobFor(spark, d, budgetBytes))
     val qrows = Search.embNormed(spark, queryDir)
       .join(queries.select(col("query_id").cast("long").as("vec_id")),
         "vec_id")
@@ -1041,8 +1070,9 @@ object Hnsw {
     // candidates and k live answers survive per query (each segment
     // already backfills its own top-k past the exclusions)
     spark.sparkContext
-      .parallelize(imgs, math.max(imgs.size, 1))
-      .flatMap { img =>
+      .parallelize(blobs, math.max(blobs.size, 1))
+      .flatMap { blob =>
+        val img = ImageBlobCache.get(blob)
         qbc.value.iterator.flatMap { case (qid, qv, qn) =>
           serveVec(img, qv, qn, selfId = qid, ef = ef, k = k,
             exclude = exclude).map {
@@ -1161,7 +1191,15 @@ object Hnsw {
     val dim = if (stats.isNullAt(1)) 0 else stats.getInt(1)
     val s = shardCountFor(n, dim, budgetBytes)
     val dirs = shardDirsFor(spark, dir, s)
-    segmentImages(spark, dirs, budgetBytes)
+    // ready-to-serve = indexes built and blobs staged (one image on
+    // the driver at a time — the blob discipline), NOT S images
+    // resident in the session cache
+    locally {
+      import scala.collection.parallel.CollectionConverters._
+      val toBuild = dirs.filterNot(hasImageBlob(_, budgetBytes))
+      if (toBuild.nonEmpty) toBuild.par.foreach(d => indexFor(spark, d))
+    }
+    dirs.foreach(d => imageBlobFor(spark, d, budgetBytes))
     (s, dirs)
   }
 
@@ -1249,6 +1287,15 @@ object Hnsw {
       try out.writeObject(img) finally out.close()
       p.toString
     })
+
+  /** Whether `dir`'s image blob is already staged — serve paths use
+    * this to SKIP their parallel pre-build step on warm calls:
+    * [[indexFor]] memoizes only the index PATH, so invoking it per
+    * serve still pays openIndex's two small jobs per segment, which
+    * at S segments × every warm serve is pure scheduling tax. */
+  private[graft] def hasImageBlob(dir: String,
+      budgetBytes: Long = DefaultNodeBudget): Boolean =
+    imageBlobs.containsKey(s"$dir#$budgetBytes")
 
   /** EXECUTOR-side image cache for the one-pass serve: each task
     * deserializes ITS segment's blob once per JVM (per-partition init
@@ -1346,9 +1393,10 @@ object Hnsw {
       budgetBytes: Long, qParts: Int = 0): DataFrame = {
     import spark.implicits._
     val dirs = shardDirsFor(spark, dir, shards)
-    locally {
+    locally { // first-call concurrency only: staged blobs skip it
       import scala.collection.parallel.CollectionConverters._
-      dirs.par.foreach(d => indexFor(spark, d))
+      val toBuild = dirs.filterNot(hasImageBlob(_, budgetBytes))
+      if (toBuild.nonEmpty) toBuild.par.foreach(d => indexFor(spark, d))
     }
     val blobs = dirs.map(d => imageBlobFor(spark, d, budgetBytes))
     val p = qPartsFor(spark, shards, qParts)
@@ -1519,7 +1567,10 @@ object Hnsw {
       import spark.implicits._
       val cents = Ann.refineCodebook(spark, dir, iters, cells = s)
       val e = Search.embNormed(spark, dir)
-      val assign = Ann.cellAssign(e, cents)
+      // assignment feeds three consumers (parts, bucket prefixes, the
+      // partitioned write) — one persisted computation, not three
+      // corpus-scale re-scores
+      val assign = Ann.cellAssign(e, cents).persist()
       val dimRow = e.select(size(col("embedding"))).head(1)
       val dim = dimRow.headOption.map(_.getInt(0)).getOrElse(0)
       val cap = math.max(1L, budgetBytes / imageBytesPerVec(dim))
@@ -1531,27 +1582,43 @@ object Hnsw {
       val partsDf = parts.toSeq.toDF("cell", "parts")
       val base = java.nio.file.Files
         .createTempDirectory("graft_hnsw_cells").toString
+      // sub-segment by EXACT round-robin, never by id residue or hash:
+      // residues/hashes are distribution-independent only up to
+      // binomial variance, and a skewed split could push one
+      // sub-segment past the node cap and trip the image budget gate
+      // as a hard failure (HnswRouteSpec plants a 120-cap hot cell
+      // with 3-row slack). The round-robin is numbered TWO-LEVEL
+      // (round 13 — the r12 single window partitioned by cell funneled
+      // a hot cell's whole sort through one task at layout time):
+      // rows hash into B coarse buckets, each (cell, bucket) numbers
+      // its own rows in parallel, and the bucket's cumulative PREFIX
+      // (a segment-count×B broadcast) offsets the rank — the composite
+      // `prefix + rank − 1` is the row's exact position in the cell's
+      // (bucket, vec_id) order, so `mod parts` is a true ±1-balanced
+      // round-robin, deterministic (pure function of ids), with the
+      // per-cell sort parallelized across B tasks.
+      val bktB = 32
+      val withBkt = assign
+        .withColumn("bkt", pmod(hash(col("vec_id")), lit(bktB)))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy("bkt")
+      val prefixes = withBkt.groupBy("cell", "bkt")
+        .agg(count(lit(1)).as("bn"))
+        .withColumn("prefix", sum("bn").over(wB) - col("bn"))
+        .select("cell", "bkt", "prefix")
       Tables.embeddings(spark, dir)
-        .join(assign, "vec_id")
+        .join(withBkt, "vec_id")
         .join(broadcast(partsDf), "cell")
-        // sub-segment by round-robin over the cell's id-ordered rows,
-        // NOT by id residue: residues are not uniform within a k-means
-        // cell (strided ids, per-source id ranges correlate with
-        // geometry), and a skewed residue split could push one
-        // sub-segment past the node cap and trip the image budget
-        // gate as a hard failure. Round-robin is deterministic (pure
-        // function of the cell's id order) and EXACTLY balanced (±1),
-        // so every sub-image is budget-true by construction — a hash
-        // split would be distribution-independent only up to binomial
-        // variance. The per-cell window runs once at layout time,
-        // inside the same shuffle the partitioned write needs.
+        .join(broadcast(prefixes), Seq("cell", "bkt"))
         .withColumn("sub",
-          pmod(row_number().over(org.apache.spark.sql.expressions
-            .Window.partitionBy("cell").orderBy("vec_id")) - 1,
+          pmod(col("prefix") + row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("cell", "bkt").orderBy("vec_id")) - 1,
             col("parts")).cast("long"))
-        .drop("parts")
+        .drop("parts", "bkt", "prefix")
         .write.partitionBy("cell", "sub").mode("overwrite")
         .parquet(s"$base/all")
+      assign.unpersist(false)
       val dirs: Map[Long, Seq[String]] = (0 until s).map { i =>
         i.toLong -> (0 until parts(i.toLong)).map { j =>
           val p = s"$base/cell${i}_$j"
@@ -1685,12 +1752,23 @@ object Hnsw {
       }.groupBy(_._1).map { case (c, qs) => c -> qs.map(_._2) }
     val served = routedQ.keys.toSeq.sorted
       .flatMap(c => dirs(c).map(d => (c, d)))
-    val imgs = segmentImages(spark, served.map(_._2), budgetBytes)
+    // blob-routed like every batch scatter (r12 verdict item 2):
+    // indexes build concurrently, images stage one at a time, tasks
+    // deserialize their own cell's blob
+    locally { // first-call concurrency only: staged blobs skip it
+      import scala.collection.parallel.CollectionConverters._
+      val toBuild = served.map(_._2)
+        .filterNot(hasImageBlob(_, budgetBytes))
+      if (toBuild.nonEmpty) toBuild.par.foreach(d => indexFor(spark, d))
+    }
+    val blobs = served.map { case (_, d) =>
+      imageBlobFor(spark, d, budgetBytes) }
     val qbc = spark.sparkContext.broadcast(routedQ)
     val cands = spark.sparkContext
-      .parallelize(served.map(_._1).zip(imgs),
+      .parallelize(served.map(_._1).zip(blobs),
         math.max(served.size, 1))
-      .flatMap { case (cell, img) =>
+      .flatMap { case (cell, blob) =>
+        val img = ImageBlobCache.get(blob)
         qbc.value.getOrElse(cell, Array.empty[(Long, Array[Float], Double)])
           .iterator.flatMap { case (qid, qv, qn) =>
             serveVec(img, qv, qn, selfId = qid, ef = ef, k = k,
@@ -1726,9 +1804,11 @@ object Hnsw {
     // budget-split sub-segments; the blob index is the shuffle key
     val flat: Seq[(Long, String)] =
       dirs.toSeq.sortBy(_._1).flatMap { case (c, ds) => ds.map(c -> _) }
-    locally {
+    locally { // first-call concurrency only: staged blobs skip it
       import scala.collection.parallel.CollectionConverters._
-      flat.par.foreach { case (_, d) => indexFor(spark, d) }
+      val toBuild = flat.map(_._2)
+        .filterNot(hasImageBlob(_, budgetBytes))
+      if (toBuild.nonEmpty) toBuild.par.foreach(d => indexFor(spark, d))
     }
     val blobs = flat.map { case (_, d) =>
       imageBlobFor(spark, d, budgetBytes) }

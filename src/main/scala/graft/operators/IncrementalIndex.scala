@@ -208,22 +208,27 @@ object IncrementalIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$segDir/_centroid")
   }
 
-  /** Session cache of per-segment id Blooms, keyed by segment PATH —
-    * segment content is immutable per path (the generation-suffix
-    * discipline), so an entry never goes stale; bounded by bitmap
-    * size × distinct segments touched. */
-  private val idSidecars = new java.util.concurrent.ConcurrentHashMap[
-    String, graft.model.IdFilters.IdBloom]()
+  /** Session cache of per-segment id Blooms, keyed by segment path +
+    * sidecar mtime — segment content is immutable per path (the
+    * generation-suffix discipline), and the mtime fingerprint closes
+    * the delete-and-recreate-at-same-path hole (seg_0_g0 basenames
+    * repeat across work-dir lifetimes). LRU-bounded: blooms are up to
+    * 8 MB each, and a long-lived serving session must not accrete one
+    * per segment ever touched. */
+  private[graft] val idSidecars =
+    new graft.model.LruCache[String, graft.model.IdFilters.IdBloom](64)
 
   private def idBloomFor(spark: SparkSession,
       segDir: String): Option[graft.model.IdFilters.IdBloom] = {
-    val p = s"$segDir/_idbloom"
-    if (idSidecars.containsKey(segDir)) Some(idSidecars.get(segDir))
-    else if (!fs(spark, segDir).exists(new org.apache.hadoop.fs.Path(p)))
-      None // legacy segment without a sidecar — caller falls back
-    else Some(idSidecars.computeIfAbsent(segDir, { _ =>
-      graft.model.IdFilters.bloomFromSidecar(spark, p)
-    }))
+    val p = new org.apache.hadoop.fs.Path(s"$segDir/_idbloom")
+    val f = fs(spark, segDir)
+    if (!f.exists(p)) None // legacy segment — caller falls back
+    else {
+      val mt = f.getFileStatus(p).getModificationTime
+      Some(idSidecars.getOrElseUpdate(s"$segDir#$mt") {
+        graft.model.IdFilters.bloomFromSidecar(spark, p.toString)
+      })
+    }
   }
 
   /** Past this many flagged ids a per-segment verification switches
@@ -382,61 +387,62 @@ object IncrementalIndex {
     * sound because flagged candidates verify against the ord's actual
     * newer-shadow tables via `verifyPaths`, and cleared candidates are
     * provably in no shadow at all). */
-  private final case class ExcludeState(key: String, cap: Long,
+  private[graft] final case class ExcludeState(key: String, cap: Long,
       exact: Option[Map[Int, Set[Long]]],
       bloom: Option[graft.model.IdFilters.IdBloom],
       verifyPaths: Map[Int, Seq[String]])
 
-  private val excludeStates = new java.util.concurrent.ConcurrentHashMap[
-    String, ExcludeState]()
+  private[graft] val excludeStates =
+    new graft.model.LruCache[String, ExcludeState](64)
 
   private def excludeStateFor(spark: SparkSession, work: String,
       ss: Seq[Seg], key: String): ExcludeState = {
     val capNow = graft.model.IdFilters.driverCap(spark)
-    excludeStates.compute(work, { (_, prev) =>
-      if (prev != null && prev.key == key && prev.cap == capNow) prev
-      else {
-        import spark.implicits._
-        shadowDerivations.incrementAndGet()
-        val cap = capNow
-        val shadows: Seq[(Int, Option[String], Long)] = ss.map { s0 =>
-          val p = shadowPathOf(spark, work, s0.ord)
-          (s0.ord, p, p.fold(0L)(spark.read.parquet(_).count()))
-        }
-        val total = shadows.map(_._3).sum
-        if (total <= cap) {
-          val sets: Seq[(Int, Set[Long])] = shadows.map {
-            case (ord, p, _) => ord -> p.fold(Set.empty[Long])(
-              spark.read.parquet(_).select("vec_id")
-                .as[Long].collect().toSet)
-          }
-          val perOrd = ss.map { s0 =>
-            s0.ord -> sets.filter(_._1 > s0.ord).map(_._2)
-              .fold(Set.empty[Long])(_ ++ _)
-          }.toMap
-          ExcludeState(key, cap, Some(perOrd), None, Map.empty)
-        } else {
-          val allShadows = shadows.flatMap(_._2)
-            .map(spark.read.parquet(_).select("vec_id"))
-            .reduce(_.unionByName(_))
-          val bloom = graft.model.IdFilters
-            .build(spark, allShadows, "vec_id", total, cap)
-            .asInstanceOf[graft.model.IdFilters.IdBloom]
-          val verify = ss.map { s0 =>
-            s0.ord -> shadows
-              .filter(t => t._1 > s0.ord && t._3 > 0).flatMap(_._2)
-          }.toMap
-          ExcludeState(key, cap, None, Some(bloom), verify)
-        }
+    excludeStates.getOrElseUpdate(s"$work#$key#$capNow") {
+      import spark.implicits._
+      shadowDerivations.incrementAndGet()
+      val cap = capNow
+      val shadows: Seq[(Int, Option[String], Long)] = ss.map { s0 =>
+        val p = shadowPathOf(spark, work, s0.ord)
+        (s0.ord, p, p.fold(0L)(spark.read.parquet(_).count()))
       }
-    })
+      val total = shadows.map(_._3).sum
+      if (total <= cap) {
+        val sets: Seq[(Int, Set[Long])] = shadows.map {
+          case (ord, p, _) => ord -> p.fold(Set.empty[Long])(
+            spark.read.parquet(_).select("vec_id")
+              .as[Long].collect().toSet)
+        }
+        val perOrd = ss.map { s0 =>
+          s0.ord -> sets.filter(_._1 > s0.ord).map(_._2)
+            .fold(Set.empty[Long])(_ ++ _)
+        }.toMap
+        ExcludeState(key, cap, Some(perOrd), None, Map.empty)
+      } else {
+        val allShadows = shadows.flatMap(_._2)
+          .map(spark.read.parquet(_).select("vec_id"))
+          .reduce(_.unionByName(_))
+        val bloom = graft.model.IdFilters
+          .build(spark, allShadows, "vec_id", total, cap)
+          .asInstanceOf[graft.model.IdFilters.IdBloom]
+        val verify = ss.map { s0 =>
+          s0.ord -> shadows
+            .filter(t => t._1 > s0.ord && t._3 > 0).flatMap(_._2)
+        }.toMap
+        ExcludeState(key, cap, None, Some(bloom), verify)
+      }
+    }
   }
 
   /** Per-(work state, query batch) resolved query vectors — the
     * segment point-lookup scans run once per state per batch, not per
-    * serve call. Bounded by batch size × batches a session serves. */
-  private val qvecCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[(Long, Array[Float], Double)]]()
+    * serve call. LRU-bounded (each entry is a batch of vectors — a
+    * long-lived serving session crosses many batches) and keyed on an
+    * md5 DIGEST of the sorted qid list, not the list itself (r12
+    * hygiene: the raw-list key made every entry carry its batch's ids
+    * twice). */
+  private[graft] val qvecCache = new graft.model.LruCache[
+    String, Array[(Long, Array[Float], Double)]](64)
 
   /** Query-id vectors resolved latest-wins across the segments: the
     * newest segment holding the id supplies the row (point lookups —
@@ -469,24 +475,26 @@ object IncrementalIndex {
     import spark.implicits._
     val qids = queries.select(col("query_id").cast("long"))
       .as[Long].collect().sorted
-    qvecCache.computeIfAbsent(
-      s"$work#$key#${qids.mkString(",")}", { _ =>
-        queryVecDerivations.incrementAndGet()
-        queryVecs(spark, ss,
-          qids.toSeq.toDF("query_id"))
-      })
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(qids.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    qvecCache.getOrElseUpdate(s"$work#$key#$digest") {
+      queryVecDerivations.incrementAndGet()
+      queryVecs(spark, ss,
+        qids.toSeq.toDF("query_id"))
+    }
   }
 
   /** Per-segment (rows, dim) — read from the `_centroid` sidecar (one
     * small-file read) when present, a count/dim scan otherwise; cached
     * per PATH (segment content is immutable per path), so repeated
     * compaction planning re-counts nothing. */
-  private val segMetas = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Int)]()
+  private[graft] val segMetas =
+    new graft.model.LruCache[String, (Long, Int)](4096)
 
   private[graft] def segMeta(spark: SparkSession,
       segDir: String): (Long, Int) =
-    segMetas.computeIfAbsent(segDir, { _ =>
+    segMetas.getOrElseUpdate(segDir) {
       segMetaJobs.incrementAndGet()
       val cp = s"$segDir/_centroid"
       if (fs(spark, segDir).exists(new org.apache.hadoop.fs.Path(cp))) {
@@ -498,7 +506,7 @@ object IncrementalIndex {
           first(size(col("embedding")))).head
         (st.getLong(0), if (st.isNullAt(1)) 0 else st.getInt(1))
       }
-    })
+    }
 
   /** Scatter-gather over the CURRENT segments: one image per segment
     * task (the [[Hnsw.serveShardedDistributed]] shape), per-segment
@@ -528,18 +536,34 @@ object IncrementalIndex {
     val key = stateKey(spark, work)
     val st = excludeStateFor(spark, work, ss, key)
     val qrows = queryVecsCached(spark, work, ss, queries, key)
-    // a ROUTED serve materializes images only for the batch's working
-    // set — segments some query routed to — never the full list
+    // a ROUTED serve stages blobs only for the batch's working set —
+    // segments some query routed to — never the full list
     val served = routedFor.fold(ss)(m =>
       ss.filter(s0 => m.getOrElse(s0.ord, Set.empty).nonEmpty))
-    val imgs = Hnsw.segmentImages(spark, served.map(_.dir), budgetBytes)
-    val qbc = spark.sparkContext.broadcast(qrows)
+    // blob discipline (r12 verdict item 2 — formerly
+    // [[Hnsw.segmentImages]], which held ALL S images on the driver
+    // at once and serialized them from it): indexes build concurrently
+    // as disk artifacts, then the driver stages ONE image at a time
+    // ([[Hnsw.imageBlobFor]]) and ships segment blob PATHS; each task
+    // deserializes its own segment via [[Hnsw.ImageBlobCache]], so
+    // peak driver residency is one budget-sized image regardless of S
+    locally { // first-call concurrency only: staged blobs skip it
+      import scala.collection.parallel.CollectionConverters._
+      val toBuild = served.map(_.dir)
+        .filterNot(Hnsw.hasImageBlob(_, budgetBytes))
+      if (toBuild.nonEmpty)
+        toBuild.par.foreach(d => Hnsw.indexFor(spark, d))
+    }
+    val blobs = served.map(s0 =>
+      Hnsw.imageBlobFor(spark, s0.dir, budgetBytes))
     val cands: DataFrame = st.exact match {
       case Some(perOrd) =>
+        val qbc = spark.sparkContext.broadcast(qrows)
         spark.sparkContext
-          .parallelize(served.map(_.ord).zip(imgs),
+          .parallelize(served.map(_.ord).zip(blobs),
             math.max(served.size, 1))
-          .flatMap { case (ord, img) =>
+          .flatMap { case (ord, blob) =>
+            val img = Hnsw.ImageBlobCache.get(blob)
             val ex = perOrd.getOrElse(ord, Set.empty) ++ extraExclude
             val want = routedFor.map(_.getOrElse(ord, Set.empty[Long]))
             qbc.value.iterator
@@ -550,7 +574,7 @@ object IncrementalIndex {
               }
           }.toDF("query_id", "vec_id", "score")
       case None =>
-        bloomCands(spark, served, imgs, qrows, st, ef, k, extraExclude,
+        bloomCands(spark, served, blobs, qrows, st, ef, k, extraExclude,
           routedFor)
     }
     cands.distinct()
@@ -567,7 +591,7 @@ object IncrementalIndex {
     * segment-parallel). Driver candidate residency is |Q|·S·k' rows
     * per round — batch-bounded, never shadow-bounded. */
   private def bloomCands(spark: SparkSession, ss: Seq[Seg],
-      imgs: Seq[Hnsw.IndexImage],
+      blobs: Seq[String],
       qrows: Array[(Long, Array[Float], Double)], st: ExcludeState,
       ef: Int, k: Int, extraExclude: Set[Long],
       routedFor: Option[Map[Int, Set[Long]]] = None): DataFrame = {
@@ -584,9 +608,18 @@ object IncrementalIndex {
         val paths = st.verifyPaths.getOrElse(ord, Seq.empty)
         val dead =
           if (paths.isEmpty) Set.empty[Long]
-          else spark.read.parquet(paths: _*)
-            .filter(col("vec_id").isin(unseen: _*))
-            .select("vec_id").as[Long].collect().toSet
+          // past the cap an In-expression of |unseen| literals blows
+          // up the driver plan (widening rounds can flag up to
+          // |Q|·kNow ids) — switch to the broadcast semi-join, the
+          // [[deriveShadowIdsSidecar]] rule
+          else if (unseen.size <= IsinPushdownCap)
+            spark.read.parquet(paths: _*)
+              .filter(col("vec_id").isin(unseen: _*))
+              .select("vec_id").as[Long].collect().toSet
+          else spark.read.parquet(paths: _*).select("vec_id")
+            .join(broadcast(unseen.toDF("vec_id")), Seq("vec_id"),
+              "left_semi")
+            .as[Long].collect().toSet
         unseen.foreach(id => verdicts((ord, id)) = dead(id))
       }
     }
@@ -603,9 +636,10 @@ object IncrementalIndex {
       val pendBc = spark.sparkContext.broadcast(pending.toMap)
       val served = spark.sparkContext
         .parallelize(
-          pending.map { case (ord, _) => (ord, imgs(ordIdx(ord))) },
+          pending.map { case (ord, _) => (ord, blobs(ordIdx(ord))) },
           math.max(pending.size, 1))
-        .flatMap { case (ord, img) =>
+        .flatMap { case (ord, blob) =>
+          val img = Hnsw.ImageBlobCache.get(blob)
           val want = pendBc.value(ord)
           qbc.value.iterator.filter(q => want(q._1)).flatMap {
             case (qid, qv, qn) =>
@@ -616,6 +650,10 @@ object IncrementalIndex {
               }
           }
         }.collect()
+      // the round's pending map is fully consumed by the collect — a
+      // long-running serving session must not accrete one broadcast
+      // block per widening round
+      pendBc.destroy()
       served.groupBy(_._1).foreach { case (ord, rows) =>
         verify(ord, rows.filter(_._5).map(_._3).distinct.toSeq)
       }
@@ -636,6 +674,10 @@ object IncrementalIndex {
       }
       kk *= 2
     }
+    // everything below is driver-local `done` data — the serve-scoped
+    // broadcasts are dead and must not outlive the call
+    qbc.destroy()
+    bloomBc.destroy()
     done.toSeq.flatMap { case ((_, qid), hits) =>
       hits.map { case (id, sc) => (qid, id, sc) }
     }.toDF("query_id", "vec_id", "score")
@@ -662,14 +704,42 @@ object IncrementalIndex {
     *     and only still-short pairs re-serve at doubled depth (the
     *     `searchAnn` exactness loop, re-expressed relationally).
     *
-    * Bit-equal to [[serve]] on any bounded batch (spec-pinned);
-    * returns the same k-bounded gather shape as every serve in the
-    * family. */
+    * ROUTING (r12 verdict item 3) composes IN-PLAN: with a
+    * non-degenerate `(maxRoutes, margin)` each query row computes its
+    * adaptive route set ON THE EXECUTORS against the broadcast
+    * segment-centroid table (segment-count-sized — the
+    * [[Hnsw.serveShardedRoutedQueryTable]] pattern over the LSM
+    * segment list) and fans only to its routed segments — |Q|·R
+    * shuffle rows instead of |Q|·S. The default (maxRoutes ≥ S,
+    * margin ≥ 2 — the cosine range) IS full fan-out: the adaptive
+    * rule keeps every cell at that margin, and the code short-circuits
+    * the centroid scoring for it; a wide-but-finite margin is
+    * spec-pinned bit-equal to the full fan-out. Routing trims the
+    * SEALED scatter only — freshness is structurally immune (shadows
+    * exclude superseded ids from every served segment's report, and
+    * the live delta below never rides a routed image).
+    *
+    * The LIVE DELTA (r12 verdict item 4) composes as the family's
+    * exact arm, fully in-plan: delta rows (ingest-bounded) broadcast-
+    * cross-join the resolved query vectors with the same rounded
+    * cosine every serve reports, delta ids enter the deadness table at
+    * +∞ ordinal (a delta row supersedes EVERY sealed copy — the
+    * [[serveWithDelta]] contract), and the widening rounds backfill
+    * any beam whose report the delta superseded — so the unbounded-
+    * table serve answers FRESH without requiring a seal. With a delta
+    * present the serve always takes the join-shaped deadness path:
+    * no delta id ever lands in a driver Set or task closure.
+    *
+    * Bit-equal to [[serve]] on any bounded batch, and to
+    * [[serveWithDelta]] with a delta (spec-pinned); returns the same
+    * k-bounded gather shape as every serve in the family. */
   def serveQueryTable(spark: SparkSession, work: String,
       queries: DataFrame, ef: Int = 16, k: Int = 10,
       budgetBytes: Long = Hnsw.DefaultNodeBudget,
-      qParts: Int = 0): DataFrame = {
+      qParts: Int = 0, maxRoutes: Int = Int.MaxValue,
+      margin: Double = 2.0, delta: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    import graft.functions.VectorFunctions._
     val ss = segs(spark, work)
     val key = stateKey(spark, work)
     val st = excludeStateFor(spark, work, ss, key)
@@ -677,9 +747,12 @@ object IncrementalIndex {
       return Hnsw.shardedGather(spark, k,
         Seq.empty[(Long, Long, Double)]
           .toDF("query_id", "vec_id", "score"))
-    locally {
+    locally { // first-call concurrency only: staged blobs skip it
       import scala.collection.parallel.CollectionConverters._
-      ss.par.foreach(s0 => Hnsw.indexFor(spark, s0.dir))
+      val toBuild = ss.map(_.dir)
+        .filterNot(Hnsw.hasImageBlob(_, budgetBytes))
+      if (toBuild.nonEmpty)
+        toBuild.par.foreach(d => Hnsw.indexFor(spark, d))
     }
     val blobs = ss.map(s0 => Hnsw.imageBlobFor(spark, s0.dir,
       budgetBytes))
@@ -703,6 +776,17 @@ object IncrementalIndex {
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<float>").as("qv"))
       .as[(Long, Array[Float])]
+    // per-query route sets, executor-side: the broadcast is the
+    // segment CENTROID table plus the ord → fan-index map — both
+    // segment-count-sized, never an image. The degenerate
+    // (maxRoutes ≥ S, margin ≥ 2) serve skips the scoring entirely:
+    // the adaptive rule keeps every cell there by definition.
+    val routeAll = maxRoutes >= ss.size && margin >= 2.0
+    val centsBc = spark.sparkContext.broadcast(
+      if (routeAll) Array.empty[(Long, Array[Double], Double)]
+      else centroidsFor(spark, work, ss, key))
+    val ordIdxBc = spark.sparkContext.broadcast(
+      ords.zipWithIndex.map { case (o, i) => (o.toLong, i) }.toMap)
     def fanned = qv.flatMap { case (qid, emb) =>
       var s = 0.0
       var i = 0
@@ -710,7 +794,11 @@ object IncrementalIndex {
         s += emb(i).toDouble * emb(i).toDouble; i += 1
       }
       val qn = math.sqrt(s)
-      ords.indices.iterator.map(si => (si, qid, emb, qn))
+      val sis: Iterator[Int] =
+        if (routeAll) ords.indices.iterator
+        else Hnsw.routeCellsAdaptive(centsBc.value, emb, qn,
+          maxRoutes, margin).iterator.map(ordIdxBc.value)
+      sis.map(si => (si, qid, emb, qn))
     }
     val ordsArr = ords.toArray
     val blobsArr = blobs.toArray
@@ -733,19 +821,27 @@ object IncrementalIndex {
         }.toDF("__segidx", "__segord", "query_id", "vec_id", "score",
           "__nrep")
     }
-    val cands: DataFrame = st.exact match {
-      case Some(perOrd) =>
+    val cands: DataFrame = (st.exact, delta) match {
+      case (Some(perOrd), None) =>
         // one pass: beams backfill past the bounded exact excludes
         serveRound(fanned, k, Some(perOrd))
           .select("query_id", "vec_id", "score")
-      case None =>
+      case _ =>
         // correction-bounded deadness table: id → newest shadow ord;
-        // a candidate from segment i is dead iff that ord exceeds i
-        val maxShadow = ss.flatMap(s0 =>
-            shadowPathOf(spark, work, s0.ord).map(pp =>
-              spark.read.parquet(pp).select(col("vec_id"),
-                lit(s0.ord).as("__sord"))))
-          .reduce(_.unionByName(_))
+        // a candidate from segment i is dead iff that ord exceeds i.
+        // Live-delta ids enter at +∞ ordinal: a delta row supersedes
+        // every sealed copy, and the join keeps the ids off the
+        // driver entirely (a delta FORCES this path even when the
+        // shadow total fits the cap)
+        val shadowTbls = ss.flatMap(s0 =>
+          shadowPathOf(spark, work, s0.ord).map(pp =>
+            spark.read.parquet(pp).select(col("vec_id"),
+              lit(s0.ord.toLong).as("__sord"))))
+        val deltaTbl = delta.map(_.select(col("vec_id"),
+          lit(Long.MaxValue).as("__sord")))
+        val maxShadow = (shadowTbls ++ deltaTbl)
+          .reduceOption(_.unionByName(_))
+          .getOrElse(Seq.empty[(Long, Long)].toDF("vec_id", "__sord"))
           .groupBy("vec_id").agg(max("__sord").as("__maxsord"))
         var pendingFan = fanned
         var kk = k
@@ -791,20 +887,54 @@ object IncrementalIndex {
         }
         acc
     }
-    Hnsw.shardedGather(spark, k, cands.distinct())
+    // the live-delta exact arm: the ingest-bounded delta BROADCASTS
+    // against the in-plan resolved query table (the unbounded axis
+    // streams; the bounded one ships) — same rounded cosine, same
+    // self-exclusion as [[serveWithDelta]]'s bounded-batch arm
+    val deltaArm = delta.map { d =>
+      val qvn = qv.toDF("query_id", "qv")
+        .withColumn("qn", l2norm(col("qv")))
+      val dd = d.select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+        .withColumn("nrm", l2norm(col("embedding")))
+      qvn.crossJoin(broadcast(dd))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("score",
+          round(cosinePrenormed(dot(col("embedding"), col("qv")),
+            col("nrm"), col("qn")), 6))
+        .select("query_id", "vec_id", "score")
+    }
+    val all = deltaArm.fold(cands)(da => cands.unionByName(da))
+    Hnsw.shardedGather(spark, k, all.distinct())
   }
 
   /** [[serve]] with the UN-SEALED live delta composed in: the delta
     * is scanned exactly (ingest-bounded), its ids shadow every sealed
     * segment (latest-wins), both arms merge in the one k-bounded
     * gather — [[Hnsw.serveShardedIngestDelta]]'s contract over the
-    * incremental layout. */
+    * incremental layout.
+    *
+    * The delta-id exclusion follows the [[graft.model.IdFilters]]
+    * ladder (r12 verdict item 5 — this was the family's last
+    * documented driver-Set exception): up to the driver cap the ids
+    * ride the task closures as an exact Set and every sealed beam
+    * backfills past them in one pass (the delta-bounded fast path the
+    * streaming loop serves at interactive latency); PAST the cap no
+    * delta id ever lands on the driver — the serve routes through
+    * [[serveQueryTable]]'s join-shaped deadness table, where delta
+    * ids enter at +∞ ordinal and widening rounds backfill superseded
+    * reports. Both arms are spec-pinned equal across a planted cap. */
   def serveWithDelta(spark: SparkSession, work: String, delta: DataFrame,
       queries: DataFrame, ef: Int = 16, k: Int = 10,
       budgetBytes: Long = Hnsw.DefaultNodeBudget): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorFunctions._
-    val deltaIds = delta.select(col("vec_id")).as[Long].collect().toSet
+    val deltaIdsDf = delta.select(col("vec_id"))
+    val nDelta = deltaIdsDf.count()
+    if (nDelta > graft.model.IdFilters.driverCap(spark))
+      return serveQueryTable(spark, work, queries, ef, k, budgetBytes,
+        delta = Some(delta))
+    val deltaIds = deltaIdsDf.as[Long].collect().toSet
     val sealedCands = segCands(spark, work, queries, ef, k, deltaIds,
       budgetBytes)
     val qrows = queryVecsCached(spark, work, segs(spark, work), queries,
@@ -827,12 +957,12 @@ object IncrementalIndex {
     * `_centroid` sidecars, segment-count-sized, memoized per state
     * key; a legacy segment without a sidecar derives its centroid
     * once (its own rows, never a corpus pass). */
-  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[(Long, Array[Double], Double)]]()
+  private[graft] val centroidCache = new graft.model.LruCache[
+    String, Array[(Long, Array[Double], Double)]](64)
 
   private def centroidsFor(spark: SparkSession, work: String,
       ss: Seq[Seg], key: String): Array[(Long, Array[Double], Double)] =
-    centroidCache.computeIfAbsent(s"$work#$key", { _ =>
+    centroidCache.getOrElseUpdate(s"$work#$key") {
       import spark.implicits._
       ss.map { s0 =>
         val cp = s"${s0.dir}/_centroid"
@@ -850,7 +980,7 @@ object IncrementalIndex {
           }
         (s0.ord.toLong, cv, cn)
       }.toArray
-    })
+    }
 
   /** ROUTED LSM serving — [[Hnsw.routeCellsAdaptive]]'s
     * confidence-derived scatter composed onto the segment lifecycle:
@@ -906,14 +1036,22 @@ object IncrementalIndex {
     * can never be missed by routing, because it never rides a routed
     * image at all), delta ids shadow every routed report, and both
     * arms merge in the one k-bounded gather. Wide margin at full
-    * maxRoutes degenerates to [[serveWithDelta]] (spec-pinned). */
+    * maxRoutes degenerates to [[serveWithDelta]] (spec-pinned).
+    * Delta-id exclusion rides the same [[graft.model.IdFilters]]
+    * ladder as [[serveWithDelta]]: past the driver cap the serve
+    * routes through [[serveQueryTable]]'s in-plan deadness table with
+    * the SAME adaptive routing — no delta id on the driver. */
   def serveRoutedWithDelta(spark: SparkSession, work: String,
       delta: DataFrame, queries: DataFrame, maxRoutes: Int,
       margin: Double, ef: Int = 16, k: Int = 10,
       budgetBytes: Long = Hnsw.DefaultNodeBudget): DataFrame = {
     import spark.implicits._
     import graft.functions.VectorFunctions._
-    val deltaIds = delta.select(col("vec_id")).as[Long].collect().toSet
+    val deltaIdsDf = delta.select(col("vec_id"))
+    if (deltaIdsDf.count() > graft.model.IdFilters.driverCap(spark))
+      return serveQueryTable(spark, work, queries, ef, k, budgetBytes,
+        maxRoutes = maxRoutes, margin = margin, delta = Some(delta))
+    val deltaIds = deltaIdsDf.as[Long].collect().toSet
     val routed: Map[Int, Set[Long]] =
       routePlan(spark, work, queries, maxRoutes, margin).toSeq
         .flatMap { case (qid, ords) => ords.map(o => (o, qid)) }
@@ -1009,6 +1147,10 @@ object IncrementalIndex {
         s"$work/segments/seg_${newer.ord}_g${gen + 1}"
       val f = fs(spark, work)
       renameOrDie(f, staged, mergedDir)
+      // the shadow root only pre-exists if some seal wrote a shadow;
+      // a rename into a missing parent fails on HDFS-style stores
+      // (the local-FS copy fallback creates parents and masked this)
+      f.mkdirs(new org.apache.hadoop.fs.Path(s"$work/shadow"))
       renameOrDie(f, stagedShadow,
         s"$work/shadow/seg_${newer.ord}_g${gen + 1}.parquet")
       f.delete(new org.apache.hadoop.fs.Path(older.dir), true)
@@ -1064,13 +1206,40 @@ object IncrementalIndex {
       val e = Tables.embeddings(spark, dir)
       val cut = Ann.deltaCutoff(Search.embNormed(spark, dir))
       val sealedDir = Hnsw.sealedDirFor(spark, dir)
-      // plant a 4-segment head: budget = head image / 4 (the planted-S
-      // convention every sharded registry row uses)
-      val stats = Search.embNormed(spark, sealedDir)
-        .agg(count(lit(1)), first(size(col("embedding")))).head
-      val budget = math.max(1L,
-        stats.getLong(0) * Hnsw.imageBytesPerVec(stats.getInt(1)) / 4)
-      initSegments(spark, sealedDir, w, budget)
+      // The planted 4-segment head IS the sealed residue-4 layout:
+      // [[initSegments]]' budget math (head image / 4, and
+      // [[Hnsw.imageBytesPerVec]] is divisible by 4) derives S = 4 and
+      // splits on `vec_id mod 4` — row-for-row the same segments
+      // [[Hnsw.shardDirsFor]](sealedDir, 4) lays out for
+      // `q_hnsw_sharded_delta`. So reuse that layout verbatim: copy
+      // each shard's rows into the work dir (the LSM owns its files —
+      // compaction deletes and rewrites them) and SHARE the built
+      // hierarchy ([[Hnsw.shareIndex]]), so one bench/verify session
+      // pays ONE set of sealed-head NN-Descent builds across the
+      // lifecycle rows and the sharded-delta row instead of two (the
+      // r12 bench-wall item). Answers are untouched by construction:
+      // same rows per segment, and every index artifact is a
+      // deterministic content derivation.
+      val shards = Hnsw.shardDirsFor(spark, sealedDir, 4)
+      val f = fs(spark, w)
+      // the four shard builds are independent jobs — submit them
+      // concurrently like every other S-way build here (sequential
+      // submission serialized ~4 one-time index trains behind each
+      // other in the r13 first cut); the copy+sidecar leg rides the
+      // same parallel loop
+      locally {
+        import scala.collection.parallel.CollectionConverters._
+        shards.zipWithIndex.par.foreach { case (sd, i) =>
+          val d = s"$w/segments/seg_${i}_g0"
+          f.mkdirs(new org.apache.hadoop.fs.Path(d))
+          org.apache.hadoop.fs.FileUtil.copy(f,
+            new org.apache.hadoop.fs.Path(s"$sd/embeddings.parquet"),
+            f, new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet"),
+            false, spark.sparkContext.hadoopConfiguration)
+          writeSidecars(spark, d)
+          Hnsw.shareIndex(spark, d, sd)
+        }
+      }
       val delta = e.crossJoin(broadcast(cut))
         .filter(col("vec_id") >= col("cutoff"))
         .select("vec_id", "embedding")
@@ -1106,10 +1275,25 @@ object IncrementalIndex {
       spark.range(8).toDF("query_id"), ef = 16, k = 5)
       .orderBy("query_id", "rank")
 
+  /** ROUTING × the unbounded-query-table serve as a registry row (r12
+    * verdict item 3 closed): the same lifecycle and the same adaptive
+    * parameters as [[qHnswIncrRouted]] (margin 0.05, maxRoutes 2),
+    * but the route set is computed IN-PLAN on the executors against
+    * the broadcast `_centroid` table and the fan-out is |Q|·R rows
+    * instead of |Q|·S. Spec-pinned bit-equal to [[serveRouted]] on
+    * any bounded batch; golden oracle like every trained-graph
+    * serve. */
+  def qHnswIncrTableRouted(spark: SparkSession, dir: String): DataFrame =
+    serveQueryTable(spark, workDirFor(spark, dir),
+      spark.range(8).toDF("query_id"), ef = 16, k = 5,
+      maxRoutes = 2, margin = 0.05)
+      .orderBy("query_id", "rank")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hnsw_incr" -> (qHnswIncr _),
     "q_hnsw_incr_routed" -> (qHnswIncrRouted _),
-    "q_hnsw_incr_table" -> (qHnswIncrTable _)
+    "q_hnsw_incr_table" -> (qHnswIncrTable _),
+    "q_hnsw_incr_table_routed" -> (qHnswIncrTableRouted _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1126,6 +1310,11 @@ object IncrementalIndex {
       s"""SELECT * FROM
          |read_parquet(
          |  '$fixturesDir/hnsw_incr_table_sf0.01.parquet/*.parquet')
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_hnsw_incr_table_routed" ->
+      s"""SELECT * FROM
+         |read_parquet(
+         |  '$fixturesDir/hnsw_incr_table_routed_sf0.01.parquet/*.parquet')
          |ORDER BY query_id, rank""".stripMargin
   )
 }

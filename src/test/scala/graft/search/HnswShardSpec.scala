@@ -101,6 +101,48 @@ class HnswShardSpec extends SparkSpec {
     }
   }
 
+  test("bounded-batch scatter is blob-routed: a fresh layout serves " +
+      "with ZERO driver-resident images in the session cache, and the " +
+      "merge still equals the driver-side reference") {
+    import spark.implicits._
+    // an isolated corpus — no other test images these segment dirs,
+    // so the census gauge is meaningful (r12 verdict item 2)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_blobcensus").toString
+    graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 300)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val out = Hnsw.serveShardedDistributed(spark, tmp,
+      Seq(0L, 1L, 2L).toDF("query_id"), shards = 3, ef = 16, k = 5)
+      .collect()
+    val dirs = Hnsw.shardDirsFor(spark, tmp, 3)
+    assert(Hnsw.cachedImageCensus(dirs)._1 === 0,
+      "the bounded-batch scatter materialized driver-resident images " +
+        "(the blob discipline ships paths, not images)")
+    // exactness: the blob-shipped serve equals the driver-side merge
+    // (reference images via imageOf directly — deliberately NOT
+    // imageFor, so the census stays clean)
+    val imgs = dirs.map(d => Hnsw.imageOf(spark, d,
+      Hnsw.indexFor(spark, d)))
+    val e = Search.embNormed(spark, tmp)
+    val qvs = e.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getDouble(2)))
+    qvs.foreach { case (qid, qv, qn) =>
+      val ref = imgs
+        .flatMap(img => Hnsw.serveVec(img, qv, qn, selfId = qid,
+          ef = 16, k = 5))
+        .sortBy { case (id, sc) => (-sc, id) }.take(5)
+      val got = out.filter(_.getLong(0) == qid).sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      assert(got === ref,
+        s"query $qid: blob-routed scatter diverged from the reference")
+    }
+    assert(Hnsw.cachedImageCensus(dirs)._1 === 0,
+      "census polluted — the reference path must bypass the cache")
+  }
+
   test("tombstoned sharded serve: excluded ids navigate but are never " +
       "reported, live answers backfill to k, merge stays exact") {
     val out = Hnsw.qHnswSharded(spark, bigDir).collect()

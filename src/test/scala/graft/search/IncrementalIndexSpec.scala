@@ -514,6 +514,107 @@ class IncrementalIndexSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ann.deadSetCap")
   }
 
+  test("serveQueryTable with IN-PLAN routing is bit-equal to " +
+      "serveRouted at matching parameters, and a wide-but-finite " +
+      "margin serves the full fan-out answer through the routed path") {
+    import spark.implicits._
+    val (work, _) = freshWork()
+    // a topical burst seals as its own segment (centroid points at v0)
+    val v0 = Search.embNormed(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    val burst = (0 until 20).map(i =>
+      (510000L + i, v0.map(_ * (0.5f + 0.01f * i))))
+      .toDF("vec_id", "embedding")
+    II.sealDelta(spark, work, burst)
+    val qids = Seq(0L, 7L, 9L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val s = II.segs(spark, work).size
+    val full = rows(II.serveQueryTable(spark, work,
+      qids.toDF("query_id"), ef = 16, k = 5))
+    // margin 1.99 < 2 exercises the routed code path (no shortcut);
+    // the adaptive rule still keeps every segment at that margin
+    val wide = rows(II.serveQueryTable(spark, work,
+      qids.toDF("query_id"), ef = 16, k = 5, maxRoutes = s,
+      margin = 1.99))
+    assert(wide === full,
+      "wide-but-finite margin must equal the full fan-out bit-for-bit")
+    Seq((1, 0.0), (2, 0.05)).foreach { case (mr, mg) =>
+      val batch = rows(II.serveRouted(spark, work, qids.toDF("query_id"),
+        maxRoutes = mr, margin = mg, ef = 16, k = 5))
+      val table = rows(II.serveQueryTable(spark, work,
+        qids.toDF("query_id"), ef = 16, k = 5, maxRoutes = mr,
+        margin = mg))
+      assert(table === batch,
+        s"in-plan routed query-table serve diverged at maxRoutes=$mr " +
+          s"margin=$mg")
+    }
+  }
+
+  test("serveQueryTable composes the LIVE delta in-plan — fresh " +
+      "answers without a seal, equal to serveWithDelta; past a " +
+      "planted cap the delta ladder serves identically with no " +
+      "driver Set") {
+    import spark.implicits._
+    val (work, _) = freshWork()
+    val v0 = Search.embNormed(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).toArray
+    // live delta: two corrections + two fresh arrivals — NOT sealed
+    val delta = Seq(
+      (5L, v0.map(_ * 0.25f)), (7L, v0.map(_ * 0.3f)),
+      (700000L, v0.map(_ * 0.5f)), (700001L, v0.map(_ * 0.45f)))
+      .toDF("vec_id", "embedding")
+    val qids = Seq(0L, 5L, 9L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val viaSet = rows(II.serveWithDelta(spark, work, delta,
+      qids.toDF("query_id"), ef = 16, k = 5))
+    val viaTable = rows(II.serveQueryTable(spark, work,
+      qids.toDF("query_id"), ef = 16, k = 5, delta = Some(delta)))
+    assert(viaTable === viaSet,
+      "in-plan delta composition diverged from serveWithDelta")
+    // freshness without a seal: query 0's top hit is the corrected id
+    // 5 at the NEW row's score
+    val top0 = viaTable.filter(t => t._1 == 0L && t._2 == 1L).head
+    assert(top0._3 === 5L)
+    assert(top0._4 === 1.0)
+    // the routed twin, under the default cap (driver-Set arm)
+    val routedSet = rows(II.serveRoutedWithDelta(spark, work, delta,
+      qids.toDF("query_id"), maxRoutes = 2, margin = 0.05,
+      ef = 16, k = 5))
+    spark.conf.set("spark.graft.ann.deadSetCap", "2") // delta of 4 > 2
+    try {
+      // the ladder reroutes through the in-plan deadness table: same
+      // answers, no delta id on the driver
+      val viaLadder = rows(II.serveWithDelta(spark, work, delta,
+        qids.toDF("query_id"), ef = 16, k = 5))
+      assert(viaLadder === viaSet,
+        "past the cap the delta ladder must answer identically")
+      val routedLadder = rows(II.serveRoutedWithDelta(spark, work,
+        delta, qids.toDF("query_id"), maxRoutes = 2, margin = 0.05,
+        ef = 16, k = 5))
+      assert(routedLadder === routedSet,
+        "past the cap the ROUTED delta ladder must answer identically")
+    } finally spark.conf.unset("spark.graft.ann.deadSetCap")
+    // serve-path session caches are SIZE-BOUNDED (r12 hygiene): the
+    // census can never exceed the LRU caps however many batches and
+    // work states a session crosses
+    Seq(
+      ("qvecCache", II.qvecCache.size, II.qvecCache.max),
+      ("centroidCache", II.centroidCache.size, II.centroidCache.max),
+      ("excludeStates", II.excludeStates.size, II.excludeStates.max),
+      ("segMetas", II.segMetas.size, II.segMetas.max),
+      ("idSidecars", II.idSidecars.size, II.idSidecars.max)
+    ).foreach { case (name, n, mx) =>
+      assert(n <= mx, s"$name census $n exceeds its LRU bound $mx")
+    }
+    assert(II.qvecCache.size > 0, "qvecCache census gauge reads empty")
+  }
+
   test("generation parsing is basename-only: a work path containing " +
       "\"_g\" seals and compacts without mis-parsing") {
     import spark.implicits._

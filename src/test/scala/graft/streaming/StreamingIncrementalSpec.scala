@@ -94,6 +94,22 @@ class StreamingIncrementalSpec extends SparkSpec {
     val narrow0 = routedNarrow.filter(_._1 == 0L)
     assert(narrow0.count(_._3 == 5L) === 1,
       "narrow routing must still serve the live-delta correction")
+
+    // QUERY-TABLE streamed serve (r12 item 4 closed): the fully
+    // in-plan composition — join-shaped deadness, broadcast delta arm
+    // at +∞ ordinal — answers exactly like the bounded-batch streamed
+    // serve: fresh from the live delta, no seal required, and in the
+    // routed variant the delta stays structurally immune to routing
+    val viaTable = rows(StreamingIncrementalServe.serveQueryTable(spark,
+      segWork, deltaWork, queries, ef = 16, k = 5))
+    assert(viaTable === got,
+      "streamed query-table serve diverged from the bounded-batch serve")
+    val viaTableRouted = rows(StreamingIncrementalServe.serveQueryTable(
+      spark, segWork, deltaWork, queries, ef = 16, k = 5,
+      maxRoutes = 1, margin = 0.0))
+    assert(viaTableRouted.filter(_._1 == 0L).count(_._3 == 5L) === 1,
+      "routed query-table serve must still report the live-delta " +
+        "correction")
   }
 
   test("maybeSeal: measured trigger, snapshot cleanup, delta-sized " +
