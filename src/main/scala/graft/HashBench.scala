@@ -5,7 +5,8 @@ package graft
 object HashBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(20000000L)
-    val spark = GraftSession.builder("local[32]", "32").getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     GraftSession.setLogLevel(spark, "ERROR")
     import org.apache.spark.sql.functions._
     val base = spark.range(n).select(concat(lit("doc:"), col("id")).as("s"))
