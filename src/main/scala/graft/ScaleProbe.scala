@@ -2023,6 +2023,42 @@ object ScaleProbe {
           s"speedup=${f"${wFull / math.max(wRouted, 0.001)}%.1f"}x " +
           s"overlap=${f"$overlap%.2f"} batch_equal=$sampleEq"
       },
+      time("qv_resolution") {
+        // Latest-wins query-vector resolution at a REALISTIC segment
+        // count (round 13 residual #2): the r13 first cut resolved
+        // queries via an S-leg unionByName (a scan + a broadcast join
+        // per segment), whose PLAN grows O(S) — Catalyst analysis,
+        // S scan legs, S joins — exactly the guide's wide-union
+        // planning tax. The rewrite is ONE multi-path scan with the
+        // segment ordinal extracted from the rename-published basename
+        // (plan O(1) in S; the S-ness degrades to file listing).
+        // Gauges: both arms timed in isolation at a planted S=64
+        // lifecycle, answers asserted bit-equal (the union twin is the
+        // reference arm, kept for exactly this probe and the spec).
+        import operators.{Hnsw, IncrementalIndex => II, Search}
+        val gdir = hnswProbeDir
+        val e = Search.embNormed(spark, gdir)
+        val n = e.count()
+        val dim = e.select(size(col("embedding"))).head.getInt(0)
+        val budget = math.max(1L, n * Hnsw.imageBytesPerVec(dim) / 64)
+        val qw = s"$work/qv_resolution"
+        II.initSegments(spark, gdir, qw, budget)
+        val ss = II.segs(spark, qw)
+        import spark.implicits._
+        val qdf = (0L until 64L).toDF("query_id")
+        def arm(f: => Array[(Long, Array[Float], Double)])
+            : (Double, Seq[(Long, Seq[Float], Double)]) = {
+          val t0 = System.nanoTime()
+          val r = f
+          ((System.nanoTime() - t0) / 1e9,
+            r.sortBy(_._1).map(t => (t._1, t._2.toSeq, t._3)).toSeq)
+        }
+        val (wScan, oScan) = arm(II.queryVecs(spark, ss, qdf))
+        val (wUnion, oUnion) = arm(II.queryVecsUnion(spark, ss, qdf))
+        s"S=${ss.size} q=64 equal=${oScan == oUnion} " +
+          s"wall_scan=${f"$wScan%.1f"}s wall_union=${f"$wUnion%.1f"}s " +
+          s"speedup=${f"${wUnion / math.max(wScan, 0.001)}%.1f"}x"
+      },
       time("hnsw_delta_ladder") {
         // The delta-exclusion ladder (round 13 — r12 verdict item 5):
         // a LIVE delta past the driver cap must serve through the

@@ -444,10 +444,58 @@ object IncrementalIndex {
   private[graft] val qvecCache = new graft.model.LruCache[
     String, Array[(Long, Array[Float], Double)]](64)
 
+  /** All segments' embedding rows in ONE multi-path scan, each row
+    * carrying its segment ORDINAL derived from its file path (the
+    * rename-published `seg_<ord>[_g<gen>]` basename discipline —
+    * [[parseSegName]]'s contract, expressed as a codegen regex). The
+    * r13 first cut built this as an S-leg `unionByName` of per-segment
+    * scans, which is correct but scales its PLAN with the segment
+    * count: at LSM-realistic S (thousands of sealed segments) Catalyst
+    * pays O(S) analysis/optimization per serve and the executed plan
+    * carries S scan legs and S joins (guide §3.3 wide unions / §7.3
+    * planning time). One multi-path scan keeps the plan O(1) in S —
+    * the S-ness degrades to a file-listing, which every approach pays.
+    * Row-identical to the union by construction: same files, same
+    * rows, and the extracted ordinal equals the `lit(s0.ord)` the
+    * union stamped (spec-pinned, incl. unsuffixed legacy basenames
+    * and `_g`-bearing work paths). */
+  private[graft] def segEmbeddings(spark: SparkSession,
+      ss: Seq[Seg]): DataFrame = {
+    val paths = ss.map(s0 => s"${s0.dir}/embeddings.parquet")
+    spark.read.parquet(paths: _*)
+      .withColumn("__ord",
+        regexp_extract(input_file_name(),
+          "/seg_([0-9]+)(?:_g[0-9]+)?/embeddings\\.parquet/", 1)
+          .cast("int"))
+  }
+
   /** Query-id vectors resolved latest-wins across the segments: the
-    * newest segment holding the id supplies the row (point lookups —
-    * the vec_id filter pushes into every segment scan). */
+    * newest segment holding the id supplies the row. ONE multi-path
+    * scan + ONE broadcast join ([[segEmbeddings]]) — not a scan and a
+    * join per segment. */
   private[graft] def queryVecs(spark: SparkSession, ss: Seq[Seg],
+      queries: DataFrame): Array[(Long, Array[Float], Double)] = {
+    import graft.functions.VectorFunctions._
+    if (ss.isEmpty) return Array.empty
+    val qids = queries.select(col("query_id").cast("long").as("vec_id"))
+    val all = segEmbeddings(spark, ss)
+      .join(broadcast(qids), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("__ord").as("ord"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ord").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("nrm", l2norm(col("embedding")))
+      .select("vec_id", "embedding", "nrm")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getDouble(2)))
+  }
+
+  /** The S-leg union twin of [[queryVecs]]'s resolution — kept ONLY as
+    * the spec/probe reference arm (bit-equality pin + isolation
+    * timing); no serve path calls it. */
+  private[graft] def queryVecsUnion(spark: SparkSession, ss: Seq[Seg],
       queries: DataFrame): Array[(Long, Array[Float], Double)] = {
     import graft.functions.VectorFunctions._
     val qids = queries.select(col("query_id").cast("long").as("vec_id"))
@@ -761,16 +809,15 @@ object IncrementalIndex {
       if (qParts > 0) qParts
       else spark.sparkContext.defaultParallelism / math.max(ss.size, 1))
     // latest-wins query vectors, in-plan: newest segment holding the
-    // id supplies the row
+    // id supplies the row — ONE multi-path scan + ONE join
+    // ([[segEmbeddings]]), not a scan/join pair per segment: the
+    // unbounded-table cell exists for large S, where an S-leg union
+    // is O(S) plan analysis per serve
     val qids = queries.select(col("query_id").cast("long").as("vec_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("__ord").desc)
-    val qv = ss.map(s0 =>
-        spark.read.parquet(s"${s0.dir}/embeddings.parquet")
-          .join(qids, "vec_id")
-          .select(col("vec_id"), col("embedding"),
-            lit(s0.ord).as("__ord")))
-      .reduce(_.unionByName(_))
+    val qv = segEmbeddings(spark, ss)
+      .join(qids, "vec_id")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("vec_id").as("query_id"),

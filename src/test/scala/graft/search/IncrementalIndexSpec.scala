@@ -658,6 +658,48 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(top.getDouble(3) === 1.0)
   }
 
+  test("queryVecs: the single multi-path scan equals the S-leg union " +
+      "twin across seals, a legacy basename, and a _g-bearing work path") {
+    import spark.implicits._
+    // work path deliberately carries a segment-shaped component: the
+    // ordinal regex must bind to the basename-before-embeddings only
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_qv_seg_7_g9_").toString
+    val stats = Search.embNormed(spark, sfDir)
+      .agg(count(lit(1)), first(size(col("embedding")))).head
+    val budget = math.max(1L,
+      stats.getLong(0) * Hnsw.imageBytesPerVec(stats.getInt(1)) / 3)
+    II.initSegments(spark, sfDir, work, budget)
+    // a seal that CORRECTS ids the base segments hold: latest-wins must
+    // pick the sealed rows, so an ordinal mis-parse would flip winners
+    val corrected = Search.embNormed(spark, sfDir)
+      .filter(col("vec_id") < 6).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_ * 0.5f)))
+    II.sealDelta(spark, work, corrected.toSeq.toDF("vec_id", "embedding"))
+    // one base segment renamed to the unsuffixed LEGACY basename
+    // (generation 0 by contract — segs() and the regex must agree)
+    val f = fs0(work)
+    f.rename(
+      new org.apache.hadoop.fs.Path(s"$work/segments/seg_1_g0"),
+      new org.apache.hadoop.fs.Path(s"$work/segments/seg_1"))
+    val ss = II.segs(spark, work)
+    assert(ss.exists(_.dir.endsWith("/seg_1")), "legacy basename lost")
+    val qids = Seq(0L, 1L, 2L, 5L, 7L, 999999L).toDF("query_id")
+    val got = II.queryVecs(spark, ss, qids)
+      .sortBy(_._1).map(t => (t._1, t._2.toSeq, t._3))
+    val ref = II.queryVecsUnion(spark, ss, qids)
+      .sortBy(_._1).map(t => (t._1, t._2.toSeq, t._3))
+    assert(got === ref, "single-scan resolution diverged from the union")
+    // the corrected ids must resolve from the SEALED segment (halved
+    // first component) — pins that the extracted ordinal orders seals
+    // above the base segments
+    val gotHead = got.filter(_._1 == 0L).head._2.head
+    val base = Search.embNormed(spark, sfDir)
+      .filter(col("vec_id") === 0).select("embedding").head
+      .getSeq[Float](0).head
+    assert(gotHead === base * 0.5f, "latest-wins winner not the seal")
+  }
+
   private def fs0(work: String) =
     new org.apache.hadoop.fs.Path(work)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
