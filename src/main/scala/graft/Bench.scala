@@ -131,14 +131,21 @@ object Bench {
     // outside the timed set, stall_iters counts ONLY genuine mid-run
     // divergence (r7 verdict item 5).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // guide §1.5: label every query's jobs so the UI / event log maps
+    // stages back to registry rows. setJobDescription is thread-local,
+    // so the concurrent cold pass labels correctly per pool thread.
+    def once(name: String, phase: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      spark.sparkContext.setJobDescription(s"bench:$phase:$name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
+      dt
     }
     val t0Cold = System.nanoTime()
     val colds = mapConcurrent(spread, coldPar) { case (name, fn) =>
-      name -> once(fn)
+      name -> once(name, "cold", fn)
     }.toMap
     val tColdWall = (System.nanoTime() - t0Cold) / 1e9
     // phase marker (pre-timed, so it can never pollute the parseable
@@ -187,7 +194,8 @@ object Bench {
     val raw = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Seq[Double])]
     names.foreach { case (name, fn) =>
-      raw += ((name, colds(name), (1 to iters).map(_ => once(fn))))
+      raw += ((name, colds(name),
+        (1 to iters).map(_ => once(name, "timed", fn))))
       // refresh the parseable tail after EVERY query: a timeout leaves
       // the last refresh — a correct line over the prefix timed so far
       val sofar = raw.toSeq
