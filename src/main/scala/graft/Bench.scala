@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   * Wall-clock hardening (round 13 — BENCH_r12 timed out at rc=124
   * with nothing parseable): the warmup and cold passes run
   * CONCURRENTLY (a bounded pool of SPARK_GRAFT_BENCH_COLD_PAR
-  * queries, default 4). Those passes exist to pay one-time artifact
+  * queries, default 8). Those passes exist to pay one-time artifact
   * builds (index trains, layouts, session caches) up front; each
   * build is a chain of small Spark jobs whose wall is scheduler
   * latency, not CPU, so running a few queries' builds concurrently
@@ -51,6 +51,24 @@ object Bench {
     val s = ts.sorted
     if (s.length % 2 == 1) s(s.length / 2)
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+  }
+
+  /** A throwing query records this sentinel, NOT its elapsed wall —
+    * timing a failure path would bench a broken query as a fast row
+    * (r13 verdict item 3). Negative so it can never be mistaken for a
+    * duration, and loud in the line: a failed query drags its median
+    * (and the total) below any honest value instead of hiding. The
+    * oracle gate is what catches the breakage itself; this keeps the
+    * BENCH from laundering it. */
+  private[graft] val FailureSentinel = -1.0
+
+  /** Time `body`; [[FailureSentinel]] if it throws. Factored out of
+    * the run loop so the sentinel contract is unit-testable without a
+    * SparkSession (BenchSpec pins it with a forced failure). */
+  private[graft] def timedOrSentinel(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    try { body; (System.nanoTime() - t0) / 1e9 }
+    catch { case scala.util.control.NonFatal(_) => FailureSentinel }
   }
 
   /** Run `f` over `xs` on a bounded pool, preserving input order in
@@ -89,7 +107,7 @@ object Bench {
     // small pool filled by ALPHABETICALLY-ADJACENT family members
     // degrades to ~1 effective runner for that build's duration (the
     // r13 first-cut convoy). Blocked threads cost nothing, so the pool
-    // is wide (12), and submission order is a deterministic name-hash
+    // is wider than a family (8), and submission order is a deterministic name-hash
     // spread so family members don't claim contiguous slots. The
     // TIMED pass stays alphabetical and sequential — unchanged
     // protocol, run-to-run comparability.
@@ -137,9 +155,7 @@ object Bench {
     def once(name: String, phase: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       spark.sparkContext.setJobDescription(s"bench:$phase:$name")
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt = timedOrSentinel { fn(spark, sfDir).count(): Unit }
       spark.sparkContext.setJobDescription(null)
       dt
     }
@@ -185,8 +201,13 @@ object Bench {
       // per-query map ever pushes the line past the driver's ~2000-char
       // tail window, keep only the slowest queries (they're the
       // informative ones) rather than risk an unparseable line.
+      // Membership is DETERMINISTIC: slowest-40 with ties broken by
+      // name (so equal-timed rows can't swap in and out run-to-run),
+      // and the headline total/min_total/stall_iters always cover ALL
+      // queries — only the per-query map truncates. The full map lands
+      // in bench_full.json.
       if (all.length <= 1800) all
-      else mk(results.sortBy(-_._2).take(40)
+      else mk(results.sortBy { case (k, v) => (-v, k) }.take(40)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}"))
     }

@@ -2055,9 +2055,53 @@ object ScaleProbe {
         }
         val (wScan, oScan) = arm(II.queryVecs(spark, ss, qdf))
         val (wUnion, oUnion) = arm(II.queryVecsUnion(spark, ss, qdf))
+        // asserted, not just interpolated (r13 advice): a divergence
+        // must FAIL the probe, not reword its gauge string
+        assert(oScan == oUnion,
+          "qv_resolution: multi-path scan diverged from the union twin")
         s"S=${ss.size} q=64 equal=${oScan == oUnion} " +
           s"wall_scan=${f"$wScan%.1f"}s wall_union=${f"$wUnion%.1f"}s " +
           s"speedup=${f"${wUnion / math.max(wScan, 0.001)}%.1f"}x"
+      },
+      time("qv_prune") {
+        // The qid-Bloom path prune on the bounded-batch resolution
+        // (round 14 — r13 verdict item 4): at LSM-realistic S the
+        // multi-path scan listed and opened EVERY segment's files for
+        // a point lookup most segments provably cannot answer. Gauges:
+        // segments kept vs S, both arms timed, answers asserted
+        // bit-equal (no false negatives ⇒ identical join rows).
+        import operators.{Hnsw, IncrementalIndex => II, Search}
+        val gdir = hnswProbeDir
+        val e = Search.embNormed(spark, gdir)
+        val n = e.count()
+        val dim = e.select(size(col("embedding"))).head.getInt(0)
+        val budget = math.max(1L, n * Hnsw.imageBytesPerVec(dim) / 64)
+        val pw = s"$work/qv_prune"
+        II.initSegments(spark, gdir, pw, budget)
+        val ss = II.segs(spark, pw)
+        import spark.implicits._
+        val qids = (0L until 8L)
+        val qdf = qids.toDF("query_id")
+        def arm(f: => Array[(Long, Array[Float], Double)])
+            : (Double, Seq[(Long, Seq[Float], Double)]) = {
+          val t0 = System.nanoTime()
+          val r = f
+          ((System.nanoTime() - t0) / 1e9,
+            r.sortBy(_._1).map(t => (t._1, t._2.toSeq, t._3)).toSeq)
+        }
+        spark.conf.set("spark.graft.ann.qvPruneMinSegs",
+          (ss.size + 1).toString)
+        val (wFull, oFull) = arm(II.queryVecs(spark, ss, qdf))
+        spark.conf.set("spark.graft.ann.qvPruneMinSegs", "1")
+        val (wPruned, oPruned) =
+          try arm(II.queryVecs(spark, ss, qdf))
+          finally spark.conf.unset("spark.graft.ann.qvPruneMinSegs")
+        val kept = II.pruneSegsByIdBloom(spark, ss, qids.toArray)
+        assert(oPruned == oFull,
+          "qv_prune: pruned resolution diverged from the full scan")
+        s"S=${ss.size} q=8 kept=${kept.size} equal=${oPruned == oFull} " +
+          s"wall_full=${f"$wFull%.2f"}s wall_pruned=${f"$wPruned%.2f"}s " +
+          s"speedup=${f"${wFull / math.max(wPruned, 0.001)}%.1f"}x"
       },
       time("hnsw_delta_ladder") {
         // The delta-exclusion ladder (round 13 — r12 verdict item 5):
@@ -2097,6 +2141,8 @@ object ScaleProbe {
           val viaLadder = rows(II.serveWithDelta(spark, lw, d, qdf,
             ef = 16, k = 10))
           val wLadder = (System.nanoTime() - t1) / 1e9
+          assert(viaSet == viaLadder,
+            "delta ladder: past-cap serve diverged from the Set arm")
           s"n=$n delta=$dN cap=512 equal=${viaSet == viaLadder} " +
             s"wall_set=${f"$wSet%.1f"}s wall_ladder=${f"$wLadder%.1f"}s"
         } finally spark.conf.unset("spark.graft.ann.deadSetCap")

