@@ -81,9 +81,9 @@ object PipelineStageProbe {
       t("s6_sample(count)") { s6.count() }
 
       val packed = Curation.packFrom(
-        s6.select(col("doc_id"), col("source"),
-          size(graft.operators.TextAnalysis.toks(col("text")))
-            .cast("long").as("tok")))
+        s6.select("doc_id")
+          .join(Curation.docTokCounts(spark, sfDir), "doc_id")
+          .select("doc_id", "source", "tok"))
       t("s7_pack(count)") { packed.count() }
 
       def acct(df: DataFrame): (Long, Long) = {
@@ -91,8 +91,13 @@ object PipelineStageProbe {
           coalesce(sum("n_chars"), lit(0L)).cast("long")).head
         (r.getLong(0), r.getLong(1))
       }
-      t("accts(6 sequential aggs)") {
-        acct(docs); acct(s2); acct(s3); acct(s4); acct(s5); acct(s6)
+      t("accts(6 concurrent aggs)") {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+        try Seq(docs, s2, s3, s4, s5, s6).map(df =>
+          pool.submit(new java.util.concurrent.Callable[(Long, Long)] {
+            def call(): (Long, Long) = acct(df)
+          })).foreach(_.get())
+        finally pool.shutdown()
       }
       Seq(s2, s4, s5, s6).foreach(_.unpersist(false))
       println(f"[pipeprobe] TOTAL ${(System.nanoTime() - tAll0) / 1e9}%8.3f s")

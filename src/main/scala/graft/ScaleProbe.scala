@@ -2099,9 +2099,22 @@ object ScaleProbe {
         val kept = II.pruneSegsByIdBloom(spark, ss, qids.toArray)
         assert(oPruned == oFull,
           "qv_prune: pruned resolution diverged from the full scan")
-        s"S=${ss.size} q=8 kept=${kept.size} equal=${oPruned == oFull} " +
-          s"wall_full=${f"$wFull%.2f"}s wall_pruned=${f"$wPruned%.2f"}s " +
-          s"speedup=${f"${wFull / math.max(wPruned, 0.001)}%.1f"}x"
+        // the load-bearing gauge is SCANNED FILES (the r13 verdict's
+        // "Done" criterion): at this toy scale every segment file is
+        // tiny and file-open cost is noise, so walls read ~flat — the
+        // prune's value is the data/footer reads skipped per segment,
+        // which grows with segment size while the sidecar scan stays
+        // words-table-sized
+        def partFiles(segs: Seq[II.Seg]): Int = segs.map { s0 =>
+          val p = new org.apache.hadoop.fs.Path(
+            s"${s0.dir}/embeddings.parquet")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+        }.sum
+        s"S=${ss.size} q=8 kept=${kept.size} " +
+          s"files_scanned=${partFiles(ss)}->${partFiles(kept)} " +
+          s"equal=${oPruned == oFull} " +
+          s"wall_full=${f"$wFull%.2f"}s wall_pruned=${f"$wPruned%.2f"}s"
       },
       time("hnsw_delta_ladder") {
         // The delta-exclusion ladder (round 13 — r12 verdict item 5):

@@ -148,23 +148,39 @@ object CurationPipeline {
         s5.select("lang", "doc_id", "n_chars")).select("doc_id"),
       "doc_id").persist()
 
+    // survivors' token counts come from the SHARED per-doc artifact
+    // ([[Curation.docTokCounts]] — the same cached lineage
+    // q_pack_batches packs from) instead of re-tokenizing s6's text
+    // per run: identical values (toks is deterministic per text,
+    // doc_id unique), one tokenization pass per session (round 14,
+    // stage profile: the pack stage was the heaviest warm stage)
     val packed = Curation.packFrom(
-      s6.select(col("doc_id"), col("source"),
-        size(graft.operators.TextAnalysis.toks(col("text")))
-          .cast("long").as("tok")))
-    val nBatches = packed.count()
+      s6.select("doc_id")
+        .join(Curation.docTokCounts(spark, dir), "doc_id")
+        .select("doc_id", "source", "tok"))
 
     def acct(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         coalesce(sum("n_chars"), lit(0L)).cast("long")).head
       (r.getLong(0), r.getLong(1))
     }
-    val (n1, c1) = acct(docs)
-    val (n2, c2) = acct(s2)
-    val (n3, c3) = acct(s3)
-    val (n4, c4) = acct(s4)
-    val (n5, c5) = acct(s5)
-    val (n6, c6) = acct(s6)
+    // the seven accounting actions are independent reads of persisted
+    // stage lineages — overlap them (guide §2.6) instead of paying
+    // seven sequential job latencies; answers are per-job and
+    // order-free
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
+    def fut[A](f: => A): java.util.concurrent.Future[A] =
+      pool.submit(new java.util.concurrent.Callable[A] {
+        def call(): A = f
+      })
+    val (nBatches, (n1, c1), (n2, c2), (n3, c3), (n4, c4), (n5, c5),
+        (n6, c6)) =
+      try {
+        val fPack = fut(packed.count())
+        val fs = Seq(docs, s2, s3, s4, s5, s6).map(df => fut(acct(df)))
+        (fPack.get(), fs(0).get(), fs(1).get(), fs(2).get(),
+          fs(3).get(), fs(4).get(), fs(5).get())
+      } finally pool.shutdown()
     val nShards = (n6 + Curation.ShardDocs - 1) / Curation.ShardDocs
     Seq(s2, s4, s5, s6).foreach(_.unpersist(false))
 

@@ -160,10 +160,22 @@ object Curation {
       .orderBy("source", "bin")
   }
 
+  /** Per-doc whitespace token counts — the session artifact behind
+    * the packing family (round 14): [[qPackBatches]] and the
+    * pipeline's pack stage ([[graft.api.CurationPipeline.full]]) both
+    * consumed `size(toks(text))` inline, re-tokenizing the corpus per
+    * run; one cached (doc_id, source, tok) lineage is 3 narrow
+    * columns, built once per session like [[TextAnalysis.termFreqs]]. */
+  private[graft] def docTokCounts(spark: SparkSession,
+      dir: String): DataFrame =
+    Cache.getOrBuild(spark, "docTokCounts", dir) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(toks(col("text"))).cast("long").as("tok"))
+    }
+
   def qPackBatches(spark: SparkSession, dir: String): DataFrame =
-    packFrom(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        size(toks(col("text"))).cast("long").as("tok")))
+    packFrom(docTokCounts(spark, dir))
 
   /** Packing under the REAL tokenizer: [[bpeEncode]]'s exact per-doc
     * token counts feed the same two-pass packer — the step a pipeline
