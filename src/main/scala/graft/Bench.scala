@@ -73,18 +73,33 @@ object Bench {
 
   /** Run `f` over `xs` on a bounded pool, preserving input order in
     * the result. Used ONLY for the untimed artifact passes. */
-  private def mapConcurrent[A, B](xs: Seq[A], par: Int)(f: A => B): Seq[B] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(par, 1))
-    try {
-      val futs = xs.map { x =>
-        pool.submit(new java.util.concurrent.Callable[B] {
-          def call(): B = f(x)
-        })
-      }
-      futs.map(_.get())
-    } finally pool.shutdown()
-  }
+  private def mapConcurrent[A, B](xs: Seq[A], par: Int)(f: A => B): Seq[B] =
+    graft.model.Pools.mapConcurrent(xs, par)(f)
+
+  /** Truncation order for the parseable line's per-query map: FAILED
+    * rows (sentinel) first — a failed query must never be truncated
+    * out of the driver-visible map (sorting by raw slowness put the
+    * negative sentinel LAST, i.e. a broken query silently vanished
+    * from the slowest-40 exactly when the line needed to show it) —
+    * then slowest-first, ties broken by name. */
+  private[graft] def lineOrder(results: Seq[(String, Double)])
+      : Seq[(String, Double)] =
+    results.sortBy { case (k, v) =>
+      (if (v < 0) Double.NegativeInfinity else -v, k)
+    }
+
+  /** Per-row host-stall count. A row with ANY sentinel iteration is a
+    * FAILED row, not a stalled one: with the sentinel as the median,
+    * the `t > 5*m` test reads every SUCCESSFUL iteration of a flaky
+    * query as a stall (4.2 > 5 × −1.0), mislabelling breakage as host
+    * noise — failed rows are reported via the line's `failed` list
+    * instead and count zero stalls. */
+  private[graft] def stallCount(ts: Seq[Double]): Int =
+    if (ts.exists(_ < 0)) 0
+    else {
+      val m = median(ts)
+      ts.count(t => t > 5 * m && t - m > 1.0)
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,25 +204,34 @@ object Bench {
       .map(_.group(1)).getOrElse("0")
     def lineOf(results: Seq[(String, Double)], minTotal: Double,
         stallIters: Int): String = {
+      // failed queries surface as a TOP-LEVEL list (empty → omitted,
+      // the steady-state line is unchanged): the sentinel alone is not
+      // enough once the per-query map truncates, and the headline
+      // total's sentinel drag is visible but not attributable
+      val failed = results.collect { case (k, v) if v < 0 => k }
+      val failedField =
+        if (failed.isEmpty) ""
+        else failed.sorted.map("\"" + _ + "\"")
+          .mkString("\"failed\":[", ",", "],")
       def mk(queries: String) = {
         val total = results.map(_._2).sum
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","min_total":${
-          fmt(minTotal)},"stall_iters":$stallIters,"queries":$queries,"sf":$sfNum}"""
+          fmt(minTotal)},"stall_iters":$stallIters,$failedField"queries":$queries,"sf":$sfNum}"""
       }
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val all = mk(qs)
       // Headroom guard: the registry grows every round; if the
       // per-query map ever pushes the line past the driver's ~2000-char
-      // tail window, keep only the slowest queries (they're the
-      // informative ones) rather than risk an unparseable line.
-      // Membership is DETERMINISTIC: slowest-40 with ties broken by
-      // name (so equal-timed rows can't swap in and out run-to-run),
-      // and the headline total/min_total/stall_iters always cover ALL
-      // queries — only the per-query map truncates. The full map lands
-      // in bench_full.json.
+      // tail window, keep only the most informative queries rather than
+      // risk an unparseable line. Membership is DETERMINISTIC
+      // ([[lineOrder]]: failed rows first — never truncated out — then
+      // slowest-40 with ties broken by name, so equal-timed rows can't
+      // swap in and out run-to-run), and the headline total/min_total/
+      // stall_iters always cover ALL queries — only the per-query map
+      // truncates. The full map lands in bench_full.json.
       if (all.length <= 1800) all
-      else mk(results.sortBy { case (k, v) => (-v, k) }.take(40)
+      else mk(lineOrder(results).take(40)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}"))
     }
@@ -222,19 +246,13 @@ object Bench {
       val sofar = raw.toSeq
       val res = sofar.map { case (k, _, ts) => k -> median(ts) }
       val minT = sofar.map(_._3.min).sum
-      val stalls = sofar.map { case (_, _, ts) =>
-        val m = median(ts)
-        ts.count(t => t > 5 * m && t - m > 1.0)
-      }.sum
+      val stalls = sofar.map { case (_, _, ts) => stallCount(ts) }.sum
       println(lineOf(res, minT, stalls))
       System.out.flush()
     }
     val results = raw.toSeq.map { case (name, _, ts) => name -> median(ts) }
     val minTotal = raw.map(_._3.min).sum
-    val stallIters = raw.map { case (_, _, ts) =>
-      val m = median(ts)
-      ts.count(t => t > 5 * m && t - m > 1.0)
-    }.sum
+    val stallIters = raw.map { case (_, _, ts) => stallCount(ts) }.sum
     val line = lineOf(results, minTotal, stallIters)
     val full = raw.map { case (k, cold, ts) =>
       s"\"" + k + "\":{\"median\":" + median(ts) + ",\"min\":" + ts.min +

@@ -2089,14 +2089,20 @@ object ScaleProbe {
           ((System.nanoTime() - t0) / 1e9,
             r.sortBy(_._1).map(t => (t._1, t._2.toSeq, t._3)).toSeq)
         }
-        spark.conf.set("spark.graft.ann.qvPruneMinSegs",
-          (ss.size + 1).toString)
-        val (wFull, oFull) = arm(II.queryVecs(spark, ss, qdf))
-        spark.conf.set("spark.graft.ann.qvPruneMinSegs", "1")
-        val (wPruned, oPruned) =
-          try arm(II.queryVecs(spark, ss, qdf))
-          finally spark.conf.unset("spark.graft.ann.qvPruneMinSegs")
-        val kept = II.pruneSegsByIdBloom(spark, ss, qids.toArray)
+        // ONE try/finally around the whole conf-mutation span
+        // (round-14 review: a throw in the FULL arm used to leak the
+        // disabled-prune conf into every later probe), and `kept` is
+        // computed while the prune is force-enabled so the gauge can
+        // never silently read no-prune on a small-S layout
+        val (wFull, oFull, wPruned, oPruned, kept) =
+          try {
+            spark.conf.set("spark.graft.ann.qvPruneMinSegs",
+              (ss.size + 1).toString)
+            val (wf, of) = arm(II.queryVecs(spark, ss, qdf))
+            spark.conf.set("spark.graft.ann.qvPruneMinSegs", "1")
+            val (wp, op) = arm(II.queryVecs(spark, ss, qdf))
+            (wf, of, wp, op, II.pruneSegsByIdBloom(spark, ss, qids.toArray))
+          } finally spark.conf.unset("spark.graft.ann.qvPruneMinSegs")
         assert(oPruned == oFull,
           "qv_prune: pruned resolution diverged from the full scan")
         // the load-bearing gauge is SCANNED FILES (the r13 verdict's

@@ -110,77 +110,25 @@ object CurationPipeline {
     * joins against cached artifacts + each operator's own plan. */
   def full(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select("doc_id", "lang", "source", "n_chars", "text")
+    val docs = stageDocs(spark, dir)
+    val s2 = stageQuality(spark, dir, docs)
+    val s3 = stageExact(s2)
+    val s4 = stageDecon(spark, dir, s3)
+    val s5 = stageNeardup(s4, neardupLabels(spark, dir, s4))
+    val s6 = stageSample(s5)
+    val packed = stagePacked(spark, dir, s6)
 
-    val s2 = docs.join(
-      Quality.qFilterChain(spark, dir).filter(col("keep")).select("doc_id"),
-      "doc_id").persist()
-
-    val exactWinners = s2
-      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
-      .groupBy("fp").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val s3 = s2.join(exactWinners, "doc_id")
-
-    val s4 = s3.filter(col("doc_id") >= 20)
-      .join(Dedup.contaminatedMajority(spark, dir),
-        Seq("doc_id"), "left_anti").persist()
-
-    val ids4 = s4.select("doc_id")
-    val pairs = Dedup.nearDupPairs(spark, dir)
-      .filter(col("jaccard") >= 0.5)
-      .join(ids4.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(ids4.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-      .select("doc_a", "doc_b")
-    val labels = Dedup.componentsOf(spark, pairs)
-    val ndLosers = labels.join(s4.select("doc_id", "n_chars"), "doc_id")
-      .groupBy("grp")
-      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("b"))
-      .select(col("grp"), (-col("b.nid")).as("kept_doc"))
-      .join(labels, "grp")
-      .filter(col("doc_id") =!= col("kept_doc"))
-      .select("doc_id")
-    val s5 = s4.join(ndLosers, Seq("doc_id"), "left_anti").persist()
-
-    val s6 = s5.join(
-      Curation.weightedSampleFrom(
-        s5.select("lang", "doc_id", "n_chars")).select("doc_id"),
-      "doc_id").persist()
-
-    // survivors' token counts come from the SHARED per-doc artifact
-    // ([[Curation.docTokCounts]] — the same cached lineage
-    // q_pack_batches packs from) instead of re-tokenizing s6's text
-    // per run: identical values (toks is deterministic per text,
-    // doc_id unique), one tokenization pass per session (round 14,
-    // stage profile: the pack stage was the heaviest warm stage)
-    val packed = Curation.packFrom(
-      s6.select("doc_id")
-        .join(Curation.docTokCounts(spark, dir), "doc_id")
-        .select("doc_id", "source", "tok"))
-
-    def acct(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(sum("n_chars"), lit(0L)).cast("long")).head
-      (r.getLong(0), r.getLong(1))
-    }
     // the seven accounting actions are independent reads of persisted
     // stage lineages — overlap them (guide §2.6) instead of paying
     // seven sequential job latencies; answers are per-job and
     // order-free
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(7)
-    def fut[A](f: => A): java.util.concurrent.Future[A] =
-      pool.submit(new java.util.concurrent.Callable[A] {
-        def call(): A = f
-      })
-    val (nBatches, (n1, c1), (n2, c2), (n3, c3), (n4, c4), (n5, c5),
-        (n6, c6)) =
-      try {
-        val fPack = fut(packed.count())
-        val fs = Seq(docs, s2, s3, s4, s5, s6).map(df => fut(acct(df)))
-        (fPack.get(), fs(0).get(), fs(1).get(), fs(2).get(),
-          fs(3).get(), fs(4).get(), fs(5).get())
-      } finally pool.shutdown()
+    val rs = graft.model.Pools.mapConcurrent(
+      (() => (packed.count(), 0L)) +:
+        Seq(docs, s2, s3, s4, s5, s6).map(df => () => stageAcct(df)),
+      7)(_())
+    val nBatches = rs.head._1
+    val Seq((n1, c1), (n2, c2), (n3, c3), (n4, c4), (n5, c5),
+      (n6, c6)) = rs.tail
     val nShards = (n6 + Curation.ShardDocs - 1) / Curation.ShardDocs
     Seq(s2, s4, s5, s6).foreach(_.unpersist(false))
 
@@ -195,5 +143,90 @@ object CurationPipeline {
       (8L, "sharded", n6, c6, nShards))
       .toDF("stage", "name", "n_docs", "n_chars", "n_units")
       .orderBy("stage")
+  }
+
+  // ---- stage lineage builders, the single source of truth ----------
+  // Shared with [[graft.PipelineStageProbe]] (round-14 review: the
+  // probe hand-copied ~60 lines of the stages verbatim, so any change
+  // to full() — this round's pack-stage rewrite had to be mirrored by
+  // hand — would silently make the committed stage profile measure a
+  // pipeline that no longer exists). The persists live HERE so the
+  // two consumers cannot diverge on caching either; full() and the
+  // probe only differ in WHEN they materialize (the probe times each
+  // stage's first action).
+
+  private[graft] def stageDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source", "n_chars", "text")
+
+  private[graft] def stageQuality(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame =
+    docs.join(
+      Quality.qFilterChain(spark, dir).filter(col("keep")).select("doc_id"),
+      "doc_id").persist()
+
+  private[graft] def stageExact(s2: DataFrame): DataFrame = {
+    val exactWinners = s2
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    s2.join(exactWinners, "doc_id")
+  }
+
+  private[graft] def stageDecon(spark: SparkSession, dir: String,
+      s3: DataFrame): DataFrame =
+    s3.filter(col("doc_id") >= 20)
+      .join(Dedup.contaminatedMajority(spark, dir),
+        Seq("doc_id"), "left_anti").persist()
+
+  /** Connected components over the survivor-restricted near-dup pair
+    * subgraph — the one EAGER stage step (componentsOf iterates with
+    * actions), factored apart so the probe can time it separately. */
+  private[graft] def neardupLabels(spark: SparkSession, dir: String,
+      s4: DataFrame): DataFrame = {
+    val ids4 = s4.select("doc_id")
+    val pairs = Dedup.nearDupPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .join(ids4.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(ids4.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .select("doc_a", "doc_b")
+    Dedup.componentsOf(spark, pairs)
+  }
+
+  private[graft] def stageNeardup(s4: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val ndLosers = labels.join(s4.select("doc_id", "n_chars"), "doc_id")
+      .groupBy("grp")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("grp"), (-col("b.nid")).as("kept_doc"))
+      .join(labels, "grp")
+      .filter(col("doc_id") =!= col("kept_doc"))
+      .select("doc_id")
+    s4.join(ndLosers, Seq("doc_id"), "left_anti").persist()
+  }
+
+  private[graft] def stageSample(s5: DataFrame): DataFrame =
+    s5.join(
+      Curation.weightedSampleFrom(
+        s5.select("lang", "doc_id", "n_chars")).select("doc_id"),
+      "doc_id").persist()
+
+  /** Survivors' token counts come from the SHARED per-doc artifact
+    * ([[Curation.docTokCounts]] — the same cached lineage
+    * q_pack_batches packs from) instead of re-tokenizing s6's text
+    * per run: identical values (toks is deterministic per text,
+    * doc_id unique), one tokenization pass per session (round 14,
+    * stage profile: the pack stage was the heaviest warm stage). */
+  private[graft] def stagePacked(spark: SparkSession, dir: String,
+      s6: DataFrame): DataFrame =
+    Curation.packFrom(
+      s6.select("doc_id")
+        .join(Curation.docTokCounts(spark, dir), "doc_id")
+        .select("doc_id", "source", "tok"))
+
+  private[graft] def stageAcct(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      coalesce(sum("n_chars"), lit(0L)).cast("long")).head
+    (r.getLong(0), r.getLong(1))
   }
 }

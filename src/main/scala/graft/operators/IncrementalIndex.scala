@@ -517,10 +517,18 @@ object IncrementalIndex {
       f.exists(new org.apache.hadoop.fs.Path(s"${s0.dir}/_idbloom")))
     if (withSidecar.isEmpty) return ss
     val qbc = spark.sparkContext.broadcast(qids)
+    // same fail-hard ordinal parse as [[segEmbeddings]] (r13 advice):
+    // without it an unbindable path decodes a null into a non-nullable
+    // Int with an opaque error instead of naming the file
+    val sidecarOrd = regexp_extract(input_file_name(),
+      "/seg_([0-9]+)(?:_g[0-9]+)?/_idbloom(/|$)", 1)
     val hitOrds = spark.read
       .parquet(withSidecar.map(s0 => s"${s0.dir}/_idbloom"): _*)
-      .withColumn("__ord", regexp_extract(input_file_name(),
-        "/seg_([0-9]+)(?:_g[0-9]+)?/_idbloom(/|$)", 1).cast("int"))
+      .withColumn("__ord",
+        when(sidecarOrd === "", raise_error(concat(
+          lit("pruneSegsByIdBloom: segment ordinal unparseable from "),
+          input_file_name())))
+          .otherwise(sidecarOrd.cast("int")))
       .select(col("__ord"), col("w"), col("mask"), col("nbits"),
         col("hashes"))
       .as[(Int, Long, Long, Int, Int)]
@@ -882,14 +890,22 @@ object IncrementalIndex {
     val qids = queries.select(col("query_id").cast("long").as("vec_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("__ord").desc)
-    // broadcast(qids) pins the point-lookup strategy (r13 advice —
-    // parity with [[queryVecs]]): without the hint a mis-estimated
-    // query table turns this into a shuffle of ALL segment rows. The
-    // query-id column broadcasts at ~8 MB per million ids, so the
-    // hint holds to the 8 GB/512M-row relation cap — far past any
-    // batch this cell serves — while the corpus side never shuffles.
+    // NO broadcast hint here, deliberately (r13 advice applied, then
+    // retracted on round-14 review): this is the UNBOUNDED query-table
+    // cell, and a forced broadcast(qids) caps it at Spark's hard
+    // 8 GB / 512M-row relation limit — a scale failure on the one path
+    // whose contract is that query volume never bounds the serve. The
+    // hint also buys ~nothing: below the auto-broadcast threshold the
+    // estimate already picks BroadcastHashJoin without it, and when a
+    // SMALL table mis-estimates LARGE, AQE (enabled in GraftSession)
+    // re-plans the join to broadcast at runtime from the actual
+    // shuffle stats — so the only regime the hint CHANGES is a
+    // genuinely huge table, where it converts a correct shuffle join
+    // into a runtime broadcast failure. The bounded-batch twin
+    // [[queryVecs]] keeps its hint: its qids are a driver-collected
+    // array, bounded by contract before the join is ever built.
     val qv = segEmbeddings(spark, ss)
-      .join(broadcast(qids), "vec_id")
+      .join(qids, "vec_id")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("vec_id").as("query_id"),

@@ -35,4 +35,25 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
     assert(Bench.median(Seq(7.0)) === 7.0)
   }
+
+  test("lineOrder: failed rows first (never truncated out), then " +
+      "slowest, ties by name") {
+    val rows = Seq("fast" -> 0.1, "slow" -> 9.0, "tieB" -> 1.0,
+      "broken" -> Bench.FailureSentinel, "tieA" -> 1.0)
+    assert(Bench.lineOrder(rows).map(_._1) ===
+      Seq("broken", "slow", "tieA", "tieB", "fast"),
+      "a sentinel row sorted by raw slowness lands LAST and vanishes " +
+        "from a truncated map exactly when the line must show it")
+  }
+
+  test("stallCount: a row with any sentinel iteration counts ZERO " +
+      "stalls — breakage is not host noise") {
+    // with the sentinel as median (-1.0), the 5×-median test read the
+    // flaky query's SUCCESSFUL 4.2 s iteration as a stall
+    assert(Bench.stallCount(Seq(-1.0, -1.0, 4.2)) === 0)
+    assert(Bench.stallCount(Seq(4.2, -1.0, 4.3)) === 0)
+    // genuine stall still counts on a healthy row
+    assert(Bench.stallCount(Seq(0.1, 0.1, 10.0)) === 1)
+    assert(Bench.stallCount(Seq(0.1, 0.1, 0.12)) === 0)
+  }
 }

@@ -24,14 +24,10 @@ class DeterminismSpec extends SparkSpec {
       // fix) — so concurrent execution cannot change any answer, it
       // only overlaps the ~194 small jobs' scheduler latency (this
       // one test dominated the suite wall; round-14 item 1)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-      try SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
-        n -> pool.submit(new java.util.concurrent.Callable[Seq[String]] {
-          def call(): Seq[String] =
-            fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
-        })
-      }.map { case (n, fut) => n -> fut.get() }.toMap
-      finally pool.shutdown()
+      graft.model.Pools.mapConcurrent(
+        SparkEntry.queries.toSeq.sortBy(_._1), 8) { case (n, fn) =>
+        n -> fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      }.toMap
     }
     try {
       spark.conf.set(key, "4")
